@@ -1,0 +1,56 @@
+"""Date operators: dirty-date parsing and financial-year derivation.
+
+The reference keeps dates as raw strings because IRDAI data is dirty
+(e.g. ``"2018-06-04 04-06-2018"`` — two formats concatenated; see
+models.py:30-31 and the checked-in CSVs). Parsing is therefore an
+engine operator here, not a schema property: multi-format trial parse
+with NULL on failure (never an exception), matching the reference's
+swallow-and-continue error handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Trial order matters: first successful parse wins.
+DIRTY_DATE_FORMATS = (
+    "yyyy-MM-dd",
+    "dd-MM-yyyy",
+    "dd/MM/yyyy",
+    "yyyy/MM/dd",
+    "dd-MMM-yyyy",
+)
+
+
+def parse_dirty_date(col: Column, formats: tuple[str, ...] = DIRTY_DATE_FORMATS) -> Column:
+    """Multi-format trial date parse; unparseable → NULL.
+
+    Handles the concatenated-format pathology by first truncating to the
+    leading token (``"2018-06-04 04-06-2018"`` → ``"2018-06-04"``).
+    """
+    head = F.split(F.trim(col), r"\s+").getItem(0)
+    parsed = [F.try_to_timestamp(head, F.lit(fmt)).cast("date") for fmt in formats]
+    return F.coalesce(*parsed)
+
+
+def financial_year_start(fy: Column) -> Column:
+    """Extract the starting calendar year from a financial-year label.
+
+    Accepts both observed styles: ``"FY 2018-19"`` (life) and
+    ``"2022-2023"`` (health). Returns INT year or NULL.
+    """
+    y = F.regexp_extract(fy, r"(\d{4})", 1)
+    return F.when(y == "", F.lit(None).cast("int")).otherwise(y.cast("int"))
+
+
+def fy_label_from_date(d: Column) -> Column:
+    """Derive an Indian financial-year label (April–March) from a date.
+
+    April..Dec → ``FY {y}-{y+1%100}``; Jan..Mar → ``FY {y-1}-{y%100}``.
+    """
+    y = F.year(d)
+    m = F.month(d)
+    start = F.when(m >= 4, y).otherwise(y - 1)
+    end2 = F.format_string("%02d", (start + 1) % 100)
+    return F.concat(F.lit("FY "), start.cast("string"), F.lit("-"), end2)

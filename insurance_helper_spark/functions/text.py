@@ -1,0 +1,122 @@
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+All pure column expressions (JVM-side, codegen-friendly) — no Python
+UDFs in the hot path. Operates on ``documents.text``-style columns.
+
+- tokenization (whitespace + punctuation-aware regex)
+- token / char counting
+- quality scoring (length, punctuation ratio, stopword ratio,
+  mean word length)
+- language-ID heuristic (script detection + stopword hit-rate)
+- document fingerprinting (content hash; shingle base for MinHash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword seed sets for the lang-id heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "that",
+)
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(s)
+
+
+def tokens(col: Column) -> Column:
+    """Split normalized text into an array of word tokens."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace-token count of normalized text (BPE-ish proxy)."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (quality / lang-id signal)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    # filter (not array_intersect) so token multiplicity counts
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: balanced length, low punctuation,
+    reasonable stopword density. Deterministic and SQL-reproducible."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - 0.4) * 2.0, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: script detection first, then English
+    stopword hit-rate; 'unknown' otherwise.
+
+    Covers the scripts that actually appear in the reference corpus
+    (Devanagari filenames in life_list — SURVEY §1.3) plus CJK/Arabic/
+    Cyrillic for generality.
+    """
+    sw_ratio = stopword_ratio(col)
+    return (
+        F.when(col.rlike(r"[ऀ-ॿ]"), F.lit("hi"))
+        .when(col.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(col.rlike(r"[؀-ۿ]"), F.lit("ar"))
+        .when(col.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
+        .when(sw_ratio >= 0.08, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: sha2-256 of normalized text.
+
+    The exact-dedup key; sha2 (not xxhash) so the DuckDB oracle matches.
+    """
+    return F.sha2(normalize_text(col), 256)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-token shingles (distinct), the MinHash input set."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)

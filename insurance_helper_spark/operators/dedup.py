@@ -1,0 +1,301 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference dedups on exact ``document_url`` membership
+(cli.py:101-103; delta_download.py:191). For an LLM-data pipeline we
+add content-level near-dup detection, each designed to scale:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle, no O(n²).
+- n-gram Jaccard: shingle-explode + equi-join on shingle → candidate
+  pairs only where at least one shingle collides (never all-pairs).
+- MinHash-LSH: constant-size signature per doc, banded bucketing,
+  candidates only within buckets. Signature computation is pure column
+  expressions (xxhash64 with per-permutation seeds), so it codegens.
+- SimHash: 64-bit signature via per-token hashes; near-dups share
+  signatures within Hamming distance ≤ k, found by pivoted band join.
+
+All operators keep a deterministic winner (min key) so results are
+stable and oracle-checkable where SQL can express them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.functions import text as T
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order: list[Column] | None = None) -> DataFrame:
+    """Keep exactly one row per key, deterministically (min of ``order``).
+
+    ``dropDuplicates`` keeps an arbitrary row — fine for idempotence,
+    wrong for reproducible pipelines — so we use a window argmin.
+    Scale: one shuffle on the key; WindowGroupLimit prunes map-side.
+    """
+    order = order or [F.monotonically_increasing_id()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup on the sha2 fingerprint of normalized text."""
+    fp = T.fingerprint(F.col(text_col))
+    return dedup_exact(df.withColumn("fingerprint", fp), ["fingerprint"], [F.col(id_col)])
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """All document pairs with k-token-shingle Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    count common shingles per pair → Jaccard = common/(|A|+|B|-common).
+    Scale: the join key is the shingle, so only docs sharing ≥1 shingle
+    ever meet; no all-pairs blowup. A hot (very common) shingle is a
+    skew key — AQE skew-join splitting handles it; for adversarial
+    corpora drop top-frequency shingles first (stopword-shingle
+    filtering), standard MinHash-era practice.
+
+    Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sh_size").alias("size_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles_col: Column, num_perm: int = 64) -> Column:
+    """MinHash signature as an array<bigint> of length ``num_perm``.
+
+    Permutation i is simulated by xxhash64(shingle, seed=i); the
+    signature element is the min hash over the doc's shingle set.
+    Pure column expressions — JVM-side, no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    rows per band = num_perm // bands. Docs agreeing on ALL rows of any
+    band land in the same bucket → candidate pair. Scale: signature is
+    constant-size per doc; the bucket join is an equi-join on
+    (band_idx, band_hash) — no all-pairs. Estimated Jaccard from
+    signature agreement is attached for thresholding downstream.
+    """
+    rows_per_band = num_perm // bands
+    sig_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(T.shingles(F.col(text_col), k), num_perm).alias("sig"),
+    ).filter(F.size("sig") > 0)
+
+    banded = sig_df.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = fraction of agreeing signature positions
+    cand = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+            .cast("double")
+            / F.size("sig_a").cast("double"),
+            6,
+        ),
+    )
+    return cand.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_votes(tokens_col: Column) -> Column:
+    """Per-bit SimHash votes (array<bigint> of length 64).
+
+    Each token is hashed ONCE (xxhash64); vote j accumulates +1/-1 by
+    bit j of the hash. Bit positions are Python ints, so every shift is
+    a literal — stays inside codegen.
+    """
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def votes_to_simhash(votes_col: Column) -> Column:
+    """Fold vote signs into the 64-bit signature (BIGINT).
+
+    Applied to a MATERIALIZED votes column (separate projection) so the
+    64 element_at references don't duplicate the aggregate expression.
+    """
+    import functools
+
+    parts = [
+        F.when(
+            F.element_at(votes_col, j + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(64)
+    ]
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``bands``
+    16-bit blocks; any pair within distance ≤ bands-1 agrees exactly on
+    ≥1 block, so candidates come from an equi-join on (block_idx,
+    block_value) — no all-pairs scan. Verify exact Hamming ≤ k on
+    candidates only.
+    """
+    block_bits = 64 // bands
+    mask = (1 << block_bits) - 1
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            simhash_votes(T.tokens(F.col(text_col))).alias("votes"),
+        )
+        .select("doc_id", votes_to_simhash(F.col("votes")).alias("sim"))
+    )
+    blocks = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("sim", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Incremental-pipeline operators: the semantic heart of the reference.
+
+The reference's delta path (scripts/delta_download.py:167-211) is
+  snapshot → anti-join against existing keys → act on new rows → append
+and its state manager maintains completed/failed sets with upsert
+semantics (storage/state.py:133-156). Re-expressed Spark-first:
+
+- ``delta_new_rows``   — J2: the anti-join core (null-safe, key-driven).
+- ``mark_completed``   — J1: completed-set union (idempotent).
+- ``upsert_failed``    — J4: MERGE-style retry-count upsert expressed as
+  union + window argmax + aggregation (pure DataFrame ops so it runs on
+  plain parquet; on a Delta/Iceberg table this is literally MERGE INTO).
+- ``resume_filter``    — C2: page-cursor resume as a predicate.
+- ``run_delta_pipeline`` — O5: the whole snapshot→anti-join→act→append
+  loop as a parameterized function, idempotent by construction.
+
+Scale: every step is a key-partitioned join or aggregation; the
+"existing keys" side at 100 TB stays a table (never a driver-side set —
+the reference's in-memory ``set[str]`` does not scale; SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_new_rows(snapshot: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """J2: rows of ``snapshot`` whose ``key`` is absent from ``existing``.
+
+    Exactly the reference's dedup semantics (key = document_url,
+    delta_download.py:191). NULL keys are treated as new (the reference
+    filters them before download instead — K4).
+    """
+    return snapshot.join(
+        existing.select(F.col(key)).dropDuplicates([key]), on=key, how="left_anti"
+    )
+
+
+def mark_completed(completed: DataFrame, newly_done: DataFrame, key: str) -> DataFrame:
+    """J1 maintenance: add newly completed keys to the completed set,
+    idempotently (ref: state.py:133-140)."""
+    return (
+        completed.select(key)
+        .unionByName(newly_done.select(key))
+        .dropDuplicates([key])
+    )
+
+
+def upsert_failed(
+    failed: DataFrame,
+    new_failures: DataFrame,
+    key: str = "url",
+    error_col: str = "error",
+    retries_col: str = "retries",
+    ts_col: str = "last_attempt",
+) -> DataFrame:
+    """J4: MERGE-style upsert of failure records (ref: state.py:142-156).
+
+    WHEN MATCHED → retries += 1, error/timestamp refreshed;
+    WHEN NOT MATCHED → insert with retries = 1.
+
+    Expressed as union + groupBy so it is a pure-DataFrame (and
+    SQL-oracle-checkable) equivalent of Delta's MERGE INTO.
+    ``new_failures`` carries (key, error, ts); ``failed`` carries
+    (key, error, retries, ts).
+    """
+    old = failed.select(
+        F.col(key),
+        F.col(error_col).alias("__err"),
+        F.col(retries_col).cast("long").alias("__retries"),
+        F.col(ts_col).alias("__ts"),
+    )
+    new = new_failures.select(
+        F.col(key),
+        F.col(error_col).alias("__err"),
+        F.lit(1).cast("long").alias("__retries"),
+        F.col(ts_col).alias("__ts"),
+    )
+    merged = old.unionByName(new)
+    # per key: retries = old retries + #new attempts (or just new count);
+    # error/ts from the latest attempt.
+    return (
+        merged.groupBy(key)
+        .agg(
+            F.sum("__retries").alias(retries_col),
+            F.max_by("__err", F.col("__ts")).alias(error_col),
+            F.max("__ts").alias(ts_col),
+        )
+        .select(key, error_col, retries_col, ts_col)
+    )
+
+
+def clear_succeeded(failed: DataFrame, succeeded: DataFrame, key: str = "url") -> DataFrame:
+    """J4 complement: drop failure records that later succeeded
+    (ref: state.py:162-167) — an anti-join."""
+    return failed.join(succeeded.select(key), on=key, how="left_anti")
+
+
+def resume_filter(pages: DataFrame, last_completed_page: int, page_col: str = "page") -> Column | DataFrame:
+    """C2: resume = skip pages ≤ the checkpointed cursor
+    (ref: state.py:115-117, cli.py:76-77). Partition-pruning-friendly."""
+    return pages.filter(F.col(page_col) > last_completed_page)
+
+
+def run_delta_pipeline(
+    snapshot: DataFrame,
+    existing: DataFrame,
+    key: str,
+    act: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """O5: the full incremental run — returns the acted-on new rows.
+
+    Append-side effects are the caller's (write.mode('append') /
+    foreachBatch); running twice with the same inputs yields an empty
+    second delta — the idempotence property the reference's CI cron
+    relies on.
+    """
+    new_rows = delta_new_rows(snapshot, existing, key)
+    return act(new_rows) if act else new_rows

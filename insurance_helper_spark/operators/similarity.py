@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per SURVEY §2B:
+- brute-force cosine top-k — the exact baseline. Dot products are pure
+  column expressions (zip_with + aggregate → JVM codegen); the top-k is
+  a window per query. Scale: broadcast the (small) query set against
+  the (huge) corpus — one pass, no shuffle of the corpus, per-partition
+  partial top-k before the final k-merge.
+- LSH-bucketed ANN (random hyperplanes) — the scale path: constant-bit
+  signature per vector, candidates only within matching buckets.
+  Hyperplanes are derived deterministically from a seed so runs are
+  reproducible.
+
+Embedding-cosine near-dup (dedup by cosine ≥ τ) reuses the same
+primitives with a self-join restricted to LSH buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once. Excludes self-matches when ids collide. Similarity is
+    rounded BEFORE ranking (with an id tiebreak) so rank order is
+    reproducible across engines at the chosen precision.
+    Returns (query_id, neighbor_id, cosine_sim, nn_rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy needed at
+    the executor — generated driver-side once, shipped as literals).
+
+    Uses a splitmix64-style integer stream → uniform(-1,1). Reproducible
+    across runs and languages given the same seed.
+    """
+    planes: list[list[float]] = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    def next_u64() -> int:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    for _ in range(n_planes):
+        v = [next_u64() / 2**63 - 1.0 for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature under random hyperplanes, as array<int>."""
+    sigs = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        sigs.append((dot(vec, plane_lit) >= 0).cast("int"))
+    return F.array(*sigs)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH bucket (all
+    n_planes sign bits), then exact cosine re-rank within bucket.
+
+    Scale: corpus is hashed once (one narrow pass); the join key is the
+    bucket id — an equi-join, shuffle bounded by bucket sizes. Recall
+    is tuned by n_planes (fewer planes → bigger buckets → higher
+    recall, more compute). For multiprobe recall, re-run with bit
+    flips; not needed at fixture scale.
+    """
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.concat_ws("", *[x.cast("string") for x in [
+            (dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) >= 0).cast("int")
+            for p in planes
+        ]]).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.concat_ws("", *[x.cast("string") for x in [
+            (dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) >= 0).cast("int")
+            for p in planes
+        ]]).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("nn_rank", F.row_number().over(w)).filter(F.col("nn_rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold (embedding near-duplicate dedup).
+
+    ``exact=True`` does the O(n²) self-join (oracle-checkable at small
+    SF); default uses LSH blocking: near-identical vectors agree on all
+    sign bits with high probability, so the self-join runs per bucket.
+    """
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if exact:
+        a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        sig = base.withColumn(
+            "bucket",
+            F.concat_ws(
+                "",
+                *[
+                    (dot(F.col("vec"), F.array(*[F.lit(float(v)) for v in p])) >= 0)
+                    .cast("int").cast("string")
+                    for p in planes
+                ],
+            ),
+        )
+        a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+        b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

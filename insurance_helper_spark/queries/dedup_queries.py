@@ -1,0 +1,199 @@
+"""Dedup query registrations (exact + fuzzy; SURVEY §2B).
+
+Exact and n-gram-Jaccard dedup carry full DuckDB oracles; MinHash-LSH
+and SimHash use engine-specific hashing (xxhash64) and register
+rows-only (the driver records the weaker check, per the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.functions import cleaning
+from insurance_helper_spark.operators import dedup
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup with deterministic keep (window argmin) — generalizes
+# dropDuplicates; ref semantics J1 (URL-set membership, cli.py:101-103).
+# ---------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+ORDER BY l_orderkey
+"""
+
+
+@register("dedup_exact_keep_first", EXACT_ORACLE)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return (
+        dedup.dedup_exact(li, ["l_orderkey"], [F.col("l_linenumber"), F.col("l_quantity")])
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-hash dedup: sha2-keyed distinct (J1 at 100 TB: fixed-width keys).
+# ---------------------------------------------------------------------------
+
+URLHASH_ORACLE = """
+WITH urls AS (
+  SELECT 'https://irdai.gov.in/doc/' || CAST(o_orderkey % 997 AS VARCHAR) || '.pdf' AS url
+  FROM orders
+)
+SELECT count(*) AS n_rows, count(DISTINCT sha256(url)) AS n_unique
+FROM urls
+"""
+
+
+@register("dedup_url_hash", URLHASH_ORACLE)
+def dedup_url_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"])
+    urls = orders.select(
+        F.concat(
+            F.lit("https://irdai.gov.in/doc/"),
+            (F.col("o_orderkey") % 997).cast("string"),
+            F.lit(".pdf"),
+        ).alias("url")
+    )
+    return urls.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(cleaning.url_key(F.col("url"))).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-fingerprint dedup over documents (sha2 of normalized text).
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT fingerprint) AS n_unique,
+       count(*) - count(DISTINCT fingerprint) AS n_exact_dups
+FROM fp
+"""
+
+
+@register("dedup_fingerprint_docs", FINGERPRINT_ORACLE)
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Note: fixture text is ASCII so the [^a-z0-9]+ oracle regex matches
+    our \\p{L}\\p{N} normalizer exactly."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    from insurance_helper_spark.functions import text as T
+
+    fp = docs.select(T.fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_exact_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs — full oracle (pure set arithmetic).
+# ---------------------------------------------------------------------------
+
+NGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.common,
+       sa.sh_size AS size_a, sb.sh_size AS size_b,
+       round(p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) >= 0.5
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidates (rows-only: xxhash64 signatures are
+# Spark-specific). The est_jaccard ≥ 0.4 filter keeps the planted
+# near-dup pairs found by the exact query above.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh_rowsonly")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_perm=64, bands=16)
+        .filter(F.col("est_jaccard") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_simhash_rowsonly")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs — exact variant has a DuckDB oracle
+# (list_cosine_similarity); threshold 0.4 chosen from the fixture
+# distribution (max pairwise ≈ 0.51).
+# ---------------------------------------------------------------------------
+
+EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_cosine", EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.0, exact=True)
+    return (
+        pairs.withColumn("cosine_sim", F.round("cosine_sim", 4))
+        .filter(F.col("cosine_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )

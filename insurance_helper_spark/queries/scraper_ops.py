@@ -1,0 +1,413 @@
+"""Scraper-operator ports (SURVEY §2A) exercised on fixture data.
+
+The reference's scrape-pipeline operators are pure dataflow: URL
+generation, text cleaning, link/filename extraction, classification,
+path synthesis, checkpoint/resume filters, failure upsert. Here each is
+a registered query over deterministic columns synthesized from the
+fixture tables (both engines synthesize identically), so the DuckDB
+oracle verifies exact semantics. The network-bound pieces (S2 fetch,
+D1-D4 download) live in ``sources/http.py`` with injected IO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.functions import cleaning
+from insurance_helper_spark.operators import incremental
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# S1 + S3: paginated page-URL generation with cardinality-derived page
+# count. Ref: scraper/base.py:40-49 (URL template), :58-72 (total-results
+# probe → ceil-div by page size 60, config.py:32).
+# Scale: the page list is a DataFrame (spark.range) — the scan driver is
+# data, not a driver-side loop, so 10^6 pages partition across executors.
+# ---------------------------------------------------------------------------
+
+PAGE_URL_ORACLE = """
+WITH pages AS (
+  SELECT CAST(r.range AS BIGINT) AS page,
+         CAST(ceil(2500 * 1.0 / 60) AS BIGINT) AS total_pages
+  FROM range(1, CAST(ceil(2500 * 1.0 / 60) AS BIGINT) + 1) r
+)
+SELECT page, total_pages,
+       'https://irdai.gov.in/consolidated-gazette-notified-forms?p_p_id=com_irdai_document_media_IRDAIDocumentMediaPortlet&_cur=' ||
+         CAST(page AS VARCHAR) || '&_delta=60' AS page_url
+FROM pages
+ORDER BY page
+"""
+
+
+@register("scrape_page_urls", PAGE_URL_ORACLE)
+def scrape_page_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    total_results, page_size = 2500, 60
+    total_pages = -(-total_results // page_size)
+    return (
+        spark.range(1, total_pages + 1)
+        .select(
+            F.col("id").alias("page"),
+            F.lit(total_pages).cast("bigint").alias("total_pages"),
+            F.concat(
+                F.lit(
+                    "https://irdai.gov.in/consolidated-gazette-notified-forms"
+                    "?p_p_id=com_irdai_document_media_IRDAIDocumentMediaPortlet&_cur="
+                ),
+                F.col("id").cast("string"),
+                F.lit("&_delta=60"),
+            ).alias("page_url"),
+        )
+        .orderBy("page")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4: fallback max-page discovery — regexp over hrefs + max agg.
+# Ref: scraper/base.py:74-86 (regex `_cur=(\d+)` over pagination links).
+# ---------------------------------------------------------------------------
+
+MAX_PAGE_ORACLE = """
+SELECT max(CAST(regexp_extract(href, '_cur=(\\d+)', 1) AS BIGINT)) AS max_page,
+       count(*) AS n_links
+FROM (
+  SELECT 'https://irdai.gov.in/page?x=1&_cur=' || CAST(o_orderkey % 143 AS VARCHAR) AS href
+  FROM orders
+)
+WHERE regexp_extract(href, '_cur=(\\d+)', 1) <> ''
+"""
+
+
+@register("scrape_max_page_fallback", MAX_PAGE_ORACLE)
+def scrape_max_page_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"])
+    hrefs = orders.select(
+        F.concat(
+            F.lit("https://irdai.gov.in/page?x=1&_cur="),
+            (F.col("o_orderkey") % 143).cast("string"),
+        ).alias("href")
+    )
+    cur = F.regexp_extract("href", r"_cur=(\d+)", 1)
+    return hrefs.filter(cur != "").agg(
+        F.max(cur.cast("bigint")).alias("max_page"),
+        F.count("*").alias("n_links"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1+P3+K1+K2: clean text, extract filename from URL, sanitize, infer
+# extension — the whole cleaning chain over synthesized dirty URLs.
+# ---------------------------------------------------------------------------
+
+CLEANING_ORACLE = r"""
+WITH raw AS (
+  SELECT p_partkey, p_name, p_brand,
+         '  ' || p_name || E'\t\n ' || p_brand || '  ' AS dirty_text,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'https://irdai.gov.in/documents/d' || CAST(p_partkey AS VARCHAR) || '/product-brochure.pdf?download=true'
+           WHEN 1 THEN 'https://irdai.gov.in/files/' || CAST(p_partkey AS VARCHAR) || '/Listing.XLSX'
+           WHEN 2 THEN 'https://irdai.gov.in/portal/view/' || CAST(p_partkey AS VARCHAR)
+           ELSE 'https://cdn.example.org/xls-export?id=' || CAST(p_partkey AS VARCHAR)
+         END AS url
+  FROM part
+)
+SELECT p_partkey,
+       trim(regexp_replace(dirty_text, '\s+', ' ', 'g')) AS clean_text,
+       CASE WHEN url IS NULL OR url = '' THEN NULL
+            WHEN regexp_extract(url, '(?i)/([^/?]+\.(?:pdf|xlsx|xls))', 1) <> ''
+            THEN regexp_extract(url, '(?i)/([^/?]+\.(?:pdf|xlsx|xls))', 1)
+            ELSE list_extract(string_split(string_split(url, '?')[1], '/'), len(string_split(string_split(url, '?')[1], '/')))
+       END AS filename,
+       CASE WHEN contains(lower(string_split(url, '?')[1]), '.xlsx') THEN '.xlsx'
+            WHEN contains(lower(string_split(url, '?')[1]), '.xls') THEN '.xls'
+            WHEN contains(lower(string_split(url, '?')[1]), '.pdf') THEN '.pdf'
+            WHEN contains(lower(url), 'xlsx') OR contains(lower(url), 'xls') THEN '.xlsx'
+            ELSE '.pdf'
+       END AS ext,
+       CASE WHEN trim(substring(regexp_replace(regexp_replace(p_name || '/' || p_brand, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), 1, 100), '-') = ''
+            THEN 'unknown'
+            ELSE substring(trim(regexp_replace(regexp_replace(p_name || '/' || p_brand, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100)
+       END AS safe_name
+FROM raw
+ORDER BY p_partkey
+"""
+
+
+@register("scrape_cleaning_chain", CLEANING_ORACLE)
+def scrape_cleaning_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    url = (
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(F.lit("https://irdai.gov.in/documents/d"), F.col("p_partkey").cast("string"),
+                     F.lit("/product-brochure.pdf?download=true")),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 1,
+            F.concat(F.lit("https://irdai.gov.in/files/"), F.col("p_partkey").cast("string"),
+                     F.lit("/Listing.XLSX")),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat(F.lit("https://irdai.gov.in/portal/view/"), F.col("p_partkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn.example.org/xls-export?id="), F.col("p_partkey").cast("string"))
+        )
+    )
+    dirty = F.concat(F.lit("  "), F.col("p_name"), F.lit("\t\n "), F.col("p_brand"), F.lit("  "))
+    df = part.withColumn("url", url).withColumn("dirty_text", dirty)
+    return df.select(
+        "p_partkey",
+        cleaning.clean_text(F.col("dirty_text")).alias("clean_text"),
+        cleaning.filename_from_url(F.col("url")).alias("filename"),
+        cleaning.extension_from_url(F.col("url")).alias("ext"),
+        cleaning.sanitize_filename(F.concat_ws("/", "p_name", "p_brand")).alias("safe_name"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# P4: archive-status classifier cascade. Ref: scraper/parser.py:91-107.
+# ---------------------------------------------------------------------------
+
+ARCHIVE_ORACLE = """
+WITH rows_in AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'row archive-row highlight' WHEN 1 THEN 'row data-row' ELSE '' END AS row_class,
+         CASE o_orderkey % 7
+           WHEN 0 THEN 'Archived' WHEN 1 THEN 'Non-Archived' WHEN 2 THEN 'some product text' ELSE '' END AS first_cell
+  FROM orders
+),
+classified AS (
+  SELECT o_orderkey,
+         CASE WHEN contains(lower(row_class), 'archive') THEN 'Archived'
+              WHEN contains(lower(first_cell), 'non-archived') THEN 'Non-Archived'
+              WHEN contains(lower(first_cell), 'archived') THEN 'Archived'
+              ELSE 'Non-Archived' END AS archive_status
+  FROM rows_in
+)
+SELECT archive_status, count(*) AS n
+FROM classified GROUP BY archive_status ORDER BY archive_status
+"""
+
+
+@register("scrape_archive_classifier", ARCHIVE_ORACLE)
+def scrape_archive_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"])
+    row_class = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("row archive-row highlight"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("row data-row"))
+        .otherwise(F.lit(""))
+    )
+    first_cell = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("Archived"))
+        .when(F.col("o_orderkey") % 7 == 1, F.lit("Non-Archived"))
+        .when(F.col("o_orderkey") % 7 == 2, F.lit("some product text"))
+        .otherwise(F.lit(""))
+    )
+    df = orders.withColumn("row_class", row_class).withColumn("first_cell", first_cell)
+    return (
+        df.select(cleaning.archive_status(F.col("row_class"), F.col("first_cell")).alias("archive_status"))
+        .groupBy("archive_status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("archive_status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3: partitioned download-path synthesis.
+# Ref: downloader/file_manager.py:47-114.
+# ---------------------------------------------------------------------------
+
+PATH_ORACLE = r"""
+WITH base AS (
+  SELECT p_partkey,
+         'life' AS product_type,
+         'FY 20' || lpad(CAST(15 + p_partkey % 8 AS VARCHAR), 2, '0') || '-' ||
+            lpad(CAST((16 + p_partkey % 8) % 100 AS VARCHAR), 2, '0') AS financial_year,
+         p_brand AS insurer,
+         'UIN' || CAST(p_partkey AS VARCHAR) AS uin,
+         p_name AS product_name
+  FROM part
+),
+san AS (
+  SELECT p_partkey, product_type, financial_year, insurer, uin, product_name,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(financial_year, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS fy_s,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(insurer, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS insurer_s,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(uin || '_' || product_name, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS file_s
+  FROM base
+)
+SELECT p_partkey,
+       'downloads/' || product_type || '/' || fy_s || '/' || insurer_s || '/' || file_s || '.pdf' AS download_path
+FROM san
+ORDER BY p_partkey
+"""
+
+
+@register("scrape_partitioned_path", PATH_ORACLE)
+def scrape_partitioned_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    fy = F.concat(
+        F.lit("FY 20"),
+        F.lpad((15 + F.col("p_partkey") % 8).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((16 + F.col("p_partkey") % 8) % 100).cast("string"), 2, "0"),
+    )
+    df = part.select(
+        "p_partkey",
+        F.lit("life").alias("product_type"),
+        fy.alias("financial_year"),
+        F.col("p_brand").alias("insurer"),
+        F.concat(F.lit("UIN"), F.col("p_partkey").cast("string")).alias("uin"),
+        F.col("p_name").alias("product_name"),
+    )
+    return df.select(
+        "p_partkey",
+        cleaning.partitioned_path(
+            F.col("product_type"),
+            F.col("financial_year"),
+            F.col("insurer"),
+            F.col("uin"),
+            F.col("product_name"),
+            F.lit(".pdf"),
+        ).alias("download_path"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# J2/O5: the incremental-delta anti-join core on fixture data.
+# Ref: scripts/delta_download.py:41-51,191.
+# ---------------------------------------------------------------------------
+
+DELTA_ORACLE = """
+WITH existing AS (
+  SELECT DISTINCT 'https://irdai.gov.in/doc/' || CAST(o_orderkey AS VARCHAR) AS document_url
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+snapshot AS (
+  SELECT 'https://irdai.gov.in/doc/' || CAST(o_orderkey AS VARCHAR) AS document_url,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT s.document_url, s.o_orderkey, s.o_totalprice
+FROM snapshot s
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.document_url = s.document_url)
+ORDER BY s.o_orderkey
+"""
+
+
+@register("incremental_delta_core", DELTA_ORACLE)
+def incremental_delta_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    url = F.concat(F.lit("https://irdai.gov.in/doc/"), F.col("o_orderkey").cast("string"))
+    snapshot = orders.withColumn("document_url", url).select("document_url", "o_orderkey", "o_totalprice")
+    existing = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(url.alias("document_url"))
+    )
+    return incremental.delta_new_rows(snapshot, existing, "document_url").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J4: failed-download MERGE upsert expressed relationally.
+# Ref: storage/state.py:142-156.
+# ---------------------------------------------------------------------------
+
+UPSERT_ORACLE = """
+WITH failed_old AS (
+  SELECT 'doc_' || CAST(l_orderkey AS VARCHAR) AS url,
+         'stale-error' AS error,
+         1 + l_orderkey % 3 AS retries,
+         l_shipdate AS last_attempt
+  FROM lineitem WHERE l_returnflag = 'A' AND l_linenumber = 1
+),
+new_failures AS (
+  SELECT 'doc_' || CAST(l_orderkey AS VARCHAR) AS url,
+         'E' || CAST(l_linenumber AS VARCHAR) AS error,
+         l_shipdate AS last_attempt
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+unioned AS (
+  SELECT url, error, CAST(retries AS BIGINT) AS retries,
+         last_attempt, strftime(last_attempt, '%Y-%m-%dT%H:%M:%S') || '|' || error AS kv
+  FROM failed_old
+  UNION ALL
+  SELECT url, error, CAST(1 AS BIGINT), last_attempt,
+         strftime(last_attempt, '%Y-%m-%dT%H:%M:%S') || '|' || error
+  FROM new_failures
+)
+SELECT url,
+       CAST(sum(retries) AS BIGINT) AS retries,
+       split_part(max(kv), '|', 2) AS error,
+       max(last_attempt) AS last_attempt
+FROM unioned
+GROUP BY url
+ORDER BY url
+"""
+
+
+@register("failed_download_upsert", UPSERT_ORACLE)
+def failed_download_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"],
+    )
+    url = F.concat(F.lit("doc_"), F.col("l_orderkey").cast("string"))
+    failed_old = (
+        li.filter((F.col("l_returnflag") == "A") & (F.col("l_linenumber") == 1))
+        .select(
+            url.alias("url"),
+            F.lit("stale-error").alias("error"),
+            (1 + F.col("l_orderkey") % 3).cast("long").alias("retries"),
+            F.col("l_shipdate").alias("last_attempt"),
+        )
+    )
+    new_failures = li.filter(F.col("l_returnflag") == "R").select(
+        url.alias("url"),
+        F.concat(F.lit("E"), F.col("l_linenumber").cast("string")).alias("error"),
+        F.col("l_shipdate").alias("last_attempt"),
+    )
+    kv = lambda df: df.withColumn(  # noqa: E731
+        "kv",
+        F.concat(F.date_format("last_attempt", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("|"), F.col("error")),
+    )
+    unioned = kv(failed_old).unionByName(
+        kv(new_failures.withColumn("retries", F.lit(1).cast("long"))).select(
+            "url", "error", "retries", "last_attempt", "kv"
+        )
+    )
+    return (
+        unioned.groupBy("url")
+        .agg(
+            F.sum("retries").alias("retries"),
+            F.substring_index(F.max("kv"), "|", -1).alias("error"),
+            F.max("last_attempt").alias("last_attempt"),
+        )
+        .select("url", "retries", "error", "last_attempt")
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2/O3: resume-from-checkpoint + page-range restriction as predicates.
+# Ref: storage/state.py:115-117, cli.py:273-282, scraper/base.py:119-127.
+# ---------------------------------------------------------------------------
+
+RESUME_ORACLE = """
+SELECT CAST(r.range AS BIGINT) AS page
+FROM range(1, 201) r
+WHERE r.range > 37 AND r.range BETWEEN 20 AND 150
+ORDER BY page
+"""
+
+
+@register("resume_page_filter", RESUME_ORACLE)
+def resume_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark.range(1, 201).select(F.col("id").alias("page"))
+    resumed = incremental.resume_filter(pages, last_completed_page=37)
+    return resumed.filter(F.col("page").between(20, 150)).orderBy("page")

@@ -1,0 +1,65 @@
+"""Similarity-search query registrations (SURVEY §2B).
+
+Brute-force cosine top-k is exact and oracle-checked against DuckDB's
+list_cosine_similarity (computed in DOUBLE on both sides, rounded to 4
+before ranking with a deterministic id tiebreak). The LSH ANN variant
+is Spark-specific bucketing → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.operators import similarity
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 4) AS cosine_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
+FROM scored
+QUALIFY nn_rank <= {TOP_K}
+ORDER BY query_id, nn_rank
+"""
+
+
+@register("similarity_cosine_topk", COSINE_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=TOP_K, round_digits=4,
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "nn_rank").orderBy(
+        "query_id", "nn_rank"
+    )
+
+
+@register("similarity_ann_lsh_rowsonly")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style ANN: sign-bit bucketing + in-bucket exact re-rank.
+    Rows-only (bucket assignment is engine-side hashing). At 100 TB the
+    corpus is hashed in one narrow pass and only bucket-mates join."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(
+        emb, queries, dim=64, k=TOP_K, n_planes=8
+    ).orderBy("query_id", "nn_rank")

@@ -1,0 +1,3 @@
+from insurance_helper_spark.sources.tables import FIXTURE_TABLES, load_table, load_tables
+
+__all__ = ["FIXTURE_TABLES", "load_table", "load_tables"]
