@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries":
+{name: sec}, "sf": ...}``.
+
+Each query is executed with the noop sink (full plan runs, nothing is
+collected to the driver) — measures engine time, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # relational core
+    "flagship",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "window_running_spend",
+    "topk_per_group",
+    "asof_latest_per_key",
+    "agg_rollup",
+    "set_ops_segments",
+    # scraper-op / incremental surface
+    "incremental_delta_core",
+    "failed_download_upsert",
+    "scrape_cleaning_chain",
+    # LLM-pipeline surface
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_rowsonly",
+    "similarity_cosine_topk",
+    "text_tfidf_top_terms",
+    "text_stats",
+    # streaming shapes
+    "stream_tumbling_window",
+    "stream_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from insurance_helper_spark.session import get_spark
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warm-up (not timed): tiny action through the parquet reader.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,11 +67,17 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    # Small fixture files arrive as ONE input split; shingle/tokenize work
+    # is the dominant cost, so spread it before computing (at 100 TB the
+    # scan already yields thousands of splits and this coalesces to the
+    # same shuffle the join needs anyway).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sh_arr = df.select(
+        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), k).alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
+    # sizes from the array length — no second explode+shuffle
+    sizes = sh_arr.select("doc_id", F.size("sh").alias("sh_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -102,18 +108,31 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles_col: Column, num_perm: int = 64) -> Column:
-    """MinHash signature as an array<bigint> of length ``num_perm``.
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signatures as (doc_id, sig array<bigint>[num_perm]).
 
-    Permutation i is simulated by xxhash64(shingle, seed=i); the
-    signature element is the min hash over the doc's shingle set.
-    Pure column expressions — JVM-side, no UDF.
+    Permutation i is simulated by xxhash64(shingle, seed=i); signature
+    element i is the min over the doc's shingle set. Computed via
+    explode → num_perm min-aggregates: the shingle array is built ONCE
+    per doc (a naive array-of-64-transforms duplicates the shingle
+    expression 64× — measured 30s vs ~3s at sf0.1), and the mins
+    combine map-side so the shuffle carries one row per doc.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("sig"))
     )
 
 
@@ -134,10 +153,7 @@ def minhash_lsh_candidates(
     signature agreement is attached for thresholding downstream.
     """
     rows_per_band = num_perm // bands
-    sig_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(T.shingles(F.col(text_col), k), num_perm).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    sig_df = minhash_signatures(df, id_col, text_col, k, num_perm)
 
     banded = sig_df.select(
         "doc_id",
@@ -253,6 +269,7 @@ def simhash_pairs(
     """
     block_bits = 64 // bands
     mask = (1 << block_bits) - 1
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sig = (
         df.select(
             F.col(id_col).alias("doc_id"),
