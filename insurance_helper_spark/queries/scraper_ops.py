@@ -411,3 +411,83 @@ def resume_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark.range(1, 201).select(F.col("id").alias("page"))
     resumed = incremental.resume_filter(pages, last_completed_page=37)
     return resumed.filter(F.col("page").between(20, 150)).orderBy("page")
+
+
+# ---------------------------------------------------------------------------
+# S2-S6+P1-P5+F1-F3 end-to-end: the WHOLE fetch→parse→project pipeline
+# run over deterministic synthetic listing HTML generated from `part`
+# (60 rows/page, the Liferay page size). The oracle reproduces the
+# surviving rows relationally — this pins the parse semantics, not just
+# row counts. Rows with p_partkey % 13 == 0 get an empty UIN (F2 drop);
+# % 7 == 0 get an archived row class (P4).
+# ---------------------------------------------------------------------------
+
+E2E_ORACLE = """
+SELECT CAST(1 + CAST(floor(rn / 60) AS INT) AS BIGINT)  AS page,
+       'P' || CAST(p_partkey AS VARCHAR)                AS uin,
+       p_name                                           AS product_name,
+       p_brand                                          AS insurer,
+       CASE WHEN p_partkey % 7 = 0 THEN 'Archived' ELSE 'Non-Archived' END AS archive_status,
+       'https://irdai.gov.in/documents/' || CAST(p_partkey AS VARCHAR) || '.pdf' AS document_url,
+       'Brochure ' || CAST(p_partkey AS VARCHAR)        AS document_filename
+FROM (
+  SELECT p.*, row_number() OVER (ORDER BY p_partkey) - 1 AS rn
+  FROM part p
+)
+WHERE p_partkey % 13 <> 0
+ORDER BY uin
+"""
+
+
+@register("scrape_e2e_parse", E2E_ORACLE)
+def scrape_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generates one HTML listing page per 60 part rows, runs the real
+    fetch+parse+project pipeline (injected in-memory fetcher — no
+    network), and returns the typed product rows. The sort-by-partkey
+    pagination makes page assignment deterministic."""
+    from insurance_helper_spark.sources import http
+
+    part_rows = (
+        load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+        .orderBy("p_partkey")
+        .collect()
+    )
+    pages: dict[int, str] = {}
+    for start in range(0, len(part_rows), 60):
+        page_no = start // 60 + 1
+        trs = []
+        for r in part_rows[start : start + 60]:
+            pk = r["p_partkey"]
+            uin = "" if pk % 13 == 0 else f"P{pk}"
+            cls = ' class="archive-row"' if pk % 7 == 0 else ""
+            trs.append(
+                f'<tr{cls}><td></td><td>{pk}</td><td>FY 2020-21</td>'
+                f"<td>{r['p_brand']}</td><td>{r['p_name']}</td><td>Retail</td>"
+                f"<td>{uin}</td><td>01-04-2020</td>"
+                f'<td><a href="/documents/{pk}.pdf">Brochure {pk}</a></td></tr>'
+            )
+        pages[page_no] = (
+            '<html><body><div class="portlet"><table class="table">'
+            f"<thead><tr><th>h</th></tr></thead><tbody>{''.join(trs)}</tbody>"
+            "</table></div></body></html>"
+        )
+
+    def fetcher(url: str) -> str:
+        page_no = int(url.rsplit("=", 1)[1])
+        return pages[page_no]
+
+    parsed = http.fetch_and_parse_pages(
+        http.page_urls(spark, "https://x/list?_cur={page}", total_pages=len(pages)),
+        fetcher=fetcher,
+        config=http.ScrapeConfig(rate_limit=1e9, fetch_partitions=8),
+    )
+    products = http.project_products(parsed, "nonlife")
+    return products.select(
+        "page",
+        "uin",
+        "product_name",
+        "insurer",
+        "archive_status",
+        "document_url",
+        "document_filename",
+    ).orderBy("uin")

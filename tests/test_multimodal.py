@@ -1,0 +1,59 @@
+"""Multimodal binary-column tests: binaryFile scan → mapInPandas
+feature extraction (stubbed decode) → frame-sample plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.sources import binary
+
+
+@pytest.fixture()
+def blob_dir(tmp_path):
+    d = tmp_path / "blobs"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.pdf").write_bytes(b"%PDF-1.4 hello world" + b"x" * 100)
+    (d / "b.png").write_bytes(b"\x89PNG\r\n" + b"y" * 200)
+    (d / "sub" / "c.wav").write_bytes(b"RIFF" + b"z" * 300_000)
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02")
+    return d
+
+
+def test_binary_scan_and_features(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir))
+    feats = binary.extract_features(blobs, dim=16).cache()
+    rows = {r["path"].split("/")[-1]: r.asDict() for r in feats.collect()}
+    assert rows["a.pdf"]["modality"] == "pdf"
+    assert rows["b.png"]["modality"] == "image"
+    assert rows["c.wav"]["modality"] == "audio"
+    assert rows["junk.bin"]["modality"] == "unknown"
+    # deterministic unit-norm fake embedding
+    v = rows["a.pdf"]["feature"]
+    assert len(v) == 16
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    assert rows["a.pdf"]["decode_error"] is None
+    feats.unpersist()
+
+
+def test_feature_determinism(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir), glob="*.pdf")
+    f1 = binary.extract_features(blobs).collect()[0]["feature"]
+    f2 = binary.extract_features(blobs).collect()[0]["feature"]
+    assert f1 == f2
+
+
+def test_decode_stub_off_reports_error(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir), glob="*.png")
+    row = binary.extract_features(blobs, decode_stub=False).collect()[0]
+    assert row["feature"] is None
+    assert "not available" in row["decode_error"]
+
+
+def test_frame_sample_plan(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir), glob="*.wav")
+    plan = binary.frame_sample_plan(blobs, every_n_bytes=1 << 16, max_frames=8)
+    rows = plan.orderBy("frame_index").collect()
+    # 300 KB / 64 KiB → 5 offsets (0..4)
+    assert [r["frame_index"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[1]["byte_offset"] == 1 << 16
