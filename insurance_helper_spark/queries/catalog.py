@@ -48,11 +48,13 @@ def load_all() -> None:
     # Imported for registration side effects.
     from insurance_helper_spark.queries import (  # noqa: F401
         relational,
+        relational_ext,
         scraper_ops,
         dedup_queries,
         similarity_queries,
         text_queries,
         streaming_queries,
+        multimodal_queries,
     )
 
     _LOADED = True

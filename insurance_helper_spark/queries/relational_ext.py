@@ -1,0 +1,364 @@
+"""Relational surface extensions (SURVEY §2B gaps): lag/lead windows,
+RANGE window frames, GROUPING SETS, levenshtein fuzzy name matching
+(reference README.md:85-86 insurer-name normalization), theta/cross
+join, and the remaining classic TPC-H query shapes (Q3/Q10/Q18).
+
+Same hash-parity conventions as ``relational.py``: identical aliases
+both sides, rounded float aggregates, deterministic tiebreaks on any
+rank/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# window_lag_lead — per-customer order history deltas (lag/lead ports of
+# the launch-date-delta analytics declared in SURVEY §2B "Windows").
+# Scale: one shuffle on o_custkey; window state is per-customer and
+# streamed — no skew risk (customer keys are near-uniform), survives
+# 100× with the same single shuffle.
+# ---------------------------------------------------------------------------
+
+LAG_LEAD_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       date_diff('day',
+                 CAST(o_orderdate AS DATE),
+                 lead(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)) AS days_to_next
+FROM orders
+WHERE o_custkey <= 200
+ORDER BY o_custkey, order_date, o_orderkey
+"""
+
+
+@register("window_lag_lead", LAG_LEAD_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    order_date = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            order_date.alias("order_date"),
+            F.datediff(order_date, F.lag(order_date).over(w)).alias("days_since_prev"),
+            F.datediff(F.lead(order_date).over(w), order_date).alias("days_to_next"),
+        )
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_range_frame — trailing-30-day rolling order stats per customer
+# using a RANGE frame over an integer day offset (Spark's rangeBetween
+# requires a numeric ORDER BY expression). RANGE (not ROWS) so same-day
+# peer orders are all included — identical peer semantics in DuckDB.
+# Scale: same single o_custkey shuffle as above.
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_ORACLE = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders
+  WHERE o_custkey <= 200
+)
+SELECT o_custkey, o_orderkey, day_no,
+       count(*) OVER w AS orders_30d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_30d
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, day_no, o_orderkey
+"""
+
+
+@register("window_range_frame", RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).filter(F.col("o_custkey") <= 200)
+    t = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return (
+        t.select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            F.count("*").over(w).alias("orders_30d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (finer than rollup/cube,
+# SURVEY §2B "grouping sets"). Expressed through Spark SQL (the
+# DataFrame API only exposes rollup/cube; SQL is equally first-class
+# and goes through the same Catalyst Expand operator).
+# Scale: Expand multiplies rows by the number of sets (3×) BEFORE the
+# shuffle, but partial aggregation collapses them map-side — the
+# shuffled data is proportional to group cardinality, not input rows.
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("agg_grouping_sets", GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    ).createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# levenshtein_name_pairs — fuzzy name matching via edit distance, the
+# insurer-name-normalization operator the reference declares for Stage 2
+# (README.md:85-86). Self theta-join of the nation dim on
+# levenshtein <= 4 — also covers the cross/theta join row of SURVEY §2B
+# (BroadcastNestedLoopJoin; the dim is tiny so this is the RIGHT plan).
+# Scale: in production this is dim×dim (insurer names), never fact×fact;
+# a 25×25 or even 10k×10k name-pair join broadcasts the smaller side.
+# ---------------------------------------------------------------------------
+
+LEVENSHTEIN_ORACLE = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a
+JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+ORDER BY edit_dist, name_a, name_b
+"""
+
+
+@register("levenshtein_name_pairs", LEVENSHTEIN_ORACLE)
+def levenshtein_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    a = nation.alias("a")
+    b = nation.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3_shipping_priority — TPC-H Q3 shape: 3-way join, filter both fact
+# sides, agg, deterministic top-10. Scale: customer filter reduces the
+# build side before the o_custkey shuffle join; lineitem⋈orders shuffles
+# on orderkey; AQE picks broadcast if the filtered side collapses.
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < "1995-03-15"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > "1995-03-15"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape: returned-item revenue per
+# customer, top-20. Scale: lineitem filtered on returnflag before the
+# orderkey shuffle; nation broadcasts; final top-k is a TakeOrdered —
+# no global sort materialization.
+# ---------------------------------------------------------------------------
+
+Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
+  AND o.o_orderdate < TIMESTAMP '1994-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, acctbal, nation
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return (
+        customer
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18_large_orders — TPC-H Q18 shape: HAVING over a fact aggregate, then
+# a semi-join back to the facts. Scale: the HAVING aggregate shuffles on
+# l_orderkey once; the filtered key set is tiny and broadcasts into the
+# second pass (AQE converts the join at runtime).
+# ---------------------------------------------------------------------------
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, order_date, totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
