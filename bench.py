@@ -24,10 +24,16 @@ HEADLINE = [
     "flagship",
     "q1_pricing_summary",
     "q5_local_supplier",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_orders",
     "window_running_spend",
+    "window_lag_lead",
     "topk_per_group",
     "asof_latest_per_key",
     "agg_rollup",
+    "agg_grouping_sets",
+    "full_outer_join_spend",
     "set_ops_segments",
     # scraper-op / incremental surface
     "incremental_delta_core",
@@ -37,9 +43,11 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_rowsonly",
+    "dedup_simhash_rowsonly",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
     "text_stats",
+    "multimodal_feature_manifest",
     # streaming shapes
     "stream_tumbling_window",
     "stream_session_windows",

@@ -52,44 +52,65 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def hashed_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, h) rows — h a 64-bit hash of each k-token
+    shingle — built WITHOUT higher-order functions.
+
+    Construction: posexplode tokens → window lead(1..k-1) over token
+    position → multi-arg xxhash64 of the k-token tuple → distinct.
+    Everything whole-stage-codegens. The obvious alternative (a
+    ``transform`` lambda over a token array) is interpreted per element,
+    and Catalyst's project-collapsing re-inlines the tokenizer regex
+    into the lambda — measured 18s vs 0.5s at sf0.1 for the SAME
+    logical result; plan-inspection (`regexp_replace` count) is the
+    regression test for this.
+
+    Hashing the token tuple (not a joined string) keeps token boundaries
+    exact; shingle-set distinctness matches string shingles modulo ~2⁻⁶⁴
+    collisions. Scale: one repartition by doc feeds both the window sort
+    and the downstream per-doc aggregates without further shuffles.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(T.tokens(F.col(text_col)))
+    ).toDF("doc_id", "pos", "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    sh = tok.select("doc_id", "tok", *leads).filter(F.col(f"t{k-1}").isNotNull())
+    return sh.select(
+        "doc_id",
+        F.xxhash64("tok", *[f"t{j}" for j in range(1, k)]).alias("h"),
+    ).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.2
 ) -> DataFrame:
     """All document pairs with k-token-shingle Jaccard ≥ threshold.
 
-    Plan: explode distinct shingles → self-equi-join on shingle →
-    count common shingles per pair → Jaccard = common/(|A|+|B|-common).
-    Scale: the join key is the shingle, so only docs sharing ≥1 shingle
-    ever meet; no all-pairs blowup. A hot (very common) shingle is a
-    skew key — AQE skew-join splitting handles it; for adversarial
-    corpora drop top-frequency shingles first (stopword-shingle
-    filtering), standard MinHash-era practice.
+    Plan: distinct hashed shingle rows → self-equi-join on the shingle
+    hash → count common shingles per pair → Jaccard =
+    common/(|A|+|B|-common). Scale: the join key is the shingle, so only
+    docs sharing ≥1 shingle ever meet; no all-pairs blowup. A hot (very
+    common) shingle is a skew key — AQE skew-join splitting handles it;
+    for adversarial corpora drop top-frequency shingles first
+    (stopword-shingle filtering), standard MinHash-era practice.
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
     """
-    # Small fixture files arrive as ONE input split; shingle/tokenize work
-    # is the dominant cost, so spread it before computing (at 100 TB the
-    # scan already yields thousands of splits and this coalesces to the
-    # same shuffle the join needs anyway).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sh_arr = df.select(
-        F.col(id_col).alias("doc_id"), T.shingles(F.col(text_col), k).alias("sh")
-    )
-    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
-    # sizes from the array length — no second explode+shuffle
-    sizes = sh_arr.select("doc_id", F.size("sh").alias("sh_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sh_size").alias("size_b"))
+    shd = hashed_shingle_rows(df, id_col, text_col, k)
+    # set size per doc: window count over the doc partition (no orderBy →
+    # whole-partition frame); data is already clustered by doc_id.
+    sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
+    a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
+    b = sized.select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
         .withColumn(
             "jaccard",
             F.round(
@@ -113,17 +134,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as (doc_id, sig array<bigint>[num_perm]).
 
-    Permutation i is simulated by xxhash64(shingle, seed=i); signature
-    element i is the min over the doc's shingle set. Computed via
-    explode → num_perm min-aggregates: the shingle array is built ONCE
-    per doc (a naive array-of-64-transforms duplicates the shingle
-    expression 64× — measured 30s vs ~3s at sf0.1), and the mins
-    combine map-side so the shuffle carries one row per doc.
+    Permutation i is simulated by xxhash64(shingle_hash, seed=i) —
+    re-hashing the 8-byte shingle hash, far cheaper than hashing the
+    shingle string num_perm times. Signature element i is the min over
+    the doc's shingle set (hashed_shingle_rows — codegen'd, HOF-free).
+    The num_perm mins combine map-side so the shuffle carries one row
+    per doc; with the input already clustered by doc_id the aggregation
+    needs no exchange at all.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    exploded = hashed_shingle_rows(df, id_col, text_col, k).withColumnRenamed(
+        "h", "shingle"
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
@@ -214,48 +234,6 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-def simhash_votes(tokens_col: Column) -> Column:
-    """Per-bit SimHash votes (array<bigint> of length 64).
-
-    Each token is hashed ONCE (xxhash64); vote j accumulates +1/-1 by
-    bit j of the hash. Bit positions are Python ints, so every shift is
-    a literal — stays inside codegen.
-    """
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    return F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
-                    for j in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-
-
-def votes_to_simhash(votes_col: Column) -> Column:
-    """Fold vote signs into the 64-bit signature (BIGINT).
-
-    Applied to a MATERIALIZED votes column (separate projection) so the
-    64 element_at references don't duplicate the aggregate expression.
-    """
-    import functools
-
-    parts = [
-        F.when(
-            F.element_at(votes_col, j + 1) > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), j),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(64)
-    ]
-    return functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
-
-
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
@@ -270,12 +248,30 @@ def simhash_pairs(
     block_bits = 64 // bands
     mask = (1 << block_bits) - 1
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            simhash_votes(T.tokens(F.col(text_col))).alias("votes"),
-        )
-        .select("doc_id", votes_to_simhash(F.col("votes")).alias("sim"))
+    # Signature via 64 sum-aggregates over exploded token rows (token
+    # MULTISET, standard SimHash weighting): vote_j > 0 ⇔
+    # 2·Σbit_j > n_tokens. Fully codegen'd with map-side partial
+    # aggregation — same shape as minhash_signatures, and ~4× faster
+    # than the interpreted aggregate/zip_with HOF it replaces.
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("th"))
+    bit_sums = [
+        F.sum(F.shiftright("th", j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        for j in range(64)
+    ]
+    votes = tok.groupBy("doc_id").agg(F.count("*").alias("__n"), *bit_sums)
+    import functools
+
+    sim_bits = [
+        F.when(
+            F.col(f"__s{j}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(64)
+    ]
+    sig = votes.select(
+        "doc_id", functools.reduce(lambda x, y: x.bitwiseOR(y), sim_bits).alias("sim")
     )
     blocks = sig.select(
         "doc_id",

@@ -362,3 +362,56 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# full_outer_join_spend — FULL OUTER equi join (the one join type §2B
+# lists that the rest of the catalog doesn't exercise): per-customer
+# open-order vs fulfilled-order spend, keeping customers present on
+# either side only. Scale: both sides are post-aggregation (cardinality
+# ≤ customers), shuffle on the same key both sides — a single
+# co-partitioned SMJ; survives 100× with no plan change.
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_ORACLE = """
+WITH open_s AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS open_spend
+  FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 300
+  GROUP BY o_custkey
+),
+done_s AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS done_spend
+  FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 300
+  GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+       a.open_spend, b.done_spend
+FROM open_s a FULL OUTER JOIN done_s b ON a.o_custkey = b.o_custkey
+ORDER BY custkey
+"""
+
+
+@register("full_outer_join_spend", FULL_OUTER_ORACLE)
+def full_outer_join_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+    ).filter(F.col("o_custkey") <= 300)
+
+    def spend(status: str, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+        )
+
+    a = spend("O", "open_spend").withColumnRenamed("o_custkey", "a_key")
+    b = spend("F", "done_spend").withColumnRenamed("o_custkey", "b_key")
+    return (
+        a.join(b, a.a_key == b.b_key, "full_outer")
+        .select(
+            F.coalesce("a_key", "b_key").alias("custkey"),
+            "open_spend",
+            "done_spend",
+        )
+        .orderBy("custkey")
+    )

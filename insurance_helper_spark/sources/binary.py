@@ -139,3 +139,59 @@ def frame_sample_plan(
         .select("path", "length", F.explode("frame_idx").alias("frame_index"))
         .withColumn("byte_offset", F.col("frame_index") * every_n_bytes)
     )
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("extract_error", T.StringType(), True),
+    ]
+)
+
+
+def pdf_text_extract(binaries: DataFrame, extractor=None) -> DataFrame:
+    """Stage-2 PDF-text-extraction UDF (reference README.md:79-83 —
+    declared, never implemented there).
+
+    ``extractor: bytes -> (text, n_pages)`` is injected; the default is
+    a clearly-marked stub: real PDFs (%PDF magic) raise
+    NotImplementedError into ``extract_error`` (pypdf/pdfminer are not
+    in this container), anything else is decoded as UTF-8 text with
+    n_pages=1 — deterministic, so the Spark-side plumbing (schema,
+    mapInPandas batching, per-row error containment like the
+    reference's base.py:104-110 row tolerance) is fully testable.
+
+    Scale: same contract as extract_features — blobs never shuffle,
+    only extracted text flows downstream; a decode failure becomes an
+    error ROW, never a task failure.
+    """
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(binaries.sparkSession)
+
+    def default_extractor(content: bytes) -> tuple[str, int]:
+        if content[:4] == b"%PDF":
+            raise NotImplementedError(
+                "real PDF text extraction (pypdf/pdfminer) not available "
+                "in this container; inject extractor="
+            )
+        return content.decode("utf-8", errors="replace"), 1
+
+    fn = extractor or default_extractor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                row = {"path": path, "text": None, "n_pages": None, "extract_error": None}
+                try:
+                    text, n_pages = fn(bytes(content))
+                    row["text"], row["n_pages"] = text, n_pages
+                except Exception as ex:
+                    row["extract_error"] = str(ex)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA])
+
+    return binaries.select("path", "content").mapInPandas(run, schema=PDF_TEXT_SCHEMA)

@@ -57,3 +57,22 @@ def test_frame_sample_plan(spark, blob_dir):
     # 300 KB / 64 KiB → 5 offsets (0..4)
     assert [r["frame_index"] for r in rows] == [0, 1, 2, 3, 4]
     assert rows[1]["byte_offset"] == 1 << 16
+
+
+def test_pdf_text_extract_stub_and_error_rows(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir))
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in binary.pdf_text_extract(blobs).collect()}
+    # real PDF magic → stubbed NotImplementedError contained as error row
+    assert out["a.pdf"]["text"] is None
+    assert "not available" in out["a.pdf"]["extract_error"]
+    # non-PDF bytes decode as text with the default extractor
+    assert out["junk.bin"]["extract_error"] is None
+    assert out["junk.bin"]["n_pages"] == 1
+
+
+def test_pdf_text_extract_injected_extractor(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir), glob="*.pdf")
+    out = binary.pdf_text_extract(
+        blobs, extractor=lambda b: (f"{len(b)} bytes", 3)
+    ).collect()[0]
+    assert out["n_pages"] == 3 and out["text"].endswith("bytes")

@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the scale properties the engine claims
+(broadcast dims, scan pruning/pushdown, single-regex tokenization,
+top-k without global sort) asserted against the executed plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.plans import audit
+from insurance_helper_spark.queries import catalog
+
+
+def _q(name, spark, sf_dir):
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf_dir)
+
+
+def test_flagship_broadcasts_the_dim(spark, sf_dir):
+    df = _q("flagship", spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    df = _q("q1_pricing_summary", spark, sf_dir)
+    cols = audit.read_schema_columns(df)
+    # 7 needed lineitem columns, not all 11
+    assert 0 < len(cols) <= 7, cols
+    assert "l_shipdate" in audit.pushed_filters(df)
+
+
+def test_shingle_path_runs_tokenizer_once(spark, sf_dir):
+    # The HOF-inlining regression (operators/dedup.py::hashed_shingle_rows
+    # docstring): exactly ONE regexp_replace may appear in the plan.
+    from insurance_helper_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.hashed_shingle_rows(docs, "doc_id", "text", k=3)
+    assert audit.count_in_plan(sh, "regexp_replace") == 1
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = _q("q3_shipping_priority", spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.executed_plan(df)
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    df = _q("q1_pricing_summary", spark, sf_dir)
+    # map-side partial aggregation present…
+    assert "partial_sum" in audit.executed_plan(df)
+    # …and the executed plan runs inside whole-stage codegen stages.
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_semi_join_is_not_inner(spark, sf_dir):
+    df = _q("semi_join_active_customers", spark, sf_dir)
+    assert "LeftSemi" in audit.executed_plan(df)
+
+
+def test_single_shuffle_for_colocated_agg_after_repartition(spark, sf_dir):
+    # repartition(key) then groupBy(key) must not add a second exchange
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8, "l_orderkey")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert audit.exchange_count(agg) == 1

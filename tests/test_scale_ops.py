@@ -1,0 +1,70 @@
+"""Scale-path operators: bucketed co-located joins (zero-shuffle) and
+skew salting — correctness plus the plan properties that justify them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.operators import skew
+from insurance_helper_spark.plans import audit
+from insurance_helper_spark.sources import bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    bucketed.write_bucketed(orders, "b_orders", "o_orderkey", 8, str(base / "o"))
+    bucketed.write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, str(base / "l"))
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = bucketed.colocated_join(spark, rt, lt, "l_orderkey", "o_orderkey")
+    assert audit.exchange_count(joined) == 0, audit.executed_plan(joined)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = bucketed.colocated_join(spark, rt, lt, "l_orderkey", "o_orderkey")
+    plain = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    assert joined.count() == plain.count()
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        aggs=[F.sum("l_quantity").alias("q"), F.count("*").alias("n")],
+        reaggs=[F.sum("q").alias("q"), F.sum("n").alias("n")],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = skew.salted_join(li, orders, "l_orderkey", salt_buckets=4)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.select("l_orderkey", "l_quantity", "o_totalprice").collect()))
+    b = sorted(map(tuple, plain.select("l_orderkey", "l_quantity", "o_totalprice").collect()))
+    assert a == b
