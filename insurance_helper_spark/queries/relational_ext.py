@@ -415,3 +415,75 @@ def full_outer_join_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-path operators as oracle-gated queries: the salted two-phase
+# aggregation and the salted fact⋈dim join must produce EXACTLY what
+# their unsalted equivalents produce — the oracle is the plain SQL.
+# ---------------------------------------------------------------------------
+
+SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_salted_hot_keys", SALTED_AGG_ORACLE)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): l_returnflag
+    has only 3 values — the worst-case hot-key distribution for a
+    single-phase shuffle. The salt spreads each key over 16 reducers;
+    phase 2 merges 3×16 partial rows. Result must equal plain GROUP BY.
+    """
+    from insurance_helper_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        aggs=[F.sum("l_quantity").alias("q"), F.count("*").alias("n_items")],
+        reaggs=[
+            F.round(F.sum("q"), 2).alias("sum_qty"),
+            F.sum("n_items").alias("n_items"),
+        ],
+    )
+    return out.select("l_returnflag", "sum_qty", "n_items").orderBy("l_returnflag")
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("join_salted_skew", SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): fact side salted by a
+    stable row hash, dim side replicated per salt bucket. Used when one
+    join key dominates and the dim is too big to broadcast; must be
+    value-identical to the plain join."""
+    from insurance_helper_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = skew.salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -153,3 +153,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_after_dedup"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the custom applyInPandasWithState operator
+# (streaming/ops.py::user_running_state): the per-user summary the
+# stateful accumulator emits at idle-timeout equals this full-history
+# aggregate when every user has gone idle (end of stream).
+# ---------------------------------------------------------------------------
+
+USER_STATE_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen
+FROM events
+WHERE user_id <= 50
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_user_state", USER_STATE_ORACLE)
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"]).filter(
+        F.col("user_id") <= 50
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

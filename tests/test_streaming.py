@@ -99,3 +99,24 @@ def test_available_now_incremental_idempotent(spark, event_dir, tmp_path):
     )
     assert run() == 6
     assert run() == 6  # idempotent rerun
+
+
+def test_user_running_state_flushes_on_timeout(spark, event_dir):
+    # Second batch advances event time far past user 1's idle timeout,
+    # so the custom stateful operator flushes user 1's accumulated
+    # summary (4 events incl. the duplicate id, value sum 9.0).
+    write_events_file(
+        event_dir / "batch2.json",
+        [{"event_id": 9, "ts": "2024-01-02T12:00:00", "user_id": 3,
+          "event_type": "view", "value": 7.0}],
+    )
+    stream = ops.read_event_stream(spark, str(event_dir), EVENT_SCHEMA,
+                                   max_files_per_trigger=1)
+    out = ops.user_running_state(stream, watermark="1 hour", idle_timeout="2 hours")
+    ops.run_to_memory(out, "user_state_sink")
+    rows = {r["user_id"]: r for r in spark.table("user_state_sink").collect()}
+    assert 1 in rows
+    assert rows[1]["n_events"] == 4
+    assert rows[1]["total_value"] == 9.0
+    assert rows[1]["first_seen"].isoformat().startswith("2024-01-01T00:10")
+    assert rows[1]["last_seen"].isoformat().startswith("2024-01-01T07:00")
