@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_rowsonly",
     "dedup_simhash_rowsonly",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
     "text_stats",

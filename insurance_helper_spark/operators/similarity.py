@@ -184,9 +184,7 @@ def embedding_near_dup_pairs(
     """
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if exact:
-        a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
-        b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return _exact_pairs_numpy(base, threshold)
     else:
         planes = hyperplanes(dim, n_planes, seed)
         sig = base.withColumn(
@@ -208,3 +206,59 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def _exact_pairs_numpy(base: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact cosine via blocked numpy matmul in mapInPandas.
+
+    The interpreted zip_with/aggregate dot over an O(n²) pair join is
+    ~100× slower than BLAS (measured 117s vs ~2s for 2k×2k×64 at
+    sf0.1) — this is the canonical "vectorized Python beats builtin"
+    case. One side of the product is broadcast as a normalized float64
+    matrix (n×dim — 0.5 GB at 1M×64, the practical ceiling); each
+    partition multiplies its row block against it. Beyond that scale
+    the LSH-bucketed path (exact=False) is the design point.
+
+    float64 accumulation matches the DuckDB oracle's
+    list_cosine_similarity(CAST AS DOUBLE[]) at the 4-decimal rounding
+    the catalog queries use.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    spark = base.sparkSession
+    ensure_shipped(spark)
+
+    rows = base.collect()  # driver materialization of the BROADCAST side only
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+
+    out_schema = "id_a bigint, id_b bigint, cosine_sim double"
+
+    def run(batches):
+        all_ids, all_unit = b_ids.value, b_unit.value
+        for pdf in batches:
+            blk_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n = np.linalg.norm(blk, axis=1)
+            n[n == 0.0] = 1.0
+            sims = (blk / n[:, None]) @ all_unit.T
+            sims = np.round(sims, 6)
+            # the id_a < id_b mask yields each unordered pair exactly once
+            hit_r, hit_c = np.nonzero((sims >= threshold) & (blk_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": blk_ids[hit_r],
+                    "id_b": all_ids[hit_c],
+                    "cosine_sim": sims[hit_r, hit_c],
+                }
+            )
+
+    return base.mapInPandas(run, schema=out_schema)
