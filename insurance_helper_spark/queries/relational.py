@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from insurance_helper_spark.functions import cleaning, dates
+from insurance_helper_spark.functions import dates
 from insurance_helper_spark.queries.catalog import register
 from insurance_helper_spark.sources.tables import load_table
 
