@@ -312,3 +312,74 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair → cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (member_id, cluster_id)
+    with cluster_id = min member id of the component.
+
+    Iterative min-label propagation (the HashToMin idea): each round
+    every vertex adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    components are shallow (dup clusters, not social graphs), so a
+    handful of rounds suffices. Each round is one join + one
+    min-aggregate; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't re-execute rounds 1..N-1 (the classic iterative-
+    DataFrame trap). The per-round convergence check is a scalar
+    ``count``, not a data collect.
+
+    Only vertices that appear in ``pairs`` are labeled (singletons are
+    their own trivial cluster and never need resolution).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.s == labels.id)
+            .select(F.col("d").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("member_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical_per_cluster(
+    df: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster: keep
+    the row whose id IS the cluster_id (min id — deterministic winner),
+    plus all rows never seen in any pair."""
+    losers = components.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

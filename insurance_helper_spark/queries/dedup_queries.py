@@ -197,3 +197,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= 0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair → cluster resolution: iterative min-label connected components
+# (operators/dedup.py::connected_components). The oracle rebuilds the
+# same Jaccard≥0.5 pair set and resolves components with a recursive
+# CTE — fully value-checked despite the Spark side being an iterative
+# (non-single-SQL) algorithm.
+# ---------------------------------------------------------------------------
+
+CLUSTERS_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.common * 1.0 / (sa.sh_size + sb.sh_size - c.common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+)
+SELECT id AS member_id, min(r) AS cluster_id
+FROM reach
+GROUP BY id
+ORDER BY member_id
+"""
+
+
+@register("dedup_clusters", CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return dedup.connected_components(pairs).orderBy("member_id")

@@ -68,3 +68,21 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = sorted(map(tuple, salted.select("l_orderkey", "l_quantity", "o_totalprice").collect()))
     b = sorted(map(tuple, plain.select("l_orderkey", "l_quantity", "o_totalprice").collect()))
     assert a == b
+
+
+def test_connected_components_chain_and_canonical(spark):
+    from insurance_helper_spark.operators import dedup as dd
+
+    # chain 1-2-3 plus isolated pair 10-11: two clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["member_id"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 7, 10, 11]],
+                                 "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dd.keep_canonical_per_cluster(docs, dd.connected_components(pairs), "doc_id").collect())
+    # cluster minima (1, 10) survive; untouched singleton 7 survives
+    assert kept == [1, 7, 10]
