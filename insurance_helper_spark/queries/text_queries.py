@@ -179,3 +179,42 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), "term")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (driver mandate: "token counting — whitespace +
+# a BPE-ish regex"). Whitespace counts live in text_stats; this one
+# counts subword-style units: letter runs, single digits, and single
+# punctuation marks — the GPT-2-tokenizer shape expressible identically
+# in Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+BPE_COUNT_ORACLE = r"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS bpe_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))), 4) AS avg_bpe_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_bpe_token_count", BPE_COUNT_ORACLE)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one regex pass per row + map-side partial agg on the tiny
+    source key — no data shuffle beyond group partials."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    n_bpe = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)")
+    )
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
