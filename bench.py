@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh_rowsonly",
     "dedup_simhash_rowsonly",
     "dedup_embedding_cosine",
+    "pipeline_dedup_corpus",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
     "text_stats",

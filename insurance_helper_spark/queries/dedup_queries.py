@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insurance_helper_spark.functions import cleaning
+from insurance_helper_spark.functions import text as T
 from insurance_helper_spark.operators import dedup
 from insurance_helper_spark.queries.catalog import register
 from insurance_helper_spark.sources.tables import load_table
@@ -255,3 +256,93 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
     return dedup.connected_components(pairs).orderBy("member_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (the capstone composition): exact
+# fingerprint dedup → n-gram-Jaccard near-dup pairs → connected-
+# component cluster resolution → canonical corpus → per-source stats.
+# Every stage is an operator verified above; this query pins the
+# COMPOSITION with one oracle (recursive CTE for the iterative stage).
+# ---------------------------------------------------------------------------
+
+PIPELINE_ORACLE = """
+WITH RECURSIVE fp AS (
+  SELECT doc_id, source, text,
+         sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fprint
+  FROM documents
+),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fprint),
+s1 AS (SELECT f.doc_id, f.source, f.text FROM fp f JOIN keep1 k ON f.doc_id = k.doc_id),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM s1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.common * 1.0 / (sa.sh_size + sb.sh_size - c.common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+),
+comp AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
+losers AS (SELECT member_id FROM comp WHERE member_id <> cluster_id),
+survivors AS (
+  SELECT s1.doc_id, s1.source, s1.text FROM s1
+  WHERE s1.doc_id NOT IN (SELECT member_id FROM losers)
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(sum(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) * 1.0
+             / count(*), 4) AS avg_tokens
+FROM survivors
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipeline_dedup_corpus", PIPELINE_ORACLE)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-layer corpus build. Scale shape: fingerprint dedup is one
+    shuffle on the hash; pair generation touches only shingle-sharing
+    docs; cluster resolution iterates on the (tiny) pair graph; the
+    final anti-join broadcasts the loser set. The 100-TB version is the
+    same plan with the LSH candidate generator swapped in for the exact
+    pair stage."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    s1 = dedup.fingerprint_dedup(docs, "text", "doc_id").drop("fingerprint")
+    pairs = dedup.ngram_jaccard_pairs(s1, "doc_id", "text", k=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    survivors = dedup.keep_canonical_per_cluster(s1, comp, "doc_id")
+    n_tok = T.token_count(F.col("text"))
+    return (
+        survivors.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_tok") / F.count("*"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
