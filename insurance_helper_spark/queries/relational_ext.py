@@ -487,3 +487,66 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# date_spine_activity — date-range generation (SURVEY §2B "date ranges"):
+# a month spine from sequence() joined against order activity, so months
+# with zero orders still appear (the gap-filling pattern every reporting
+# pipeline needs). Also exercises months_between-style arithmetic via
+# the spine offset. Scale: the spine is a few hundred rows (broadcast);
+# activity aggregates before the join, so the join input is tiny.
+# ---------------------------------------------------------------------------
+
+DATE_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month_start
+),
+activity AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT s.month_start,
+       CAST(date_diff('month', DATE '1992-01-01', s.month_start) AS BIGINT) AS month_index,
+       coalesce(a.n_orders, 0) AS n_orders,
+       coalesce(a.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN activity a ON s.month_start = a.month_start
+ORDER BY s.month_start
+"""
+
+
+@register("date_spine_activity", DATE_SPINE_ORACLE)
+def date_spine_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    activity = (
+        orders.groupBy(F.trunc(F.col("o_orderdate"), "month").alias("month_start"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return (
+        spine.join(activity, "month_start", "left")
+        .select(
+            "month_start",
+            F.months_between(F.col("month_start"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("month_index"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month_start")
+    )
