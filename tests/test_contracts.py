@@ -1,0 +1,26 @@
+"""Contract tests: bench.py and __spark_entry__.py reference only
+registered queries, and every oracle has a query (a rename anywhere
+breaks these instantly, before the driver run does)."""
+
+from __future__ import annotations
+
+
+def test_bench_headline_queries_are_registered():
+    import bench
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    assert not missing, missing
+
+
+def test_entry_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)  # every oracle has a query
+    assert len(qs) >= 60
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in osql.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
