@@ -61,3 +61,19 @@ def test_single_shuffle_for_colocated_agg_after_repartition(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8, "l_orderkey")
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     assert audit.exchange_count(agg) == 1
+
+
+def test_observation_metrics_single_pass(spark, sf_dir, tmp_path):
+    from insurance_helper_spark.plans.metrics import with_observation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df, obs = with_observation(
+        orders,
+        "ingest",
+        rows=F.count(F.lit(1)),
+        revenue=F.round(F.sum("o_totalprice"), 2),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    stats = obs.get
+    assert stats["rows"] == orders.count()
+    assert stats["revenue"] > 0
