@@ -195,3 +195,61 @@ def pdf_text_extract(binaries: DataFrame, extractor=None) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA])
 
     return binaries.select("path", "content").mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("target_w", T.IntegerType(), True),
+        T.StructField("target_h", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    binaries: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Image-resize plumbing over binary blobs (mapInPandas).
+
+    Real decode/resample (PIL) is not in this container, so the stub
+    produces a deterministic surrogate: sha256-keyed bytes of exactly
+    width×height×3 length, so downstream stages (batch shapes, size
+    accounting, partition sizing) exercise realistic payload sizes.
+    ``decode_stub=False`` marks where PIL plugs in and converts the
+    NotImplementedError into a per-row error (never a task failure).
+
+    Scale: same no-blob-shuffle contract as extract_features — resized
+    output is written/consumed in the same pass wherever possible.
+    """
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(binaries.sparkSession)
+    out_len = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                row = {
+                    "path": path, "target_w": width, "target_h": height,
+                    "content": None, "length": None, "resize_error": None,
+                }
+                try:
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            "real image resize (PIL) not available in this "
+                            "container; pass decode_stub=True"
+                        )
+                    seed = hashlib.sha256(bytes(content)).digest()
+                    reps = out_len // len(seed) + 1
+                    row["content"] = (seed * reps)[:out_len]
+                    row["length"] = out_len
+                except Exception as ex:
+                    row["resize_error"] = str(ex)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return binaries.select("path", "content").mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -76,3 +76,15 @@ def test_pdf_text_extract_injected_extractor(spark, blob_dir):
         blobs, extractor=lambda b: (f"{len(b)} bytes", 3)
     ).collect()[0]
     assert out["n_pages"] == 3 and out["text"].endswith("bytes")
+
+
+def test_resize_stub_shapes_and_determinism(spark, blob_dir):
+    blobs = binary.read_binary_dir(spark, str(blob_dir), glob="*.png")
+    out1 = binary.resize_images(blobs, 8, 6).collect()[0]
+    out2 = binary.resize_images(blobs, 8, 6).collect()[0]
+    assert out1["length"] == 8 * 6 * 3 == len(out1["content"])
+    assert bytes(out1["content"]) == bytes(out2["content"])  # deterministic
+    assert out1["resize_error"] is None
+
+    err = binary.resize_images(blobs, 8, 6, decode_stub=False).collect()[0]
+    assert err["content"] is None and "not available" in err["resize_error"]
