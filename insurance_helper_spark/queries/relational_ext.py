@@ -550,3 +550,117 @@ def date_spine_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q4_late_orders — TPC-H Q4 shape: EXISTS correlated subquery (orders
+# with at least one lineitem shipped >60 days after order date),
+# expressed as a left-semi join with a non-equi conjunct. Scale: the
+# semi join shuffles on orderkey once; the date predicate is evaluated
+# join-side (no pre-materialized cross product).
+# ---------------------------------------------------------------------------
+
+Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1993-07-01'
+  AND o.o_orderdate < TIMESTAMP '1993-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q4_late_orders", Q4_ORACLE)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).filter(
+        (F.col("o_orderdate") >= "1993-07-01") & (F.col("o_orderdate") < "1993-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_diversity — COUNT(DISTINCT fk) inside a join (TPC-H Q16
+# shape): distinct suppliers per part brand. Scale: distinct aggregation
+# uses the two-phase Expand path; the join shuffles on partkey once.
+# ---------------------------------------------------------------------------
+
+SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p.p_brand,
+       count(DISTINCT l.l_suppkey) AS n_suppliers,
+       count(*) AS n_items
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 20
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("supplier_diversity", SUPPLIER_DIVERSITY_ORACLE)
+def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).filter(
+        F.col("p_size") >= 20
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# above_brand_avg — correlated scalar-subquery shape (parts priced above
+# their brand's average), implemented Spark-side as a window average —
+# the standard decorrelation — while the oracle keeps the correlated
+# subquery form. Scale: one shuffle on brand for the window; no
+# self-join of part against its own aggregate.
+# ---------------------------------------------------------------------------
+
+ABOVE_AVG_ORACLE = """
+SELECT p_partkey, p_brand,
+       round(p_retailprice, 2) AS price,
+       round((SELECT avg(p2.p_retailprice) FROM part p2
+              WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+FROM part p
+WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+ORDER BY p_partkey
+"""
+
+
+@register("above_brand_avg", ABOVE_AVG_ORACLE)
+def above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg_raw", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > 1.2 * F.col("brand_avg_raw"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.round("brand_avg_raw", 2).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
