@@ -664,3 +664,41 @@ def above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles — ordered-statistics aggregates: exact median /
+# p90 / min / max per group. Both engines interpolate continuous
+# quantiles over the sorted group identically, so values hash-match.
+# Scale: exact percentile requires the group's values on one reducer —
+# fine for bounded group cardinality×size; the unbounded-scale variant
+# is approx_percentile (t-digest), which trades the oracle for a bound.
+# ---------------------------------------------------------------------------
+
+PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_percentiles", PERCENTILE_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
