@@ -702,3 +702,57 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# array_ops_embeddings — native array functions (§2B array group) over
+# the embedding column: per-row array_min/array_max/size, aggregated
+# per label with exact integer sums (the order-insensitive-average
+# pattern — see text_lang_quality). array_min/max are codegen'd
+# natives, NOT higher-order lambdas.
+# ---------------------------------------------------------------------------
+
+ARRAY_OPS_ORACLE = """
+WITH per_row AS (
+  SELECT label,
+         len(embedding) AS dim,
+         CAST(round(CAST(list_min(embedding) AS DOUBLE) * 10000) AS BIGINT) AS mn4,
+         CAST(round(CAST(list_max(embedding) AS DOUBLE) * 10000) AS BIGINT) AS mx4
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       min(dim) AS min_dim,
+       max(dim) AS max_dim,
+       round(sum(mn4) / 10000.0 / count(*), 4) AS avg_min,
+       round(sum(mx4) / 10000.0 / count(*), 4) AS avg_max
+FROM per_row
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("array_ops_embeddings", ARRAY_OPS_ORACLE)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"])
+    per_row = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min("embedding").cast("double") * 10000)
+        .cast("bigint")
+        .alias("mn4"),
+        F.round(F.array_max("embedding").cast("double") * 10000)
+        .cast("bigint")
+        .alias("mx4"),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(F.sum("mn4") / F.lit(10000.0) / F.count("*"), 4).alias("avg_min"),
+            F.round(F.sum("mx4") / F.lit(10000.0) / F.count("*"), 4).alias("avg_max"),
+        )
+        .orderBy("label")
+    )
