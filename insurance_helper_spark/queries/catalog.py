@@ -49,6 +49,7 @@ def load_all() -> None:
     from insurance_helper_spark.queries import (  # noqa: F401
         relational,
         relational_ext,
+        relational_tpch3,
         scraper_ops,
         dedup_queries,
         similarity_queries,
