@@ -248,24 +248,40 @@ def simhash_pairs(
     block_bits = 64 // bands
     mask = (1 << block_bits) - 1
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    # Signature via 64 sum-aggregates over exploded token rows (token
-    # MULTISET, standard SimHash weighting): vote_j > 0 ⇔
-    # 2·Σbit_j > n_tokens. Fully codegen'd with map-side partial
-    # aggregation — same shape as minhash_signatures, and ~4× faster
-    # than the interpreted aggregate/zip_with HOF it replaces.
+    # Signature via PACKED bit-count aggregates over exploded token rows
+    # (token MULTISET, standard SimHash weighting): vote_j > 0 ⇔
+    # 2·Σbit_j > n_tokens. Three 20-bit counters share one 64-bit sum
+    # (each token contributes ≤1 per field, so counters stay exact for
+    # docs up to 2^20 ≈ 1M tokens — chunk longer docs upstream), cutting
+    # the aggregate count 64 → 22. Fully codegen'd with map-side partial
+    # aggregation; same wall time as one-sum-per-bit at sf0.1 (cold time
+    # is codegen compilation) but 3× less generated aggregate code —
+    # lower compile/cache pressure across a multi-query run. The
+    # one-sum-per-bit form was ~4× faster than the interpreted
+    # aggregate/zip_with HOF it replaced.
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("th"))
-    bit_sums = [
-        F.sum(F.shiftright("th", j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
-        for j in range(64)
-    ]
-    votes = tok.groupBy("doc_id").agg(F.count("*").alias("__n"), *bit_sums)
+    field_bits, fields_per_agg = 20, 3
+    n_aggs = (64 + fields_per_agg - 1) // fields_per_agg
+    packed_sums = []
+    for a in range(n_aggs):
+        bits = [a * fields_per_agg + f for f in range(fields_per_agg) if a * fields_per_agg + f < 64]
+        packed = None
+        for f, j in enumerate(bits):
+            term = F.shiftleft(F.shiftright("th", j).bitwiseAND(F.lit(1)), f * field_bits)
+            packed = term if packed is None else packed + term
+        packed_sums.append(F.sum(packed).alias(f"__p{a}"))
+    votes = tok.groupBy("doc_id").agg(F.count("*").alias("__n"), *packed_sums)
     import functools
 
+    field_mask = (1 << field_bits) - 1
     sim_bits = [
         F.when(
-            F.col(f"__s{j}") * 2 > F.col("__n"),
+            F.shiftright(F.col(f"__p{j // fields_per_agg}"), (j % fields_per_agg) * field_bits)
+            .bitwiseAND(F.lit(field_mask))
+            * 2
+            > F.col("__n"),
             F.shiftleft(F.lit(1).cast("bigint"), j),
         ).otherwise(F.lit(0).cast("bigint"))
         for j in range(64)
