@@ -1,0 +1,244 @@
+"""Analytics-surface extensions: ranking-window breadth (ntile /
+percent_rank / cume_dist / first+last value), scalar math & conditional
+functions, pivot, and batch gap-based sessionization.
+
+The reference has no window functions at all (SURVEY.md §2A end-note);
+these complete the §2B "Windows" and "Scalar fns — math/misc" rows and
+add the batch twin of the streaming session-window operator (the
+streaming one — ``stream_session_windows`` — only gets a rows-only
+check; this one is fully SQL-expressible, so the driver can value-hash
+it).
+
+Parity notes: percent_rank/cume_dist are exact rationals computed from
+row counts — identical across engines; rounding to 6 decimals only
+collapses display dust. ntile is deterministic given a total order, so
+every window here orders by a unique key suffix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# window_rank_variants — every ranking-family function over one
+# partitioned window. Scale: one shuffle on the partition key; ranking
+# functions stream through each partition with O(1) state.
+# ---------------------------------------------------------------------------
+
+RANK_VARIANTS_ORACLE = """
+SELECT c_nationkey,
+       c_custkey,
+       round(c_acctbal, 2) AS acctbal,
+       ntile(4)       OVER w AS quartile,
+       dense_rank()   OVER w AS drank,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       first_value(c_custkey) OVER w AS richest_cust,
+       last_value(c_custkey)
+         OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS poorest_cust
+FROM customer
+WHERE c_custkey <= 300
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, drank, c_custkey
+"""
+
+
+@register("window_rank_variants", RANK_VARIANTS_ORACLE)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).filter(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.dense_rank().over(w).alias("drank"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first("c_custkey").over(w).alias("richest_cust"),
+            F.last("c_custkey").over(w_full).alias("poorest_cust"),
+        )
+        .orderBy("c_nationkey", "drank", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_math_functions — math/conditional scalar surface in one
+# projection (SURVEY §2B "Scalar fns — math/misc"). Pure codegen'd
+# expressions over a pruned scan; no shuffle at all.
+# ---------------------------------------------------------------------------
+
+MATH_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       round(abs(l_extendedprice - l_tax * 1000), 4)      AS abs_diff,
+       ceil(l_quantity / 7)                               AS ceil_q,
+       floor(l_extendedprice / 100)                       AS floor_p,
+       round(sqrt(l_extendedprice), 6)                    AS sqrt_p,
+       round(ln(l_extendedprice + 1), 6)                  AS ln_p,
+       round(log10(l_extendedprice + 1), 6)               AS log10_p,
+       round(exp(l_discount), 6)                          AS exp_d,
+       round(pow(l_quantity, 2), 2)                       AS qty_sq,
+       CAST(l_quantity AS BIGINT) % 5                     AS qty_mod5,
+       sign(l_extendedprice - 1000)                       AS price_sign,
+       round(greatest(l_extendedprice, l_quantity * 100), 2) AS biggest,
+       round(least(l_discount, l_tax), 4)                 AS smallest,
+       nullif(l_returnflag, 'N')                          AS flag_or_null,
+       coalesce(nullif(l_returnflag, 'N'), 'none')        AS flag_filled
+FROM lineitem
+WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("scalar_math_functions", MATH_ORACLE)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag",
+        ],
+    ).filter(F.col("l_orderkey") <= 500)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(price - F.col("l_tax") * 1000), 4).alias("abs_diff"),
+            F.ceil(qty / 7).alias("ceil_q"),
+            F.floor(price / 100).alias("floor_p"),
+            F.round(F.sqrt(price), 6).alias("sqrt_p"),
+            F.round(F.log(price + 1), 6).alias("ln_p"),
+            F.round(F.log10(price + 1), 6).alias("log10_p"),
+            F.round(F.exp("l_discount"), 6).alias("exp_d"),
+            F.round(F.pow(qty, 2), 2).alias("qty_sq"),
+            (qty.cast("bigint") % 5).alias("qty_mod5"),
+            F.signum(price - 1000).alias("price_sign"),
+            F.round(F.greatest(price, qty * 100), 2).alias("biggest"),
+            F.round(F.least("l_discount", "l_tax"), 4).alias("smallest"),
+            F.nullif("l_returnflag", F.lit("N")).alias("flag_or_null"),
+            F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_filled"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot_status_by_priority — long→wide pivot: order counts and revenue
+# per priority, one column set per order status. Spark's relational
+# pivot with an explicit value list (never let it scan for distinct
+# values at 100 TB); the oracle is the equivalent CASE-sum spread.
+# Scale: a pivot with listed values is a single groupBy — one shuffle,
+# map-side partials; output width is fixed at plan time.
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS rev_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("pivot_status_by_priority", PIVOT_ORACLE)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("rev_o"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("rev_p"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events_batch — batch twin of stream_session_windows:
+# gap-based sessionization (30-minute inactivity closes a session) via
+# the classic lag → gap-flag → running-sum pattern. Fully
+# SQL-expressible, so unlike the streaming variant this one is
+# value-hash-checked. Scale: two windows over the same (user_id, ts)
+# ordering — one shuffle, both window passes pipeline in a single
+# exchange; per-user state is O(1).
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '30 minutes'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess,
+           event_id
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register("sessionize_events_batch", SESSIONIZE_ORACLE)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         relational_tpch3,
+        analytics_ext,
         scraper_ops,
         dedup_queries,
         similarity_queries,
