@@ -307,3 +307,162 @@ def _exact_pairs_numpy(base: DataFrame, threshold: float) -> DataFrame:
             )
 
     return base.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantization scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 1,
+):
+    """Train IVF coarse centroids: deterministic seeded sample + a few
+    DISTRIBUTED Lloyd refinements. Returns a float64 numpy matrix
+    (n_centroids × dim), driver-side (it's tiny — the index metadata).
+
+    Seeding: the n_centroids corpus vectors with the smallest
+    xxhash64(id, seed) — a uniform pseudo-random sample that is
+    reproducible and needs only a TakeOrdered (no full sort, no RNG
+    state on executors). Refinement: assign every vector to its nearest
+    centroid in one mapInPandas pass (block × centroid BLAS matmul),
+    then recompute each cell's mean via posexplode(dim) + groupBy avg —
+    fully codegen'd, shuffle bounded by n_centroids × dim rows.
+    """
+    import numpy as np
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    spark = corpus.sparkSession
+    ensure_shipped(spark)
+
+    seeds = (
+        corpus.select(F.col(vec_col).alias("vec"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.array([r["vec"] for r in seeds], dtype=np.float64)
+
+    for _ in range(lloyd_iters):
+        b_cent = spark.sparkContext.broadcast(cent)
+
+        def assign(batches):
+            import pandas as pd
+
+            c = b_cent.value
+            c_norm = np.linalg.norm(c, axis=1)
+            c_norm[c_norm == 0.0] = 1.0
+            cu = c / c_norm[:, None]
+            for pdf in batches:
+                blk = np.array(list(pdf["vec"]), dtype=np.float64)
+                n = np.linalg.norm(blk, axis=1)
+                n[n == 0.0] = 1.0
+                cells = np.argmax((blk / n[:, None]) @ cu.T, axis=1)
+                yield pd.DataFrame({"cell": cells.astype(np.int32), "vec": pdf["vec"]})
+
+        assigned = corpus.select(F.col(vec_col).alias("vec")).mapInPandas(
+            assign, schema="cell int, vec array<float>"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new_cent = cent.copy()  # cells that lost all members keep their old centroid
+        for r in means:
+            new_cent[r["cell"], r["dim"]] = r["mu"]
+        cent = new_cent
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k: score each query only against corpus vectors whose
+    cell is among the query's n_probe nearest centroids.
+
+    One corpus pass: each mapInPandas block computes its rows' cell
+    assignments (block × centroid matmul) and scores each query ONLY
+    against the probe-cell mask — skipping ~(1 − n_probe/n_centroids)
+    of the dot products. At warehouse scale the assignment pass is done
+    once at ingest and the corpus is stored partitioned by cell, so
+    probing becomes partition pruning; the query-time plan is identical.
+    Returns (query_id, neighbor_id, cosine_sim, nn_rank).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    spark = corpus.sparkSession
+    ensure_shipped(spark)
+
+    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, seed)
+    c_norm = np.linalg.norm(cent, axis=1)
+    c_norm[c_norm == 0.0] = 1.0
+    cent_unit = cent / c_norm[:, None]
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0.0] = 1.0
+    q_unit = q_mat / q_norm[:, None]
+    # n_probe nearest centroids per query, driver-side (tiny matrix)
+    probe = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :n_probe]
+
+    b = spark.sparkContext.broadcast((q_ids, q_unit, cent_unit, probe))
+    out_schema = "query_id bigint, neighbor_id bigint, cosine_sim double"
+
+    def run(batches):
+        import pandas as pd
+
+        qids, qunit, cu, prb = b.value
+        for pdf in batches:
+            ids = pdf["nid"].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n = np.linalg.norm(blk, axis=1)
+            n[n == 0.0] = 1.0
+            unit = blk / n[:, None]
+            cells = np.argmax(unit @ cu.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                mask = np.isin(cells, prb[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                sims = np.round(unit[mask] @ qunit[j], round_digits)
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -sims))[:k]
+                else:
+                    order = np.arange(len(cand_ids))
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    ).mapInPandas(run, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("nn_rank", F.row_number().over(w)).filter(F.col("nn_rank") <= k)

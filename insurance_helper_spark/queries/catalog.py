@@ -51,6 +51,7 @@ def load_all() -> None:
         relational_ext,
         relational_tpch3,
         analytics_ext,
+        corpus_ops,
         scraper_ops,
         dedup_queries,
         similarity_queries,
