@@ -77,3 +77,54 @@ def test_observation_metrics_single_pass(spark, sf_dir, tmp_path):
     stats = obs.get
     assert stats["rows"] == orders.count()
     assert stats["revenue"] > 0
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    # snowflake: supplier + both nation lookups must broadcast — the
+    # only shuffle joins should be the two fact-side equi-joins.
+    df = _q("q7_volume_shipping", spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    df = _q("q6_revenue_forecast", spark, sf_dir)
+    pf = audit.pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+    cols = audit.read_schema_columns(df)
+    assert 0 < len(cols) <= 4, cols
+
+
+def test_q19_part_side_broadcasts(spark, sf_dir):
+    df = _q("q19_disjunctive_predicates", spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+
+
+def test_chunk_documents_no_token_level_shuffle(spark, sf_dir):
+    # chunking is per-row (sequence→explode→slice): no exchange before
+    # the final presentation sort, and one tokenizer regex in the plan.
+    df = _q("chunk_documents", spark, sf_dir)
+    plan = audit.executed_plan(df)
+    n_ex = audit.exchange_count(df)
+    # exactly the sort's range exchange — nothing from the chunk build
+    assert n_ex <= 1, plan
+
+
+def test_sessionize_single_shuffle_for_both_windows(spark, sf_dir):
+    # lag-window, running-sum window and the final groupBy all key on
+    # user_id: one exchange must feed all three.
+    df = _q("sessionize_events_batch", spark, sf_dir)
+    # allow the presentation sort's range exchange on top
+    assert audit.exchange_count(df) <= 2, audit.executed_plan(df)
+
+
+def test_pivot_aggregates_with_map_side_partials(spark, sf_dir):
+    df = _q("pivot_status_by_priority", spark, sf_dir)
+    plan = audit.executed_plan(df)
+    # Spark plans listed-values pivot as two-phase aggregation:
+    # groupBy(key, pivot_col) pre-reduce, then pivotfirst on the key.
+    # Both exchanges carry ≤ |keys|×|values| rows after the map-side
+    # partials (asserted below) — fine at any input scale. Plus the
+    # presentation sort: 3 exchanges, none proportional to input size.
+    assert "partial_pivotfirst" in plan and "partial_count" in plan, plan
+    assert audit.exchange_count(df) <= 3, plan
