@@ -242,3 +242,88 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats_functions — statistical aggregate surface: stddev / variance
+# (sample + population), correlation, covariance. Ratio-scale outputs
+# (corr, stddev) round to 4; raw second moments (variance, covariance,
+# magnitude ~1e10 with ~1e-4 cross-engine float dust) round to 1 so the
+# rounding unit stays 3 orders above the dust. Scale: all are single-pass
+# distributive aggregates with map-side partials.
+# ---------------------------------------------------------------------------
+
+STATS_ORACLE = """
+SELECT c.c_nationkey,
+       count(*) AS n_orders,
+       round(stddev_samp(o.o_totalprice), 4) AS sd_price,
+       round(var_pop(o.o_totalprice), 1)     AS var_price,
+       round(corr(c.c_acctbal, o.o_totalprice), 4)      AS corr_bal_price,
+       round(covar_samp(c.c_acctbal, o.o_totalprice), 1) AS covar_bal_price
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@register("agg_stats_functions", STATS_ORACLE)
+def agg_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.var_pop("o_totalprice"), 1).alias("var_price"),
+            F.round(F.corr("c_acctbal", "o_totalprice"), 4).alias("corr_bal_price"),
+            F.round(F.covar_samp("c_acctbal", "o_totalprice"), 1).alias("covar_bal_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram_order_totals — fixed-width binning against a global
+# [min, max) range obtained from a scalar-aggregate subquery (1-row
+# broadcast — no second pass over the ordered data, no collect).
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_ORACLE = """
+WITH bounds AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders, bounds
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("histogram_order_totals", HISTOGRAM_ORACLE)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.join(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
