@@ -86,21 +86,44 @@ def hashed_shingle_rows(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with k-token-shingle Jaccard ≥ threshold.
 
     Plan: distinct hashed shingle rows → self-equi-join on the shingle
     hash → count common shingles per pair → Jaccard =
     common/(|A|+|B|-common). Scale: the join key is the shingle, so only
-    docs sharing ≥1 shingle ever meet; no all-pairs blowup. A hot (very
-    common) shingle is a skew key — AQE skew-join splitting handles it;
-    for adversarial corpora drop top-frequency shingles first
-    (stopword-shingle filtering), standard MinHash-era practice.
+    docs sharing ≥1 shingle ever meet; no all-pairs blowup.
+
+    ``max_doc_freq`` is the hot-shingle skew guard: a shingle appearing
+    in more than this many documents (a "stopword shingle") produces a
+    quadratic candidate bucket in the self-join — at corpus scale one
+    such key dominates the whole job. When set, shingles with document
+    frequency > max_doc_freq are dropped BEFORE sizes are computed and
+    before the join, so the Jaccard stays self-consistent over the
+    filtered shingle sets (standard stopword-shingle filtering, the
+    MinHash-era practice). The hot set is tiny by construction (few
+    shingles can exceed the cap), so it broadcasts; the extra cost is
+    one count-by-shingle aggregation — map-side-combined, same key
+    distribution as the join it protects. Default None preserves exact
+    full-set Jaccard for oracle comparison.
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
     """
     shd = hashed_shingle_rows(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            shd.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("h")
+        )
+        shd = shd.join(F.broadcast(hot), "h", "left_anti")
     # set size per doc: window count over the doc partition (no orderBy →
     # whole-partition frame); data is already clustered by doc_id.
     sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))

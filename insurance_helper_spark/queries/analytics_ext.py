@@ -84,15 +84,15 @@ MATH_ORACLE = """
 SELECT l_orderkey,
        l_linenumber,
        round(abs(l_extendedprice - l_tax * 1000), 4)      AS abs_diff,
-       ceil(l_quantity / 7)                               AS ceil_q,
-       floor(l_extendedprice / 100)                       AS floor_p,
-       round(sqrt(l_extendedprice), 6)                    AS sqrt_p,
-       round(ln(l_extendedprice + 1), 6)                  AS ln_p,
-       round(log10(l_extendedprice + 1), 6)               AS log10_p,
-       round(exp(l_discount), 6)                          AS exp_d,
+       CAST(ceil(l_quantity / 7) AS BIGINT)               AS ceil_q,
+       CAST(floor(l_extendedprice / 100) AS BIGINT)       AS floor_p,
+       round(sqrt(l_extendedprice), 4)                    AS sqrt_p,
+       round(ln(l_extendedprice + 1), 4)                  AS ln_p,
+       round(log10(l_extendedprice + 1), 4)               AS log10_p,
+       round(exp(l_discount), 4)                          AS exp_d,
        round(pow(l_quantity, 2), 2)                       AS qty_sq,
        CAST(l_quantity AS BIGINT) % 5                     AS qty_mod5,
-       sign(l_extendedprice - 1000)                       AS price_sign,
+       CAST(sign(l_extendedprice - 1000) AS DOUBLE)       AS price_sign,
        round(greatest(l_extendedprice, l_quantity * 100), 2) AS biggest,
        round(least(l_discount, l_tax), 4)                 AS smallest,
        nullif(l_returnflag, 'N')                          AS flag_or_null,
@@ -118,15 +118,19 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.round(F.abs(price - F.col("l_tax") * 1000), 4).alias("abs_diff"),
-            F.ceil(qty / 7).alias("ceil_q"),
-            F.floor(price / 100).alias("floor_p"),
-            F.round(F.sqrt(price), 6).alias("sqrt_p"),
-            F.round(F.log(price + 1), 6).alias("ln_p"),
-            F.round(F.log10(price + 1), 6).alias("log10_p"),
-            F.round(F.exp("l_discount"), 6).alias("exp_d"),
+            # ceil/floor → BIGINT and sign → DOUBLE on BOTH sides: Spark's
+            # ceil/floor are LONG while DuckDB's are DOUBLE, and DuckDB's
+            # sign is integer while Spark's signum is DOUBLE; without the
+            # casts the driver's dtype-faithful hash mismatches.
+            F.ceil(qty / 7).cast("long").alias("ceil_q"),
+            F.floor(price / 100).cast("long").alias("floor_p"),
+            F.round(F.sqrt(price), 4).alias("sqrt_p"),
+            F.round(F.log(price + 1), 4).alias("ln_p"),
+            F.round(F.log10(price + 1), 4).alias("log10_p"),
+            F.round(F.exp("l_discount"), 4).alias("exp_d"),
             F.round(F.pow(qty, 2), 2).alias("qty_sq"),
             (qty.cast("bigint") % 5).alias("qty_mod5"),
-            F.signum(price - 1000).alias("price_sign"),
+            F.signum(price - 1000).cast("double").alias("price_sign"),
             F.round(F.greatest(price, qty * 100), 2).alias("biggest"),
             F.round(F.least("l_discount", "l_tax"), 4).alias("smallest"),
             F.nullif("l_returnflag", F.lit("N")).alias("flag_or_null"),
@@ -204,8 +208,8 @@ WITH flagged AS (
     FROM events
 ), numbered AS (
     SELECT user_id, ts, value,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id,
@@ -224,13 +228,18 @@ ORDER BY user_id, session_seq
 def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond-precision gap: casting ts to LONG truncates sub-second
+    # components, which mis-classifies gaps straddling exactly 1800 s
+    # relative to the oracle's full-precision INTERVAL comparison.
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     flagged = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "new_sess", F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
     )
     numbered = flagged.withColumn(
         "session_seq",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
     )
     return (
         numbered.groupBy("user_id", "session_seq")

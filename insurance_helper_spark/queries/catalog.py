@@ -45,19 +45,25 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Imported for registration side effects.
+    # Imported for registration side effects. ORDER MATTERS: the driver
+    # verifies the first 50 registered queries per round, so the modules
+    # needing fresh CORRECTNESS rows go first (round 1 verified the
+    # relational families; round 2 front-loads the LLM-pipeline/scraper
+    # surface plus the three type-fixed queries in analytics_ext /
+    # relational_tpch3). The tail (relational, relational_ext, and the
+    # last entries of relational_tpch3) is all green from round 1.
     from insurance_helper_spark.queries import (  # noqa: F401
-        relational,
-        relational_ext,
-        relational_tpch3,
-        analytics_ext,
-        corpus_ops,
-        scraper_ops,
         dedup_queries,
         similarity_queries,
         text_queries,
         streaming_queries,
+        scraper_ops,
+        corpus_ops,
         multimodal_queries,
+        analytics_ext,
+        relational_tpch3,
+        relational,
+        relational_ext,
     )
 
     _LOADED = True

@@ -192,7 +192,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_COUNT_ORACLE = r"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS bpe_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
        round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))), 4) AS avg_bpe_tokens
 FROM documents
 GROUP BY source
@@ -213,7 +213,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
             F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
         )
         .orderBy("source")

@@ -2,16 +2,23 @@
 
 Runs a registered Spark query and its oracle SQL on the same parquet
 tables and compares row count, column names, and order-insensitive
-values (sorted by all columns, compared cell-wise with float
-tolerance-free equality after the queries' own rounding).
+values. The comparison is deliberately DTYPE-FAITHFUL: an int64 ``5``
+and a float64 ``5.0`` are DIFFERENT cells, and floats are compared
+exactly (no tolerance, no re-rounding) — queries must do their own
+rounding. Round 1 shipped three driver hash failures precisely because
+the old harness rounded floats and used type-erasing ``==``; this
+version reproduces the driver's strictness so local green predicts
+driver green.
 """
 
 from __future__ import annotations
 
 import math
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from insurance_helper_spark.sources.tables import FIXTURE_TABLES
@@ -25,20 +32,31 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm_cell(v):
+    """Normalize one cell to a type-tagged hashable value.
+
+    The tag makes int-vs-float divergence (DuckDB HUGEINT→float64 vs
+    Spark BIGINT→int64, LONG ceil vs DOUBLE ceil, …) a local failure
+    instead of a driver-only one. Floats are NOT rounded.
+    """
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return None
-        # collapse -0.0 and fp dust
-        return round(v, 9)
+        return ("f", float(v) + 0.0)  # collapse -0.0 only
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        return ("d", str(v.normalize()))
     if isinstance(v, date) and not isinstance(v, datetime):
-        return pd.Timestamp(v).isoformat()
+        return ("t", pd.Timestamp(v).isoformat())
     if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts.isoformat()
+        return ("t", ts.isoformat())
     return v
 
 
