@@ -220,32 +220,49 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     exact: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold (embedding near-duplicate dedup).
 
-    ``exact=True`` does the O(n²) self-join (oracle-checkable at small
-    SF); default uses LSH blocking: near-identical vectors agree on all
-    sign bits with high probability, so the self-join runs per bucket.
+    ``exact=True`` does the all-pairs blocked-BLAS scan
+    (oracle-checkable at small SF; driver-collect ceiling ~1M×64 —
+    see _exact_pairs_numpy). The default is the 100 TB path:
+    signed-random-projection LSH. A pair lands in the same bucket of
+    one table with probability (1 - θ/π)^n_planes, so with L
+    independent tables recall = 1 - (1 - p^b)^L — ``n_tables`` trades
+    candidate volume for recall without touching the per-bucket join
+    shape. Candidates are per-(table, bucket) equi-joins — never
+    all-pairs — and a pair matching in several tables is deduplicated
+    BEFORE the cosine is computed, so the verification matmul runs once
+    per candidate pair.
     """
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if exact:
         return _exact_pairs_numpy(base, threshold)
-    else:
-        planes = hyperplanes(dim, n_planes, seed)
-        sig = base.withColumn(
-            "bucket",
-            F.concat_ws(
-                "",
-                *[
-                    (dot(F.col("vec"), F.array(*[F.lit(float(v)) for v in p])) >= 0)
-                    .cast("int").cast("string")
-                    for p in planes
-                ],
-            ),
-        )
-        a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    planes = hyperplanes(dim, n_planes * n_tables, seed)
+
+    def bucket_expr(t: int):
+        bits = [
+            (dot(F.col("vec"), F.array(*[F.lit(float(v)) for v in p])) >= 0)
+            .cast("int").cast("string")
+            for p in planes[t * n_planes : (t + 1) * n_planes]
+        ]
+        return F.concat_ws("", *bits)
+
+    sig = base.select(
+        "vid",
+        "vec",
+        F.posexplode(F.array(*[bucket_expr(t) for t in range(n_tables)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket")
+    b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         pairs.withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine_sim") >= threshold)

@@ -189,13 +189,40 @@ ORDER BY id_a, id_b
 
 @register("dedup_embedding_cosine", EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-SF oracle twin of dedup_embedding_cosine_lsh: exact
+    all-pairs cosine, value-checked against DuckDB
+    list_cosine_similarity. The operator-level threshold (0.399, just
+    below the query's round-4 cut so boundary values like 0.39996 that
+    round UP to 0.4 aren't pre-dropped) prunes the O(n²) pair stream
+    inside the mapInPandas matmul instead of materializing every pair."""
     from insurance_helper_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.0, exact=True)
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.399, exact=True)
     return (
         pairs.withColumn("cosine_sim", F.round("cosine_sim", 4))
         .filter(F.col("cosine_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_embedding_cosine_lsh")
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE embedding near-dup query — the 100 TB plan: multi-table
+    signed-random-projection LSH (4 planes × 16 tables → recall ≈ 0.95
+    at the fixture's 0.4–0.51 cosine band), per-bucket equi-joins only,
+    no driver-side corpus collect anywhere in the plan. Rows-only at
+    the driver (bucket membership is plan-specific); the local recall
+    test (tests/test_scale_ops.py) checks the pair set against the
+    exact path."""
+    from insurance_helper_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, n_planes=4, n_tables=16, seed=7
+        )
+        .withColumn("cosine_sim", F.round("cosine_sim", 4))
         .orderBy("id_a", "id_b")
     )
 

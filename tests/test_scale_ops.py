@@ -86,3 +86,59 @@ def test_connected_components_chain_and_canonical(spark):
                   dd.keep_canonical_per_cluster(docs, dd.connected_components(pairs), "doc_id").collect())
     # cluster minima (1, 10) survive; untouched singleton 7 survives
     assert kept == [1, 7, 10]
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """Adversarial corpus: every doc shares one stopword shingle. Without
+    the cap the self-join meets all C(n,2) pairs on that key; with
+    max_doc_freq the hot shingle is dropped before sizing AND joining,
+    so only the genuinely-overlapping docs pair up."""
+    from insurance_helper_spark.operators import dedup as dd
+
+    stop = "the quick brown"  # one shingle shared by ALL docs
+    docs = [(i, f"{stop} unique{i} token{i} word{i} tail{i}") for i in range(40)]
+    # two planted near-dups sharing real content
+    docs += [(100, f"{stop} alpha beta gamma delta epsilon"),
+             (101, f"{stop} alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    uncapped = dd.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0)
+    # every pair of the 42 docs shares the stop shingle → full blowup
+    assert uncapped.count() == 42 * 41 // 2
+
+    capped = dd.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.0, max_doc_freq=10
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # only the planted pair survives once the universal shingle is gone
+    assert set(rows) == {(100, 101)}
+    # jaccard over the FILTERED sets: shingles of 'alpha beta gamma delta X'
+    # minus the hot prefix shingles → sizes stay consistent
+    assert 0 < rows[(100, 101)] <= 1.0
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The multi-table LSH pair set must be a subset of the exact pair
+    set with high recall at the registered query's settings (seeded —
+    deterministic)."""
+    from insurance_helper_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, n_planes=4, n_tables=16, seed=7
+        ).collect()
+    }
+    assert lsh <= exact  # every LSH pair is verified by true cosine
+    assert exact, "fixture must contain pairs above the threshold"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
