@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh_rowsonly",
     "dedup_simhash_rowsonly",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "pipeline_dedup_corpus",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
@@ -54,6 +55,31 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_windows",
 ]
+
+
+# Round-1 warm timings at sf0.1 on local[32] (BENCH_r01.json) — the
+# regression budget is 1.5× these, floored at 1.0 s so sub-second
+# queries don't trip on scheduler jitter. Queries added after r1 have
+# no budget until their first recorded round. The suite-level budget is
+# 1.5× the r1 total; blowing THAT exits nonzero so a regression is
+# impossible to miss in the next BENCH diff.
+R1_WARM = {
+    "flagship": 0.729, "q1_pricing_summary": 0.439, "q5_local_supplier": 1.126,
+    "q3_shipping_priority": 0.94, "q10_returned_items": 0.73,
+    "q18_large_orders": 1.039, "window_running_spend": 0.863,
+    "window_lag_lead": 0.371, "topk_per_group": 0.524,
+    "asof_latest_per_key": 0.494, "agg_rollup": 0.362,
+    "agg_grouping_sets": 0.452, "full_outer_join_spend": 0.449,
+    "set_ops_segments": 0.713, "incremental_delta_core": 0.802,
+    "failed_download_upsert": 1.508, "scrape_cleaning_chain": 0.853,
+    "dedup_exact_keep_first": 1.163, "dedup_ngram_jaccard": 2.551,
+    "dedup_minhash_lsh_rowsonly": 4.614, "dedup_simhash_rowsonly": 3.205,
+    "dedup_embedding_cosine": 2.132, "pipeline_dedup_corpus": 4.161,
+    "similarity_cosine_topk": 0.504, "text_tfidf_top_terms": 0.725,
+    "text_stats": 0.744, "multimodal_feature_manifest": 0.626,
+    "stream_tumbling_window": 0.364, "stream_session_windows": 0.753,
+}
+R1_TOTAL = 33.936
 
 
 def main() -> None:
@@ -86,6 +112,12 @@ def main() -> None:
             print(f"  [{label}] {name}: {store[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    regressions = {}
+    if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
+        for name, t in timings.items():
+            if name in R1_WARM and t > max(1.5 * R1_WARM[name], 1.0):
+                regressions[name] = {"r1": R1_WARM[name], "now": t}
+                print(f"  REGRESSION {name}: {t}s vs r1 {R1_WARM[name]}s", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -95,9 +127,13 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
+    if abs(sf - 0.1) < 1e-9 and total > 1.5 * R1_TOTAL:
+        print(f"SUITE REGRESSION: {total}s vs r1 {R1_TOTAL}s", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -79,19 +79,38 @@ def sanitize_filename(name: Column, max_length: int = 100) -> Column:
 def extension_from_url(url: Column) -> Column:
     """K2: infer a file extension from a URL.
 
-    ``.pdf``/``.xlsx``/``.xls`` in the pre-querystring path wins; else a
-    bare 'xlsx'/'xls' substring anywhere in the URL → '.xlsx'; default
-    '.pdf' (file_manager.py:31-45).
+    Reference semantics (file_manager.py:31-45): percent-decode the
+    urlparse path (pre-query, pre-fragment), then check ``.pdf`` →
+    ``.xlsx`` → ``.xls`` IN THAT ORDER as substrings of the lowercased
+    path (so 'a.pdf.xlsx' classifies as .pdf); else a bare 'xlsx'/'xls'
+    anywhere in the URL → '.xlsx'; default '.pdf'.
+
+    Percent-decoding matches Python ``unquote``: '+' is NOT a space, so
+    literal '+' is shielded as %2B before url_decode; a malformed escape
+    falls back to the raw path (try_url_decode → NULL → coalesce).
     """
-    path = F.lower(F.split(url, r"\?").getItem(0))
+    # urlparse().path: parse_url for absolute URLs (host/query/fragment
+    # excluded — 'www.pdf.com' must not match '.pdf'); split fallback
+    # for scheme-less relative paths where parse_url yields NULL.
+    raw_path = F.coalesce(
+        F.parse_url(url, F.lit("PATH")),
+        F.split(F.split(url, r"\?").getItem(0), "#").getItem(0),
+    )
+    shielded = F.regexp_replace(raw_path, r"\+", "%2B")
+    path = F.lower(F.coalesce(F.try_url_decode(shielded), raw_path))
     whole = F.lower(F.coalesce(url, F.lit("")))
     return (
-        F.when(path.contains(".xlsx"), F.lit(".xlsx"))
+        F.when(path.contains(".pdf"), F.lit(".pdf"))
+        .when(path.contains(".xlsx"), F.lit(".xlsx"))
         .when(path.contains(".xls"), F.lit(".xls"))
-        .when(path.contains(".pdf"), F.lit(".pdf"))
         .when(whole.contains("xlsx") | whole.contains("xls"), F.lit(".xlsx"))
         .otherwise(F.lit(".pdf"))
     )
+
+
+def _or_default(col: Column, default: str) -> Column:
+    """Python's ``s or "default"`` for string columns (NULL or '' → default)."""
+    return F.when(col.isNull() | (col == ""), F.lit(default)).otherwise(col)
 
 
 def partitioned_path(
@@ -105,22 +124,57 @@ def partitioned_path(
 ) -> Column:
     """K3: synthesize the 3-level partitioned download path.
 
-    ``{base}/{type}/{FY}/{Insurer}/{UIN}_{Product}{ext}``
-    (file_manager.py:47-114). Each path component is sanitized (K1).
+    ``{base}/{type}/{FY}/{Insurer}/{UIN}_{Product}{ext}`` for
+    life/nonlife/health (file_manager.py:70-114). Reference parity
+    details: each component is sanitized INDIVIDUALLY (uin and
+    product_name separately, then joined with '_' — a trailing dash in
+    the uin is trimmed before the underscore, not collapsed after) and
+    the empty-fallbacks are the reference's: 'unknown-fy',
+    'unknown-insurer', 'unknown' (uin), 'product' (name).
     At scale the physical layout equivalent is
     ``df.write.partitionBy('product_type','financial_year','insurer')``.
+    life_list uses the flat layout — see :func:`life_list_path`.
     """
     return F.concat_ws(
         "/",
         F.lit(base),
         sanitize_filename(product_type),
-        sanitize_filename(F.coalesce(financial_year, F.lit("unknown"))),
-        sanitize_filename(F.coalesce(insurer, F.lit("unknown"))),
+        sanitize_filename(_or_default(financial_year, "unknown-fy")),
+        sanitize_filename(_or_default(insurer, "unknown-insurer")),
         F.concat(
-            sanitize_filename(F.concat_ws("_", uin, product_name)),
+            sanitize_filename(_or_default(uin, "unknown")),
+            F.lit("_"),
+            sanitize_filename(_or_default(product_name, "product")),
             extension,
         ),
     )
+
+
+def life_list_path(
+    document_filename: Column,
+    short_description: Column,
+    extension: Column,
+    base: str = "downloads",
+) -> Column:
+    """K3 (life_list variant): the FLAT path ``{base}/life_list/{filename}``.
+
+    Reference (file_manager.py:84-99): prefer the sanitized original
+    ``document_filename`` — appending the inferred extension only when
+    the sanitized name doesn't already end with it — else fall back to
+    ``{sanitize(short_description) or 'unknown'}{ext}``. No
+    FY/insurer tree for this product type.
+    """
+    fname = sanitize_filename(document_filename)
+    from_file = F.when(
+        fname.endswith(extension), fname
+    ).otherwise(F.concat(fname, extension))
+    from_desc = F.concat(
+        sanitize_filename(_or_default(short_description, "unknown")), extension
+    )
+    filename = F.when(
+        document_filename.isNull() | (document_filename == ""), from_desc
+    ).otherwise(from_file)
+    return F.concat_ws("/", F.lit(base), F.lit("life_list"), filename)
 
 
 def url_key(url: Column) -> Column:

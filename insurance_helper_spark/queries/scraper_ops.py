@@ -233,17 +233,22 @@ WITH base AS (
   FROM part
 ),
 san AS (
+  -- per-component sanitization exactly as the reference: uin and
+  -- product_name are sanitized SEPARATELY, then joined with '_'
+  -- (file_manager.py:70-80 builds filename from pre-sanitized parts).
   SELECT p_partkey, product_type, financial_year, insurer, uin, product_name,
          (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
            (SELECT substring(trim(regexp_replace(regexp_replace(financial_year, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS fy_s,
          (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
            (SELECT substring(trim(regexp_replace(regexp_replace(insurer, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS insurer_s,
          (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
-           (SELECT substring(trim(regexp_replace(regexp_replace(uin || '_' || product_name, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS file_s
+           (SELECT substring(trim(regexp_replace(regexp_replace(uin, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS uin_s,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(product_name, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS name_s
   FROM base
 )
 SELECT p_partkey,
-       'downloads/' || product_type || '/' || fy_s || '/' || insurer_s || '/' || file_s || '.pdf' AS download_path
+       'downloads/' || product_type || '/' || fy_s || '/' || insurer_s || '/' || uin_s || '_' || name_s || '.pdf' AS download_path
 FROM san
 ORDER BY p_partkey
 """
@@ -491,3 +496,182 @@ def scrape_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document_url",
         "document_filename",
     ).orderBy("uin")
+
+
+# ---------------------------------------------------------------------------
+# K2 + K3 (life_list variant): extension inference with the reference's
+# .pdf → .xlsx → .xls precedence over the percent-decoded URL path, and
+# the FLAT life_list download path (no FY/insurer tree).
+# Ref: downloader/file_manager.py:31-45 (extract_extension_from_url),
+# :84-99 (_get_life_list_path). URL cases exercised: plain .pdf,
+# multi-extension '.pdf.xlsx' (→ .pdf — precedence), .xlsx, a
+# percent-encoded '%20' path with .xls, and an extension-less path
+# whose querystring says xlsx (→ whole-URL fallback '.xlsx').
+# ---------------------------------------------------------------------------
+
+LIFE_LIST_ORACLE = r"""
+WITH base AS (
+  SELECT p_partkey AS pk,
+         'https://irdai.gov.in/documents/' ||
+         CASE CAST(p_partkey % 5 AS INTEGER)
+           WHEN 0 THEN 'doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+           WHEN 1 THEN 'doc' || CAST(p_partkey AS VARCHAR) || '.pdf.xlsx'
+           WHEN 2 THEN 'doc' || CAST(p_partkey AS VARCHAR) || '.xlsx'
+           WHEN 3 THEN 'doc%20' || CAST(p_partkey AS VARCHAR) || '.xls'
+           ELSE 'doc' || CAST(p_partkey AS VARCHAR) || '?format=xlsx'
+         END AS url,
+         CASE WHEN p_partkey % 3 = 0 THEN NULL
+              WHEN p_partkey % 3 = 1 THEN 'Report ' || CAST(p_partkey AS VARCHAR)
+              ELSE 'file ' || CAST(p_partkey AS VARCHAR) || '.pdf'
+         END AS document_filename,
+         p_name AS short_description
+  FROM part
+),
+ext AS (
+  SELECT *,
+         replace(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1), '%20', ' ') AS path,
+         lower(url) AS whole
+  FROM base
+),
+inferred AS (
+  SELECT pk, url, document_filename, short_description,
+         CASE WHEN contains(lower(path), '.pdf')  THEN '.pdf'
+              WHEN contains(lower(path), '.xlsx') THEN '.xlsx'
+              WHEN contains(lower(path), '.xls')  THEN '.xls'
+              WHEN contains(whole, 'xlsx') OR contains(whole, 'xls') THEN '.xlsx'
+              ELSE '.pdf' END AS ext
+  FROM ext
+),
+named AS (
+  SELECT pk, url, ext,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(coalesce(document_filename, ''), '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS fname,
+         (SELECT CASE WHEN x = '' THEN 'unknown' ELSE x END FROM
+           (SELECT substring(trim(regexp_replace(regexp_replace(short_description, '[<>:"/\\|?*]', '-', 'g'), '[-\s]+', '-', 'g'), '-'), 1, 100) AS x)) AS desc_s
+  FROM inferred
+)
+SELECT pk, ext,
+       'downloads/life_list/' ||
+       CASE WHEN fname = 'unknown' AND pk % 3 = 0
+            THEN desc_s || ext
+            WHEN ends_with(fname, ext) THEN fname
+            ELSE fname || ext END AS download_path
+FROM named
+ORDER BY pk
+"""
+
+
+@register("scrape_life_list_path", LIFE_LIST_ORACLE)
+def scrape_life_list_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name"])
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    url = F.concat(
+        F.lit("https://irdai.gov.in/documents/"),
+        F.when(pk % 5 == 0, F.concat(F.lit("doc"), pks, F.lit(".pdf")))
+        .when(pk % 5 == 1, F.concat(F.lit("doc"), pks, F.lit(".pdf.xlsx")))
+        .when(pk % 5 == 2, F.concat(F.lit("doc"), pks, F.lit(".xlsx")))
+        .when(pk % 5 == 3, F.concat(F.lit("doc%20"), pks, F.lit(".xls")))
+        .otherwise(F.concat(F.lit("doc"), pks, F.lit("?format=xlsx"))),
+    )
+    document_filename = (
+        F.when(pk % 3 == 0, F.lit(None).cast("string"))
+        .when(pk % 3 == 1, F.concat(F.lit("Report "), pks))
+        .otherwise(F.concat(F.lit("file "), pks, F.lit(".pdf")))
+    )
+    df = part.select(
+        pk.alias("pk"),
+        url.alias("url"),
+        document_filename.alias("document_filename"),
+        F.col("p_name").alias("short_description"),
+    )
+    ext = cleaning.extension_from_url(F.col("url"))
+    return df.select(
+        "pk",
+        ext.alias("ext"),
+        cleaning.life_list_path(
+            F.col("document_filename"), F.col("short_description"), ext
+        ).alias("download_path"),
+    ).orderBy("pk")
+
+
+# ---------------------------------------------------------------------------
+# W3: object-store sink column logic — content-type by extension, object
+# key normalization (backslash → slash, leading slashes stripped), and
+# public-URL synthesis. Ref: storage/r2_uploader.py:160-183 (_get_content_type,
+# generate_r2_key), :60-87 (public URL). The IO half (exists/delete/list/
+# verified write over Hadoop FileSystem + s3a conf) is exercised in
+# tests/test_sinks.py.
+# ---------------------------------------------------------------------------
+
+OBJECT_KEYS_ORACLE = r"""
+WITH manifest AS (
+  SELECT p_partkey AS pk,
+         CASE CAST(p_partkey % 4 AS INTEGER)
+           WHEN 0 THEN 'life' WHEN 1 THEN 'nonlife'
+           WHEN 2 THEN 'health' ELSE 'life_list' END AS product_type,
+         CASE CAST(p_partkey % 3 AS INTEGER)
+           WHEN 0 THEN '/FY-2024/Insurer A/'
+           WHEN 1 THEN 'FY-2024\Insurer B\'
+           ELSE 'FY-2025/Insurer C/' END ||
+         'doc' || CAST(p_partkey AS VARCHAR) ||
+         CASE CAST(p_partkey % 6 AS INTEGER)
+           WHEN 0 THEN '.pdf' WHEN 1 THEN '.xlsx' WHEN 2 THEN '.xls'
+           WHEN 3 THEN '.csv' WHEN 4 THEN '.json' ELSE '' END AS rel_path
+  FROM part
+),
+final AS (
+  SELECT pk,
+         product_type || '/' || replace(rel_path, '\', '/') AS joined,
+         replace(rel_path, '\', '/') AS rel_norm
+  FROM manifest
+)
+SELECT pk,
+       regexp_replace(joined, '^/+', '') AS r2_key,
+       CASE lower(regexp_extract(regexp_extract(rel_norm, '([^/]*)$', 1), '(\.[^.]+)$', 1))
+         WHEN '.pdf'  THEN 'application/pdf'
+         WHEN '.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+         WHEN '.xls'  THEN 'application/vnd.ms-excel'
+         WHEN '.csv'  THEN 'text/csv'
+         WHEN '.json' THEN 'application/json'
+         ELSE 'application/octet-stream' END AS content_type,
+       'https://docs.example.org/' || regexp_replace(joined, '^/+', '') AS public_url
+FROM final
+ORDER BY pk
+"""
+
+
+@register("scrape_object_keys", OBJECT_KEYS_ORACLE)
+def scrape_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.sources import object_store
+
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey"])
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    product_type = (
+        F.when(pk % 4 == 0, F.lit("life"))
+        .when(pk % 4 == 1, F.lit("nonlife"))
+        .when(pk % 4 == 2, F.lit("health"))
+        .otherwise(F.lit("life_list"))
+    )
+    rel_path = F.concat(
+        F.when(pk % 3 == 0, F.lit("/FY-2024/Insurer A/"))
+        .when(pk % 3 == 1, F.lit("FY-2024\\Insurer B\\"))
+        .otherwise(F.lit("FY-2025/Insurer C/")),
+        F.lit("doc"),
+        pks,
+        F.when(pk % 6 == 0, F.lit(".pdf"))
+        .when(pk % 6 == 1, F.lit(".xlsx"))
+        .when(pk % 6 == 2, F.lit(".xls"))
+        .when(pk % 6 == 3, F.lit(".csv"))
+        .when(pk % 6 == 4, F.lit(".json"))
+        .otherwise(F.lit("")),
+    )
+    df = part.select(pk.alias("pk"), product_type.alias("pt"), rel_path.alias("rel"))
+    key = object_store.object_key(F.col("pt"), F.col("rel"))
+    return df.select(
+        "pk",
+        key.alias("r2_key"),
+        object_store.content_type_for(F.col("rel")).alias("content_type"),
+        object_store.public_url("https://docs.example.org/", key).alias("public_url"),
+    ).orderBy("pk")

@@ -68,3 +68,72 @@ def test_partitioned_path_unicode_roundtrip(spark):
     assert len(parts) == 5, out
     assert parts[0] == "downloads" and parts[4].endswith(".pdf")
     assert "भारतीय" in parts[3]
+
+
+def test_extension_precedence_matches_reference(spark):
+    """K2 parity (ref file_manager.py:31-45): .pdf → .xlsx → .xls over
+    the PERCENT-DECODED urlparse path; host is excluded; '+' is literal
+    (unquote semantics, not application/x-www-form-urlencoded)."""
+    cases = [
+        ("https://x.org/a.pdf.xlsx", ".pdf"),        # multi-ext: .pdf wins
+        ("https://x.org/a.xlsx.pdf", ".pdf"),        # order-independent
+        ("https://x.org/file%2Exlsx", ".xlsx"),      # %2E decodes to '.'
+        ("https://x.org/a+b.xls", ".xls"),           # '+' stays literal
+        ("https://www.pdf.com/report", ".pdf"),      # host NOT matched → default
+        ("https://www.pdf.com/list-xlsx", ".xlsx"),  # whole-url fallback
+        ("docs/Listing.XLSX?v=2", ".xlsx"),          # relative URL fallback path
+        ("https://x.org/doc%20name.PDF?d=1", ".pdf"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    rows = df.select("url", "expected",
+                     cleaning.extension_from_url(F.col("url")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["url"], r["got"], r["expected"])
+
+
+def test_life_list_flat_path_matches_reference(spark):
+    """K3 life_list parity (ref file_manager.py:84-99): flat
+    downloads/life_list/{filename}; original filename wins, extension
+    appended only when missing; description fallback when absent."""
+    cases = [
+        ("Annual Report.pdf", "ignored", ".pdf", "downloads/life_list/Annual-Report.pdf"),
+        ("Annual Report", "ignored", ".xlsx", "downloads/life_list/Annual-Report.xlsx"),
+        (None, "योजना list", ".pdf", "downloads/life_list/योजना-list.pdf"),
+        ("", "some desc", ".xls", "downloads/life_list/some-desc.xls"),
+        (None, None, ".pdf", "downloads/life_list/unknown.pdf"),
+    ]
+    df = spark.createDataFrame(cases, "fname string, sdesc string, ext string, expected string")
+    rows = df.select("expected",
+                     cleaning.life_list_path(F.col("fname"), F.col("sdesc"),
+                                             F.col("ext")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["got"], r["expected"])
+
+
+def test_partitioned_path_reference_defaults(spark):
+    """Empty/NULL components fall back to the reference's literals:
+    unknown-fy / unknown-insurer / unknown (uin) / product (name)
+    (ref file_manager.py:70-80)."""
+    df = spark.createDataFrame(
+        [("life", None, "", None, None)],
+        "pt string, fy string, insurer string, uin string, name string",
+    )
+    out = df.select(
+        cleaning.partitioned_path(F.col("pt"), F.col("fy"), F.col("insurer"),
+                                  F.col("uin"), F.col("name"), F.lit(".pdf")).alias("p")
+    ).first()["p"]
+    assert out == "downloads/life/unknown-fy/unknown-insurer/unknown_product.pdf", out
+
+
+def test_per_component_sanitization(spark):
+    """uin and product_name sanitize SEPARATELY before the '_' join — a
+    trailing dash in the uin survives as '-_' is NOT collapsed after the
+    fact (ref builds the filename from pre-sanitized parts)."""
+    df = spark.createDataFrame([("life", "FY", "Ins", "UIN-9-", "Plan A")],
+                               "pt string, fy string, insurer string, uin string, name string")
+    out = df.select(
+        cleaning.partitioned_path(F.col("pt"), F.col("fy"), F.col("insurer"),
+                                  F.col("uin"), F.col("name"), F.lit(".pdf")).alias("p")
+    ).first()["p"]
+    # reference: sanitize('UIN-9-') = 'UIN-9', sanitize('Plan A') = 'Plan-A'
+    assert out.endswith("/UIN-9_Plan-A.pdf"), out

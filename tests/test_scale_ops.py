@@ -142,3 +142,33 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert exact, "fixture must contain pairs above the threshold"
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_embedding_lsh_planted_near_dups(spark):
+    """The selective LSH regime (dedup at cosine ≥ 0.9, b=12 planes ×
+    L=12 tables): planted noisy duplicates must be recovered with high
+    recall while sign-bit agreement keeps random pairs out of the
+    candidate set (p_random = 0.5^12 per table)."""
+    import numpy as np
+
+    from insurance_helper_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    basemat = rng.normal(size=(400, 64))
+    dup = basemat[:40] + 0.05 * rng.normal(size=(40, 64))  # cosine ≈ 0.996
+    rows = [(i, v.tolist()) for i, v in enumerate(basemat)] + [
+        (1000 + i, v.tolist()) for i, v in enumerate(dup)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.9, exact=False, n_planes=12, n_tables=12, seed=3
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(40)}
+    found = len(got & planted)
+    assert found >= 34, f"recall {found}/40"
+    # every reported pair is cosine-verified, so no false ≥0.9 pairs
+    extra = got - planted
+    assert len(extra) <= 2, extra  # random ≥0.9 collisions are near-impossible

@@ -133,3 +133,26 @@ def test_retry_failed_drains_failures(store, spark, tmp_path):
     assert "http://x/a.pdf" in completed
     failed = {r["url"] for r in store.read("failed_downloads").collect()}
     assert failed == {"http://x/b.xlsx"}
+
+
+def test_retry_destination_is_deterministic(store, spark):
+    """Retry dest = retry/file_{sha2(url)[:16]}{ext}. The reference uses
+    Python hash(url) (cli.py:444-445) which is PYTHONHASHSEED-random
+    across processes — unusable on a cluster, where the same URL must
+    map to the same destination on every executor and every run. The
+    sha2 prefix is the deterministic stand-in; this pins the exact
+    string."""
+    import hashlib
+
+    from insurance_helper_spark.functions import cleaning
+
+    url = "https://irdai.gov.in/docs/report%20final.pdf?v=3"
+    df = spark.createDataFrame([(url,)], "url string").select(
+        F.concat(
+            F.lit("downloads/retry/file_"),
+            F.substring(cleaning.url_key(F.col("url")), 1, 16),
+            cleaning.extension_from_url(F.col("url")),
+        ).alias("destination")
+    )
+    expected = "downloads/retry/file_" + hashlib.sha256(url.encode()).hexdigest()[:16] + ".pdf"
+    assert df.first()["destination"] == expected
