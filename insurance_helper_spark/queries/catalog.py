@@ -39,19 +39,41 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 _LOADED = False
 
+# Queries fully green (rows + schema + hash) in round 1's CORRECTNESS run.
+# The driver only verifies the first 50 registered queries per round, so
+# ``load_all`` demotes these to the tail — every query still lacking a
+# verdict (new, previously-unwindowed, or previously hash-failed) sorts
+# into the verification window automatically.
+_R1_GREEN = frozenset(
+    {
+        "above_brand_avg", "agg_count_distinct", "agg_cube",
+        "agg_grouping_sets", "agg_percentiles", "agg_rollup",
+        "agg_salted_hot_keys", "agg_stats_functions",
+        "anti_join_new_customers", "array_ops_embeddings",
+        "asof_latest_per_key", "date_functions_dirty_parse",
+        "date_spine_activity", "explode_token_counts", "filter_predicates",
+        "flagship", "full_outer_join_spend", "join_salted_skew",
+        "json_extract_events", "left_join_order_stats",
+        "levenshtein_name_pairs", "pivot_status_by_priority",
+        "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+        "q18_large_orders", "q19_disjunctive_predicates",
+        "q1_pricing_summary", "q22_idle_customers", "q3_shipping_priority",
+        "q4_late_orders", "q5_local_supplier", "q6_revenue_forecast",
+        "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+        "range_join_price_bands", "semi_join_active_customers",
+        "set_ops_segments", "string_functions", "supplier_diversity",
+        "topk_per_group", "window_lag_lead", "window_range_frame",
+        "window_rank_variants", "window_running_spend",
+    }
+)
+
 
 def load_all() -> None:
     """Import all query modules (idempotent)."""
     global _LOADED
     if _LOADED:
         return
-    # Imported for registration side effects. ORDER MATTERS: the driver
-    # verifies the first 50 registered queries per round, so the modules
-    # needing fresh CORRECTNESS rows go first (round 1 verified the
-    # relational families; round 2 front-loads the LLM-pipeline/scraper
-    # surface plus the three type-fixed queries in analytics_ext /
-    # relational_tpch3). The tail (relational, relational_ext, and the
-    # last entries of relational_tpch3) is all green from round 1.
+    # Imported for registration side effects.
     from insurance_helper_spark.queries import (  # noqa: F401
         dedup_queries,
         similarity_queries,
@@ -65,5 +87,13 @@ def load_all() -> None:
         relational,
         relational_ext,
     )
+
+    # Stable-partition the registry: unverified-or-failed queries first
+    # (they need CORRECTNESS rows this round), round-1-green queries last.
+    snapshot = dict(QUERIES)
+    ordered = [k for k in snapshot if k not in _R1_GREEN]
+    ordered += [k for k in snapshot if k in _R1_GREEN]
+    QUERIES.clear()
+    QUERIES.update({k: snapshot[k] for k in ordered})
 
     _LOADED = True
