@@ -1,0 +1,267 @@
+"""User-facing CLI: scrape / status / retry-failed / reset / query.
+
+Parity surface for the reference's typer app
+(/root/reference/src/irdai_scraper/cli.py:236-298 ``scrape``,
+:382-413 ``status``, :416-461 ``retry_failed``, :464-503 ``reset``),
+re-expressed over the Spark engine:
+
+- stdlib ``argparse`` + plain-text rendering instead of typer/rich —
+  the reference already falls back to plain printing under CI
+  (cli.py:27-33); that mode is the only one that makes sense for a
+  driver process whose stdout is a log.
+- ``scrape`` drives ``sources.http.scrape_pipeline`` (one lazy DataFrame
+  plan) instead of an asyncio loop; ``--metadata-only`` elides the
+  download stage from the DAG rather than branching imperatively.
+- ``status`` renders ``StateStore.summary()`` — same columns as the
+  reference's rich table (Product Type / Status / Last Page / Products)
+  plus the completed/failed counters (cli.py:391-412).
+- ``reset`` honors the same confirm-unless ``--yes`` contract
+  (cli.py:480-487) reading the confirmation from stdin.
+- ``query`` is engine-native (no reference analog): run any catalog
+  query against a parquet scale-factor directory.
+
+IO seams (``fetcher``/``downloader``/``input_fn``) are injectable so
+tests exercise every command without network or TTY. The SparkSession
+is built lazily — ``status``/``reset`` on an empty state dir still need
+one because state lives in parquet tables, but no network.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+PRODUCT_TYPES = ("life", "life_list", "nonlife", "health")
+
+# Reference page templates (config.py:49-115): site-relative paths the
+# scraper paginates with a ``?_cur={page}`` cursor.
+URL_PATHS = {
+    "life": "/life-insurance-products",
+    "life_list": "/list-of-life-products",
+    "nonlife": "/non-life-insurance-products",
+    "health": "/health-insurance-products",
+}
+
+
+def _build_spark() -> SparkSession:
+    from insurance_helper_spark.session import get_spark
+
+    return get_spark(app_name="insurance-helper-cli")
+
+
+def url_template(base_url: str, product_type: str) -> str:
+    """Paginated page-URL template for a product type (config.py:49-115)."""
+    return f"{base_url}{URL_PATHS[product_type]}?_cur={{page}}"
+
+
+def render_status(sessions_rows: list, counter_rows: list) -> str:
+    """Plain-text analog of the reference's rich status table
+    (cli.py:382-413): one row per product type (``not started`` when the
+    sessions table has no row), then the download counters."""
+    by_type = {r["product_type"]: r for r in sessions_rows}
+    header = f"{'Product Type':<12} {'Status':<12} {'Last Page':>9} {'Products':>9}"
+    lines = ["Scraper Status", "", header, "-" * len(header)]
+    for pt in PRODUCT_TYPES:
+        row = by_type.get(pt)
+        status = row["status"] if row else "not started"
+        last = row["last_completed_page"] if row else 0
+        total = row["total_products"] if row else 0
+        lines.append(f"{pt:<12} {status:<12} {last or 0:>9} {total or 0:>9}")
+    counters = {r["counter"]: r["n"] for r in counter_rows}
+    lines += [
+        "",
+        f"Completed Downloads: {counters.get('completed_downloads', 0)}",
+        f"Failed Downloads: {counters.get('failed_downloads', 0)}",
+    ]
+    return "\n".join(lines)
+
+
+def _cmd_status(args, spark: SparkSession, out: Callable[[str], None]) -> int:
+    from insurance_helper_spark.operators.state import StateStore
+
+    store = StateStore(spark, args.state_dir)
+    sessions, counts = store.summary()
+    out(render_status(sessions.collect(), counts.collect()))
+    return 0
+
+
+def _cmd_reset(args, spark: SparkSession, out, input_fn) -> int:
+    if not args.yes:
+        if args.type:
+            msg = f"Reset state for {args.type}? [y/N] "
+        else:
+            msg = "Reset ALL state? This will clear progress for all product types. [y/N] "
+        if input_fn(msg).strip().lower() not in ("y", "yes"):
+            out("Cancelled")
+            return 0
+    from insurance_helper_spark.operators.state import StateStore
+
+    store = StateStore(spark, args.state_dir)
+    if args.type:
+        store.reset_session(args.type)
+        out(f"Reset state for {args.type}")
+    else:
+        store.reset_all()
+        out("Reset all state")
+    return 0
+
+
+def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
+    from insurance_helper_spark.operators import state as state_ops
+    from insurance_helper_spark.sources import http, sinks
+
+    types = PRODUCT_TYPES if args.type == "all" else (args.type,)
+    unknown = [t for t in types if t not in PRODUCT_TYPES]
+    if unknown:
+        out(f"Invalid product type: {unknown[0]}")
+        return 1
+    config = http.ScrapeConfig(rate_limit=args.rate_limit or http.DEFAULT_RATE_LIMIT)
+    store = state_ops.StateStore(spark, args.state_dir)
+    for pt in types:
+        out(f"Scraping {pt}...")
+        start = args.start_page or store.start_session(pt, resume=not args.no_resume)
+        if start > 1:
+            out(f"Resuming from page {start}")
+        total = args.end_page or args.total_pages
+        products = http.scrape_pipeline(
+            spark,
+            url_template(args.base_url, pt),
+            total_pages=total,
+            product_type=pt,
+            fetcher=fetcher,
+            downloader=downloader,
+            completed=store.read("completed_downloads"),
+            config=config,
+            download_dir=f"{args.output}/downloads",
+            metadata_only=args.metadata_only,
+            start_page=start,
+            end_page=args.end_page,
+        )
+        products = products.localCheckpoint(eager=True)
+        n = products.count()
+        if not args.metadata_only and "download_success" in products.columns:
+            from pyspark.sql import functions as F
+
+            # Reconcile only rows the download stage actually attempted
+            # (skipped/anti-joined rows carry a null download_success).
+            state_ops.record_download_outcomes(
+                store,
+                products.filter(F.col("download_success").isNotNull()).select(
+                    F.col("document_url").alias("url"),
+                    F.col("download_success").alias("success"),
+                    F.when(F.col("download_success"), F.lit(None).cast("string"))
+                    .otherwise(F.lit("download failed"))
+                    .alias("error"),
+                ),
+            )
+        sinks.write_bronze_csv(products, f"{args.output}/metadata/{pt}")
+        store.update_page_progress(pt, total, n)
+        store.complete_session(pt)
+        out(f"{pt}: {n} products scraped")
+    return 0
+
+
+def _cmd_retry_failed(args, spark, out, downloader) -> int:
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.operators import state as state_ops
+
+    store = state_ops.StateStore(spark, args.state_dir)
+    failed_n = store.read("failed_downloads").count()
+    if failed_n == 0:
+        out("No failed downloads to retry!")
+        return 0
+    out(f"Retrying {failed_n} failed downloads...")
+    results = state_ops.retry_failed(
+        store, downloader, retry_dir=f"{args.output}/downloads/retry"
+    )
+    ok = results.filter(F.col("success")).count()
+    out(f"Retried: {ok} succeeded, {failed_n - ok} failed")
+    return 0
+
+
+def _cmd_query(args, spark, out) -> int:
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    if args.name == "list" or args.name not in catalog.QUERIES:
+        if args.name != "list":
+            out(f"Unknown query: {args.name}")
+        out("\n".join(sorted(catalog.QUERIES)))
+        return 0 if args.name == "list" else 1
+    df = catalog.QUERIES[args.name](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    out(" | ".join(df.columns))
+    for r in rows:
+        out(" | ".join(str(v) for v in r))
+    out(f"({df.count()} rows total, showing <= {args.limit})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="insurance-helper-spark",
+        description="IRDAI Insurance Products engine (Spark)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sc = sub.add_parser("scrape", help="Scrape insurance products")
+    sc.add_argument("--type", "-t", default="all",
+                    help="life, life_list, nonlife, health, or 'all'")
+    sc.add_argument("--output", "-o", default="data")
+    sc.add_argument("--rate-limit", "-r", type=float, default=10.0, dest="rate_limit")
+    sc.add_argument("--no-resume", action="store_true", dest="no_resume")
+    sc.add_argument("--metadata-only", "-m", action="store_true", dest="metadata_only")
+    sc.add_argument("--start-page", type=int, default=None, dest="start_page")
+    sc.add_argument("--end-page", type=int, default=None, dest="end_page")
+    sc.add_argument("--total-pages", type=int, default=1, dest="total_pages")
+    sc.add_argument("--base-url", default="https://irdai.gov.in", dest="base_url")
+    sc.add_argument("--state-dir", default="data/state", dest="state_dir")
+
+    st = sub.add_parser("status", help="Show session/download status")
+    st.add_argument("--state-dir", default="data/state", dest="state_dir")
+
+    rt = sub.add_parser("retry-failed", help="Retry previously failed downloads")
+    rt.add_argument("--output", "-o", default="data")
+    rt.add_argument("--state-dir", default="data/state", dest="state_dir")
+
+    rs = sub.add_parser("reset", help="Reset scraper state")
+    rs.add_argument("--type", "-t", default=None)
+    rs.add_argument("--yes", "-y", action="store_true")
+    rs.add_argument("--state-dir", default="data/state", dest="state_dir")
+
+    q = sub.add_parser("query", help="Run a catalog query ('list' to enumerate)")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
+    q.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(
+    argv: list[str] | None = None,
+    spark: SparkSession | None = None,
+    fetcher=None,
+    downloader=None,
+    out: Callable[[str], None] = print,
+    input_fn: Callable[[str], str] = input,
+) -> int:
+    args = build_parser().parse_args(argv if argv is not None else sys.argv[1:])
+    spark = spark or _build_spark()
+    if args.command == "status":
+        return _cmd_status(args, spark, out)
+    if args.command == "reset":
+        return _cmd_reset(args, spark, out, input_fn)
+    if args.command == "scrape":
+        return _cmd_scrape(args, spark, out, fetcher, downloader)
+    if args.command == "retry-failed":
+        return _cmd_retry_failed(args, spark, out, downloader)
+    if args.command == "query":
+        return _cmd_query(args, spark, out)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""CLI command tests (ref cli.py:236-503) — injected IO, no network/TTY."""
+
+from __future__ import annotations
+
+import pytest
+
+from insurance_helper_spark import cli
+from tests.test_scrape_pipeline import NONLIFE_ROWS, fake_fetcher, make_listing_html
+
+
+@pytest.fixture()
+def pages():
+    return {"_cur=1": make_listing_html(NONLIFE_ROWS, total=60)}
+
+
+def run(spark, argv, fetcher=None, downloader=None, answers=()):
+    lines: list[str] = []
+    answer_iter = iter(answers)
+    rc = cli.main(
+        argv,
+        spark=spark,
+        fetcher=fetcher,
+        downloader=downloader,
+        out=lines.append,
+        input_fn=lambda _msg: next(answer_iter),
+    )
+    return rc, "\n".join(lines)
+
+
+class TestStatus:
+    def test_empty_state(self, spark, tmp_path):
+        rc, out = run(spark, ["status", "--state-dir", str(tmp_path / "state")])
+        assert rc == 0
+        # All four product types render as not-started rows (cli.py:397-405)
+        for pt in cli.PRODUCT_TYPES:
+            assert pt in out
+        assert out.count("not started") == 4
+        assert "Completed Downloads: 0" in out
+        assert "Failed Downloads: 0" in out
+
+
+class TestScrape:
+    def test_metadata_only_then_status(self, spark, tmp_path, pages):
+        state = str(tmp_path / "state")
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "-m", "--total-pages", "1",
+             "--output", str(tmp_path / "data"), "--state-dir", state,
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+        )
+        assert rc == 0
+        assert "nonlife: 3 products scraped" in out
+        # CSV metadata landed (W1)
+        assert (tmp_path / "data" / "metadata" / "nonlife").exists()
+        rc, out = run(spark, ["status", "--state-dir", state])
+        assert rc == 0
+        assert any("nonlife" in l and "completed" in l for l in out.splitlines())
+
+    def test_invalid_type(self, spark, tmp_path):
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "bogus", "--state-dir", str(tmp_path / "s")],
+        )
+        assert rc == 1 and "Invalid product type" in out
+
+    def test_download_and_retry(self, spark, tmp_path, pages):
+        state = str(tmp_path / "state")
+        calls = {"n": 0}
+
+        def flaky_downloader(url: str) -> bytes:
+            calls["n"] += 1
+            if "travel" in url:
+                raise RuntimeError("boom")
+            return b"%PDF-1.4 payload"
+
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "--total-pages", "1",
+             "--output", str(tmp_path / "data"), "--state-dir", state,
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+            downloader=flaky_downloader,
+        )
+        assert rc == 0
+        rc, out = run(spark, ["status", "--state-dir", state])
+        assert "Completed Downloads: 2" in out
+        assert "Failed Downloads: 1" in out
+
+        # O4: retry with a now-healthy downloader reconciles state
+        rc, out = run(
+            spark,
+            ["retry-failed", "--output", str(tmp_path / "data"),
+             "--state-dir", state],
+            downloader=lambda url: b"ok now",
+        )
+        assert rc == 0 and "1 succeeded" in out
+        rc, out = run(spark, ["status", "--state-dir", state])
+        assert "Completed Downloads: 3" in out
+        assert "Failed Downloads: 0" in out
+
+        rc, out = run(spark, ["retry-failed", "--state-dir", state])
+        assert rc == 0 and "No failed downloads" in out
+
+
+class TestReset:
+    def test_confirm_declined(self, spark, tmp_path, pages):
+        state = str(tmp_path / "state")
+        run(
+            spark,
+            ["scrape", "-t", "nonlife", "-m", "--total-pages", "1",
+             "--output", str(tmp_path / "d"), "--state-dir", state,
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+        )
+        rc, out = run(spark, ["reset", "--state-dir", state], answers=("n",))
+        assert rc == 0 and "Cancelled" in out
+        _, out = run(spark, ["status", "--state-dir", state])
+        assert "completed" in out
+
+    def test_reset_one_type_and_all(self, spark, tmp_path, pages):
+        state = str(tmp_path / "state")
+        run(
+            spark,
+            ["scrape", "-t", "nonlife", "-m", "--total-pages", "1",
+             "--output", str(tmp_path / "d"), "--state-dir", state,
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+        )
+        rc, out = run(spark, ["reset", "-t", "nonlife", "--state-dir", state],
+                      answers=("y",))
+        assert rc == 0 and "Reset state for nonlife" in out
+        _, out = run(spark, ["status", "--state-dir", state])
+        assert out.count("not started") == 4
+        rc, out = run(spark, ["reset", "--yes", "--state-dir", state])
+        assert rc == 0 and "Reset all state" in out
+
+
+class TestQuery:
+    def test_list_and_run(self, spark):
+        rc, out = run(spark, ["query", "list"])
+        assert rc == 0 and "flagship" in out
+        rc, out = run(
+            spark,
+            ["query", "text_stats", "--sf-dir", "/root/testdata/sf0.001",
+             "--limit", "3"],
+        )
+        assert rc == 0 and "rows total" in out
+
+    def test_unknown_query(self, spark):
+        rc, out = run(spark, ["query", "nope"])
+        assert rc == 1 and "Unknown query" in out
