@@ -223,6 +223,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     exact: bool = False,
     n_tables: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold (embedding near-duplicate dedup).
 
@@ -282,6 +283,12 @@ def embedding_near_dup_pairs(
     sig = base.select(
         "vid", F.posexplode(bucket_ids(F.col("vec"))).alias("tbl", "bucket")
     )
+    if materialize:
+        # Self-joins clone lineage: without this the bucket_ids Python
+        # UDF (the only Python in the plan) runs over the corpus twice.
+        # 24 B × n_tables per vector checkpointed vs a second full
+        # Arrow round-trip — the checkpoint wins at every scale.
+        sig = sig.localCheckpoint(eager=True)
     a = sig.select(F.col("vid").alias("id_a"), "tbl", "bucket")
     b = sig.select(F.col("vid").alias("id_b"), "tbl", "bucket")
     cand = (
