@@ -186,3 +186,20 @@ def url_key(url: Column) -> Column:
     oracle can reproduce it exactly.
     """
     return F.sha2(url, 256)
+
+
+def retry_destination(url: Column, retry_dir: str = "downloads/retry") -> Column:
+    """Deterministic retry-download destination (ref cli.py:444-445:
+    ``file_{hash(url)}{ext}``).
+
+    The reference uses Python ``hash()`` — process-seeded, so the same
+    URL maps to different files across runs/executors; here the prefix
+    is the first 16 hex chars of sha2-256, stable everywhere (and
+    oracle-reproducible via DuckDB ``sha256``). Extension inference
+    follows the reference precedence (extension_from_url).
+    """
+    return F.concat(
+        F.lit(retry_dir + "/file_"),
+        F.substring(url_key(url), 1, 16),
+        extension_from_url(url),
+    )

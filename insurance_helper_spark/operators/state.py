@@ -222,11 +222,7 @@ def retry_failed(
     failed = state.read("failed_downloads")
     tasks = failed.select(
         "url",
-        F.concat(
-            F.lit(retry_dir + "/file_"),
-            F.substring(cleaning.url_key(F.col("url")), 1, 16),
-            cleaning.extension_from_url(F.col("url")),
-        ).alias("destination"),
+        cleaning.retry_destination(F.col("url"), retry_dir).alias("destination"),
         F.lit("retry").alias("product_type"),
         F.lit(None).cast("string").alias("uin"),
     )

@@ -675,3 +675,129 @@ def scrape_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         object_store.content_type_for(F.col("rel")).alias("content_type"),
         object_store.public_url("https://docs.example.org/", key).alias("public_url"),
     ).orderBy("pk")
+
+
+# ---------------------------------------------------------------------------
+# O4 retry-destination naming (ref cli.py:444-445): deterministic
+# retry path per failed URL — sha2-prefix + reference-precedence
+# extension, the exact expression operators/state.retry_failed uses
+# (cleaning.retry_destination), driver-checked here over the same four
+# URL shapes as scrape_cleaning_chain.
+# ---------------------------------------------------------------------------
+
+RETRY_DEST_ORACLE = r"""
+WITH raw AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'https://irdai.gov.in/documents/d' || CAST(p_partkey AS VARCHAR) || '/product-brochure.pdf?download=true'
+           WHEN 1 THEN 'https://irdai.gov.in/files/' || CAST(p_partkey AS VARCHAR) || '/Listing.XLSX'
+           WHEN 2 THEN 'https://irdai.gov.in/portal/view/' || CAST(p_partkey AS VARCHAR)
+           ELSE 'https://cdn.example.org/xls-export?id=' || CAST(p_partkey AS VARCHAR)
+         END AS url
+  FROM part
+)
+SELECT p_partkey, url,
+       'downloads/retry/file_' || substring(sha256(url), 1, 16) ||
+       CASE WHEN contains(lower(string_split(url, '?')[1]), '.pdf') THEN '.pdf'
+            WHEN contains(lower(string_split(url, '?')[1]), '.xlsx') THEN '.xlsx'
+            WHEN contains(lower(string_split(url, '?')[1]), '.xls') THEN '.xls'
+            WHEN contains(lower(url), 'xlsx') OR contains(lower(url), 'xls') THEN '.xlsx'
+            ELSE '.pdf'
+       END AS destination
+FROM raw
+ORDER BY p_partkey
+"""
+
+
+@register("scrape_retry_dest", RETRY_DEST_ORACLE)
+def scrape_retry_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey"])
+    url = (
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(F.lit("https://irdai.gov.in/documents/d"), F.col("p_partkey").cast("string"),
+                     F.lit("/product-brochure.pdf?download=true")),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 1,
+            F.concat(F.lit("https://irdai.gov.in/files/"), F.col("p_partkey").cast("string"),
+                     F.lit("/Listing.XLSX")),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat(F.lit("https://irdai.gov.in/portal/view/"), F.col("p_partkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn.example.org/xls-export?id="), F.col("p_partkey").cast("string"))
+        )
+    )
+    return (
+        part.withColumn("url", url)
+        .select(
+            "p_partkey",
+            "url",
+            cleaning.retry_destination(F.col("url")).alias("destination"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — a training-data pipeline cleaning stage: detect and
+# mask emails and phone numbers in free text (synthesized here from
+# customer rows since the fixture corpus carries no PII), plus a
+# pseudonymization key for joining redacted records back to identity
+# under access control. Pure regexp column expressions; the patterns
+# are written in the common Java-regex/RE2 subset so Spark and DuckDB
+# agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+PII_ORACLE = r"""
+WITH raw AS (
+  SELECT c_custkey, c_name,
+         'Reach ' || c_name || ' at ' ||
+         lower(replace(c_name, '#', '')) || '@example.com or +91-98' ||
+         lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') || ' today' AS note
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+         '\+?[0-9][0-9-]{8,}', '[PHONE]', 'g') AS note_redacted,
+       len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(note, '\+?[0-9][0-9-]{8,}')) AS n_phones,
+       substring(sha256(c_name), 1, 16) AS person_key
+FROM raw
+ORDER BY c_custkey
+"""
+
+
+@register("pii_redact_notes", PII_ORACLE)
+def pii_redact_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    note = F.concat(
+        F.lit("Reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com or +91-98"),
+        F.lpad((F.col("c_custkey") % 100000000).cast("string"), 8, "0"),
+        F.lit(" today"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+?[0-9][0-9-]{8,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("note"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return (
+        cust.withColumn("note", note)
+        .select(
+            "c_custkey",
+            redacted.alias("note_redacted"),
+            F.size(F.regexp_extract_all("note", F.lit(email_re), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("note", F.lit(phone_re), F.lit(0)))
+            .cast("long")
+            .alias("n_phones"),
+            F.substring(cleaning.url_key(F.col("c_name")), 1, 16).alias("person_key"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -218,3 +218,153 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score every document against a fixed term query —
+# the classic lexical top-k that complements the embedding ANN path
+# (similarity_queries) in a retrieval pipeline. Okapi BM25 with
+# k1=1.2, b=0.75 and the +1-smoothed idf; every input (tf, df, dl,
+# avgdl, N) is derived with one explode + tiny-key aggregations, so
+# the whole plan is two shuffles (term stats, per-doc sum) regardless
+# of corpus size, with the 3-row term-stats side broadcast.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+
+BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+totals AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (totals.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / totals.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_bm25_topk", BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the fixed query {spark, join, window}.
+
+    Scale: tf rows exist only for query-term hits (the isin filter is
+    pushed below the explode's projection), df/N/avgdl are tiny
+    aggregates joined by broadcast, and the final top-20 is
+    TakeOrdered — no global sort of the scored corpus.
+    """
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    totals = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (k1 + 1) / denom).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality filtering: Gopher/C4-style per-document rule gates —
+# the standard pre-training cleaning stage. Each rule is a pure column
+# expression; the keep decision is their conjunction, so the whole
+# filter is shuffle-free and embarrassingly parallel.
+# Thresholds chosen to split the fixture corpus (tokens 10-99,
+# stopword ratio 0-0.22), mirroring Gopher's "50-100k words,
+# 3<=mean word len<=10, stopword presence" gates.
+# ---------------------------------------------------------------------------
+
+QUALITY_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it',
+                      'for','on','with','as','was','at','by','be','this','that'], x)))
+                   * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       n_tokens >= 30 AS pass_len,
+       mean_wl BETWEEN 3.0 AND 10.0 AS pass_word_len,
+       punct <= 0.1 AS pass_symbols,
+       stop_ratio >= 0.03 AS pass_stopwords,
+       (n_tokens >= 30 AND mean_wl BETWEEN 3.0 AND 10.0
+        AND punct <= 0.1 AND stop_ratio >= 0.03) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("corpus_quality_filter", QUALITY_FILTER_ORACLE)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates as per-doc boolean columns."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    n_tokens = T.token_count(F.col("text"))
+    mean_wl = T.mean_word_length(F.col("text"))
+    punct = T.punct_ratio(F.col("text"))
+    stop_ratio = T.stopword_ratio(F.col("text"))
+    pass_len = n_tokens >= 30
+    pass_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    pass_symbols = punct <= 0.1
+    pass_stopwords = stop_ratio >= 0.03
+    return docs.select(
+        "doc_id",
+        pass_len.alias("pass_len"),
+        pass_word_len.alias("pass_word_len"),
+        pass_symbols.alias("pass_symbols"),
+        pass_stopwords.alias("pass_stopwords"),
+        (pass_len & pass_word_len & pass_symbols & pass_stopwords).alias("keep"),
+    ).orderBy("doc_id")
