@@ -128,3 +128,32 @@ def test_pivot_aggregates_with_map_side_partials(spark, sf_dir):
     # presentation sort: 3 exchanges, none proportional to input size.
     assert "partial_pivotfirst" in plan and "partial_count" in plan, plan
     assert audit.exchange_count(df) <= 3, plan
+
+
+def test_bm25_broadcasts_stats_and_take_ordered(spark, sf_dir):
+    df = _q("text_bm25_topk", spark, sf_dir)
+    plan = audit.executed_plan(df)
+    # term-stats and totals ride broadcast joins; top-20 never global-sorts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_is_shuffle_free(spark, sf_dir):
+    df = _q("corpus_quality_filter", spark, sf_dir)
+    plan = audit.executed_plan(df)
+    # one range-partitioning exchange for the final orderBy, nothing else
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_simhash_signature_computed_once(spark, sf_dir):
+    # The self-join lineage-clone regression: with materialize=True the
+    # packed bit-count aggregation must appear in NO live plan subtree
+    # (both sides scan the checkpointed RDD instead).
+    from insurance_helper_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    plan = audit.executed_plan(pairs)
+    assert "Scan ExistingRDD" in plan
+    assert audit.count_in_plan(pairs, "partial_sum") == 0
