@@ -50,6 +50,9 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_tfidf_top_terms",
     "text_stats",
+    "text_bm25_topk",
+    "corpus_quality_filter",
+    "pii_redact_notes",
     "multimodal_feature_manifest",
     # streaming shapes
     "stream_tumbling_window",

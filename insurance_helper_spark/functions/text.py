@@ -131,3 +131,23 @@ def shingles(col: Column, k: int = 3) -> Column:
             idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
         )
     )
+
+
+def rolling_fingerprint(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Rabin–Karp polynomial rolling hash of the normalized text.
+
+    h = fold(chars, h*base + ascii(c) mod ``mod``) — the classic
+    rolling-hash construction; combined with overlapping windows
+    (queries/corpus_ops.chunk_documents) it yields windowed content
+    fingerprints. Unlike ``fingerprint`` (sha2, cryptographic) this is
+    cheap, incremental, and ORACLE-reproducible with integer-exact
+    semantics: every step stays < 2^63 because acc < mod and
+    ascii ≤ 0x10FFFF, so Spark BIGINT and DuckDB BIGINT folds agree
+    bit-for-bit.
+    """
+    chars = F.array_remove(F.split(normalize_text(col), ""), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

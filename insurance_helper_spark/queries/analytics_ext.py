@@ -336,3 +336,42 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical time-bucket rollup (the hypertable/continuous-aggregate
+# pattern): events aggregate to 1-minute buckets, hours derive from the
+# MINUTE PARTIALS (sum-of-sums / sum-of-counts), never rescanning raw
+# rows — the incremental-view-maintenance shape where each level is
+# ~60× smaller than the one below. The oracle aggregates raw→hour
+# directly; associativity makes the two mathematically identical, which
+# is exactly the property the rollup exploits.
+# ---------------------------------------------------------------------------
+
+ROLLUP_HOURLY_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, bucket_hour
+"""
+
+
+@register("events_rollup_hourly", ROLLUP_HOURLY_ORACLE)
+def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
+    minutes = events.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_min")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    return (
+        minutes.groupBy(
+            "event_type", F.date_trunc("hour", F.col("bucket_min")).alias("bucket_hour")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket_hour")
+    )

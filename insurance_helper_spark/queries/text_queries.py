@@ -368,3 +368,42 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_stopwords.alias("pass_stopwords"),
         (pass_len & pass_word_len & pass_symbols & pass_stopwords).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprinting (driver mandate: "document
+# fingerprinting (rolling hash)"): Rabin–Karp polynomial hash over the
+# normalized character stream — integer-exact in both engines (every
+# fold step < 2^63). Complements the sha2 `fingerprint` used by
+# dedup_fingerprint_docs: cheap, incremental, windowable.
+# ---------------------------------------------------------------------------
+
+ROLLING_FP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split(norm, ''), x -> CAST(ascii(x) AS BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)
+       END AS rolling_fp
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("text_rolling_fingerprint", ROLLING_FP_ORACLE)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Rabin–Karp fingerprint; shuffle-free linear scan.
+
+    DuckDB ``list_reduce`` has no initial accumulator (acc starts at
+    the first element), but 0*base + c == c makes the zero-seeded Spark
+    fold identical.
+    """
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    ).orderBy("doc_id")
