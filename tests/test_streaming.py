@@ -120,3 +120,51 @@ def test_user_running_state_flushes_on_timeout(spark, event_dir):
     assert rows[1]["total_value"] == 9.0
     assert rows[1]["first_seen"].isoformat().startswith("2024-01-01T00:10")
     assert rows[1]["last_seen"].isoformat().startswith("2024-01-01T07:00")
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    # Four files → four microbatches (maxFilesPerTrigger=1 under
+    # AvailableNow). The watermark operating in batch N derives from
+    # batch N-1's max event time, and a window's state is EVICTED (and
+    # its append-mode row emitted) at the end of the first batch whose
+    # operating watermark passes the window end — so the [00:00,06:00)
+    # window finalizes during batch 3 (wm 07:00, from batch 2's 08:00
+    # event). The 01:00 event in batch 4 then hits evicted state and is
+    # dropped; Spark merges late events only while state is still live.
+    import os
+    import time
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    files = [
+        ("b1.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "view", "value": 2.0},
+        ]),
+        ("b2.json", [
+            {"event_id": 3, "ts": "2024-01-01T08:00:00", "user_id": 1, "event_type": "view", "value": 4.0},
+        ]),
+        ("b3.json", [
+            {"event_id": 4, "ts": "2024-01-01T09:30:00", "user_id": 2, "event_type": "view", "value": 8.0},
+        ]),
+        ("b4.json", [
+            {"event_id": 5, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "view", "value": 100.0},
+        ]),
+    ]
+    now = time.time()
+    for i, (name, events) in enumerate(files):
+        write_events_file(d / name, events)
+        os.utime(d / name, (now + i * 10, now + i * 10))  # arrival order = batch order
+
+    stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    agg = ops.tumbling_counts(stream, window="6 hours", watermark="1 hour")
+    ops.run_to_memory(agg, "late_drop_t", output_mode="append")
+    rows = {
+        str(r["window_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM late_drop_t").collect()
+    }
+    # the finalized morning window holds only the two on-time events —
+    # the late 100.0-value event arrived after eviction and was dropped
+    assert rows["2024-01-01 00:00:00"] == (2, 3.0)
+    # the still-open [06:00, 12:00) window was never emitted in append mode
+    assert len(rows) == 1
