@@ -93,3 +93,28 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative for Hive-ecosystem consumers.
+
+    Same pushdown/pruning properties as parquet on the read side
+    (PushedFilters appear in the scan); useful where the downstream
+    warehouse is ORC-native. Executor-side and embarrassingly parallel
+    like every writer here.
+    """
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text source: one row per line (or per file with ``whole``) —
+    the ingest shape for unstructured corpus files feeding the text/
+    dedup operators."""
+    return spark.read.text(path, wholetext=whole)

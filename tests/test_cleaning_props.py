@@ -137,3 +137,51 @@ def test_per_component_sanitization(spark):
     ).first()["p"]
     # reference: sanitize('UIN-9-') = 'UIN-9', sanitize('Plan A') = 'Plan-A'
     assert out.endswith("/UIN-9_Plan-A.pdf"), out
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint: the Spark fold must equal the obvious
+# pure-Python Rabin–Karp over the same normalization, for arbitrary
+# text including Unicode (normalize_text keeps letters/digits of any
+# script, so ascii() sees code points > 127 too).
+# ---------------------------------------------------------------------------
+
+TEXT_CHARS = st.sampled_from(
+    list("abz019 .,!?-") + list("\t\n") + list("जीवन保险")
+)
+TEXTS = st.text(alphabet=TEXT_CHARS, min_size=0, max_size=80)
+
+
+def _py_rolling(text: str, mod: int = 1_000_000_007, base: int = 31) -> int:
+    import unicodedata
+
+    # mirror normalize_text: non-[\p{L}\p{N}] runs → single space, trim
+    mapped = "".join(
+        ch if unicodedata.category(ch)[0] in ("L", "N") else " "
+        for ch in text.lower()
+    )
+    norm = re.sub(" +", " ", mapped).strip()
+    h = 0
+    for ch in norm:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+@pytest.fixture(scope="module")
+def rolling_fn(spark):
+    from insurance_helper_spark.functions import text as T
+
+    def run(values: list[str]) -> list[int]:
+        df = spark.createDataFrame([(v,) for v in values], "t string")
+        out = df.select(T.rolling_fingerprint(F.col("t")).alias("h"))
+        return [r["h"] for r in out.collect()]
+
+    return run
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_rolling_fingerprint_matches_python(rolling_fn, texts):
+    got = rolling_fn(texts)
+    want = [_py_rolling(t) for t in texts]
+    assert got == want

@@ -111,3 +111,31 @@ def test_s3a_conf_shape():
     assert conf["spark.hadoop.fs.s3a.endpoint"].startswith("https://")
     assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
     assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from insurance_helper_spark.sources import sinks
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    sinks.write_orc(orders, path)
+    back = sinks.read_orc(spark, path).filter("o_totalprice > 100000")
+    assert back.count() == orders.filter("o_totalprice > 100000").count()
+    # predicate reaches the ORC scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_text_source_lines_and_whole(spark, tmp_path):
+    from insurance_helper_spark.sources import sinks
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = sinks.read_text(spark, str(p))
+    assert lines.count() == 3
+    whole = sinks.read_text(spark, str(p), whole=True)
+    assert whole.count() == 2
