@@ -62,3 +62,12 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql use."""
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Expose every fixture table as a temp view so the whole engine is
+    queryable via ``spark.sql`` — same names the DuckDB oracle uses, so
+    an oracle SQL string often runs on BOTH engines. Views are lazy
+    plans over ``load_table`` (events ns→µs conversion included)."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

@@ -139,3 +139,15 @@ def test_text_source_lines_and_whole(spark, tmp_path):
     assert lines.count() == 3
     whole = sinks.read_text(spark, str(p), whole=True)
     assert whole.count() == 2
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from insurance_helper_spark.sources import tables
+
+    tables.register_views(spark, sf_dir)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).head()["n"]
+    assert n == spark.sql("SELECT count(*) AS n FROM orders").head()["n"]
+    # events view carries the µs timestamp conversion
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
