@@ -359,15 +359,26 @@ ORDER BY event_type, bucket_hour
 """
 
 
+def _trunc_us(col, unit_us: int):
+    """Session-timezone-INDEPENDENT timestamp truncation via epoch-µs
+    arithmetic. ``date_trunc`` truncates in session-local time, which
+    diverges from the naive-timestamp oracle on non-whole-hour-offset
+    zones (e.g. +05:30) — the driver's vanilla session controls the TZ,
+    so the query must not depend on it."""
+    return F.timestamp_micros(
+        (F.unix_micros(col) / unit_us).cast("long") * unit_us
+    )
+
+
 @register("events_rollup_hourly", ROLLUP_HOURLY_ORACLE)
 def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
     minutes = events.groupBy(
-        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket_min")
+        "event_type", _trunc_us(F.col("ts"), 60_000_000).alias("bucket_min")
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
     return (
         minutes.groupBy(
-            "event_type", F.date_trunc("hour", F.col("bucket_min")).alias("bucket_hour")
+            "event_type", _trunc_us(F.col("bucket_min"), 3_600_000_000).alias("bucket_hour")
         )
         .agg(
             F.sum("n_events").alias("n_events"),
