@@ -125,7 +125,17 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
         start = args.start_page or store.start_session(pt, resume=not args.no_resume)
         if start > 1:
             out(f"Resuming from page {start}")
-        total = args.end_page or args.total_pages
+        if args.total_pages is not None:
+            total = args.end_page or args.total_pages
+        elif fetcher is not None:
+            # reference get_total_pages: probe page 1 (S3), pagination
+            # fallback (S4)
+            total = args.end_page or http.probe_total_pages(
+                url_template(args.base_url, pt), fetcher
+            )
+            out(f"Total pages: {total}")
+        else:
+            total = args.end_page or 1
         products = http.scrape_pipeline(
             spark,
             url_template(args.base_url, pt),
@@ -158,6 +168,24 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
                 ),
             )
         sinks.write_bronze_csv(products, f"{args.output}/metadata/{pt}")
+        if getattr(args, "storage", "filesystem") in ("object", "both"):
+            # W3: object-store manifest — key/content-type/public-URL per
+            # downloaded document (upload itself runs wherever the s3a
+            # conf points; sources/object_store.s3a_conf builds it).
+            from pyspark.sql import functions as F
+
+            from insurance_helper_spark.sources import object_store
+
+            manifest = products.filter(F.col("local_file_path").isNotNull()).select(
+                "document_url",
+                object_store.object_key(
+                    F.lit(pt), F.col("local_file_path")
+                ).alias("object_key"),
+                object_store.content_type_for(F.col("local_file_path")).alias(
+                    "content_type"
+                ),
+            )
+            sinks.write_json(manifest, f"{args.output}/object_manifest/{pt}")
         store.update_page_progress(pt, total, n)
         store.complete_session(pt)
         out(f"{pt}: {n} products scraped")
@@ -217,7 +245,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--metadata-only", "-m", action="store_true", dest="metadata_only")
     sc.add_argument("--start-page", type=int, default=None, dest="start_page")
     sc.add_argument("--end-page", type=int, default=None, dest="end_page")
-    sc.add_argument("--total-pages", type=int, default=1, dest="total_pages")
+    sc.add_argument("--total-pages", type=int, default=None, dest="total_pages",
+                    help="page count; omitted → probe page 1 (ref get_total_pages)")
+    sc.add_argument("--storage", "-s", default="filesystem",
+                    choices=("filesystem", "object", "both"))
     sc.add_argument("--base-url", default="https://irdai.gov.in", dest="base_url")
     sc.add_argument("--state-dir", default="data/state", dest="state_dir")
 

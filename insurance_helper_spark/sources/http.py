@@ -371,3 +371,24 @@ def scrape_pipeline(
     tasks = build_download_tasks(products, product_type, completed, download_dir)
     results = download_batch(tasks, downloader, config)
     return join_results(products, results)
+
+
+def probe_total_pages(
+    url_template: str,
+    fetcher: Fetcher,
+    page_size: int = DEFAULT_PAGE_SIZE,
+) -> int:
+    """S3+S4 composed: the reference's ``get_total_pages``
+    (scraper/base.py): fetch page 1, read the "of N results" counter →
+    ceil(N / page_size); fall back to the max ``_cur=N`` pagination
+    href; fall back to 1. Driver-side single fetch — the one probe
+    request that sizes the distributed page scan.
+    """
+    prefix, _, suffix = url_template.partition("{page}")
+    html = fetcher(f"{prefix}1{suffix}")
+    parsed = html_parse.parse_html(html)
+    total = html_parse.total_results(parsed)
+    if total is not None:
+        return max(1, -(-total // page_size))
+    max_page = html_parse.max_page_from_pagination(parsed)
+    return max_page if max_page is not None else 1

@@ -150,3 +150,45 @@ class TestQuery:
     def test_unknown_query(self, spark):
         rc, out = run(spark, ["query", "nope"])
         assert rc == 1 and "Unknown query" in out
+
+
+class TestProbeAndStorage:
+    def test_probe_total_pages_from_counter(self, spark, tmp_path):
+        # no --total-pages → CLI probes page 1: "of 120 results" / 60
+        # per page → 2 pages (S3 + ceil-div, ref get_total_pages)
+        pages = {
+            "_cur=1": make_listing_html(NONLIFE_ROWS, total=120),
+            "_cur=2": make_listing_html(
+                [{"cells": ["", "9", "FY 2022-23", "Acme", "PageTwo", "Retail",
+                            "UIN009", "05-04-2022", "download"],
+                  "href": "/documents/p2.pdf", "link_text": "PageTwo Policy"}]
+            ),
+        }
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "-m",
+             "--output", str(tmp_path / "d"), "--state-dir", str(tmp_path / "s"),
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+        )
+        assert rc == 0
+        assert "Total pages: 2" in out
+        assert "nonlife: 4 products scraped" in out  # 3 from page1 + 1 from page2
+
+    def test_object_storage_writes_manifest(self, spark, tmp_path, pages):
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "--total-pages", "1",
+             "--storage", "object",
+             "--output", str(tmp_path / "d"), "--state-dir", str(tmp_path / "s"),
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        from insurance_helper_spark.sources import sinks
+
+        manifest = sinks.read_json(spark, str(tmp_path / "d" / "object_manifest" / "nonlife"))
+        rows = {r["object_key"]: r["content_type"] for r in manifest.collect()}
+        assert rows and all(k.startswith("nonlife/") for k in rows)
+        assert "application/pdf" in rows.values()
