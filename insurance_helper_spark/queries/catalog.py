@@ -68,6 +68,37 @@ _R1_GREEN = frozenset(
 )
 
 
+def _verified_green() -> frozenset[str]:
+    """Queries already fully verified in ANY prior round.
+
+    Reads every ``CORRECTNESS_r*.json`` the driver has written at the
+    repo root (two levels above this package); falls back to the
+    hardcoded round-1 set if none are readable, so the ordering is
+    stable even from a bare checkout.
+    """
+    import glob
+    import json
+    import os
+
+    green: set[str] = set(_R1_GREEN)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+            for name, v in rows.items():
+                if (
+                    isinstance(v, dict)
+                    and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                ):
+                    green.add(name)
+        except (OSError, ValueError):
+            continue
+    return frozenset(green)
+
+
 def load_all() -> None:
     """Import all query modules (idempotent)."""
     global _LOADED
@@ -88,11 +119,15 @@ def load_all() -> None:
         relational_ext,
     )
 
-    # Stable-partition the registry: unverified-or-failed queries first
-    # (they need CORRECTNESS rows this round), round-1-green queries last.
+    # Stable-partition the registry: queries still lacking a fully-green
+    # driver verdict first (they need CORRECTNESS rows), already-verified
+    # queries last. The driver checks the first 50 per round, so this
+    # self-rotates the verification window every round with no manual
+    # reordering.
+    green = _verified_green()
     snapshot = dict(QUERIES)
-    ordered = [k for k in snapshot if k not in _R1_GREEN]
-    ordered += [k for k in snapshot if k in _R1_GREEN]
+    ordered = [k for k in snapshot if k not in green]
+    ordered += [k for k in snapshot if k in green]
     QUERIES.clear()
     QUERIES.update({k: snapshot[k] for k in ordered})
 

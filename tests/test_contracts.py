@@ -24,3 +24,17 @@ def test_entry_contract_shapes():
         assert callable(fn), name
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_catalog_window_prioritizes_unverified():
+    # The driver verifies the first 50 registered queries per round;
+    # every query without a fully-green CORRECTNESS row from a prior
+    # round must sort ahead of the already-verified tail.
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    names = list(catalog.QUERIES)
+    green = catalog._verified_green()
+    boundary = sum(1 for n in names if n not in green)
+    assert all(n not in green for n in names[:boundary])
+    assert all(n in green for n in names[boundary:])
