@@ -1,3 +1,10 @@
-from insurance_helper_spark.operators import dedup, incremental, similarity
+from insurance_helper_spark.operators import (
+    dedup,
+    grouped,
+    incremental,
+    similarity,
+    skew,
+    state,
+)
 
-__all__ = ["dedup", "incremental", "similarity"]
+__all__ = ["dedup", "grouped", "incremental", "similarity", "skew", "state"]
