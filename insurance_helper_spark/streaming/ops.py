@@ -220,3 +220,40 @@ def _duration_ms(spec: str) -> int:
     mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000, "minutes": 60_000,
             "hour": 3_600_000, "hours": 3_600_000, "day": 86_400_000, "days": 86_400_000}[unit]
     return int(qty) * mult
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream–static enrichment join: each microbatch joins against the
+    (re-evaluated) static relation, broadcast when small — the
+    streaming analog of the scrape pipeline's product↔result join.
+    Left join keeps events whose dimension row is missing (late dim
+    loads must not drop facts)."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream–stream interval join: right events within
+    (left_ts, left_ts + max_delay] per key — the impression→click /
+    request→response correlation shape. Both sides carry watermarks so
+    the join state is bounded: each side's buffer evicts once the other
+    side's watermark passes the interval bound.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -168,3 +168,54 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert rows["2024-01-01 00:00:00"] == (2, 3.0)
     # the still-open [06:00, 12:00) window was never emitted in append mode
     assert len(rows) == 1
+
+
+def test_stream_static_enrichment_broadcast(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "silver")], "user_id long, tier string"
+    )
+    stream = ops.read_event_stream(spark, str(event_dir), EVENT_SCHEMA)
+    enriched = ops.enrich_with_dim(stream, dim, "user_id")
+    ops.run_to_memory(enriched, "enrich_t", output_mode="append")
+    rows = spark.sql("SELECT * FROM enrich_t").collect()
+    tiers = {r["event_id"]: r["tier"] for r in rows}
+    assert tiers[1] == "gold"
+    # missing dim row must NOT drop the fact (left join)
+    assert tiers[4] is None
+    assert len(rows) == 5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # clicks within 30 minutes AFTER an impression, per user
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    write_events_file(
+        imp_dir / "i.json",
+        [
+            {"event_id": 10, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "imp", "value": 0.0},
+            {"event_id": 11, "ts": "2024-01-01T11:00:00", "user_id": 2, "event_type": "imp", "value": 0.0},
+        ],
+    )
+    write_events_file(
+        clk_dir / "c.json",
+        [
+            # in-window click for user 1 (+10 min)
+            {"event_id": 20, "ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "clk", "value": 1.0},
+            # out-of-window click for user 2 (+45 min)
+            {"event_id": 21, "ts": "2024-01-01T11:45:00", "user_id": 2, "event_type": "clk", "value": 1.0},
+            # wrong-user click inside user 1's window
+            {"event_id": 22, "ts": "2024-01-01T10:05:00", "user_id": 3, "event_type": "clk", "value": 1.0},
+        ],
+    )
+    imp = ops.read_event_stream(spark, str(imp_dir), EVENT_SCHEMA).select(
+        "user_id", "ts", F.col("event_id").alias("imp_id")
+    )
+    clk = ops.read_event_stream(spark, str(clk_dir), EVENT_SCHEMA).select(
+        "user_id", "ts", F.col("event_id").alias("clk_id")
+    )
+    joined = ops.interval_join(
+        imp, clk, key="user_id", watermark="2 hours", max_delay="30 minutes"
+    ).select(F.col("l.imp_id"), F.col("r.clk_id"))
+    ops.run_to_memory(joined, "ssj_t", output_mode="append")
+    pairs = {(r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ssj_t").collect()}
+    assert pairs == {(10, 20)}
