@@ -118,7 +118,9 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
     if unknown:
         out(f"Invalid product type: {unknown[0]}")
         return 1
-    config = http.ScrapeConfig(rate_limit=args.rate_limit or http.DEFAULT_RATE_LIMIT)
+    # rate_limit passes through verbatim: 0 means "no limit" in the
+    # reference CLI, and TokenBucket honors rate<=0 as uncapped.
+    config = http.ScrapeConfig(rate_limit=args.rate_limit)
     store = state_ops.StateStore(spark, args.state_dir)
     for pt in types:
         out(f"Scraping {pt}...")
@@ -127,15 +129,15 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
             out(f"Resuming from page {start}")
         if args.total_pages is not None:
             total = args.end_page or args.total_pages
-        elif fetcher is not None:
+        else:
             # reference get_total_pages: probe page 1 (S3), pagination
-            # fallback (S4)
+            # fallback (S4). A real run (no injected fetcher) probes
+            # with the default HTTP fetcher — same client the page
+            # scan uses.
             total = args.end_page or http.probe_total_pages(
-                url_template(args.base_url, pt), fetcher
+                url_template(args.base_url, pt), fetcher or http.default_fetcher()
             )
             out(f"Total pages: {total}")
-        else:
-            total = args.end_page or 1
         products = http.scrape_pipeline(
             spark,
             url_template(args.base_url, pt),
@@ -168,7 +170,10 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
                 ),
             )
         sinks.write_bronze_csv(products, f"{args.output}/metadata/{pt}")
-        if getattr(args, "storage", "filesystem") in ("object", "both"):
+        if (
+            getattr(args, "storage", "filesystem") in ("object", "both")
+            and "local_file_path" in products.columns
+        ):
             # W3: object-store manifest — key/content-type/public-URL per
             # downloaded document (upload itself runs wherever the s3a
             # conf points; sources/object_store.s3a_conf builds it).
@@ -221,11 +226,14 @@ def _cmd_query(args, spark, out) -> int:
         out("\n".join(sorted(catalog.QUERIES)))
         return 0 if args.name == "list" else 1
     df = catalog.QUERIES[args.name](spark, args.sf_dir)
-    rows = df.limit(args.limit).collect()
+    # limit+1 so "are there more rows" costs no second full execution
+    rows = df.limit(args.limit + 1).collect()
     out(" | ".join(df.columns))
-    for r in rows:
+    for r in rows[: args.limit]:
         out(" | ".join(str(v) for v in r))
-    out(f"({df.count()} rows total, showing <= {args.limit})")
+    shown = min(len(rows), args.limit)
+    more = "+" if len(rows) > args.limit else ""
+    out(f"({shown}{more} rows, limit {args.limit})")
     return 0
 
 

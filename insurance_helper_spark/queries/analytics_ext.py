@@ -365,8 +365,10 @@ def _trunc_us(col, unit_us: int):
     diverges from the naive-timestamp oracle on non-whole-hour-offset
     zones (e.g. +05:30) — the driver's vanilla session controls the TZ,
     so the query must not depend on it."""
+    # floor (not cast-truncation) so pre-epoch timestamps bucket to the
+    # PREVIOUS boundary like date_trunc does, not the next one.
     return F.timestamp_micros(
-        (F.unix_micros(col) / unit_us).cast("long") * unit_us
+        F.floor(F.unix_micros(col) / unit_us).cast("long") * unit_us
     )
 
 

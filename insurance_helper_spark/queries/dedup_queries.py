@@ -220,9 +220,13 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return (
         similarity.embedding_near_dup_pairs(
-            emb, threshold=0.4, exact=False, n_planes=4, n_tables=16, seed=7
+            # 0.399 (not 0.4) for the same boundary reason as the exact
+            # twin: a pair at true cosine 0.39996 rounds UP to 0.4 and
+            # must survive the operator-level prune on both paths.
+            emb, threshold=0.399, exact=False, n_planes=4, n_tables=16, seed=7
         )
         .withColumn("cosine_sim", F.round("cosine_sim", 4))
+        .filter(F.col("cosine_sim") >= 0.4)
         .orderBy("id_a", "id_b")
     )
 

@@ -54,6 +54,8 @@ class TokenBucket:
         self.last = time.monotonic()
 
     def acquire(self) -> None:
+        if self.rate <= 0:  # reference semantics: rate 0 = no limit
+            return
         while True:
             now = time.monotonic()
             self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)

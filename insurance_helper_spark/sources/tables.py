@@ -58,12 +58,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
 
 
-def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views for spark.sql use."""
-    for name in FIXTURE_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Expose every fixture table as a temp view so the whole engine is
     queryable via ``spark.sql`` — same names the DuckDB oracle uses, so

@@ -145,7 +145,7 @@ class TestQuery:
             ["query", "text_stats", "--sf-dir", "/root/testdata/sf0.001",
              "--limit", "3"],
         )
-        assert rc == 0 and "rows total" in out
+        assert rc == 0 and "(3+ rows, limit 3)" in out
 
     def test_unknown_query(self, spark):
         rc, out = run(spark, ["query", "nope"])
