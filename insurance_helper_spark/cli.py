@@ -151,6 +151,7 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
             metadata_only=args.metadata_only,
             start_page=start,
             end_page=args.end_page,
+            download_partitions=args.concurrent,
         )
         products = products.localCheckpoint(eager=True)
         n = products.count()
@@ -248,7 +249,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--type", "-t", default="all",
                     help="life, life_list, nonlife, health, or 'all'")
     sc.add_argument("--output", "-o", default="data")
-    sc.add_argument("--rate-limit", "-r", type=float, default=10.0, dest="rate_limit")
+    sc.add_argument("--rate-limit", "-r", type=float, default=10.0, dest="rate_limit",
+                    help="requests per second (0 = no limit)")
+    sc.add_argument("--concurrent", "-c", type=int, default=None,
+                    help="download partitions (ref: max concurrent downloads)")
     sc.add_argument("--no-resume", action="store_true", dest="no_resume")
     sc.add_argument("--metadata-only", "-m", action="store_true", dest="metadata_only")
     sc.add_argument("--start-page", type=int, default=None, dest="start_page")

@@ -48,7 +48,9 @@ class TokenBucket:
     ``rate/k``, the fleet stays under the global cap."""
 
     def __init__(self, rate_per_s: float, burst: float = 1.0) -> None:
-        self.rate = max(rate_per_s, 1e-6)
+        # rate <= 0 means "no limit" (reference --rate-limit 0); acquire
+        # short-circuits before any division in that case.
+        self.rate = rate_per_s
         self.capacity = max(burst, 1.0)
         self.tokens = self.capacity
         self.last = time.monotonic()
@@ -355,6 +357,7 @@ def scrape_pipeline(
     metadata_only: bool = False,
     start_page: int = 1,
     end_page: int | None = None,
+    download_partitions: int | None = None,
 ) -> DataFrame:
     """O1/O2/O5 composed: the full scrape as ONE lazy DataFrame plan.
 
@@ -371,7 +374,7 @@ def scrape_pipeline(
     if metadata_only:
         return products
     tasks = build_download_tasks(products, product_type, completed, download_dir)
-    results = download_batch(tasks, downloader, config)
+    results = download_batch(tasks, downloader, config, download_partitions)
     return join_results(products, results)
 
 

@@ -192,3 +192,17 @@ class TestProbeAndStorage:
         rows = {r["object_key"]: r["content_type"] for r in manifest.collect()}
         assert rows and all(k.startswith("nonlife/") for k in rows)
         assert "application/pdf" in rows.values()
+
+    def test_rate_limit_zero_and_concurrent(self, spark, tmp_path, pages):
+        # --rate-limit 0 = no throttle (reference semantics), -c sets
+        # download partitioning; scrape must complete normally.
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "--total-pages", "1",
+             "--rate-limit", "0", "-c", "2",
+             "--output", str(tmp_path / "d"), "--state-dir", str(tmp_path / "s"),
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0 and "nonlife: 3 products scraped" in out
