@@ -89,6 +89,27 @@ R1_WARM = {
 R1_TOTAL = 33.936
 
 
+def _release_blocks(spark) -> None:
+    """Free persist/localCheckpoint blocks left behind by the last query.
+
+    Eager localCheckpoints (the dedup signature tables) pin
+    block-manager memory until Python GC drops the DataFrame AND the
+    JVM ContextCleaner gets around to it — across a 30+-query suite
+    the leftover blocks inflate later timings (r2 measured: minhash
+    2.8 s isolated vs 11.2 s in-suite; embedding-cosine 1.2 vs 5.5).
+    Unpersist explicitly between queries so each timing measures the
+    plan, not accumulated block-manager pressure. Safe: every query
+    call builds a fresh plan (and fresh checkpoints), nothing is
+    reused across timings.
+    """
+    import gc
+
+    gc.collect()  # drop py4j handles so the JVM side is collectable
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -119,6 +140,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             store[name] = round(time.perf_counter() - t0, 3)
             print(f"  [{label}] {name}: {store[name]}s", file=sys.stderr)
+            _release_blocks(spark)
     timings = {n: min(p[n] for p in warm_passes) for n in HEADLINE}
 
     total = round(sum(timings.values()), 3)

@@ -92,7 +92,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """All document pairs with k-token-shingle Jaccard ≥ threshold.
 
@@ -114,13 +114,17 @@ def ngram_jaccard_pairs(
     distribution as the join it protects. Default None preserves exact
     full-set Jaccard for oracle comparison.
 
-    ``materialize`` (default True) eagerly localCheckpoints the sized
+    ``materialize`` (default False) eagerly localCheckpoints the sized
     shingle relation before the self-join. A DataFrame self-join clones
-    the lineage, so without it the whole tokenize→shingle→hash→window
-    pipeline executes TWICE — the checkpoint trades one write of the
-    compact (doc_id, h, sh_size) rows for half the compute. At
-    warehouse scale the same role is played by staging the shingle
-    table; pass False to keep the operator a pure lazy plan.
+    the lineage, so without it the tokenize→shingle→hash→window
+    pipeline executes twice — but unlike the simhash/minhash/SRP
+    signature relations (compact, one row per doc), the shingle table
+    here is one row PER (doc, shingle): checkpointing it writes far
+    more bytes than the recompute it saves (measured ~2× slower at
+    sf0.1: 2.75 s vs 1.40 s warm). Default False keeps the pure lazy
+    plan; pass True only when the upstream tokenize is genuinely more
+    expensive than a full shingle-table write (e.g. text behind a
+    costly UDF).
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
     """

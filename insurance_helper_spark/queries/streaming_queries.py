@@ -162,6 +162,83 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate when every user has gone idle (end of stream).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Batch twins of the stream–stream interval join and the stream–static
+# enrichment join (streaming/ops.py::interval_join / enrich_with_dim).
+# Both call the REAL operator: withWatermark is a no-op on batch inputs
+# (Catalyst's EliminateEventTimeWatermark), so the identical plan shape
+# — per-key equi-join with a range predicate / broadcast left join —
+# runs in batch and is oracle-checkable as ANSI SQL.
+# ---------------------------------------------------------------------------
+
+INTERVAL_JOIN_ORACLE = """
+SELECT l.user_id AS user_id,
+       l.event_id AS view_id,
+       r.event_id AS click_id,
+       l.ts AS view_ts,
+       r.ts AS click_ts
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL '30 minutes'
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+ORDER BY user_id, view_id, click_id
+"""
+
+
+@register("stream_interval_join", INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click correlation within 30 minutes per user — the
+    impression→click shape. Scale: the join key is (user_id), the range
+    predicate prunes within the key's bucket; in streaming mode the same
+    operator bounds state with two watermarks (streaming/ops.py:234)."""
+    from insurance_helper_spark.streaming.ops import interval_join
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = interval_join(
+        views, clicks, key="user_id", left_ts="view_ts", right_ts="click_ts",
+        watermark="1 hour", max_delay="30 minutes",
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    ).orderBy("user_id", "view_id", "click_id")
+
+
+ENRICH_DIM_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_name, c.c_mktsegment
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+
+@register("stream_enrich_dim", ENRICH_DIM_ORACLE)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: every event joined to its customer dim
+    row via the broadcast left join (streaming/ops.py:225). Left join
+    keeps events whose dim row is missing (user 0 has no customer) —
+    late dim loads must not drop facts."""
+    from insurance_helper_spark.streaming.ops import enrich_with_dim
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    dim = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).withColumnRenamed("c_custkey", "user_id")
+    return (
+        enrich_with_dim(ev, dim, on="user_id")
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+        .orderBy("event_id")
+    )
+
+
 USER_STATE_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
