@@ -192,6 +192,22 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
                 ),
             )
             sinks.write_json(manifest, f"{args.output}/object_manifest/{pt}")
+            # R2-ONLY mode (ref cli.py:210-212): upload each blob to the
+            # object store, verify, then delete the local copy — the
+            # filesystem keeps nothing. "both" keeps local + object.
+            if getattr(args, "storage", "filesystem") == "object":
+                statuses = object_store.upload_files(
+                    products.filter(F.col("local_file_path").isNotNull()).select(
+                        "local_file_path",
+                        object_store.object_key(
+                            F.lit(pt), F.col("local_file_path")
+                        ).alias("object_key"),
+                    ),
+                    dest_root=f"{args.output}/objects",
+                    delete_local=True,
+                )
+                n_up = statuses.filter(F.col("verified")).count()
+                out(f"{pt}: {n_up} objects uploaded (local copies removed)")
         store.update_page_progress(pt, total, n)
         store.complete_session(pt)
         out(f"{pt}: {n} products scraped")

@@ -23,6 +23,21 @@ DIRTY_DATE_FORMATS = (
 )
 
 
+def epoch_us(col: Column, *, ntz: bool) -> Column:
+    """Epoch microseconds of a timestamp column, session-TZ-independent.
+
+    For ``TIMESTAMP_NTZ`` inputs the naive value is interpreted as UTC
+    wall time (``to_utc_timestamp(col, 'UTC')`` — a no-shift reinterpret),
+    so the result never depends on ``spark.sql.session.timeZone``. For
+    instant ``TIMESTAMP`` inputs ``unix_micros`` is already absolute.
+    Callers pass ``ntz=isinstance(df.schema[c].dataType, TimestampNTZType)``
+    because parquet written without ``isAdjustedToUTC`` arrives as NTZ.
+    """
+    if ntz:
+        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+    return F.unix_micros(col)
+
+
 def parse_dirty_date(col: Column, formats: tuple[str, ...] = DIRTY_DATE_FORMATS) -> Column:
     """Multi-format trial date parse; unparseable → NULL.
 

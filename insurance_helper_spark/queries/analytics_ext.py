@@ -20,8 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import TimestampNTZType
+
+from insurance_helper_spark.functions.dates import epoch_us
 from insurance_helper_spark.queries.catalog import register
 from insurance_helper_spark.sources.tables import load_table
+
+
+def _is_ntz(df: DataFrame, col: str) -> bool:
+    return isinstance(df.schema[col].dataType, TimestampNTZType)
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +238,8 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Microsecond-precision gap: casting ts to LONG truncates sub-second
     # components, which mis-classifies gaps straddling exactly 1800 s
     # relative to the oracle's full-precision INTERVAL comparison.
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ts_us = epoch_us(F.col("ts"), ntz=_is_ntz(ev, "ts"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     flagged = ev.withColumn(
         "new_sess", F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
     )
@@ -359,16 +367,18 @@ ORDER BY event_type, bucket_hour
 """
 
 
-def _trunc_us(col, unit_us: int):
+def _trunc_us(col, unit_us: int, *, ntz: bool = False):
     """Session-timezone-INDEPENDENT timestamp truncation via epoch-µs
-    arithmetic. ``date_trunc`` truncates in session-local time, which
-    diverges from the naive-timestamp oracle on non-whole-hour-offset
-    zones (e.g. +05:30) — the driver's vanilla session controls the TZ,
-    so the query must not depend on it."""
+    arithmetic. ``date_trunc`` truncates in session-local time (and
+    coerces NTZ inputs through the session TZ), which diverges from the
+    naive-timestamp oracle on non-whole-hour-offset zones (e.g. +05:30)
+    — the driver's vanilla session controls the TZ, so the query must
+    not depend on it. NTZ inputs are reinterpreted as UTC wall time
+    (no shift) via ``epoch_us``."""
     # floor (not cast-truncation) so pre-epoch timestamps bucket to the
     # PREVIOUS boundary like date_trunc does, not the next one.
     return F.timestamp_micros(
-        F.floor(F.unix_micros(col) / unit_us).cast("long") * unit_us
+        F.floor(epoch_us(col, ntz=ntz) / unit_us).cast("long") * unit_us
     )
 
 
@@ -376,7 +386,8 @@ def _trunc_us(col, unit_us: int):
 def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
     minutes = events.groupBy(
-        "event_type", _trunc_us(F.col("ts"), 60_000_000).alias("bucket_min")
+        "event_type",
+        _trunc_us(F.col("ts"), 60_000_000, ntz=_is_ntz(events, "ts")).alias("bucket_min"),
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
     return (
         minutes.groupBy(

@@ -150,6 +150,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-capped n-gram Jaccard — the SCALE configuration of the operator
+# above: shingles appearing in more than max_doc_freq documents are
+# stopword shingles whose self-join buckets grow quadratically; the cap
+# drops them before sizing and joining. Fully oracle-expressible (the
+# cap is just an anti-join on document frequency), so the 100 TB
+# configuration carries a value check, not merely a rows-only run.
+# ---------------------------------------------------------------------------
+
+NGRAM_CAPPED_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.common,
+       sa.sh_size AS size_a, sb.sh_size AS size_b,
+       round(p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) >= 0.5
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("dedup_ngram_jaccard_capped", NGRAM_CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=50
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH candidates (rows-only: xxhash64 signatures are
 # Spark-specific). The est_jaccard ≥ 0.4 filter keeps the planted
 # near-dup pairs found by the exact query above.

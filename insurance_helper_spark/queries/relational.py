@@ -362,19 +362,43 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct: value can differ from DuckDB's approx, so the
-# oracle uses the EXACT count and the query asserts the approximation is
-# exact-equal only where cardinality is tiny; for the real approx path we
-# expose a separate rows-only query below.
-@register("agg_approx_distinct_rowsonly")
+# approx_count_distinct sketch values are engine-specific, so the oracle
+# checks the BOUND, not the estimate: the Spark side emits the exact
+# count plus a boolean |approx − exact| / exact < 0.05, and the oracle
+# asserts that boolean is TRUE with the exact count from SQL. This
+# converts the approximation into a hash-comparable value check (HLL++
+# at rsd=0.01 is far inside 5%).
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_distinct_bounds", APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — rows-only check (sketch values are
-    engine-specific). At 100 TB this replaces exact distinct counts that
-    would otherwise shuffle every key."""
+    """approx_count_distinct (HLL++) with an oracle-checkable error
+    bound. At 100 TB the approx path replaces exact distinct counts that
+    would otherwise shuffle every key; the bound is the contract."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.05
+            ).alias("within_bounds"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -11,7 +11,7 @@ D1-D4 download) live in ``sources/http.py`` with injected IO.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insurance_helper_spark.functions import cleaning
@@ -446,47 +446,43 @@ ORDER BY uin
 
 @register("scrape_e2e_parse", E2E_ORACLE)
 def scrape_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generates one HTML listing page per 60 part rows, runs the real
-    fetch+parse+project pipeline (injected in-memory fetcher — no
-    network), and returns the typed product rows. The sort-by-partkey
+    """Generates one HTML listing page per 60 part rows — entirely
+    distributed (row_number → per-page ``groupBy`` assembling the page
+    HTML with collect_list/array_sort; nothing is collected to the
+    driver) — then runs the real parse+project pipeline over the page
+    snapshot relation via :func:`http.parse_pages`. The sort-by-partkey
     pagination makes page assignment deterministic."""
     from insurance_helper_spark.sources import http
 
-    part_rows = (
-        load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
-        .orderBy("p_partkey")
-        .collect()
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    pk = F.col("p_partkey")
+    rn = F.row_number().over(Window.orderBy("p_partkey")) - 1
+    tr = F.concat(
+        F.when(pk % 7 == 0, F.lit('<tr class="archive-row">')).otherwise(F.lit("<tr>")),
+        F.lit("<td></td><td>"), pk.cast("string"),
+        F.lit("</td><td>FY 2020-21</td><td>"), F.col("p_brand"),
+        F.lit("</td><td>"), F.col("p_name"), F.lit("</td><td>Retail</td><td>"),
+        F.when(pk % 13 == 0, F.lit("")).otherwise(F.concat(F.lit("P"), pk.cast("string"))),
+        F.lit('</td><td>01-04-2020</td><td><a href="/documents/'), pk.cast("string"),
+        F.lit('.pdf">Brochure '), pk.cast("string"), F.lit("</a></td></tr>"),
     )
-    pages: dict[int, str] = {}
-    for start in range(0, len(part_rows), 60):
-        page_no = start // 60 + 1
-        trs = []
-        for r in part_rows[start : start + 60]:
-            pk = r["p_partkey"]
-            uin = "" if pk % 13 == 0 else f"P{pk}"
-            cls = ' class="archive-row"' if pk % 7 == 0 else ""
-            trs.append(
-                f'<tr{cls}><td></td><td>{pk}</td><td>FY 2020-21</td>'
-                f"<td>{r['p_brand']}</td><td>{r['p_name']}</td><td>Retail</td>"
-                f"<td>{uin}</td><td>01-04-2020</td>"
-                f'<td><a href="/documents/{pk}.pdf">Brochure {pk}</a></td></tr>'
-            )
-        pages[page_no] = (
-            '<html><body><div class="portlet"><table class="table">'
-            f"<thead><tr><th>h</th></tr></thead><tbody>{''.join(trs)}</tbody>"
-            "</table></div></body></html>"
-        )
-
-    def fetcher(url: str) -> str:
-        page_no = int(url.rsplit("=", 1)[1])
-        return pages[page_no]
-
-    parsed = http.fetch_and_parse_pages(
-        http.page_urls(spark, "https://x/list?_cur={page}", total_pages=len(pages)),
-        fetcher=fetcher,
-        config=http.ScrapeConfig(rate_limit=1e9, fetch_partitions=8),
+    rows = part.select((F.floor(rn / 60) + 1).alias("page"), rn.alias("rn"), tr.alias("tr"))
+    pages_html = rows.groupBy("page").agg(
+        F.concat(
+            F.lit(
+                '<html><body><div class="portlet"><table class="table">'
+                "<thead><tr><th>h</th></tr></thead><tbody>"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "tr"))), lambda s: s["tr"]
+                ),
+                "",
+            ),
+            F.lit("</tbody></table></div></body></html>"),
+        ).alias("html")
     )
-    products = http.project_products(parsed, "nonlife")
+    products = http.project_products(http.parse_pages(pages_html), "nonlife")
     return products.select(
         "page",
         "uin",

@@ -174,6 +174,42 @@ def fetch_and_parse_pages(
     return pages.repartition(n_parts).mapInPandas(run, schema=schemas.PARSED_ROW_SCHEMA)
 
 
+def parse_pages(pages_html: DataFrame, page_col: str = "page", html_col: str = "html") -> DataFrame:
+    """S5+S6 over an already-materialized page snapshot: parse listing
+    HTML carried as a column instead of fetching it.
+
+    This is the replay path for a raw-HTML lake (store fetched pages
+    once, re-parse on parser upgrades without re-crawling): no network,
+    no rate limit, embarrassingly parallel over whatever partitioning
+    the snapshot relation already has. Parse errors become
+    ``parse_error`` rows (F3), never task failures.
+    """
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(pages_html.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for page, html in zip(pdf[page_col], pdf[html_col]):
+                try:
+                    out.extend(html_parse.parse_listing_page(html, int(page)))
+                except Exception as ex:  # F3 page containment
+                    out.append(
+                        {
+                            "page": int(page), "row_index": None,
+                            "row_class": None, "cells": None,
+                            "link_url": None, "link_text": None,
+                            "parse_error": f"parse-error: {ex}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schemas.PARSED_ROW_SCHEMA])
+
+    return pages_html.select(page_col, html_col).mapInPandas(
+        run, schema=schemas.PARSED_ROW_SCHEMA
+    )
+
+
 # Positional cell → column maps (P5): ref scraper/{life,life_list,
 # nonlife,health}.py parse_row comments; cited per type below.
 _PROJECTIONS: dict[str, list[str]] = {

@@ -133,6 +133,77 @@ def list_keys(spark: SparkSession, prefix_dir: str) -> list[str]:
     return sorted(out)
 
 
+def upload_files(
+    files_df,
+    dest_root: str,
+    *,
+    path_col: str = "local_file_path",
+    key_col: str = "object_key",
+    delete_local: bool = False,
+):
+    """Per-file upload with verify — and the reference's R2-ONLY storage
+    mode (ref cli.py:210-212: upload, verify, then DELETE the local
+    copy so only the object store retains the blob).
+
+    Input: a manifest relation with a local path column and an object
+    key column. Each partition copies its files to ``dest_root/{key}``,
+    verifies by size round-trip, and (``delete_local=True``) removes the
+    source only AFTER the verify passes — a failed verify keeps the
+    local copy, mirroring the reference's keep-on-failure semantics.
+    Returns a status relation ``(object_key, uploaded, verified,
+    local_deleted, error)``.
+
+    Runs as ``mapInPandas`` so upload bandwidth scales with executors,
+    never serializing blobs through the driver. Plain/``file://`` paths
+    go through ``shutil`` here; an ``s3a://``/``s3://`` dest_root would
+    swap in a per-partition S3 client with the same body — the seam is
+    the partition function, not the plan.
+    """
+    import pandas as pd
+
+    if dest_root.startswith(("s3a://", "s3://", "hdfs://")):
+        raise NotImplementedError(
+            "remote dest_root needs a per-partition object client; "
+            "only local/file:// destinations are wired in this container"
+        )
+    root = dest_root[len("file://"):] if dest_root.startswith("file://") else dest_root
+
+    schema = (
+        "object_key string, uploaded boolean, verified boolean, "
+        "local_deleted boolean, error string"
+    )
+
+    def run(batches):
+        import os
+        import shutil
+
+        for pdf in batches:
+            out = []
+            for src, key in zip(pdf[path_col], pdf[key_col]):
+                row = {
+                    "object_key": key, "uploaded": False,
+                    "verified": False, "local_deleted": False, "error": None,
+                }
+                try:
+                    dest = os.path.join(root, key)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    shutil.copyfile(src, dest)
+                    row["uploaded"] = True
+                    row["verified"] = os.path.getsize(dest) == os.path.getsize(src)
+                    if delete_local and row["verified"]:
+                        os.remove(src)
+                        row["local_deleted"] = True
+                except Exception as ex:  # error row, never task failure
+                    row["error"] = str(ex)
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["object_key", "uploaded", "verified", "local_deleted", "error"],
+            )
+
+    return files_df.select(path_col, key_col).mapInPandas(run, schema=schema)
+
+
 def write_verified(df, path: str, fmt: str = "parquet", mode: str = "overwrite") -> bool:
     """Write + read-back verification — the reference's
     upload-then-verify contract (ref upload_file :64-87).

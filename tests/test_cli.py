@@ -193,6 +193,31 @@ class TestProbeAndStorage:
         assert rows and all(k.startswith("nonlife/") for k in rows)
         assert "application/pdf" in rows.values()
 
+    def test_object_only_storage_deletes_local_after_verified_upload(
+        self, spark, tmp_path, pages
+    ):
+        # R2-only mode (ref cli.py:210-212): blob lands in the object
+        # dest, the local download is removed after the verify passes.
+        rc, out = run(
+            spark,
+            ["scrape", "-t", "nonlife", "--total-pages", "1",
+             "--storage", "object",
+             "--output", str(tmp_path / "d"), "--state-dir", str(tmp_path / "s"),
+             "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        assert "objects uploaded (local copies removed)" in out
+        objects = [
+            p for p in (tmp_path / "d" / "objects").rglob("*") if p.is_file()
+        ]
+        assert objects and all(p.read_bytes() == b"%PDF-1.4" for p in objects)
+        leftovers = [
+            p for p in (tmp_path / "d" / "downloads").rglob("*") if p.is_file()
+        ]
+        assert leftovers == []
+
     def test_rate_limit_zero_and_concurrent(self, spark, tmp_path, pages):
         # --rate-limit 0 = no throttle (reference semantics), -c sets
         # download partitioning; scrape must complete normally.
