@@ -52,6 +52,10 @@ HEADLINE = [
     "text_stats",
     "text_bm25_topk",
     "corpus_quality_filter",
+    "corpus_span_dedup",
+    "corpus_contamination",
+    "text_repetition_gates",
+    "corpus_pack_sequences",
     "pii_redact_notes",
     "multimodal_feature_manifest",
     # streaming shapes

@@ -112,6 +112,7 @@ def load_all() -> None:
         streaming_queries,
         scraper_ops,
         corpus_ops,
+        corpus_prep_queries,
         multimodal_queries,
         analytics_ext,
         relational_tpch3,
