@@ -84,3 +84,81 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=TOP_K, n_centroids=16, n_probe=8
     ).orderBy("query_id", "nn_rank")
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid statistics — the cluster-tightness diagnostic that
+# sits underneath IVF quality (SURVEY §2B similarity group): for each
+# label, the centroid vector's norm and the cosine of every member to
+# its centroid. Fully oracle-checked; doubles end-to-end, rounded to 4.
+# ---------------------------------------------------------------------------
+
+CENTROID_STATS_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id, i + 1 AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM (
+    SELECT label, vec_id, embedding, unnest(range(len(embedding))) AS i
+    FROM embeddings
+  )
+),
+cent AS (SELECT label, dim, avg(val) AS c FROM ex GROUP BY 1, 2),
+dots AS (
+  SELECT e.label, e.vec_id, sum(e.val * c.c) AS dot,
+         sqrt(sum(e.val * e.val)) AS nv
+  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY 1, 2
+),
+cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1)
+SELECT d.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(any_value(cn.nc), 4) AS centroid_norm,
+       round(avg(d.dot / (d.nv * cn.nc)), 4) AS avg_cos_to_centroid,
+       round(min(d.dot / (d.nv * cn.nc)), 4) AS min_cos_to_centroid
+FROM dots d JOIN cn USING (label)
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
+@register("embedding_centroid_stats", CENTROID_STATS_ORACLE)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid per label + member-to-centroid cosine distribution.
+
+    Plan: posexplode to (label, dim, val) — ONE shuffle keyed
+    (label, dim) for the centroid aggregate; the centroid relation is
+    n_labels × dim rows (tiny: clusters, not corpus), so the join back
+    broadcasts; the member-cosine aggregate reuses the (label, vec_id)
+    clustering. At 100 TB: centroids stay broadcastable as long as the
+    cluster count is bounded, which is the IVF regime by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    ex = (
+        emb.select(
+            "label",
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+        )
+        .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    cent = ex.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    cn = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    cos = F.col("dot") / (F.col("nv") * F.col("nc"))
+    return (
+        dots.join(F.broadcast(cn), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.first("nc"), 4).alias("centroid_norm"),
+            F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+            F.round(F.min(cos), 4).alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
