@@ -56,9 +56,12 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    """Fraction of tokens that are stopwords (quality / lang-id signal)."""
-    toks = tokens(col)
+def stopword_ratio_of(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """stopword_ratio over an ALREADY-TOKENIZED array column.
+
+    Hot paths project ``tokens(...)`` once and feed the alias here, so
+    the tokenizer regex appears exactly once in the plan no matter how
+    many metrics consume it (plan-shape-tested in test_plans)."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     # filter (not array_intersect) so token multiplicity counts
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
@@ -66,13 +69,22 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Co
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def mean_word_length(col: Column) -> Column:
-    toks = tokens(col)
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (quality / lang-id signal)."""
+    return stopword_ratio_of(tokens(col), stopwords)
+
+
+def mean_word_length_of(toks: Column) -> Column:
+    """mean_word_length over an already-tokenized array column."""
     total = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     n = F.size(toks)
     return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    return mean_word_length_of(tokens(col))
 
 
 def quality_score(col: Column) -> Column:

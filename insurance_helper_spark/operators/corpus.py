@@ -26,11 +26,16 @@ from pyspark.sql import functions as F
 
 
 def tokens_col(text: Column) -> Column:
-    """Normalized token array (lower, alnum-only, whitespace split)."""
+    """Normalized token array (lower, alnum-only, whitespace split).
+
+    Single regexp_replace in the plan (plan-shape-tested): the empty
+    document case is handled by filtering empty strings out of the
+    split rather than a ``when`` guard, which would duplicate the
+    regex expression textually and double scan-side work wherever
+    subexpression elimination can't reach.
+    """
     cleaned = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
-    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
-        F.split(cleaned, " ")
-    )
+    return F.filter(F.split(cleaned, " "), lambda x: x != "")
 
 
 def _spans(toks: Column, span: int) -> Column:

@@ -197,3 +197,123 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(
         sized, "doc_id", "source", "tokens", capacity=256
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus funnel report — the numbers a data-curation run reports per
+# source: raw docs → after quality gates → after exact dedup → after
+# near-dup removal. Composes the quality gate, fingerprint keep-first
+# and ngram-Jaccard stages; the oracle recomposes the same CTEs, so
+# this row certifies operator COMPOSITION, not just each stage alone.
+# Near-dup losers: any doc with a ≥0.5-Jaccard partner of smaller id
+# (the keep-first convention, CC-free so both engines state it simply).
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, source, text, toks
+  FROM t
+  WHERE len(toks) >= 30
+    AND len(toks) > 0
+    AND list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+        BETWEEN 3.0 AND 10.0
+),
+u AS (
+  SELECT doc_id, source, toks
+  FROM (
+    SELECT doc_id, source, toks,
+           row_number() OVER (
+             PARTITION BY sha256(array_to_string(toks, ' '))
+             ORDER BY doc_id
+           ) AS rn
+    FROM q
+  )
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM u
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) >= 0.5
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) FILTER (WHERE q.doc_id IS NOT NULL) AS BIGINT) AS n_quality,
+       CAST(count(*) FILTER (WHERE u.doc_id IS NOT NULL) AS BIGINT) AS n_unique,
+       CAST(count(*) FILTER (WHERE u.doc_id IS NOT NULL
+                             AND l.doc_id IS NULL) AS BIGINT) AS n_near_unique
+FROM t
+LEFT JOIN q ON t.doc_id = q.doc_id
+LEFT JOIN u ON t.doc_id = u.doc_id
+LEFT JOIN losers l ON t.doc_id = l.doc_id
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@register("corpus_funnel_report", FUNNEL_ORACLE)
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: raw → quality → exact-unique →
+    near-unique. Every stage re-uses a verified operator; the only new
+    logic is the outcome bookkeeping (left joins of per-stage survivor
+    id sets back onto the raw relation — survivor sets are strictly
+    smaller than the corpus, and at 100 TB only ids travel, never
+    text)."""
+    from insurance_helper_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    staged = docs.select(
+        "doc_id", "source", "text", corpus.tokens_col(F.col("text")).alias("toks")
+    )
+    from insurance_helper_spark.functions import text as T
+
+    q = staged.filter(
+        (F.size("toks") >= 30)
+        & (T.mean_word_length_of(F.col("toks")) >= 3.0)
+        & (T.mean_word_length_of(F.col("toks")) <= 10.0)
+    )
+    # exact dedup on the token-normalized content (sha256 of re-joined
+    # tokens — matches the oracle's sha256(array_to_string(...)))
+    u = D.dedup_exact(
+        q.withColumn("fp", F.sha2(F.array_join("toks", " "), 256)),
+        ["fp"],
+        [F.col("doc_id")],
+    ).select("doc_id", "source", "text")
+    pairs = D.ngram_jaccard_pairs(u, "doc_id", "text", k=3, threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    q_ids = q.select("doc_id").withColumn("in_q", F.lit(1))
+    u_ids = u.select("doc_id").withColumn("in_u", F.lit(1))
+    l_ids = losers.withColumn("in_l", F.lit(1))
+    return (
+        docs.select("doc_id", "source")
+        .join(q_ids, "doc_id", "left")
+        .join(u_ids, "doc_id", "left")
+        .join(l_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count("in_q").alias("n_quality"),
+            F.count("in_u").alias("n_unique"),
+            F.sum(
+                F.when(F.col("in_u").isNotNull() & F.col("in_l").isNull(), 1).otherwise(0)
+            ).alias("n_near_unique"),
+        )
+        .orderBy("source")
+    )

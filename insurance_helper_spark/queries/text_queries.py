@@ -350,17 +350,27 @@ ORDER BY doc_id
 
 @register("corpus_quality_filter", QUALITY_FILTER_ORACLE)
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality gates as per-doc boolean columns."""
+    """Gopher-style quality gates as per-doc boolean columns.
+
+    Two-stage projection: tokenize ONCE, materialize each metric ONCE,
+    then derive the boolean gates — without the staging, every gate
+    (and both bounds of the word-length band) re-inlines the tokenizer
+    regex (22 copies measured in the single-select plan)."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    n_tokens = T.token_count(F.col("text"))
-    mean_wl = T.mean_word_length(F.col("text"))
-    punct = T.punct_ratio(F.col("text"))
-    stop_ratio = T.stopword_ratio(F.col("text"))
-    pass_len = n_tokens >= 30
-    pass_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
-    pass_symbols = punct <= 0.1
-    pass_stopwords = stop_ratio >= 0.03
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        T.mean_word_length_of(F.col("toks")).alias("mean_wl"),
+        T.punct_ratio(F.col("text")).alias("punct"),
+        T.stopword_ratio_of(F.col("toks")).alias("stop_ratio"),
+    )
+    pass_len = F.col("n_tokens") >= 30
+    pass_word_len = (F.col("mean_wl") >= 3.0) & (F.col("mean_wl") <= 10.0)
+    pass_symbols = F.col("punct") <= 0.1
+    pass_stopwords = F.col("stop_ratio") >= 0.03
+    return staged.select(
         "doc_id",
         pass_len.alias("pass_len"),
         pass_word_len.alias("pass_word_len"),

@@ -257,3 +257,95 @@ def interval_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def corpus_ingest_stream(
+    spark,
+    input_dir: str,
+    corpus_dir: str,
+    fingerprints_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    min_tokens: int = 5,
+    max_dup_2gram: float = 0.6,
+) -> None:
+    """Streaming corpus ingest — the daily-crawl-to-training-corpus
+    shape end to end: micro-batches of raw documents flow through
+    quality + repetition gates, dedup exactly against EVERY previously
+    accepted document (cross-batch, via the persisted fingerprint
+    table), and append to the gold corpus. Trigger.AvailableNow, so a
+    cron invocation drains whatever landed since the last checkpoint
+    and stops — the reference's monthly delta job (delta_download.py,
+    scrape.yml cron) generalized to corpus construction.
+
+    foreachBatch is the right tool (not a stateful operator): the dedup
+    state is the ACCEPTED-DOCUMENT set, which must live in a queryable
+    table shared with batch jobs, not in stream-internal state-store
+    shards. Within each micro-batch:
+
+    1. gate: token-count + duplicate-2-gram repetition thresholds
+       (shuffle-free column arithmetic);
+    2. in-batch dedup: window argmin per fingerprint;
+    3. cross-batch dedup: left_anti against the fingerprint table (at
+       100 TB: 32-byte keys, broadcastable daily deltas, never rescans
+       corpus text);
+    4. append survivors to the corpus, their fingerprints to the key
+       table. A batch-id column makes replays observable; the
+       checkpoint makes them no-ops.
+    """
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions import text as T
+    from insurance_helper_spark.operators import corpus as C
+    from insurance_helper_spark.operators import dedup as D
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        staged = batch_df.withColumn("toks", C.tokens_col(F.col("text")))
+        g2 = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        staged = staged.withColumn("g2", g2)
+        gated = staged.filter(
+            (F.size("toks") >= min_tokens)
+            & (
+                (F.size("g2") == 0)
+                | (
+                    1.0 - F.size(F.array_distinct("g2")) / F.size("g2")
+                    <= max_dup_2gram
+                )
+            )
+        ).drop("toks", "g2")
+        fresh = gated.withColumn("fingerprint", T.fingerprint(F.col("text")))
+        # in-batch keep-first, then anti-join history
+        fresh = D.dedup_exact(fresh, ["fingerprint"], [F.col("doc_id")])
+        try:
+            seen = spark_b.read.parquet(fingerprints_dir).select("fingerprint")
+            fresh = fresh.join(F.broadcast(seen), "fingerprint", "left_anti")
+        except Exception:
+            pass  # first batch: no fingerprint table yet
+        fresh = fresh.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+        fresh = fresh.localCheckpoint(eager=True)  # cut the double-write lineage
+        fresh.drop("fingerprint").write.mode("append").parquet(corpus_dir)
+        fresh.select("fingerprint").write.mode("append").parquet(fingerprints_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

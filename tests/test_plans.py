@@ -157,3 +157,39 @@ def test_simhash_signature_computed_once(spark, sf_dir):
     plan = audit.executed_plan(pairs)
     assert "Scan ExistingRDD" in plan
     assert audit.count_in_plan(pairs, "partial_sum") == 0
+
+
+class TestCorpusPrepPlanShapes:
+    """Round-4 operators: the scale properties their docstrings claim,
+    pinned against the executed plan."""
+
+    def test_contamination_tokenizer_not_reinlined(self, spark, sf_dir):
+        # One regexp_replace per scan side (corpus + benchmark) — the
+        # HOF re-inlining pitfall would multiply it per shingle window
+        # (measured 6× slower at sf0.1).
+        df = _q("corpus_contamination", spark, sf_dir)
+        assert audit.count_in_plan(df, "regexp_replace") <= 2
+
+    def test_span_dedup_tokenizer_once_and_bounded_shuffles(self, spark, sf_dir):
+        df = _q("corpus_span_dedup", spark, sf_dir)
+        assert audit.count_in_plan(df, "regexp_replace") == 1
+        # span window + per-doc reassembly + final sort; anything more
+        # means a redundant exchange crept in.
+        assert audit.exchange_count(df) <= 3
+
+    def test_repetition_gates_shuffle_free_body(self, spark, sf_dir):
+        # Pure per-row arithmetic: the ONLY exchange allowed is the
+        # final orderBy's range partitioning.
+        df = _q("text_repetition_gates", spark, sf_dir)
+        assert audit.exchange_count(df) <= 1
+        assert audit.count_in_plan(df, "regexp_replace") == 1
+
+    def test_pack_sequences_single_group_shuffle(self, spark, sf_dir):
+        df = _q("corpus_pack_sequences", spark, sf_dir)
+        # one hash exchange into applyInPandas groups + final sort
+        assert audit.exchange_count(df) <= 2
+        assert "FlatMapGroupsInPandas" in audit.executed_plan(df)
+
+    def test_centroid_stats_broadcasts_centroids(self, spark, sf_dir):
+        df = _q("embedding_centroid_stats", spark, sf_dir)
+        assert audit.has_broadcast_join(df)

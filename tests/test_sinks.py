@@ -149,5 +149,7 @@ def test_register_views_sql_surface(spark, sf_dir):
         "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     ).head()["n"]
     assert n == spark.sql("SELECT count(*) AS n FROM orders").head()["n"]
-    # events view carries the µs timestamp conversion
-    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+    # events view carries a usable timestamp dtype regardless of the
+    # parquet physical type (r≤3 testdata: TIMESTAMP(NANOS) → converted
+    # µs TIMESTAMP; r4 testdata: naive timestamp[us] → TIMESTAMP_NTZ)
+    assert dict(spark.table("events").dtypes)["ts"] in ("timestamp", "timestamp_ntz")

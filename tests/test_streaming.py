@@ -219,3 +219,67 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ops.run_to_memory(joined, "ssj_t", output_mode="append")
     pairs = {(r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ssj_t").collect()}
     assert pairs == {(10, 20)}
+
+
+class TestCorpusIngestStream:
+    """End-to-end streaming corpus ingest: quality gates + in-batch +
+    cross-batch dedup + append, idempotent under reruns."""
+
+    GOOD = "the quick brown fox jumps over the lazy dog again and again today"
+    SPAMMY = "spam ham spam ham spam ham spam ham spam ham spam ham spam ham"
+    SHORT = "too short"
+
+    def _write_batch(self, spark, path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def _run(self, spark, tmp_path):
+        from insurance_helper_spark.streaming import ops
+
+        ops.corpus_ingest_stream(
+            spark,
+            input_dir=str(tmp_path / "in"),
+            corpus_dir=str(tmp_path / "corpus"),
+            fingerprints_dir=str(tmp_path / "fp"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        import pyspark.sql.utils  # noqa: F401
+
+        try:
+            return {
+                r["doc_id"]
+                for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+            }
+        except Exception:
+            return set()
+
+    def test_gates_dedup_and_incremental(self, spark, tmp_path):
+        self._write_batch(
+            spark,
+            str(tmp_path / "in"),
+            [
+                (1, self.GOOD, "en", "s1", len(self.GOOD)),
+                (2, self.GOOD, "en", "s1", len(self.GOOD)),  # in-batch dup
+                (3, self.SHORT, "en", "s1", len(self.SHORT)),  # gated: length
+                (4, self.SPAMMY, "en", "s1", len(self.SPAMMY)),  # gated: repetition
+            ],
+        )
+        assert self._run(spark, tmp_path) == {1}
+
+        # batch 2: cross-batch dup of doc 1 + genuinely new doc
+        fresh = "completely different sentence with plenty of distinct useful words here"
+        self._write_batch(
+            spark,
+            str(tmp_path / "in"),
+            [
+                (5, self.GOOD, "en", "s2", len(self.GOOD)),  # dup vs history
+                (6, fresh, "en", "s2", len(fresh)),
+            ],
+        )
+        assert self._run(spark, tmp_path) == {1, 6}
+        # idle rerun: nothing new, corpus unchanged
+        assert self._run(spark, tmp_path) == {1, 6}
+        # fingerprint table tracks exactly the accepted docs
+        fps = spark.read.parquet(str(tmp_path / "fp")).distinct().count()
+        assert fps == 2
