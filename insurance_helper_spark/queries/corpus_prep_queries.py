@@ -317,3 +317,106 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE surface as catalog evidence: exact stats hash-compared, the
+# HLL++ NDV via a 5%-bound boolean (same pattern as
+# agg_approx_distinct_bounds). Over `customer` — mixed types, no nulls
+# in fixture (null accounting still exercised as exact zeros).
+# ---------------------------------------------------------------------------
+
+ANALYZE_ORACLE = """
+WITH per_col AS (
+  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(min(c_custkey) AS VARCHAR) AS min_value,
+         CAST(max(c_custkey) AS VARCHAR) AS max_value,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_ndv
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR),
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR),
+         CAST(count(DISTINCT c_acctbal) AS BIGINT)
+  FROM customer
+)
+SELECT col_name, n_rows, n_nulls, min_value, max_value, exact_ndv,
+       TRUE AS ndv_within_bounds
+FROM per_col
+ORDER BY col_name
+"""
+
+
+@register("analyze_customer_stats", ANALYZE_ORACLE)
+def analyze_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE evidence row: the fused single-pass column-stats
+    collector (sources/stats.py) with exact values hash-compared and
+    the approximate NDV converted to an oracle-checkable 5% bound
+    against the exact distinct count."""
+    from insurance_helper_spark.sources import stats as S
+
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    col_stats = S.collect_column_stats(cust, approx_rsd=0.01).withColumnRenamed(
+        "column", "col_name"
+    )
+    exact = None
+    for c in ("c_custkey", "c_mktsegment", "c_acctbal"):
+        one = cust.agg(F.countDistinct(c).alias("exact_ndv")).select(
+            F.lit(c).alias("col_name"), "exact_ndv"
+        )
+        exact = one if exact is None else exact.unionByName(one)
+    return (
+        col_stats.join(F.broadcast(exact), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            # DuckDB renders DOUBLE min/max like '-999.99'; Spark's
+            # double→string cast matches for these fixture values.
+            "min_value",
+            "max_value",
+            "exact_ndv",
+            (
+                F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                / F.col("exact_ndv")
+                < 0.05
+            ).alias("ndv_within_bounds"),
+        )
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew report as catalog evidence: heavy-hitter shares for a
+# prospective shuffle key — deterministic counts, exact oracle.
+# ---------------------------------------------------------------------------
+
+SKEW_ORACLE = """
+WITH tot AS (SELECT count(*) AS n FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY n_rows DESC, l_returnflag, l_linestatus
+LIMIT 3
+"""
+
+
+@register("skew_report_lineitem", SKEW_ORACLE)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report for (l_returnflag, l_linestatus) — the
+    pre-flight check before shuffling on a candidate key."""
+    from insurance_helper_spark.sources import stats as S
+
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return S.skew_report(li, ["l_returnflag", "l_linestatus"], top_n=3)
