@@ -56,6 +56,7 @@ def span_dedup(
     id_col: str,
     text_col: str,
     span: int = 10,
+    max_span_freq: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span removal (C4 / Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better",
@@ -72,11 +73,20 @@ def span_dedup(
     shuffle, map-side combined) → window argmin per span → semi-join
     back — never an all-pairs comparison, never a driver-side set. At
     100 TB the span-hash relation is the only wide state and it
-    partitions uniformly (hashes), with hot spans (boilerplate) capped
-    by the same ``max_doc_freq`` idea as ngram_jaccard_pairs if needed.
+    partitions uniformly (hashes).
+
+    ``max_span_freq`` is the boilerplate guard: a span occurring in
+    more than this many documents (cookie banners, license headers) is
+    dropped from EVERY document including the first — C4's treatment
+    of over-common lines — and, critically for scale, its window
+    partition (which would hold one row per occurrence corpus-wide)
+    never materializes: the hot set is found by a map-side-combined
+    count and removed by broadcast anti-join BEFORE the keep-first
+    window. Default None keeps pure keep-first semantics.
 
     Returns (id, n_spans, n_dropped, clean_text) — clean_text is the
-    re-joined surviving text.
+    re-joined surviving text; n_spans counts pre-cap spans, so capped
+    spans count as dropped.
     """
     # Project the token array before the span transform — see
     # contamination() for the HOF re-inlining pitfall this avoids.
@@ -91,34 +101,64 @@ def span_dedup(
             F.posexplode_outer("spans").alias("span_idx", "span_text"),
         )
     )
+    if max_span_freq is not None:
+        # Boilerplate cap: the hot set is tiny by construction (few
+        # spans can exceed the threshold), found by a map-side-combined
+        # count and removed by broadcast anti-join BEFORE the window —
+        # a span in millions of documents never forms a window
+        # partition (the corpus-wide straggler this guard exists for).
+        hot = (
+            spans.groupBy("span_text")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_span_freq)
+            .select("span_text")
+        )
+        totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        spans = spans.join(F.broadcast(hot), "span_text", "left_anti")
+    else:
+        totals = None
     # keep-first: the minimum doc_id per distinct span text survives in
     # place; every other occurrence of that span text is dropped.
     w = Window.partitionBy("span_text")
     flagged = spans.withColumn("min_doc", F.min("doc_id").over(w)).withColumn(
         "keep", F.col("doc_id") == F.col("min_doc")
     )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep"),
-                                F.struct("span_idx", "span_text"),
-                            )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("__n_surviving"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("span_idx", "span_text"),
                         )
-                    ),
-                    lambda s: s["span_text"],
+                    )
                 ),
-                " ",
-            ).alias("clean_text"),
-        )
-        .withColumnRenamed("doc_id", id_col)
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )
+    if totals is not None:
+        # docs whose every span was capped still get a row (empty text)
+        per_doc = totals.join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    else:
+        per_doc = per_doc.select(
+            "doc_id",
+            F.col("__n_surviving").alias("n_spans"),
+            (F.col("__n_surviving") - F.col("__n_kept")).alias("n_dropped"),
+            "clean_text",
+        )
+    return per_doc.withColumnRenamed("doc_id", id_col)
 
 
 def contamination(

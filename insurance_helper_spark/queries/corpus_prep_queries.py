@@ -420,3 +420,62 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
     return S.skew_report(li, ["l_returnflag", "l_linestatus"], top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-capped span dedup — the SCALE configuration: spans in
+# more than 2 documents are treated as boilerplate and removed from
+# every document (C4's over-common-line rule); remaining spans dedup
+# keep-first as usual. Full value oracle.
+# ---------------------------------------------------------------------------
+
+SPAN_DEDUP_CAPPED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+  FROM t
+),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(toks[i*10+1 : i*10+10], ' ') AS span_text
+  FROM idx
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id),
+hot AS (
+  SELECT span_text FROM spans GROUP BY span_text
+  HAVING count(DISTINCT doc_id) > 2
+),
+cold AS (
+  SELECT s.* FROM spans s WHERE s.span_text NOT IN (SELECT span_text FROM hot)
+),
+flagged AS (
+  SELECT doc_id, span_idx, span_text,
+         doc_id = min(doc_id) OVER (PARTITION BY span_text) AS keep
+  FROM cold
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         coalesce(string_agg(span_text, ' ' ORDER BY span_idx)
+                  FILTER (WHERE keep), '') AS clean_text
+  FROM flagged
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_spans,
+       t.n_spans - coalesce(p.n_kept, 0) AS n_dropped,
+       coalesce(p.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("corpus_span_dedup_capped", SPAN_DEDUP_CAPPED_ORACLE)
+def corpus_span_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return corpus.span_dedup(
+        docs, "doc_id", "text", span=10, max_span_freq=2
+    ).orderBy("doc_id")
