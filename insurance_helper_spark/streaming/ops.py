@@ -349,3 +349,66 @@ def corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def continuous_rollup_stream(
+    stream_events: DataFrame,
+    minute_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+) -> None:
+    """Streaming half of the hypertable/continuous-aggregate pattern
+    (batch twin: queries/analytics_ext.events_rollup_hourly): 1-minute
+    partial aggregates stream into a parquet table in APPEND mode —
+    each minute window is written exactly once, when the watermark
+    finalizes it — and coarser rollups (hour, day) derive from the
+    partials by re-aggregation, never rescanning raw events.
+
+    At 100 TB/day this is the only shape that works: raw events are
+    write-once cold storage, the minute table is ~1e4× smaller, and
+    every dashboard window is a sum over partials. Append-only
+    finalized windows also make the table idempotently rebuildable —
+    the checkpoint guarantees each window lands once.
+    """
+    from pyspark.sql import functions as F
+
+    minutes = (
+        stream_events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col(type_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("bucket_min"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        minutes.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", minute_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def hourly_from_minute_partials(spark, minute_dir: str) -> DataFrame:
+    """Derive the hourly rollup from streamed minute partials
+    (sum-of-sums / sum-of-counts — associativity is the contract)."""
+    from pyspark.sql import functions as F
+
+    minutes = spark.read.parquet(minute_dir)
+    return (
+        minutes.groupBy(
+            F.date_trunc("hour", "bucket_min").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )

@@ -283,3 +283,58 @@ class TestCorpusIngestStream:
         # fingerprint table tracks exactly the accepted docs
         fps = spark.read.parquet(str(tmp_path / "fp")).distinct().count()
         assert fps == 2
+
+
+class TestContinuousRollup:
+    """Streaming continuous aggregate: minute partials append as the
+    watermark finalizes them; hours derive from partials and match a
+    direct batch aggregation of the on-time events."""
+
+    def test_minute_partials_and_hourly_derivation(self, spark, tmp_path):
+        import os
+        import time as _time
+
+        d = tmp_path / "ev_in"
+        d.mkdir()
+        batches = [
+            ("b1.json", [
+                {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 1, "event_type": "view", "value": 1.0},
+                {"event_id": 2, "ts": "2024-01-01T00:00:40", "user_id": 1, "event_type": "view", "value": 2.0},
+                {"event_id": 3, "ts": "2024-01-01T00:01:10", "user_id": 1, "event_type": "click", "value": 4.0},
+            ]),
+            # far-future event time pushes the watermark past every
+            # batch-1 window, finalizing them
+            ("b2.json", [
+                {"event_id": 4, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "view", "value": 8.0},
+            ]),
+            ("b3.json", [
+                {"event_id": 5, "ts": "2024-01-01T05:00:00", "user_id": 2, "event_type": "view", "value": 16.0},
+            ]),
+        ]
+        now = _time.time()
+        for i, (name, events) in enumerate(batches):
+            write_events_file(d / name, events)
+            os.utime(d / name, (now + i * 10, now + i * 10))
+
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+        ops.continuous_rollup_stream(
+            stream, str(tmp_path / "minutes"), str(tmp_path / "ckpt")
+        )
+        minutes = {
+            (str(r["bucket_min"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(str(tmp_path / "minutes")).collect()
+        }
+        # batch-1 windows finalized by the watermark advance
+        assert minutes[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+        assert minutes[("2024-01-01 00:01:00", "click")] == (1, 4.0)
+        assert minutes[("2024-01-01 02:00:00", "view")] == (1, 8.0)
+
+        hourly = {
+            (str(r["bucket_hour"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in ops.hourly_from_minute_partials(
+                spark, str(tmp_path / "minutes")
+            ).collect()
+        }
+        assert hourly[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+        assert hourly[("2024-01-01 00:00:00", "click")] == (1, 4.0)
+        assert hourly[("2024-01-01 02:00:00", "view")] == (1, 8.0)
