@@ -440,3 +440,150 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_code")
     )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (Q13 without the o_comment
+# predicate the fixture lacks): LEFT join so zero-order customers count,
+# then a histogram over the per-customer counts. Scale: the first agg
+# shuffles on custkey; the histogram input is one row per customer and
+# the second agg's key cardinality is tiny.
+# ---------------------------------------------------------------------------
+
+Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (Q17 with the brand/container
+# predicate trimmed to brand only): lines below 20% of their part's
+# average quantity. The correlated scalar subquery becomes a per-part
+# aggregate JOINED back — at scale the per-part average relation is
+# partkey-sized and co-shuffles with the fact on partkey, exactly the
+# decorrelation Catalyst itself would pick.
+# ---------------------------------------------------------------------------
+
+Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey, avg(l_quantity) AS a
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty aq ON aq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < 0.2 * aq.a
+"""
+
+
+@register("q17_small_quantity_revenue", Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("a"))
+    brand = part.filter(F.col("p_brand") == "Brand#13")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("a"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who alone were late (Q21 adapted: the fixture has no
+# commit/receipt dates, so "late" = shipped more than 90 days after the
+# order date). For multi-supplier orders, find suppliers with a late
+# line where EXISTS another supplier's line in the same order and NOT
+# EXISTS another supplier's LATE line — i.e. they alone held the order
+# up. EXISTS/NOT EXISTS become left_semi/left_anti self-joins keyed on
+# orderkey: same-key co-shuffles, no correlated per-row probing.
+# ---------------------------------------------------------------------------
+
+Q21_ORACLE = """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late
+),
+candidates AS (
+  SELECT la.l_orderkey, la.l_suppkey FROM late la
+  WHERE EXISTS (SELECT 1 FROM lines x
+                WHERE x.l_orderkey = la.l_orderkey
+                  AND x.l_suppkey <> la.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lines y
+                    WHERE y.l_orderkey = la.l_orderkey
+                      AND y.l_suppkey <> la.l_suppkey AND y.is_late)
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM candidates c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("q21_sole_late_supplier", Q21_ORACLE)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("is_late"),
+    )
+    late = lines.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    others = lines.select("l_orderkey", "l_suppkey")
+    other_exists = late.alias("la").join(
+        others.alias("x"),
+        (F.col("la.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("la.l_suppkey") != F.col("x.l_suppkey")),
+        "left_semi",
+    )
+    other_late = lines.filter("is_late").select("l_orderkey", "l_suppkey")
+    candidates = other_exists.alias("la").join(
+        other_late.alias("y"),
+        (F.col("la.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("la.l_suppkey") != F.col("y.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        candidates.join(F.broadcast(supp), candidates.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
