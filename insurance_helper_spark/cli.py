@@ -254,6 +254,32 @@ def _cmd_query(args, spark, out) -> int:
     return 0
 
 
+def _cmd_analyze(args, spark, out) -> int:
+    from insurance_helper_spark.sources import stats
+    from insurance_helper_spark.sources.tables import FIXTURE_TABLES
+
+    names = FIXTURE_TABLES if args.table == "all" else (args.table,)
+    unknown = [n for n in names if n not in FIXTURE_TABLES]
+    if unknown:
+        out(f"Unknown table(s): {', '.join(unknown)}")
+        return 1
+    all_stats = None
+    for name in names:
+        s = stats.analyze_table(spark, args.sf_dir, name, stats_dir=args.stats_dir)
+        all_stats = s if all_stats is None else all_stats.unionByName(s)
+        out(f"{name}:")
+        for r in s.orderBy("column").collect():
+            out(
+                f"  {r['column']}: rows={r['n_rows']} nulls={r['n_nulls']} "
+                f"~ndv={r['approx_ndv']} min={r['min_value']} max={r['max_value']}"
+            )
+    out("broadcast advice (32 MiB threshold):")
+    for r in stats.broadcast_advice(all_stats).collect():
+        verdict = "broadcast" if r["broadcastable"] else "shuffle"
+        out(f"  {r['table']}: {r['size_bytes']} bytes on disk -> {verdict}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="insurance-helper-spark",
@@ -296,6 +322,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     q.add_argument("--limit", type=int, default=20)
+
+    an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")
+    an.add_argument("--table", "-t", default="all")
+    an.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
+    an.add_argument("--stats-dir", default=None, dest="stats_dir",
+                    help="persist per-table stats parquet under this dir")
     return p
 
 
@@ -319,6 +351,8 @@ def main(
         return _cmd_retry_failed(args, spark, out, downloader)
     if args.command == "query":
         return _cmd_query(args, spark, out)
+    if args.command == "analyze":
+        return _cmd_analyze(args, spark, out)
     return 2
 
 

@@ -231,3 +231,20 @@ class TestProbeAndStorage:
             downloader=lambda url: b"%PDF-1.4",
         )
         assert rc == 0 and "nonlife: 3 products scraped" in out
+
+
+class TestAnalyze:
+    def test_analyze_one_table_with_persist(self, spark, tmp_path):
+        rc, out = run(
+            spark,
+            ["analyze", "-t", "nation", "--stats-dir", str(tmp_path / "stats")],
+        )
+        assert rc == 0
+        assert "n_nationkey: rows=25 nulls=0" in out
+        assert "nation:" in out and "broadcast advice" in out
+        assert "nation:" in out.split("broadcast advice")[1]
+        assert spark.read.parquet(str(tmp_path / "stats" / "nation")).count() > 0
+
+    def test_analyze_unknown_table(self, spark):
+        rc, out = run(spark, ["analyze", "-t", "nope"])
+        assert rc == 1 and "Unknown table" in out
