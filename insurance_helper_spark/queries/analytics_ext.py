@@ -399,3 +399,68 @@ def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel over the event stream: a user converts at
+# stage N only with a STRICTLY LATER event than their stage-N-1
+# conversion (first-touch attribution). Three per-user min-aggregates
+# chained by co-partitioned joins on user_id — at scale each stage is
+# one shuffle on the same key, and AQE reuses the partitioning. The
+# stage relations shrink monotonically (conversion is lossy), so later
+# joins are cheaper, never wider.
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage_no, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+)
+ORDER BY stage_no
+"""
+
+
+@register("events_funnel_conversion", FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        stage = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return stage.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    rows = [
+        (1, "view", v),
+        (2, "view>click", c),
+        (3, "view>click>purchase", p),
+    ]
+    out = None
+    for no, label, df in rows:
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("stage_no")

@@ -7,7 +7,7 @@ rows-only (the driver records the weaker check, per the contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insurance_helper_spark.functions import cleaning
@@ -479,4 +479,85 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "fp")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup detection — the daily-ingest twin of
+# dedup_incremental_new_docs (which is exact-hash only): candidate
+# pairs are generated ONLY for the newest 20% of doc ids (the "today's
+# crawl" slice) against the whole corpus; history×history pairs never
+# form. The one-sided shingle join is the incremental contract: at
+# 100 TB the a-side is the (pre-computed, persisted) corpus shingle
+# table and the b-side is the daily delta, so candidate volume scales
+# with the DELTA, not the corpus. Full value oracle (new ids are the
+# largest, so "pair involves a new doc" ≡ id_b past the threshold).
+# ---------------------------------------------------------------------------
+
+INCR_NGRAM_ORACLE = """
+WITH th AS (
+  SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t FROM documents
+),
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= (SELECT t FROM th)
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.common,
+       sa.sh_size AS size_a, sb.sh_size AS size_b,
+       round(p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) >= 0.5
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("dedup_incremental_ngram_pairs", INCR_NGRAM_ORACLE)
+def dedup_incremental_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    th = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("long").alias("t")
+    )
+    shd = dedup.hashed_shingle_rows(docs, "doc_id", "text", k=3)
+    sized = shd.withColumn(
+        "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
+    # delta side: only the newest slice generates candidates
+    b = (
+        sized.crossJoin(F.broadcast(th))
+        .filter(F.col("doc_id") >= F.col("t"))
+        .select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
+    )
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.filter(jac >= 0.5)
+        .select(
+            "id_a", "id_b", "common", "size_a", "size_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
     )
