@@ -239,12 +239,20 @@ def interval_join(
     right_ts: str = "ts",
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream–stream interval join: right events within
     (left_ts, left_ts + max_delay] per key — the impression→click /
     request→response correlation shape. Both sides carry watermarks so
     the join state is bounded: each side's buffer evicts once the other
     side's watermark passes the interval bound.
+
+    ``how='leftOuter'`` is the attribution variant: an unmatched left
+    row (impression with no click) is EMITTED WITH NULL right columns —
+    but only once the watermark proves no match can still arrive, so
+    outer results trail the inner ones by up to the watermark delay.
+    The time-bound condition is mandatory for outer stream-stream joins
+    (it is what lets Spark finalize "no match ever").
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -256,7 +264,7 @@ def interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def corpus_ingest_stream(

@@ -338,3 +338,56 @@ class TestContinuousRollup:
         assert hourly[("2024-01-01 00:00:00", "view")] == (2, 3.0)
         assert hourly[("2024-01-01 00:00:00", "click")] == (1, 4.0)
         assert hourly[("2024-01-01 02:00:00", "view")] == (1, 8.0)
+
+
+class TestLeftOuterIntervalJoin:
+    def test_unmatched_impression_emits_null_after_watermark(self, spark, tmp_path):
+        import os
+        import time as _time
+
+        imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+        imp_dir.mkdir(), clk_dir.mkdir()
+        write_events_file(
+            imp_dir / "i1.json",
+            [
+                {"event_id": 10, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "imp", "value": 0.0},
+                {"event_id": 11, "ts": "2024-01-01T10:00:00", "user_id": 2, "event_type": "imp", "value": 0.0},
+            ],
+        )
+        write_events_file(
+            clk_dir / "c1.json",
+            [
+                {"event_id": 20, "ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "clk", "value": 1.0},
+            ],
+        )
+        # far-future events on BOTH sides push both watermarks well past
+        # impression 11's interval, finalizing its no-match verdict
+        now = _time.time()
+        write_events_file(
+            imp_dir / "i2.json",
+            [{"event_id": 12, "ts": "2024-01-02T10:00:00", "user_id": 9, "event_type": "imp", "value": 0.0}],
+        )
+        write_events_file(
+            clk_dir / "c2.json",
+            [{"event_id": 29, "ts": "2024-01-02T10:00:00", "user_id": 9, "event_type": "clk", "value": 1.0}],
+        )
+        for i, f in enumerate([imp_dir / "i1.json", clk_dir / "c1.json",
+                               imp_dir / "i2.json", clk_dir / "c2.json"]):
+            os.utime(f, (now + i * 10, now + i * 10))
+
+        imp = ops.read_event_stream(spark, str(imp_dir), EVENT_SCHEMA, max_files_per_trigger=1).select(
+            "user_id", "ts", F.col("event_id").alias("imp_id")
+        )
+        clk = ops.read_event_stream(spark, str(clk_dir), EVENT_SCHEMA, max_files_per_trigger=1).select(
+            "user_id", "ts", F.col("event_id").alias("clk_id")
+        )
+        joined = ops.interval_join(
+            imp, clk, key="user_id", watermark="1 hour",
+            max_delay="30 minutes", how="leftOuter",
+        ).select(F.col("l.imp_id"), F.col("r.clk_id"))
+        ops.run_to_memory(joined, "loj_t", output_mode="append")
+        pairs = {(r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM loj_t").collect()}
+        # matched impression pairs with its click; unmatched impression 11
+        # emits exactly once with a NULL click after watermark passage
+        assert (10, 20) in pairs
+        assert (11, None) in pairs
