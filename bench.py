@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_contamination",
     "text_repetition_gates",
     "corpus_pack_sequences",
+    "corpus_funnel_report",
+    "dedup_incremental_ngram_pairs",
+    "events_funnel_conversion",
     "pii_redact_notes",
     "multimodal_feature_manifest",
     # streaming shapes
