@@ -464,3 +464,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("stage_no")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: users grouped by first-seen week, activity
+# tracked for the following weeks. Weeks are computed with pure integer
+# epoch-day arithmetic ((day + 3) / 7 — epoch day 0 is a Thursday, +3
+# makes weeks Monday-start) so the result is session-timezone-
+# independent and integer-exact in both engines — date_trunc('week')
+# would route NTZ values through the session zone. Plan: activity and
+# the per-user cohort aggregate are both keyed on user_id, so the join
+# co-partitions (the cohort relation is per-USER — never broadcast it
+# at corpus scale); the final matrix aggregate is tiny.
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((floor(epoch(ts) / 86400) + 3) / 7) AS BIGINT) AS week_no
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week_no) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(a.week_no - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN cohort c USING (user_id)
+WHERE a.week_no - c.cohort_week <= 4
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+
+@register("events_cohort_retention", COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    week_no = F.floor(
+        (F.floor(epoch_us(F.col("ts"), ntz=_is_ntz(ev, "ts")) / 86_400_000_000) + 3) / 7
+    ).cast("long")
+    activity = ev.select("user_id", week_no.alias("week_no")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week_no").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("week_offset", (F.col("week_no") - F.col("cohort_week")).cast("long"))
+        .filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
