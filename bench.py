@@ -95,6 +95,20 @@ R1_WARM = {
 }
 R1_TOTAL = 33.936
 
+# Warm timings recorded for queries added after r1 (r4 run at sf0.1,
+# local[32], min-of-2-warm with rc=0). Same 2×-with-1.0s-floor warning
+# budget as R1_WARM; they do NOT join the r1-comparable hard gate (that
+# stays like-for-like), but a blowout prints a REGRESSION line the
+# next round's builder will see in BENCH_r{N}.json.
+R4_WARM = {
+    "text_bm25_topk": 1.025, "corpus_quality_filter": 0.942,
+    "dedup_embedding_cosine_lsh": 4.274, "corpus_span_dedup": 0.802,
+    "corpus_contamination": 1.127, "text_repetition_gates": 1.664,
+    "corpus_pack_sequences": 0.972, "corpus_funnel_report": 3.552,
+    "dedup_incremental_ngram_pairs": 1.814, "events_funnel_conversion": 0.751,
+    "pii_redact_notes": 1.036,
+}
+
 
 def _release_blocks(spark) -> None:
     """Free persist/localCheckpoint blocks left behind by the last query.
@@ -156,10 +170,11 @@ def main() -> None:
     comparable_total = round(sum(t for n, t in timings.items() if n in R1_WARM), 3)
     regressions = {}
     if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
+        budgets = {**R4_WARM, **R1_WARM}  # r1 numbers win where both exist
         for name, t in timings.items():
-            if name in R1_WARM and t > max(2.0 * R1_WARM[name], 1.0):
-                regressions[name] = {"r1": R1_WARM[name], "now": t}
-                print(f"  REGRESSION {name}: {t}s vs r1 {R1_WARM[name]}s", file=sys.stderr)
+            if name in budgets and t > max(2.0 * budgets[name], 1.0):
+                regressions[name] = {"budget": budgets[name], "now": t}
+                print(f"  REGRESSION {name}: {t}s vs budget {budgets[name]}s", file=sys.stderr)
     print(
         json.dumps(
             {
