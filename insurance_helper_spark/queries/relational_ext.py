@@ -756,3 +756,35 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect-shared SQL surface: ONE SQL string executed verbatim by BOTH
+# engines — Spark runs it through spark.sql over register_views, DuckDB
+# runs it as the oracle. Pins the engine's ANSI-SQL entry point (the
+# register_views + spark.sql path users get), not just the DataFrame
+# API, and proves the dialect subset genuinely overlaps.
+# ---------------------------------------------------------------------------
+
+SHARED_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(avg(o_totalprice), 2) AS avg_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_surface_shared_dialect", SHARED_SQL)
+def sql_surface_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the oracle SQL text itself via spark.sql — zero DataFrame
+    code. Evidence that the registered-view SQL surface accepts the
+    dialect-shared subset unchanged."""
+    from insurance_helper_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_SQL)
