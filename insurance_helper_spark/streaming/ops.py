@@ -337,7 +337,11 @@ def corpus_ingest_stream(
         fresh = D.dedup_exact(fresh, ["fingerprint"], [F.col("doc_id")])
         try:
             seen = spark_b.read.parquet(fingerprints_dir).select("fingerprint")
-            fresh = fresh.join(F.broadcast(seen), "fingerprint", "left_anti")
+            # History GROWS without bound — never broadcast it. left_anti
+            # shuffles both sides on the 32-byte key; the delta side is
+            # small, history is append-only sorted-ish parquet, and AQE
+            # may still choose a broadcast while history genuinely fits.
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
         except Exception:
             pass  # first batch: no fingerprint table yet
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
