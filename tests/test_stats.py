@@ -62,3 +62,15 @@ def test_skew_report_finds_planted_hot_key(spark):
     top = stats.skew_report(df, ["k"], top_n=3).collect()
     assert top[0]["k"] == 1 and top[0]["n_rows"] == 90
     assert abs(top[0]["share"] - 0.9) < 1e-6
+
+
+def test_column_stats_handles_arrays_and_ntz(spark, sf_dir):
+    # arrays: no min/max (unorderable) but NDV/nulls still computed;
+    # NTZ timestamps: orderable, min/max as strings.
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["column"]: r for r in stats.collect_column_stats(emb).collect()}
+    assert out["embedding"]["min_value"] is None
+    assert out["embedding"]["approx_ndv"] > 0
+    ev = load_table(spark, sf_dir, "events")
+    out = {r["column"]: r for r in stats.collect_column_stats(ev).collect()}
+    assert out["ts"]["min_value"] is not None and out["ts"]["n_nulls"] == 0
