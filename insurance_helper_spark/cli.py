@@ -254,6 +254,89 @@ def _cmd_query(args, spark, out) -> int:
     return 0
 
 
+def _cmd_delta(args, spark, out, fetcher, downloader) -> int:
+    """The reference's standalone delta job (scripts/delta_download.py):
+    re-scrape metadata, diff against the EXISTING metadata CSV by
+    document_url (not the state store), download + append only the new
+    rows, report total/new counts per type. Idempotent: a rerun with no
+    site changes appends nothing."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.sources import http, sinks
+
+    types = PRODUCT_TYPES if args.type == "all" else (args.type,)
+    unknown = [t for t in types if t not in PRODUCT_TYPES]
+    if unknown:
+        out(f"Invalid product type: {unknown[0]}")
+        return 1
+    config = http.ScrapeConfig(rate_limit=args.rate_limit)
+    grand_total = grand_new = 0
+    for pt in types:
+        out(f"Delta scraping {pt}...")
+        if args.total_pages is not None:
+            total_pages = args.end_page or args.total_pages
+        else:
+            total_pages = args.end_page or http.probe_total_pages(
+                url_template(args.base_url, pt), fetcher or http.default_fetcher()
+            )
+        products = http.scrape_pipeline(
+            spark,
+            url_template(args.base_url, pt),
+            total_pages=total_pages,
+            product_type=pt,
+            fetcher=fetcher,
+            config=config,
+            metadata_only=True,
+            start_page=args.start_page or 1,
+            end_page=args.end_page,
+        ).localCheckpoint(eager=True)
+        csv_dir = f"{args.output}/metadata/{pt}"
+        try:
+            existing = sinks.read_bronze_csv(spark, csv_dir).select(
+                F.col("document_url").alias("url")
+            ).distinct()
+        except Exception:
+            existing = None  # first run: no CSV yet
+        new = products
+        if existing is not None:
+            new = products.join(
+                existing, products.document_url == existing.url, "left_anti"
+            )
+        new = new.localCheckpoint(eager=True)
+        n_total, n_new = products.count(), new.count()
+        grand_total += n_total
+        grand_new += n_new
+        if n_new and not args.metadata_only:
+            tasks = http.build_download_tasks(
+                new, pt, None, f"{args.output}/downloads"
+            )
+            results = http.download_batch(
+                tasks, downloader, config, args.concurrent
+            )
+            new = http.join_results(new, results)
+        if n_new:
+            if existing is not None:
+                # CSV appends are positional: align to the existing
+                # table's header, null-filling columns this run lacks
+                # (e.g. download bookkeeping on a -m delta).
+                header = sinks.read_bronze_csv(spark, csv_dir).columns
+                new = new.select(
+                    *[
+                        F.col(c) if c in new.columns else F.lit(None).cast("string").alias(c)
+                        for c in header
+                    ]
+                )
+                sinks.write_bronze_csv(
+                    new, csv_dir, mode="append", stamp_scraped_at=False
+                )
+            else:
+                sinks.write_bronze_csv(new, csv_dir, mode="append")
+        out(f"{pt}: total {n_total}, new {n_new}")
+    out(f"Total products: {grand_total}")
+    out(f"New products: {grand_new}")
+    return 0
+
+
 def _cmd_analyze(args, spark, out) -> int:
     from insurance_helper_spark.sources import stats
     from insurance_helper_spark.sources.tables import FIXTURE_TABLES
@@ -323,6 +406,19 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     q.add_argument("--limit", type=int, default=20)
 
+    dl = sub.add_parser(
+        "delta", help="Incremental run: scrape, diff vs existing CSV, fetch only new"
+    )
+    dl.add_argument("--type", "-t", default="all")
+    dl.add_argument("--output", "-o", default="data")
+    dl.add_argument("--rate-limit", "-r", type=float, default=10.0, dest="rate_limit")
+    dl.add_argument("--concurrent", "-c", type=int, default=None)
+    dl.add_argument("--metadata-only", "-m", action="store_true", dest="metadata_only")
+    dl.add_argument("--start-page", type=int, default=None, dest="start_page")
+    dl.add_argument("--end-page", type=int, default=None, dest="end_page")
+    dl.add_argument("--total-pages", type=int, default=None, dest="total_pages")
+    dl.add_argument("--base-url", default="https://irdai.gov.in", dest="base_url")
+
     an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")
     an.add_argument("--table", "-t", default="all")
     an.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
@@ -353,6 +449,8 @@ def main(
         return _cmd_query(args, spark, out)
     if args.command == "analyze":
         return _cmd_analyze(args, spark, out)
+    if args.command == "delta":
+        return _cmd_delta(args, spark, out, fetcher, downloader)
     return 2
 
 

@@ -248,3 +248,61 @@ class TestAnalyze:
     def test_analyze_unknown_table(self, spark):
         rc, out = run(spark, ["analyze", "-t", "nope"])
         assert rc == 1 and "Unknown table" in out
+
+
+class TestDelta:
+    """Reference scripts/delta_download.py parity: diff vs existing CSV
+    by document_url, append + download only the new rows, idempotent."""
+
+    def test_delta_first_run_then_incremental_then_idempotent(
+        self, spark, tmp_path, pages
+    ):
+        args_common = [
+            "--total-pages", "1", "--output", str(tmp_path / "d"),
+            "--base-url", "https://x",
+        ]
+        # first run: everything is new
+        rc, out = run(
+            spark, ["delta", "-t", "nonlife", *args_common],
+            fetcher=fake_fetcher(pages),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        assert "nonlife: total 3, new 3" in out
+        assert "New products: 3" in out
+
+        # second run: one extra row on the page → only it is new
+        from tests.test_scrape_pipeline import make_listing_html
+
+        grown = dict(pages)
+        grown["_cur=1"] = make_listing_html(
+            NONLIFE_ROWS
+            + [{"cells": ["", "9", "FY 2022-23", "Acme", "Brand New", "Retail",
+                          "UIN999", "01-04-2022", "download"],
+                "href": "/documents/new999.pdf", "link_text": "Brand New Policy"}],
+            total=60,
+        )
+        rc, out = run(
+            spark, ["delta", "-t", "nonlife", *args_common],
+            fetcher=fake_fetcher(grown),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        assert "nonlife: total 4, new 1" in out
+
+        # third run, unchanged site: nothing new (idempotent)
+        rc, out = run(
+            spark, ["delta", "-t", "nonlife", *args_common],
+            fetcher=fake_fetcher(grown),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        assert "nonlife: total 4, new 0" in out
+        assert "New products: 0" in out
+
+        # CSV holds exactly the 4 distinct products across the 3 runs
+        from insurance_helper_spark.sources import sinks
+
+        csv = sinks.read_bronze_csv(spark, str(tmp_path / "d" / "metadata" / "nonlife"))
+        assert csv.select("document_url").distinct().count() == 4
+        assert csv.count() == 4
