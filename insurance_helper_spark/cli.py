@@ -171,43 +171,7 @@ def _cmd_scrape(args, spark, out, fetcher, downloader) -> int:
                 ),
             )
         sinks.write_bronze_csv(products, f"{args.output}/metadata/{pt}")
-        if (
-            getattr(args, "storage", "filesystem") in ("object", "both")
-            and "local_file_path" in products.columns
-        ):
-            # W3: object-store manifest — key/content-type/public-URL per
-            # downloaded document (upload itself runs wherever the s3a
-            # conf points; sources/object_store.s3a_conf builds it).
-            from pyspark.sql import functions as F
-
-            from insurance_helper_spark.sources import object_store
-
-            manifest = products.filter(F.col("local_file_path").isNotNull()).select(
-                "document_url",
-                object_store.object_key(
-                    F.lit(pt), F.col("local_file_path")
-                ).alias("object_key"),
-                object_store.content_type_for(F.col("local_file_path")).alias(
-                    "content_type"
-                ),
-            )
-            sinks.write_json(manifest, f"{args.output}/object_manifest/{pt}")
-            # R2-ONLY mode (ref cli.py:210-212): upload each blob to the
-            # object store, verify, then delete the local copy — the
-            # filesystem keeps nothing. "both" keeps local + object.
-            if getattr(args, "storage", "filesystem") == "object":
-                statuses = object_store.upload_files(
-                    products.filter(F.col("local_file_path").isNotNull()).select(
-                        "local_file_path",
-                        object_store.object_key(
-                            F.lit(pt), F.col("local_file_path")
-                        ).alias("object_key"),
-                    ),
-                    dest_root=f"{args.output}/objects",
-                    delete_local=True,
-                )
-                n_up = statuses.filter(F.col("verified")).count()
-                out(f"{pt}: {n_up} objects uploaded (local copies removed)")
+        _object_storage_postprocess(products, pt, args, out)
         store.update_page_progress(pt, total, n)
         store.complete_session(pt)
         out(f"{pt}: {n} products scraped")
@@ -252,6 +216,43 @@ def _cmd_query(args, spark, out) -> int:
     more = "+" if len(rows) > args.limit else ""
     out(f"({shown}{more} rows, limit {args.limit})")
     return 0
+
+
+def _object_storage_postprocess(products, pt, args, out) -> None:
+    """W3 storage modes shared by scrape and delta: write the object
+    manifest (key/content-type per downloaded doc), and in R2-ONLY mode
+    (ref cli.py:210-212) upload + verify each blob then delete the
+    local copy — the filesystem keeps nothing. "both" keeps local +
+    object."""
+    if (
+        getattr(args, "storage", "filesystem") not in ("object", "both")
+        or "local_file_path" not in products.columns
+    ):
+        return
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.sources import object_store, sinks
+
+    downloaded = products.filter(F.col("local_file_path").isNotNull())
+    manifest = downloaded.select(
+        "document_url",
+        object_store.object_key(F.lit(pt), F.col("local_file_path")).alias("object_key"),
+        object_store.content_type_for(F.col("local_file_path")).alias("content_type"),
+    )
+    sinks.write_json(manifest, f"{args.output}/object_manifest/{pt}")
+    if getattr(args, "storage", "filesystem") == "object":
+        statuses = object_store.upload_files(
+            downloaded.select(
+                "local_file_path",
+                object_store.object_key(
+                    F.lit(pt), F.col("local_file_path")
+                ).alias("object_key"),
+            ),
+            dest_root=f"{args.output}/objects",
+            delete_local=True,
+        )
+        n_up = statuses.filter(F.col("verified")).count()
+        out(f"{pt}: {n_up} objects uploaded (local copies removed)")
 
 
 def _cmd_delta(args, spark, out, fetcher, downloader) -> int:
@@ -313,7 +314,8 @@ def _cmd_delta(args, spark, out, fetcher, downloader) -> int:
             results = http.download_batch(
                 tasks, downloader, config, args.concurrent
             )
-            new = http.join_results(new, results)
+            new = http.join_results(new, results).localCheckpoint(eager=True)
+            _object_storage_postprocess(new, pt, args, out)
         if n_new:
             if existing is not None:
                 # CSV appends are positional: align to the existing
@@ -417,6 +419,8 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--start-page", type=int, default=None, dest="start_page")
     dl.add_argument("--end-page", type=int, default=None, dest="end_page")
     dl.add_argument("--total-pages", type=int, default=None, dest="total_pages")
+    dl.add_argument("--storage", "-s", default="filesystem",
+                    choices=("filesystem", "object", "both"))
     dl.add_argument("--base-url", default="https://irdai.gov.in", dest="base_url")
 
     an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")

@@ -306,3 +306,19 @@ class TestDelta:
         csv = sinks.read_bronze_csv(spark, str(tmp_path / "d" / "metadata" / "nonlife"))
         assert csv.select("document_url").distinct().count() == 4
         assert csv.count() == 4
+
+    def test_delta_object_storage_uploads_new_blobs(self, spark, tmp_path, pages):
+        rc, out = run(
+            spark,
+            ["delta", "-t", "nonlife", "--total-pages", "1",
+             "--storage", "object",
+             "--output", str(tmp_path / "d"), "--base-url", "https://x"],
+            fetcher=fake_fetcher(pages),
+            downloader=lambda url: b"%PDF-1.4",
+        )
+        assert rc == 0
+        assert "objects uploaded (local copies removed)" in out
+        objects = [p for p in (tmp_path / "d" / "objects").rglob("*") if p.is_file()]
+        assert objects
+        leftovers = [p for p in (tmp_path / "d" / "downloads").rglob("*") if p.is_file()]
+        assert leftovers == []
