@@ -479,3 +479,52 @@ def corpus_span_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.span_dedup(
         docs, "doc_id", "text", span=10, max_span_freq=2
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted downsampling: keep probability proportional to
+# document length (the token-budget sampling used to rebalance a
+# corpus), decided by a Knuth multiplicative hash of the doc id — pure
+# integer arithmetic, so the SAME docs are kept by both engines, every
+# run, on any cluster (no RNG, no partition-order dependence). At
+# 100 TB this is a map-only filter fused into the scan.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS u,
+         least(n_tokens / 100.0, 1.0) * 0.9 AS p_keep
+  FROM t
+)
+SELECT doc_id, n_tokens, round(u, 6) AS u, round(p_keep, 6) AS p_keep
+FROM scored
+WHERE u < p_keep
+ORDER BY doc_id
+"""
+
+
+@register("corpus_weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    scored = docs.select(
+        "doc_id",
+        F.size(corpus.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+         / F.lit(4294967296)).alias("u"),
+        (F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.9).alias("p_keep"),
+    )
+    return (
+        scored.filter(F.col("u") < F.col("p_keep"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round("u", 6).alias("u"), F.round("p_keep", 6).alias("p_keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -561,3 +561,70 @@ def dedup_incremental_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: common / min(|A|,|B|) — catches EXCERPTS and
+# quote-inclusions that symmetric Jaccard misses (a 50-shingle doc
+# fully contained in a 500-shingle doc has Jaccard ≈ 0.1 but
+# containment 1.0). Same shingle equi-join plan as ngram_jaccard;
+# only the score changes. Threshold 0.8.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.common,
+       sa.sh_size AS size_a, sb.sh_size AS size_b,
+       round(p.common * 1.0 / least(sa.sh_size, sb.sh_size), 6) AS containment
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.common * 1.0 / least(sa.sh_size, sb.sh_size) >= 0.8
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@register("dedup_ngram_containment", CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt detection: asymmetric containment over the same shingle
+    join as dedup_ngram_jaccard — the smaller side's coverage is the
+    score, so a short doc quoted inside a long one still flags."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    shd = dedup.hashed_shingle_rows(docs, "doc_id", "text", k=3)
+    sized = shd.withColumn(
+        "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
+    b = sized.select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common") / F.least("size_a", "size_b")
+    return (
+        common.filter(cont >= 0.8)
+        .select(
+            "id_a", "id_b", "common", "size_a", "size_b",
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
