@@ -207,6 +207,13 @@ def _cmd_query(args, spark, out) -> int:
         out("\n".join(sorted(catalog.QUERIES)))
         return 0 if args.name == "list" else 1
     df = catalog.QUERIES[args.name](spark, args.sf_dir)
+    if getattr(args, "explain", False):
+        # formatted physical plan — the .explain('formatted') surface
+        # (scan pruning / PushedFilters / exchanges) without executing.
+        out(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ) if hasattr(df, "_sc") else df._jdf.queryExecution().explainString("formatted"))
+        return 0
     # limit+1 so "are there more rows" costs no second full execution
     rows = df.limit(args.limit + 1).collect()
     out(" | ".join(df.columns))
@@ -407,6 +414,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
 
     dl = sub.add_parser(
         "delta", help="Incremental run: scrape, diff vs existing CSV, fetch only new"

@@ -628,3 +628,87 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-based canonical selection: within each near-dup cluster keep
+# the LONGEST member (argmax tokens, min-id tiebreak) — the production
+# policy ("keep the most complete copy"), vs the min-id convention the
+# other cluster queries use for determinism. Oracle = the recursive-CTE
+# clustering + a window argmax.
+# ---------------------------------------------------------------------------
+
+BEST_QUALITY_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.common * 1.0 / (sa.sh_size + sb.sh_size - c.common) >= 0.5
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+),
+comp AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.cluster_id, c.member_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY len(t.toks) DESC, c.member_id) AS rn
+  FROM comp c JOIN t ON t.doc_id = c.member_id
+)
+SELECT cluster_id,
+       member_id AS canonical_id,
+       n_tokens AS canonical_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM comp c2
+        WHERE c2.cluster_id = ranked.cluster_id) AS n_members
+FROM ranked
+WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_clusters_best_quality", BEST_QUALITY_ORACLE)
+def dedup_clusters_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    toks = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    members = comp.join(toks, comp.member_id == toks.doc_id).drop("doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "member_id")
+    sized = members.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count("*").over(W.partitionBy("cluster_id"))
+    )
+    return (
+        sized.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("member_id").alias("canonical_id"),
+            F.col("n_tokens").alias("canonical_tokens"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )

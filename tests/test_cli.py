@@ -322,3 +322,11 @@ class TestDelta:
         assert objects
         leftovers = [p for p in (tmp_path / "d" / "downloads").rglob("*") if p.is_file()]
         assert leftovers == []
+
+
+class TestExplain:
+    def test_query_explain_prints_plan_without_execution(self, spark):
+        rc, out = run(spark, ["query", "q1_pricing_summary", "--explain"])
+        assert rc == 0
+        assert "Physical Plan" in out and "Scan parquet" in out
+        assert "PushedFilters" in out
