@@ -126,3 +126,32 @@ class TestPacking:
         out = corpus.pack_sequences(df, "doc_id", "source", "tokens", capacity=256)
         bins = {r["doc_id"]: r["bin_id"] for r in out.collect()}
         assert bins == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_boilerplate_cap_drops_span_everywhere(self, spark):
+        ten = " ".join(f"w{i}" for i in range(10))
+        uniq = lambda j: " ".join(f"u{j}x{i}" for i in range(10))
+        # the shared span appears in 3 docs — above max_span_freq=2, so
+        # even doc 1 (the would-be keeper) loses it.
+        df = _docs(
+            spark,
+            [(1, ten + " " + uniq(1)), (2, ten + " " + uniq(2)), (3, ten + " " + uniq(3))],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in corpus.span_dedup(
+                df, "doc_id", "text", span=10, max_span_freq=2
+            ).collect()
+        }
+        for i in (1, 2, 3):
+            assert out[i]["n_spans"] == 2
+            assert out[i]["n_dropped"] == 1
+            assert out[i]["clean_text"] == uniq(i)
+        # below the cap the keep-first convention returns
+        out2 = {
+            r["doc_id"]: r
+            for r in corpus.span_dedup(
+                df, "doc_id", "text", span=10, max_span_freq=5
+            ).collect()
+        }
+        assert out2[1]["n_dropped"] == 0
+        assert out2[2]["n_dropped"] == 1 and out2[3]["n_dropped"] == 1
