@@ -267,3 +267,53 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the LEFT OUTER stream–stream interval join
+# (interval_join(how='leftOuter')): unmatched views carry NULL click
+# columns — in streaming that emission waits for watermark passage, in
+# batch it is the plain left-join semantics, so the SAME operator call
+# is oracle-checkable here.
+# ---------------------------------------------------------------------------
+
+INTERVAL_LEFT_ORACLE = """
+SELECT l.user_id AS user_id,
+       l.event_id AS view_id,
+       r.event_id AS click_id,
+       l.ts AS view_ts,
+       r.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL '30 minutes'
+ORDER BY user_id, view_id, click_id
+"""
+
+
+@register("stream_interval_join_left", INTERVAL_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution variant: every view appears, matched or not (NULL
+    click columns when no click lands inside the window). Same
+    watermark-bounded operator as stream_interval_join with
+    how='leftOuter' (streaming/ops.py::interval_join)."""
+    from insurance_helper_spark.streaming.ops import interval_join
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        views, clicks.withColumnRenamed("r_user_id", "user_id"),
+        key="user_id", left_ts="view_ts", right_ts="click_ts",
+        watermark="1 hour", max_delay="30 minutes", how="leftOuter",
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    ).orderBy("user_id", "view_id", "click_id")
