@@ -513,3 +513,58 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags: each event's value scored against the
+# trailing 20-event mean/stddev for its user — the rolling-statistics
+# frame shape (monitoring, fraud, sensor QC). One shuffle on user_id;
+# the frame computation is streaming state per partition. Events
+# without 5 predecessors emit NULL scores (insufficient history), which
+# both engines state identically.
+# ---------------------------------------------------------------------------
+
+ZSCORE_ORACLE = """
+WITH scored AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER w AS n_hist,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       round(value, 4) AS value,
+       CASE WHEN n_hist >= 5 AND sd > 0
+            THEN round((value - mu) / sd, 4) END AS zscore,
+       coalesce(n_hist >= 5 AND sd > 0
+                AND abs((value - mu) / sd) > 3.0, FALSE) AS anomaly
+FROM scored
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_rolling_zscore", ZSCORE_ORACLE)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n_hist = F.count("*").over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    usable = (n_hist >= 5) & (sd > 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.when(usable, F.round(z, 4)).alias("zscore"),
+            F.coalesce(usable & (F.abs(z) > 3.0), F.lit(False)).alias("anomaly"),
+        )
+        .orderBy("user_id", "event_id")
+    )
