@@ -568,3 +568,76 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_locf_gapfill — calendar spine + last-observation-carried-
+# forward: per user, the daily max value is forward-filled across days
+# with no events (the classic sensor/metrics gap-fill — TimescaleDB's
+# time_bucket_gapfill + locf pair). Daily value is max() (order-
+# independent, exactly reproducible cross-engine, unlike avg over
+# unordered doubles). Scale: the spine explode multiplies rows only by
+# days-per-user; everything partitions on user_id end-to-end — one
+# shuffle — and the LOCF window is a streaming frame with O(1) state.
+# ---------------------------------------------------------------------------
+
+LOCF_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+  FROM events GROUP BY user_id, day
+),
+bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.day, o.day_max,
+         last_value(o.day_max IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM spine s
+  LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(day_max) AS BIGINT) AS n_observed,
+       CAST(count(*) - count(day_max) AS BIGINT) AS n_filled,
+       round(sum(locf), 2) AS total_locf
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_locf_gapfill", LOCF_ORACLE)
+def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    obs = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max("value").alias("day_max")
+    )
+    bounds = obs.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(obs, ["user_id", "day"], "left").withColumn(
+        "locf", F.last("day_max", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("day_max").alias("n_observed"),
+            (F.count("*") - F.count("day_max")).alias("n_filled"),
+            F.round(F.sum("locf"), 2).alias("total_locf"),
+        )
+        .orderBy("user_id")
+    )

@@ -116,6 +116,8 @@ def load_all() -> None:
         multimodal_queries,
         analytics_ext,
         relational_tpch3,
+        relational_tpch4,
+        curation_queries,
         relational,
         relational_ext,
     )

@@ -1,0 +1,270 @@
+"""Training-data curation extensions: semantic (embedding-cluster)
+dedup, unigram-LM surprisal scoring, and a deterministic stratified
+train/val/test split.
+
+These extend the §2B LLM-pipeline surface with three ops every
+large-scale corpus build runs after the lexical gates:
+
+- ``dedup_semantic_clusters`` — SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): assign each embedding to its nearest of k seeded
+  centroids, elect the member closest to the centroid as the cluster
+  canonical, and prune members whose cosine to the canonical exceeds a
+  threshold. The fixture-scale twin uses one deterministic assignment
+  pass (seeded centroid sample, no Lloyd iterations) so the whole
+  decision list is SQL-expressible and value-hashed; the iterative
+  variant at scale reuses ``operators/similarity.ivf_centroids``.
+- ``text_unigram_surprisal`` — CCNet-style (Wenzek et al. 2019) LM
+  quality proxy: train a corpus unigram model in one aggregation, score
+  each document by mean token surprisal (-ln p). High surprisal =
+  gibberish / OOV-heavy; low = boilerplate. The real pipeline swaps the
+  unigram table for KenLM scores; the Spark plumbing is identical.
+- ``corpus_stratified_split`` — leakage-free deterministic split:
+  hash each doc_id with the catalog's Knuth multiplicative hash to a
+  uniform, cut at 80/10/10, and report per-(source, split) counts +
+  token mass so stratification skew is visible. The split column is a
+  pure projection — no shuffle — so at 100 TB the split is free and
+  reproducible run-over-run (no rand(), no sampleBy nondeterminism).
+
+Scale stances are in each query's docstring. No reference parity to
+cite: the reference engine (a scraping CLI — SURVEY.md §0) has none of
+these; they belong to the driver-mandated LLM-pipeline surface
+(BASELINE.json "dedup, similarity search, text analysis").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.functions import text as T
+from insurance_helper_spark.operators.similarity import cosine
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+# Shared DuckDB tokenizer snippet (identical to text_queries._TOKS —
+# fixture text is ASCII so [^a-z0-9] matches Spark's \p{L}\p{N} class).
+_TOKS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+# Knuth multiplicative hash → uniform in [0, 1). Integer arithmetic is
+# exact on both engines, so split boundaries are cross-engine decidable.
+_KNUTH_MOD = 4_294_967_296
+_KNUTH_MUL = 2_654_435_761
+
+
+def _knuth_uniform(key):
+    return ((key * F.lit(_KNUTH_MUL)) % F.lit(_KNUTH_MOD)).cast("double") / F.lit(
+        float(_KNUTH_MOD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters — SemDeDup decision list. Scale: the k
+# centroids broadcast (k × dim doubles); assignment is a map-side
+# cross-product per row (no shuffle); the two windows shuffle once on
+# vec_id-sized and cluster-sized keys respectively; the canonical join
+# is a broadcast of k rows. At 100 TB swap the seeded sample for
+# ivf_centroids (distributed Lloyd) — the decision list shape below is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_ORACLE = f"""
+WITH seeds AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings
+    ORDER BY (vec_id * {_KNUTH_MUL}) % {_KNUTH_MOD}, vec_id
+    LIMIT 8
+),
+scored AS (
+    SELECT e.vec_id, s.centroid_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cvec), 4)
+               AS cos_c
+    FROM embeddings e CROSS JOIN seeds s
+),
+ranked AS (
+    SELECT vec_id, centroid_id, cos_c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_c DESC, centroid_id) AS rn
+    FROM scored
+),
+member AS (
+    SELECT vec_id, centroid_id AS cluster_id, cos_c FROM ranked WHERE rn = 1
+),
+canon AS (
+    SELECT cluster_id, vec_id AS canon_id
+    FROM (SELECT cluster_id, vec_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY cos_c DESC, vec_id) AS rn
+          FROM member)
+    WHERE rn = 1
+)
+SELECT m.vec_id,
+       CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       m.vec_id = c.canon_id AS is_canonical,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+           AS cos_to_canon,
+       (m.vec_id = c.canon_id
+        OR round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) < 0.4)
+           AS keep
+FROM member m
+JOIN canon c ON m.cluster_id = c.cluster_id
+JOIN embeddings a ON m.vec_id = a.vec_id
+JOIN embeddings b ON c.canon_id = b.vec_id
+ORDER BY m.vec_id
+"""
+
+
+@register("dedup_semantic_clusters", SEMANTIC_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup decision list: cluster → canonical → cosine prune."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seeds = (
+        emb.orderBy((F.col("vec_id") * _KNUTH_MUL) % _KNUTH_MOD, "vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), F.col("cvec")), 4).alias(
+            "cos_c"
+        ),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+    member = (
+        scored.withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").cast("long").alias("cluster_id"), "cos_c")
+    )
+    w_cluster = Window.partitionBy("cluster_id").orderBy(F.desc("cos_c"), "vec_id")
+    canon = (
+        member.withColumn("rn", F.row_number().over(w_cluster))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("vec_id").alias("canon_id"))
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cos_to_canon = F.round(cosine(F.col("mv"), F.col("cv")), 4)
+    return (
+        member.join(F.broadcast(canon), "cluster_id")
+        .join(vecs.select(F.col("vec_id"), F.col("v").alias("mv")), "vec_id")
+        .join(
+            vecs.select(F.col("vec_id").alias("canon_id"), F.col("v").alias("cv")),
+            "canon_id",
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("vec_id") == F.col("canon_id")).alias("is_canonical"),
+            cos_to_canon.alias("cos_to_canon"),
+            ((F.col("vec_id") == F.col("canon_id")) | (cos_to_canon < 0.4)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_surprisal — per-doc mean token surprisal under the
+# corpus unigram LM. Scale: the unigram table is one explode + one
+# shuffle on term (same key the TF-IDF query uses); scoring re-joins
+# tokens to the model on term — at 100 TB the model is millions of rows,
+# well inside a shuffle join, and the per-doc mean is a partial agg on
+# doc_id. No Python anywhere.
+# ---------------------------------------------------------------------------
+
+SURPRISAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+model AS (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+),
+total AS (SELECT sum(cnt) AS n FROM model)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(model.cnt * 1.0 / total.n)), 4) AS mean_surprisal,
+       round(max(-ln(model.cnt * 1.0 / total.n)), 4) AS max_surprisal
+FROM tok JOIN model USING (term), total
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("text_unigram_surprisal", SURPRISAL_ORACLE)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: mean/max -ln p(token) per document."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    model = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("n"))
+    surprisal = -F.log(F.col("cnt") * 1.0 / F.col("n"))
+    return (
+        tok.join(model, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(surprisal), 4).alias("mean_surprisal"),
+            F.round(F.max(surprisal), 4).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_stratified_split — deterministic 80/10/10 split + per-(source,
+# split) stratification report. Scale: the split label is a shuffle-free
+# projection (integer hash); the report agg shuffles on a tiny
+# (source × 3) key space with map-side partials. Writing the actual
+# split is write.partitionBy('split') downstream of the same column.
+# ---------------------------------------------------------------------------
+
+SPLIT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+         ((doc_id * {_KNUTH_MUL}) % {_KNUTH_MOD}) * 1.0 / {_KNUTH_MOD} AS u
+  FROM documents
+),
+labeled AS (
+  SELECT source,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM t
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM labeled
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("corpus_stratified_split", SPLIT_ORACLE)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split with a per-source stratification report."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    u = _knuth_uniform(F.col("doc_id"))
+    labeled = docs.select(
+        "source",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        labeled.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
