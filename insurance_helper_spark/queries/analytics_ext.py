@@ -641,3 +641,202 @@ def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_segments — classic RFM segmentation: per-customer
+# Recency (days since last order), Frequency (order count), Monetary
+# (total spend), each cut into quartiles by ntile over a deterministic
+# total order (metric, then custkey). Scale: one shuffle on custkey for
+# the per-customer agg; the three ntile windows run over the already-
+# reduced |customers| relation. At 1000 executors the unpartitioned
+# ntile windows single-task — acceptable only because the input is one
+# row per customer; for billions of customers swap ntile for
+# percent-rank cuts (same output, fully parallel).
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o.o_custkey AS custkey,
+         date_diff('day', CAST(max(o.o_orderdate) AS DATE), DATE '1999-01-01')
+             AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders o
+  GROUP BY custkey
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days, custkey) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_quartile
+  FROM per_cust
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary_cents) / 100.0, 2) AS segment_spend
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
+@register("customer_rfm_segments", RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit("1999-01-01").cast("date"), F.to_date(F.max("o_orderdate")))
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "custkey")).alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary_cents") / 100.0, 2).alias("segment_spend"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_abc_classification — ABC/Pareto analysis: rank parts by revenue,
+# classify A (first 80% of cumulative revenue share), B (next 15%),
+# C (tail 5%). Integer-cents revenue keeps the running share exact
+# cross-engine. Scale: per-part agg co-shuffles on partkey; the
+# cumulative window runs over the reduced |parts| relation ordered by
+# revenue — single-partition at fixture SF, range-partitioned sort at
+# scale (the running sum is still one streaming pass).
+# ---------------------------------------------------------------------------
+
+ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  GROUP BY partkey
+),
+cum AS (
+  SELECT partkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_cents,
+         sum(rev_cents) OVER () AS total_cents
+  FROM per_part
+),
+classed AS (
+  SELECT partkey, rev_cents,
+         CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(rev_cents) / 100.0, 2) AS class_revenue
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register("part_abc_classification", ABC_ORACLE)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_cents"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    classed = per_part.select(
+        "partkey",
+        "rev_cents",
+        F.when(
+            F.sum("rev_cents").over(w_cum) * 100 <= F.sum("rev_cents").over(w_all) * 80, "A"
+        )
+        .when(
+            F.sum("rev_cents").over(w_cum) * 100 <= F.sum("rev_cents").over(w_all) * 95, "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev_cents") / 100.0, 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order Markov chain over per-user
+# event-type sequences: P(next_type | type) with transition counts.
+# START pseudo-state marks session entry (first event per user).
+# Scale: one shuffle on user_id for the lag window (streaming frame),
+# then a tiny (|types|+1)² aggregation with map-side partials.
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1, 'START') OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq
+  GROUP BY prev_type, next_type
+),
+totals AS (
+  SELECT prev_type, sum(n) AS row_total FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n * 1.0 / t.row_total, 4) AS p_transition
+FROM counts c JOIN totals t ON c.prev_type = t.prev_type
+ORDER BY c.prev_type, c.next_type
+"""
+
+
+@register("events_markov_transitions", MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 1, "START").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    counts = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w_row), 4).alias("p_transition"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
