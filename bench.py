@@ -64,6 +64,19 @@ HEADLINE = [
     # streaming shapes
     "stream_tumbling_window",
     "stream_session_windows",
+    # round-4 closers: TPC-H completion + curation/analytics batch
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_relationship",
+    "q20_promotion_suppliers",
+    "q21_sole_late_supplier",
+    "dedup_semantic_clusters",
+    "text_unigram_surprisal",
+    "events_locf_gapfill",
+    "part_abc_classification",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "corpus_stratified_split",
 ]
 
 
@@ -107,6 +120,13 @@ R4_WARM = {
     "corpus_pack_sequences": 0.972, "corpus_funnel_report": 3.552,
     "dedup_incremental_ngram_pairs": 1.814, "events_funnel_conversion": 0.751,
     "pii_redact_notes": 1.036,
+    # round-4 additions (isolated min-of-2-warm, sf0.1, local[32])
+    "q2_min_cost_supplier": 1.618, "q11_important_parts": 0.721,
+    "q16_supplier_relationship": 0.916, "q20_promotion_suppliers": 1.047,
+    "q21_sole_late_supplier": 1.708, "dedup_semantic_clusters": 1.389,
+    "text_unigram_surprisal": 0.848, "events_locf_gapfill": 0.768,
+    "part_abc_classification": 0.671, "events_markov_transitions": 0.663,
+    "customer_rfm_segments": 0.579, "corpus_stratified_split": 0.398,
 }
 
 

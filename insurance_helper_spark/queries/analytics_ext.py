@@ -840,3 +840,148 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# basket_pair_lift — market-basket association mining: for part pairs
+# co-occurring in at least 3 orders, support/confidence/lift. Scale:
+# the pair generator is a SELF-EQUI-JOIN on orderkey (never all-pairs
+# across orders); per-order blowup is bounded by order size (~7 lines →
+# ≤21 pairs). Both the pair count and the per-part order counts shuffle
+# on content keys; the part totals relation is |parts|-sized and
+# broadcast back. The n_orders scalar rides a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+WITH order_parts AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM order_parts a
+  JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= 3
+),
+part_counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_part
+  FROM order_parts GROUP BY l_partkey
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem)
+SELECT p.part_a, p.part_b, p.n_both,
+       round(p.n_both * 1.0 / n.n_orders, 6) AS support,
+       round(p.n_both * 1.0 / ca.n_orders_part, 6) AS confidence,
+       round((p.n_both * 1.0 / n.n_orders)
+             / ((ca.n_orders_part * 1.0 / n.n_orders)
+                * (cb.n_orders_part * 1.0 / n.n_orders)), 4) AS lift
+FROM pair_counts p
+JOIN part_counts ca ON p.part_a = ca.l_partkey
+JOIN part_counts cb ON p.part_b = cb.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+@register("basket_pair_lift", BASKET_ORACLE)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    order_parts = li.distinct()
+    a = order_parts.alias("a")
+    b = order_parts.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    part_counts = order_parts.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_part")
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    ca = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_a"),
+                                        F.col("n_orders_part").alias("na")))
+    cb = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_b"),
+                                        F.col("n_orders_part").alias("nb")))
+    nn = float(n_orders)
+    return (
+        pair_counts.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a", "part_b", "n_both",
+            F.round(F.col("n_both") / nn, 6).alias("support"),
+            F.round(F.col("n_both") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") / nn)
+                / ((F.col("na") / nn) * (F.col("nb") / nn)),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_concentration_hhi — Herfindahl–Hirschman index of supplier
+# concentration per part type: sum of squared revenue shares (×10,000,
+# the antitrust convention). Exact integer cents for shares' numerator/
+# denominator; the final ratio rounds to 2. Scale: one fact shuffle on
+# (type, suppkey) via the broadcast part dim, then a tiny per-type
+# reduce.
+# ---------------------------------------------------------------------------
+
+HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, l.l_suppkey
+),
+totals AS (
+  SELECT p_type, sum(rev_cents) AS total_cents FROM per_supp GROUP BY p_type
+)
+SELECT s.p_type,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum((s.rev_cents * 1.0 / t.total_cents)
+                 * (s.rev_cents * 1.0 / t.total_cents)) * 10000, 2) AS hhi
+FROM per_supp s JOIN totals t ON s.p_type = t.p_type
+GROUP BY s.p_type
+ORDER BY s.p_type
+"""
+
+
+@register("supplier_concentration_hhi", HHI_ORACLE)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    per_supp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w_type = Window.partitionBy("p_type")
+    share = F.col("rev_cents") / F.sum("rev_cents").over(w_type)
+    return (
+        per_supp.select("p_type", (share * share).alias("sq_share"))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("sq_share") * 10000, 2).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )

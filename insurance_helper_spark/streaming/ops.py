@@ -222,6 +222,97 @@ def _duration_ms(spec: str) -> int:
     return int(qty) * mult
 
 
+def running_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+    min_history: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the batch ``events_rolling_zscore`` query:
+    per-user online anomaly scoring with Welford running mean/variance
+    state (n, mean, M2 — O(1) per key, no sample buffer).
+
+    Each event is scored against the state accumulated from STRICTLY
+    EARLIER events (trailing semantics, matching the batch twin's
+    trailing frame), then folded into the state. Events inside one
+    microbatch are processed in (ts, event_id) order, so replaying the
+    same files through AvailableNow is deterministic.
+
+    Scale: state is three scalars per user in the state store,
+    partitioned by user across executors; the watermark only gates
+    late data (state never times out — it IS the model). For drifting
+    streams swap Welford for an EWMA fold: same operator shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("zscore", T.DoubleType()),
+            T.StructField("anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out: dict[str, list] = {"event_id": [], "value": [], "zscore": [], "anomaly": []}
+        for pdf in pdf_iter:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
+                v = float(row.value)
+                # Score against history BEFORE folding this event in.
+                sd = (m2 / (n - 1)) ** 0.5 if n >= 2 else 0.0
+                if n >= min_history and sd > 0:
+                    z = (v - mean) / sd
+                    out["zscore"].append(round(z, 4))
+                    out["anomaly"].append(bool(abs(z) > z_threshold))
+                else:
+                    out["zscore"].append(None)
+                    out["anomaly"].append(False)
+                out["event_id"].append(int(row.event_id))
+                out["value"].append(round(v, 4))
+                # Welford fold.
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out["event_id"]),
+                "event_id": out["event_id"],
+                "value": out["value"],
+                "zscore": pd.array(out["zscore"], dtype="float64"),
+                "anomaly": out["anomaly"],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream–static enrichment join: each microbatch joins against the
     (re-evaluated) static relation, broadcast when small — the

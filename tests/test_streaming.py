@@ -391,3 +391,61 @@ class TestLeftOuterIntervalJoin:
         # emits exactly once with a NULL click after watermark passage
         assert (10, 20) in pairs
         assert (11, None) in pairs
+
+
+class TestRunningZscore:
+    def test_state_spans_microbatches_and_flags_outlier(self, spark, tmp_path):
+        d = tmp_path / "z_in"
+        d.mkdir()
+        base = [
+            {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": 1,
+             "event_type": "view", "value": float(1 + (i % 2))}
+            for i in range(1, 7)  # values 2,1,2,1,2,1 — sd > 0, n=6
+        ]
+        write_events_file(d / "b1.json", base)
+        write_events_file(d / "b2.json", [
+            # Scored against batch-1 state only if state survived the
+            # microbatch boundary: mean 1.5, sd ~0.55 → z >> 3.
+            {"event_id": 7, "ts": "2024-01-01T01:00:00", "user_id": 1,
+             "event_type": "view", "value": 100.0},
+            # New user: no history → null zscore, not anomalous.
+            {"event_id": 8, "ts": "2024-01-01T01:00:00", "user_id": 2,
+             "event_type": "view", "value": 100.0},
+        ])
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA,
+                                       max_files_per_trigger=1)
+        out = ops.running_zscore_anomalies(stream, watermark="1 hour")
+        ops.run_to_memory(out, "zscore_sink")
+        rows = {r["event_id"]: r for r in spark.table("zscore_sink").collect()}
+        assert len(rows) == 8
+        # First min_history events of user 1: no score yet.
+        for i in range(1, 6):
+            assert rows[i]["zscore"] is None and rows[i]["anomaly"] is False
+        # Event 6 has 5 prior observations → scored, but in-band.
+        assert rows[6]["zscore"] is not None and rows[6]["anomaly"] is False
+        assert rows[7]["zscore"] is not None and rows[7]["zscore"] > 3.0
+        assert rows[7]["anomaly"] is True
+        assert rows[8]["zscore"] is None and rows[8]["anomaly"] is False
+
+    def test_batch_twin_agrees_on_flagged_ids(self, spark, tmp_path):
+        # The streaming operator and the batch rolling-zscore query use
+        # different history frames (all-history Welford vs trailing-20),
+        # but on a short stable series with one gross outlier both must
+        # flag exactly that event.
+        d = tmp_path / "z_twin"
+        d.mkdir()
+        evs = [
+            {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": 9,
+             "event_type": "view", "value": float(10 + (i % 3))}
+            for i in range(1, 11)
+        ] + [
+            {"event_id": 11, "ts": "2024-01-01T00:30:00", "user_id": 9,
+             "event_type": "view", "value": 500.0},
+        ]
+        write_events_file(d / "all.json", evs)
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA)
+        out = ops.running_zscore_anomalies(stream, watermark="1 hour")
+        ops.run_to_memory(out, "zscore_twin_sink")
+        flagged = {r["event_id"] for r in spark.table("zscore_twin_sink")
+                   .filter("anomaly").collect()}
+        assert flagged == {11}
