@@ -268,3 +268,101 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — corpus health diagnostic: least-squares fit of the
+# log-log rank-frequency curve (Zipf's law; natural text slopes ≈ −1,
+# boilerplate-heavy or synthetic corpora drift off). Exercises the
+# regr_* bivariate-regression aggregate family (slope/intercept/r²) the
+# plain corr/covar stats row doesn't. Scale: the term table is one
+# explode + one shuffle; the global rank window runs over the reduced
+# |vocab| relation (top-500 cap) and the regression is a single-pass
+# aggregate with map-side partials.
+# ---------------------------------------------------------------------------
+
+ZIPF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                      THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tok AS (SELECT unnest(toks) AS term FROM t),
+model AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM model
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rnk)), 4) AS fit_r2
+FROM ranked
+WHERE rnk <= 500
+"""
+
+
+@register("text_zipf_fit", ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency regression over the top-500 vocabulary."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+    model = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    ranked = model.select(
+        "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rnk")
+    ).filter(F.col("rnk") <= 500)
+    ln_cnt, ln_rnk = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(ln_cnt, ln_rnk), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_cnt, ln_rnk), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_cnt, ln_rnk), 4).alias("fit_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_percentile_bounds — approx_percentile with an oracle-
+# checkable rank bound (same contract pattern as
+# agg_approx_distinct_bounds): the sketch's median must sit within
+# ±5% of the true rank, verified Spark-side against real counts; the
+# oracle recomputes the exact count and pins the boolean TRUE. At
+# 100 TB the KLL/GK sketch replaces exact percentiles that would sort
+# every group; the bound is the contract the swap relies on.
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS rank_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_percentile_bounds", APPROX_PCT_ORACLE)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("approx_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    # Rank-check the sketch output against the real data distribution.
+    joined = li.join(F.broadcast(approx), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.sum((F.col("l_extendedprice") <= F.col("approx_p50")).cast("long")).alias(
+                "__cnt_le"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("__cnt_le") - 0.5 * F.col("n_rows"))
+                <= 0.05 * F.col("n_rows") + 1
+            ).alias("rank_within_bounds"),
+        )
+        .orderBy("l_returnflag")
+    )
