@@ -366,3 +366,75 @@ def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_orders_expectations — declarative constraint suite over orders
+# (sources/quality.py): uniqueness, not-null, referential integrity,
+# range, accepted values, regex shape. The range rule is deliberately
+# violated by the fixture (totalprice reaches ~500k) so the report
+# exercises both outcomes. Scale: row-local rules fuse into ONE scan;
+# uniqueness adds one orderkey shuffle; the FK anti join broadcasts the
+# customer key set.
+# ---------------------------------------------------------------------------
+
+DQ_ORDERS_ORACLE = """
+WITH r AS (
+  SELECT 'o_custkey_fk' AS rule,
+         CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+  UNION ALL
+  SELECT 'o_custkey_not_null',
+         CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+  UNION ALL
+  SELECT 'o_orderkey_unique',
+         CAST((SELECT coalesce(sum(n - 1), 0) FROM
+               (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'o_orderpriority_accepted',
+         CAST((SELECT count(*) FROM orders
+               WHERE o_orderpriority IS NULL OR o_orderpriority NOT IN
+                 ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS BIGINT)
+  UNION ALL
+  SELECT 'o_orderpriority_matches',
+         CAST((SELECT count(*) FROM orders
+               WHERE o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+  UNION ALL
+  SELECT 'o_totalprice_range',
+         CAST((SELECT count(*) FROM orders
+               WHERE o_totalprice IS NULL OR o_totalprice < 0
+                  OR o_totalprice > 100000) AS BIGINT)
+)
+SELECT rule, n_violations, n_violations = 0 AS passed
+FROM r ORDER BY rule
+"""
+
+
+@register("dq_orders_expectations", DQ_ORDERS_ORACLE)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over orders (one scan + FK/unique)."""
+    from insurance_helper_spark.sources import quality as Q
+
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    customer = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    rules = [
+        Q.unique(["o_orderkey"], "o_orderkey_unique"),
+        Q.not_null("o_custkey", "o_custkey_not_null"),
+        Q.foreign_key("o_custkey", customer, "c_custkey", "o_custkey_fk"),
+        Q.in_range("o_totalprice", 0, 100000, "o_totalprice_range"),
+        Q.accepted_values(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            "o_orderpriority_accepted",
+        ),
+        Q.matches("o_orderpriority", "^[1-5]-", "o_orderpriority_matches"),
+    ]
+    return Q.run_expectations(orders, rules)
