@@ -438,3 +438,73 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.matches("o_orderpriority", "^[1-5]-", "o_orderpriority_matches"),
     ]
     return Q.run_expectations(orders, rules)
+
+
+# ---------------------------------------------------------------------------
+# scd2_customer_versions — SCD Type-2 temporal merge (operators/scd.py)
+# driven from the fixtures: the seeded customer dimension (everyone
+# 'LOW' activity since 1990) takes one update batch derived from
+# orders (5+ orders → 'HIGH', effective at the customer's latest order
+# date). Customers whose derived band equals the seed are NO-OP updates
+# (no spurious version); changed customers get their current row closed
+# plus a new current version. Scale: one key shuffle per side, then
+# row-local branching — history rows pass through untouched.
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH seed AS (
+  SELECT c_custkey, 'LOW' AS band,
+         DATE '1990-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN count(*) >= 5 THEN 'HIGH' ELSE 'LOW' END AS band,
+         CAST(max(o_orderdate) AS DATE) AS eff
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT s.c_custkey, s.band, s.valid_from, s.valid_to, s.is_current,
+         u.band AS u_band, u.eff
+  FROM seed s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
+)
+SELECT c_custkey, band, valid_from,
+       coalesce(valid_to, DATE '9999-12-31') AS valid_to, is_current
+FROM joined WHERE eff IS NULL OR u_band = band
+UNION ALL
+SELECT c_custkey, band, valid_from, eff, FALSE FROM joined
+WHERE eff IS NOT NULL AND u_band <> band
+UNION ALL
+SELECT c_custkey, u_band, eff, DATE '9999-12-31', TRUE FROM joined
+WHERE eff IS NOT NULL AND u_band <> band
+ORDER BY c_custkey, valid_from, is_current
+"""
+
+
+@register("scd2_customer_versions", SCD2_ORACLE)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of an orders-derived update batch into customers."""
+    from insurance_helper_spark.operators.scd import scd2_merge
+
+    customer = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    dim = customer.select(
+        "c_custkey",
+        F.lit("LOW").alias("band"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.when(F.count("*") >= 5, "HIGH").otherwise("LOW").alias("band"),
+        F.to_date(F.max("o_orderdate")).alias("effective_date"),
+    )
+    merged = scd2_merge(dim, updates, key="c_custkey", tracked=["band"])
+    # Open-ended validity presented as the 9999-12-31 sentinel (null
+    # dates hash as NaT-vs-None across engines; the sentinel is also
+    # the usual warehouse convention for range-predicate friendliness).
+    return merged.withColumn(
+        "valid_to", F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date"))
+    ).orderBy("c_custkey", "valid_from", "is_current")
