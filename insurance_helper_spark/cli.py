@@ -372,6 +372,60 @@ def _cmd_analyze(args, spark, out) -> int:
     return 0
 
 
+def _cmd_curate(args, spark, out) -> int:
+    """End-to-end corpus curation: quality gates → exact fingerprint
+    dedup → deterministic stratified split → partitioned parquet write,
+    with a per-stage funnel report. Composes the catalog's verified
+    stages (corpus_quality_filter gates, fingerprint_dedup, the Knuth
+    split) into the one command a corpus build actually runs. Scale:
+    gates are shuffle-free projections; dedup is one fingerprint
+    shuffle; the split is a free projection feeding
+    ``write.partitionBy('split')``."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions import text as T
+    from insurance_helper_spark.operators.dedup import fingerprint_dedup
+    from insurance_helper_spark.queries.curation_queries import _knuth_uniform
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    staged = docs.withColumn("__toks", T.tokens(F.col("text"))).select(
+        "*",
+        F.size("__toks").alias("__n_tokens"),
+        T.mean_word_length_of(F.col("__toks")).alias("__mwl"),
+        T.punct_ratio(F.col("text")).alias("__punct"),
+        T.stopword_ratio_of(F.col("__toks")).alias("__stop"),
+    )
+    gated = staged.filter(
+        (F.col("__n_tokens") >= args.min_tokens)
+        & (F.col("__mwl") >= 3.0) & (F.col("__mwl") <= 10.0)
+        & (F.col("__punct") <= 0.1)
+        & (F.col("__stop") >= 0.03)
+    ).drop("__toks", "__n_tokens", "__mwl", "__punct", "__stop")
+    n_gated = gated.count()
+
+    deduped = fingerprint_dedup(gated, "text", "doc_id")
+    n_unique = deduped.count()
+
+    u = _knuth_uniform(F.col("doc_id"))
+    labeled = deduped.withColumn(
+        "split",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+    )
+    labeled.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    by_split = {r["split"]: r["n"] for r in
+                labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    out(f"raw: {n_raw}")
+    out(f"quality-gated: {n_gated} ({n_raw - n_gated} dropped)")
+    out(f"exact-unique: {n_unique} ({n_gated - n_unique} duplicates)")
+    for split in ("train", "val", "test"):
+        out(f"{split}: {by_split.get(split, 0)}")
+    out(f"written: {args.output} (partitioned by split)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="insurance-helper-spark",
@@ -432,6 +486,13 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("filesystem", "object", "both"))
     dl.add_argument("--base-url", default="https://irdai.gov.in", dest="base_url")
 
+    cu = sub.add_parser(
+        "curate", help="Corpus curation: gates -> dedup -> split -> parquet"
+    )
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
+    cu.add_argument("--output", "-o", default="data/corpus")
+    cu.add_argument("--min-tokens", type=int, default=30, dest="min_tokens")
+
     an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")
     an.add_argument("--table", "-t", default="all")
     an.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
@@ -462,6 +523,8 @@ def main(
         return _cmd_query(args, spark, out)
     if args.command == "analyze":
         return _cmd_analyze(args, spark, out)
+    if args.command == "curate":
+        return _cmd_curate(args, spark, out)
     if args.command == "delta":
         return _cmd_delta(args, spark, out, fetcher, downloader)
     return 2

@@ -330,3 +330,39 @@ class TestExplain:
         assert rc == 0
         assert "Physical Plan" in out and "Scan parquet" in out
         assert "PushedFilters" in out
+
+
+class TestCurate:
+    def test_curate_end_to_end(self, spark, tmp_path):
+        out_dir = str(tmp_path / "corpus")
+        rc, text = run(spark, [
+            "curate", "--sf-dir", "/root/testdata/sf0.001",
+            "--output", out_dir, "--min-tokens", "10",
+        ])
+        assert rc == 0
+        lines = dict(
+            l.split(": ", 1) for l in text.splitlines() if ": " in l
+        )
+        n_raw = int(lines["raw"])
+        n_gated = int(lines["quality-gated"].split(" ")[0])
+        n_unique = int(lines["exact-unique"].split(" ")[0])
+        assert n_raw >= n_gated >= n_unique > 0
+        splits = {k: int(lines[k]) for k in ("train", "val", "test")}
+        assert sum(splits.values()) == n_unique
+        assert splits["train"] > splits["val"]
+        # Partitioned layout is real and re-readable, split column intact.
+        back = spark.read.parquet(out_dir)
+        assert back.count() == n_unique
+        assert set(r["split"] for r in back.select("split").distinct().collect()) <= {
+            "train", "val", "test"
+        }
+
+    def test_curate_deterministic(self, spark, tmp_path):
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        for out_dir in (a, b):
+            rc, _ = run(spark, ["curate", "--sf-dir", "/root/testdata/sf0.001",
+                                "--output", out_dir, "--min-tokens", "10"])
+            assert rc == 0
+        ida = sorted(r.doc_id for r in spark.read.parquet(a).select("doc_id").collect())
+        idb = sorted(r.doc_id for r in spark.read.parquet(b).select("doc_id").collect())
+        assert ida == idb
