@@ -508,3 +508,54 @@ def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn(
         "valid_to", F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date"))
     ).orderBy("c_custkey", "valid_from", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_mergeable_daily — the incremental-distinct story at scale:
+# per-day Datasketches HLL sketches of active users (hll_sketch_agg),
+# merged with hll_union_agg into a weekly estimate WITHOUT touching
+# row data again — the mergeable-state pattern a 100 TB daily-ingest
+# pipeline persists instead of raw IDs. The estimate is engine-
+# specific, so the oracle pins the EXACT monthly distinct count and a
+# TRUE error-bound boolean (same contract pattern as the approx-
+# distinct/percentile rows); Spark computes the bound against its own
+# exact count. Scale: each day's sketch is a few KB; the union is a
+# |days|-row reduce.
+# ---------------------------------------------------------------------------
+
+HLL_DAILY_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY week
+)
+SELECT CAST(week AS DATE) AS week, n_exact, TRUE AS within_bounds
+FROM weekly ORDER BY week
+"""
+
+
+@register("agg_hll_mergeable_daily", HLL_DAILY_ORACLE)
+def agg_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches union-merged to weeks, bound-checked."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "user_id"])
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_approx")
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "week")
+        .select(
+            F.to_date("week").alias("week"),
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact") < 0.05
+            ).alias("within_bounds"),
+        )
+        .orderBy("week")
+    )
