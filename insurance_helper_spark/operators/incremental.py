@@ -120,3 +120,41 @@ def run_delta_pipeline(
     """
     new_rows = delta_new_rows(snapshot, existing, key)
     return act(new_rows) if act else new_rows
+
+
+def aggregate_partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Map a batch to its mergeable per-key partial aggregate:
+    (count, sum, min, max). One shuffle on the key; the partial row is
+    O(1) per key regardless of batch size."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("p_count"),
+        F.sum(value_col).alias("p_sum"),
+        F.min(value_col).alias("p_min"),
+        F.max(value_col).alias("p_max"),
+    )
+
+
+def merge_aggregate_partials(state: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a new batch's partials into the maintained aggregate table.
+
+    The batch twin of the streaming continuous-rollup derivation: the
+    maintained table is (count, sum, min, max) per key — all MERGEABLE
+    statistics (avg/variance derive downstream), so daily maintenance
+    unions two |keys|-sized relations and re-reduces WITHOUT touching
+    historical raw rows. Algebraically: merge(partial(A), partial(B)) ==
+    partial(A ∪ B) — the catalog query's oracle checks exactly that
+    identity against a direct aggregation of the union.
+
+    Scale: both sides are already per-key partials; the merge is one
+    co-partitioned shuffle on the key, independent of raw-data volume.
+    """
+    return (
+        state.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("p_count").alias("p_count"),
+            F.sum("p_sum").alias("p_sum"),
+            F.min("p_min").alias("p_min"),
+            F.max("p_max").alias("p_max"),
+        )
+    )

@@ -559,3 +559,63 @@ def agg_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_maintenance — the batch mergeable-state identity:
+# maintain a per-customer order-spend aggregate across two "daily"
+# batches (orders split at 1996-01-01) by merging partials, and present
+# the maintained table. The oracle aggregates the raw union directly —
+# value-hash equality IS the merge(partial(A), partial(B)) ==
+# partial(A ∪ B) identity the maintenance pattern relies on. Scale:
+# each batch reduces to |keys| partial rows before the merge; history
+# raw rows are never re-read.
+# ---------------------------------------------------------------------------
+
+INCR_AGG_ORACLE = """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(cents) / 100.0, 2) AS total_spend,
+       round(min(cents) / 100.0, 2) AS min_spend,
+       round(max(cents) / 100.0, 2) AS max_spend,
+       ((2 * sum(cents) + count(*)) // (2 * count(*))) / 100.0 AS avg_spend
+FROM c
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("incremental_agg_maintenance", INCR_AGG_ORACLE)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch partial-merge maintenance vs direct-aggregate oracle."""
+    from insurance_helper_spark.operators.incremental import (
+        aggregate_partials,
+        merge_aggregate_partials,
+    )
+
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    batch1 = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    batch2 = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    state = aggregate_partials(batch1, ["o_custkey"], "cents")
+    merged = merge_aggregate_partials(
+        state, aggregate_partials(batch2, ["o_custkey"], "cents"), ["o_custkey"]
+    )
+    # Integer-cents partials make the merge identity exact: long sums
+    # are order-independent, so merge == direct-aggregate to the bit.
+    return merged.select(
+        "o_custkey",
+        F.col("p_count").alias("n_orders"),
+        F.round(F.col("p_sum") / 100.0, 2).alias("total_spend"),
+        F.round(F.col("p_min") / 100.0, 2).alias("min_spend"),
+        F.round(F.col("p_max") / 100.0, 2).alias("max_spend"),
+        # Half-up integer division keeps the derived average exact in
+        # cents — round(double) tie semantics differ across engines.
+        (F.expr("(2 * p_sum + p_count) div (2 * p_count)") / 100.0).alias("avg_spend"),
+    ).orderBy("o_custkey")

@@ -172,3 +172,27 @@ def test_embedding_lsh_planted_near_dups(spark):
     # every reported pair is cosine-verified, so no false ≥0.9 pairs
     extra = got - planted
     assert len(extra) <= 2, extra  # random ≥0.9 collisions are near-impossible
+
+
+def test_merge_partials_identity(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) bit-exactly for
+    the mergeable statistics (count/sum/min/max over longs)."""
+    from insurance_helper_spark.operators.incremental import (
+        aggregate_partials,
+        merge_aggregate_partials,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 37).alias("k"),
+        ((F.col("id") * 7919) % 1000).alias("v"),
+    )
+    a = df.filter(F.col("id") < 6_000)
+    b = df.filter(F.col("id") >= 6_000)
+    merged = merge_aggregate_partials(
+        aggregate_partials(a, ["k"], "v"),
+        aggregate_partials(b, ["k"], "v"),
+        ["k"],
+    )
+    direct = aggregate_partials(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
