@@ -619,3 +619,106 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cents — round(double) tie semantics differ across engines.
         (F.expr("(2 * p_sum + p_count) div (2 * p_count)") / 100.0).alias("avg_spend"),
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# crosslingual_margin_pairs — bitext-mining candidate pairs (Artetxe &
+# Schwenk 2019 margin scoring, the CCMatrix/LASER shape): for each
+# non-English document, the best English match by RATIO MARGIN —
+# cos(x,y) normalized by the mean of both directions' top-4 neighbor
+# similarities — which suppresses hubs that plain cosine top-1 mines.
+# Fixture-exact twin: the full non-en × en pair grid (oracle-checkable);
+# at 100 TB the grid is replaced by the SRP-bucketed candidate join
+# (dedup_embedding_cosine_lsh's plan) feeding the SAME margin windows.
+# Scale stance for the windows: both are per-doc-id partitions over the
+# candidate relation — one shuffle each side.
+# ---------------------------------------------------------------------------
+
+CROSSLINGUAL_ORACLE = """
+WITH v AS (
+  SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+src AS (SELECT doc_id AS x_id, lang AS x_lang, vec FROM v WHERE lang <> 'en'),
+tgt AS (SELECT doc_id AS y_id, vec FROM v WHERE lang = 'en'),
+grid AS (
+  SELECT s.x_id, s.x_lang, t.y_id,
+         round(list_cosine_similarity(s.vec, t.vec), 4) AS cos_sim
+  FROM src s CROSS JOIN tgt t
+),
+fwd AS (
+  SELECT x_id, avg(cos_sim) AS favg FROM (
+    SELECT x_id, cos_sim,
+           row_number() OVER (PARTITION BY x_id ORDER BY cos_sim DESC, y_id) AS rn
+    FROM grid) WHERE rn <= 4 GROUP BY x_id
+),
+bwd AS (
+  SELECT y_id, avg(cos_sim) AS bavg FROM (
+    SELECT y_id, cos_sim,
+           row_number() OVER (PARTITION BY y_id ORDER BY cos_sim DESC, x_id) AS rn
+    FROM grid) WHERE rn <= 4 GROUP BY y_id
+),
+scored AS (
+  SELECT g.x_id, g.x_lang, g.y_id,
+         round(2 * g.cos_sim / (f.favg + b.bavg), 4) AS margin
+  FROM grid g JOIN fwd f ON g.x_id = f.x_id JOIN bwd b ON g.y_id = b.y_id
+),
+best AS (
+  SELECT x_id, x_lang, y_id, margin,
+         row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rn
+  FROM scored
+)
+SELECT x_id, x_lang, y_id AS en_doc_id, margin
+FROM best WHERE rn = 1 AND margin > 1.0
+ORDER BY x_id
+"""
+
+
+@register("crosslingual_margin_pairs", CROSSLINGUAL_ORACLE)
+def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored best-English-match per non-English document."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    v = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    src = v.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"),
+        F.col("vec").alias("x_vec"),
+    )
+    tgt = v.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("y_id"), F.col("vec").alias("y_vec")
+    )
+    grid = src.crossJoin(F.broadcast(tgt)).select(
+        "x_id", "x_lang", "y_id",
+        F.round(cosine(F.col("x_vec"), F.col("y_vec")), 4).alias("cos_sim"),
+    )
+    w_fwd = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"), "y_id")
+    fwd = (
+        grid.withColumn("rn", F.row_number().over(w_fwd))
+        .filter(F.col("rn") <= 4)
+        .groupBy("x_id")
+        .agg(F.avg("cos_sim").alias("favg"))
+    )
+    w_bwd = Window.partitionBy("y_id").orderBy(F.desc("cos_sim"), "x_id")
+    bwd = (
+        grid.withColumn("rn", F.row_number().over(w_bwd))
+        .filter(F.col("rn") <= 4)
+        .groupBy("y_id")
+        .agg(F.avg("cos_sim").alias("bavg"))
+    )
+    scored = (
+        grid.join(fwd, "x_id")
+        .join(F.broadcast(bwd), "y_id")
+        .select(
+            "x_id", "x_lang", "y_id",
+            F.round(2 * F.col("cos_sim") / (F.col("favg") + F.col("bavg")), 4).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("margin") > 1.0))
+        .select("x_id", "x_lang", F.col("y_id").alias("en_doc_id"), "margin")
+        .orderBy("x_id")
+    )
