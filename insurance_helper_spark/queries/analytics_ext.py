@@ -1040,3 +1040,126 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_longest_streak — gaps-and-islands: longest run of CONSECUTIVE
+# active days per user. The classic date-minus-dense_rank trick: within
+# a user, consecutive days share (day - rank_of_day), so the island id
+# is a pure expression and the answer is two aggregations away. Scale:
+# everything partitions on user_id — one shuffle, streaming windows,
+# tiny final reduce.
+# ---------------------------------------------------------------------------
+
+STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+             AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island,
+         CAST(count(*) AS BIGINT) AS run_len,
+         min(day) AS run_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, run_len AS longest_streak, run_start AS streak_start
+FROM (
+  SELECT user_id, run_len, run_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, run_start) AS rn
+  FROM runs
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("events_longest_streak", STREAK_ORACLE)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len"), F.min("day").alias("run_start")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(F.desc("run_len"), "run_start")
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("run_len").alias("longest_streak"),
+            F.col("run_start").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# basket_triangle_count — triangle enumeration over the co-purchase
+# graph (edge = part pair co-occurring in ≥ 2 orders): the edge-
+# iterator join E⋈E⋈E with the a<b<c canonical orientation, so each
+# triangle is produced exactly once. Scale: the graph is |parts|-sized
+# (already reduced from the fact); orienting edges low→high bounds the
+# join fan-out by the max out-degree of the degree-ordered DAG — the
+# standard distributed triangle-counting trick (Suri & Vassilvitskii,
+# WWW 2011).
+# ---------------------------------------------------------------------------
+
+TRIANGLE_ORACLE = """
+WITH order_parts AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM order_parts a
+  JOIN order_parts b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(*) >= 2
+),
+triangles AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+FROM triangles
+"""
+
+
+@register("basket_triangle_count", TRIANGLE_ORACLE)
+def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    order_parts = li.distinct()
+    a = order_parts.alias("a")
+    b = order_parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = edges.select(F.col("u").alias("t_b"), F.col("v").alias("t_c"))
+    e3 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_c"))
+    triangles = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"], "left_semi")
+    n_edges = edges.count()
+    return triangles.agg(
+        F.count("*").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
