@@ -1163,3 +1163,131 @@ def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_time_weighted_avg — TWAP (TimescaleDB time_weight shape): the
+# piecewise-constant integral of each user's value over their active
+# span, divided by the span — weights are whole seconds until the next
+# event (exact integer arithmetic; the last event closes the span with
+# weight 0 and is excluded from both sides). Scale: one user shuffle;
+# lead() is a streaming window; the integral is a map-side partial sum.
+# ---------------------------------------------------------------------------
+
+TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - epoch_us(ts) AS dur_us
+  FROM events
+),
+weighted AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) * dur_us AS wv_cents_us,
+         dur_us
+  FROM seq WHERE dur_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(dur_us) AS BIGINT) AS active_us,
+       ((2 * sum(wv_cents_us) + sum(dur_us)) // (2 * sum(dur_us))) / 100.0 AS twap
+FROM weighted
+GROUP BY user_id
+HAVING sum(dur_us) > 0
+ORDER BY user_id
+"""
+
+
+@register("events_time_weighted_avg", TWAP_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions.dates import epoch_us
+
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    us = epoch_us(F.col("ts"), ntz=_is_ntz(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond durations: integer-exact on both engines (truncating
+    # to seconds FIRST floors each endpoint differently than flooring
+    # the difference — measured off-by-4th-decimal vs DuckDB epoch()).
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    weighted = seq.select(
+        "user_id",
+        (F.round(F.col("value") * 100).cast("long") * F.col("dur_us")).alias("wv_cents_us"),
+        "dur_us",
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.sum("dur_us").alias("active_us"), F.sum("wv_cents_us").alias("__wv"))
+        .filter(F.col("active_us") > 0)
+        .select(
+            "user_id",
+            "active_us",
+            # Half-up integer division at cents precision: exact on
+            # both engines (round(double) tie semantics differ), and
+            # the 2*sum keeps ~100x headroom below int64 overflow at
+            # any SF (the integral is ~avg_cents x span_us, SF-free).
+            (
+                F.expr("(2 * __wv + active_us) div (2 * active_us)") / 100.0
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_mad_outliers — robust dispersion per event type: exact median,
+# median absolute deviation, and the count of |x − med| > 3·1.4826·MAD
+# outliers (the Hampel filter the z-score breaks on heavy tails).
+# Scale: two ordered-statistic passes over the same event_type
+# partitioning — exact medians need a sort per key either way; swap in
+# approx_percentile at the 100 TB tier (bounds-contract per
+# agg_approx_percentile_bounds).
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(max(d.med), 4) AS median_value,
+       round(max(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("events_mad_outliers", MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    med = ev.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
