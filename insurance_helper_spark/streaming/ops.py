@@ -515,3 +515,95 @@ def hourly_from_minute_partials(spark, minute_dir: str) -> DataFrame:
         )
         .orderBy("bucket_hour", "event_type")
     )
+
+
+def trending_terms_stream(
+    spark,
+    input_dir: str,
+    counts_dir: str,
+    trending_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    top_k: int = 10,
+    smoothing: int = 5,
+) -> None:
+    """Streaming trending-terms detector: each micro-batch's term
+    counts are scored against the MAINTAINED historical vocabulary
+    (burst ratio = batch_count / (historical_count + smoothing)), the
+    per-batch top-k snapshot is appended to ``trending_dir``, and the
+    batch counts are merged into the cumulative counts table — the
+    mergeable-partials pattern (operators/incremental) driven from
+    foreachBatch, Trigger.AvailableNow.
+
+    foreachBatch rather than a stateful operator for the same reason as
+    corpus_ingest_stream: the vocabulary table must be queryable by
+    batch jobs and survives restarts as plain parquet. Scale: the
+    vocabulary is |terms|-sized (millions of rows at web scale — a
+    normal shuffle join against the batch delta); the trending window
+    is a top-k over the DELTA's vocabulary only.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions import text as T
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        batch_counts = (
+            batch_df.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("batch_cnt"))
+        )
+        try:
+            hist = spark_b.read.parquet(counts_dir)
+        except Exception:
+            hist = None  # first batch: empty vocabulary
+        if hist is not None:
+            scored = batch_counts.join(hist, "term", "left").withColumn(
+                "hist_cnt", F.coalesce(F.col("cnt"), F.lit(0))
+            )
+        else:
+            scored = batch_counts.withColumn("hist_cnt", F.lit(0))
+        scored = scored.select(
+            "term",
+            "batch_cnt",
+            "hist_cnt",
+            F.round(
+                F.col("batch_cnt") / (F.col("hist_cnt") + F.lit(smoothing)), 4
+            ).alias("burst"),
+        )
+        top = (
+            scored.withColumn(
+                "rank",
+                F.row_number().over(W.orderBy(F.desc("burst"), F.desc("batch_cnt"), "term")),
+            )
+            .filter(F.col("rank") <= top_k)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        top = top.localCheckpoint(eager=True)  # snapshot before the counts rewrite
+        top.write.mode("append").parquet(trending_dir)
+        merged = (
+            batch_counts.select("term", F.col("batch_cnt").alias("cnt"))
+            if hist is None
+            else hist.unionByName(
+                batch_counts.select("term", F.col("batch_cnt").alias("cnt"))
+            )
+            .groupBy("term")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # Overwrite-rewrite of the |vocab| table; localCheckpoint cuts
+        # the read-then-overwrite cycle on the same path.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(counts_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -449,3 +449,62 @@ class TestRunningZscore:
         flagged = {r["event_id"] for r in spark.table("zscore_twin_sink")
                    .filter("anomaly").collect()}
         assert flagged == {11}
+
+
+class TestTrendingTerms:
+    def test_burst_detection_across_batches(self, spark, tmp_path):
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in"
+        in_dir.mkdir()
+        base_text = "the quick brown fox jumps over the lazy dog " * 3
+        # Batch 1: baseline vocabulary. Batch 2: "solareclipse" bursts.
+        pd.DataFrame({
+            "doc_id": [1, 2], "text": [base_text, base_text],
+            "lang": ["en", "en"], "source": ["s", "s"],
+            "n_chars": [len(base_text)] * 2,
+        }).to_parquet(in_dir / "b1.parquet")
+        burst_text = "solareclipse " * 8 + base_text
+        pd.DataFrame({
+            "doc_id": [3], "text": [burst_text], "lang": ["en"],
+            "source": ["s"], "n_chars": [len(burst_text)],
+        }).to_parquet(in_dir / "b2.parquet")
+
+        counts_dir = str(tmp_path / "counts")
+        trending_dir = str(tmp_path / "trending")
+        ops.trending_terms_stream(
+            spark, str(in_dir), counts_dir, trending_dir,
+            str(tmp_path / "ckpt"), top_k=3,
+        )
+
+        trending = spark.read.parquet(trending_dir)
+        batches = sorted(
+            r.batch_id for r in trending.select("batch_id").distinct().collect()
+        )
+        assert len(batches) == 2
+        # In the second batch the burst term ranks first: 8 occurrences
+        # against zero history beats every baseline word (history >= 6).
+        second = {r.rank: r for r in trending.filter(
+            trending.batch_id == batches[1]).collect()}
+        assert second[1].term == "solareclipse"
+        assert second[1].hist_cnt == 0 and second[1].batch_cnt == 8
+        # Cumulative counts table merged both batches exactly.
+        counts = {r.term: r.cnt for r in spark.read.parquet(counts_dir).collect()}
+        assert counts["solareclipse"] == 8
+        assert counts["the"] == 6 * 2 + 6  # 6 per doc x 3 docs
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in2"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        args = (spark, str(in_dir), str(tmp_path / "c"), str(tmp_path / "t"),
+                str(tmp_path / "k"))
+        ops.trending_terms_stream(*args)
+        ops.trending_terms_stream(*args)  # checkpoint: second drain is a no-op
+        counts = {r.term: r.cnt for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+        assert counts == {"alpha": 2, "beta": 1, "gamma": 1}
