@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LISTING_SCHEMA = (
     "page_file string, page int, row_index int, row_class string, "
@@ -86,6 +91,65 @@ class ListingPagesReader(DataSourceReader):
             )
 
 
+class ListingPagesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: new HTML snapshots landing in the directory
+    become micro-batches — the crawl-drop-folder as a stream source.
+
+    Offsets are ``{"files": "<\\n-joined sorted seen filenames>"}``:
+    deterministic, replayable (``readBetweenOffsets`` re-derives any
+    batch from its two offsets — the exactly-once replay contract of
+    the simple stream-reader API), and independent of mtime races.
+    The simple API reads on the DRIVER, which fits: one listing page
+    is a few hundred rows; per-executor parallelism belongs to the
+    batch reader above.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("listing_pages requires .option('path', <dir>)")
+
+    def _current_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith((".html", ".htm"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": ""}
+
+    def _rows_for(self, filenames: list[str]):
+        from insurance_helper_spark.sources.html_parse import parse_listing_page
+
+        for fname in filenames:
+            full = os.path.join(self.path, fname)
+            try:
+                with open(full, encoding="utf-8", errors="replace") as f:
+                    html = f.read()
+            except OSError:
+                continue  # deleted between listing and read: skip
+            page = _page_number(fname)
+            for r in parse_listing_page(html, page):
+                yield (
+                    fname, r["page"], r["row_index"], r["row_class"],
+                    r["cells"], r["link_url"], r["link_text"], r["parse_error"],
+                )
+
+    def read(self, start: dict):
+        seen = set(start.get("files", "").split("\n")) - {""}
+        now = self._current_files()
+        new = [f for f in now if f not in seen]
+        end = {"files": "\n".join(sorted(seen | set(new)))}
+        # iter(list(...)): the simple-reader API needs an ITERATOR it
+        # can pickle for executor-side replay — a generator can't be
+        # pickled, a bare list isn't an iterator.
+        return iter(list(self._rows_for(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", "").split("\n")) - {""}
+        upto = set(end.get("files", "").split("\n")) - {""}
+        return iter(list(self._rows_for(sorted(upto - seen))))
+
+
 class ListingPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,6 +160,9 @@ class ListingPagesDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ListingPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return ListingPagesStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -62,3 +62,38 @@ def test_missing_path_option_raises(spark, snapshot_dir):
     datasource.register(spark)
     with pytest.raises(Exception):
         spark.read.format("listing_pages").load().collect()
+
+
+def test_stream_reader_incremental_batches(spark, snapshot_dir, tmp_path):
+    datasource.register(spark)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("listing_pages")
+            .option("path", str(snapshot_dir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    first = drain()
+    n_initial = len(first)
+    assert n_initial == len(NONLIFE_ROWS) + 1 + 1  # page1 + page2 + error row
+    # A new snapshot arrives: only IT is read on the next drain.
+    (snapshot_dir / "page_9.html").write_text(
+        make_listing_html(NONLIFE_ROWS[:2], total=120)
+    )
+    second = drain()
+    assert len(second) == n_initial + 2
+    new_rows = [r for r in second if r.page_file == "page_9.html"]
+    assert len(new_rows) == 2 and all(r.page == 9 for r in new_rows)
+    # Idle rerun appends nothing (checkpointed offsets).
+    assert len(drain()) == len(second)
