@@ -385,7 +385,7 @@ def _cmd_curate(args, spark, out) -> int:
 
     from insurance_helper_spark.functions import text as T
     from insurance_helper_spark.operators.dedup import fingerprint_dedup
-    from insurance_helper_spark.queries.curation_queries import _knuth_uniform
+    from insurance_helper_spark.functions.hashing import knuth_uniform as _knuth_uniform
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_raw = docs.count()
@@ -403,10 +403,13 @@ def _cmd_curate(args, spark, out) -> int:
         & (F.col("__punct") <= 0.1)
         & (F.col("__stop") >= 0.03)
     ).drop("__toks", "__n_tokens", "__mwl", "__punct", "__stop")
+    # Persist the gated relation: the gate metrics (regex tokenize x4)
+    # feed the count, the dedup, AND the write — without the persist
+    # each action recomputes them from the scan.
+    gated = gated.persist()
     n_gated = gated.count()
 
     deduped = fingerprint_dedup(gated, "text", "doc_id")
-    n_unique = deduped.count()
 
     u = _knuth_uniform(F.col("doc_id"))
     labeled = deduped.withColumn(
@@ -414,8 +417,13 @@ def _cmd_curate(args, spark, out) -> int:
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
     )
     labeled.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    gated.unpersist()
+    # Funnel numbers derive from the JUST-WRITTEN output — zero
+    # recomputation, and the report provably describes what landed.
+    written = spark.read.parquet(args.output)
     by_split = {r["split"]: r["n"] for r in
-                labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+                written.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_unique = sum(by_split.values())
 
     out(f"raw: {n_raw}")
     out(f"quality-gated: {n_gated} ({n_raw - n_gated} dropped)")

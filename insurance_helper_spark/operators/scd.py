@@ -71,11 +71,17 @@ def scd2_merge(
         .withColumn(is_current, F.lit(False))
         .select(dim.columns)
     )
+    # Untracked attributes (anything that is not the key, a tracked
+    # column, or a system column) carry over from the old current row
+    # into the new version — the normal Kimball dim has plenty of them.
+    system = {key, valid_from, valid_to, is_current}
+    untracked = [c for c in dim.columns if c not in system and c not in tracked]
     new_versions = (
         joined.filter(F.col("__u_eff").isNotNull() & pred)
         .select(
             F.col(key),
             *[F.col(f"__u_{t}").alias(t) for t in tracked],
+            *[F.col(c) for c in untracked],
             F.col("__u_eff").alias(valid_from),
             F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
             F.lit(True).alias(is_current),
@@ -87,6 +93,13 @@ def scd2_merge(
         .select(
             F.col(key),
             *[F.col(f"__u_{t}").alias(t) for t in tracked],
+            # A brand-new key has no prior row to inherit from: its
+            # untracked attributes start NULL (populate them upstream
+            # if the update feed carries them).
+            *[
+                F.lit(None).cast(dim.schema[c].dataType).alias(c)
+                for c in untracked
+            ],
             F.col("__u_eff").alias(valid_from),
             F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
             F.lit(True).alias(is_current),

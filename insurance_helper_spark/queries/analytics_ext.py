@@ -906,15 +906,21 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_counts = order_parts.groupBy("l_partkey").agg(
         F.count("*").alias("n_orders_part")
     )
-    n_orders = li.select("l_orderkey").distinct().count()
+    # Lazy 1-row broadcast for the scalar total — no eager .count()
+    # action at plan-build time (an explain/noop run must not trigger
+    # a job).
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("__n_orders")
+    )
     ca = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_a"),
                                         F.col("n_orders_part").alias("na")))
     cb = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_b"),
                                         F.col("n_orders_part").alias("nb")))
-    nn = float(n_orders)
+    nn = F.col("__n_orders")
     return (
         pair_counts.join(ca, "part_a")
         .join(cb, "part_b")
+        .join(F.broadcast(n_orders))
         .select(
             "part_a", "part_b", "n_both",
             F.round(F.col("n_both") / nn, 6).alias("support"),
@@ -1158,10 +1164,13 @@ def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("u").alias("t_b"), F.col("v").alias("t_c"))
     e3 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_c"))
     triangles = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"], "left_semi")
-    n_edges = edges.count()
-    return triangles.agg(
-        F.count("*").alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    # Lazy edge count (1-row cross join) instead of an eager .count()
+    # at build time; the edge relation is evaluated once per branch —
+    # at scale, persist it if the double computation matters.
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        triangles.agg(F.count("*").alias("n_triangles"))
+        .join(F.broadcast(n_edges))
     )
 
 

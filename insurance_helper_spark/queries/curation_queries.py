@@ -37,24 +37,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insurance_helper_spark.functions import text as T
+from insurance_helper_spark.functions.hashing import (
+    KNUTH_MOD as _KNUTH_MOD,
+    KNUTH_MUL as _KNUTH_MUL,
+    knuth_uniform as _knuth_uniform,
+)
 from insurance_helper_spark.operators.similarity import cosine
 from insurance_helper_spark.queries.catalog import register
+
+# Shared DuckDB tokenizer snippet (single canonical copy lives in
+# text_queries; fixture text is ASCII so [^a-z0-9] matches Spark's
+# \p{L}\p{N} class).
+from insurance_helper_spark.queries.text_queries import _TOKS
 from insurance_helper_spark.sources.tables import load_table
-
-# Shared DuckDB tokenizer snippet (identical to text_queries._TOKS —
-# fixture text is ASCII so [^a-z0-9] matches Spark's \p{L}\p{N} class).
-_TOKS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
-
-# Knuth multiplicative hash → uniform in [0, 1). Integer arithmetic is
-# exact on both engines, so split boundaries are cross-engine decidable.
-_KNUTH_MOD = 4_294_967_296
-_KNUTH_MUL = 2_654_435_761
-
-
-def _knuth_uniform(key):
-    return ((key * F.lit(_KNUTH_MUL)) % F.lit(_KNUTH_MOD)).cast("double") / F.lit(
-        float(_KNUTH_MOD)
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -125,8 +125,11 @@ class ListingPagesStreamReader(SimpleDataSourceStreamReader):
             try:
                 with open(full, encoding="utf-8", errors="replace") as f:
                     html = f.read()
-            except OSError:
+            except FileNotFoundError:
                 continue  # deleted between listing and read: skip
+            # Any OTHER OSError (NFS blip, permissions) propagates and
+            # fails the batch: the offset is not committed, so the
+            # file's rows are retried rather than silently lost.
             page = _page_number(fname)
             for r in parse_listing_page(html, page):
                 yield (

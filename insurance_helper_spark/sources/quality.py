@@ -84,11 +84,22 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate every rule; returns (rule, n_violations, passed) rows
     ordered by rule name. Row-local rules share one aggregation pass."""
     spark = df.sparkSession
+    known = ("not_null", "range", "accepted_values", "rlike", "unique", "foreign_key")
+    unknown = [r.kind for r in rules if r.kind not in known]
+    if unknown:
+        raise ValueError(f"unknown rule kind(s): {unknown}; expected one of {known}")
+    if not rules:
+        return spark.createDataFrame(
+            [], "rule string, n_violations long, passed boolean"
+        )
     row_local = [r for r in rules if r.kind in ("not_null", "range", "accepted_values", "rlike")]
     results: list[DataFrame] = []
     if row_local:
         aggs = [
-            F.sum(_row_local_violation(r).cast("long")).alias(r.name) for r in row_local
+            # coalesce: sum over ZERO rows is NULL — an empty table
+            # violates nothing, so the count must be 0, not null.
+            F.coalesce(F.sum(_row_local_violation(r).cast("long")), F.lit(0)).alias(r.name)
+            for r in row_local
         ]
         wide = df.agg(*aggs)
         # One row → |row_local| rows via stack (no shuffle; 1-row input).

@@ -270,8 +270,16 @@ def running_zscore_anomalies(
         (user_id,) = key
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out: dict[str, list] = {"event_id": [], "value": [], "zscore": [], "anomaly": []}
-        for pdf in pdf_iter:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
+        # Concatenate ALL Arrow chunks before the single sort: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks, and per-chunk sorting would fold the Welford state in
+        # chunk order, not global (ts, event_id) order.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        merged_pdf = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(merged_pdf):
+            for row in merged_pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
                 v = float(row.value)
                 # Score against history BEFORE folding this event in.
                 sd = (m2 / (n - 1)) ** 0.5 if n >= 2 else 0.0
@@ -426,6 +434,8 @@ def corpus_ingest_stream(
         fresh = gated.withColumn("fingerprint", T.fingerprint(F.col("text")))
         # in-batch keep-first, then anti-join history
         fresh = D.dedup_exact(fresh, ["fingerprint"], [F.col("doc_id")])
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark_b.read.parquet(fingerprints_dir).select("fingerprint")
             # History GROWS without bound — never broadcast it. left_anti
@@ -433,8 +443,9 @@ def corpus_ingest_stream(
             # small, history is append-only sorted-ish parquet, and AQE
             # may still choose a broadcast while history genuinely fits.
             fresh = fresh.join(seen, "fingerprint", "left_anti")
-        except Exception:
-            pass  # first batch: no fingerprint table yet
+        except AnalysisException:
+            pass  # first batch: no fingerprint table yet (only this
+            # analysis error is absorbed — corruption must fail loudly)
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
         fresh = fresh.localCheckpoint(eager=True)  # cut the double-write lineage
         fresh.drop("fingerprint").write.mode("append").parquet(corpus_dir)
@@ -554,16 +565,25 @@ def trending_terms_stream(
             .groupBy("term")
             .agg(F.count("*").alias("batch_cnt"))
         )
+        from pyspark.errors import AnalysisException
+
         try:
             hist = spark_b.read.parquet(counts_dir)
-        except Exception:
-            hist = None  # first batch: empty vocabulary
+        except AnalysisException:
+            # First batch: table not created yet. ONLY the analysis
+            # error is absorbed — a corrupt/unreadable table must fail
+            # the batch, not silently reset history (the overwrite
+            # below would otherwise wipe the vocabulary).
+            hist = None
+        # Explicit LONG on both branches: lit(0) alone is INT, which
+        # would alternate the snapshot parquet schema between batches
+        # and break the unioned read (PARQUET_COLUMN_DATA_TYPE_MISMATCH).
         if hist is not None:
             scored = batch_counts.join(hist, "term", "left").withColumn(
-                "hist_cnt", F.coalesce(F.col("cnt"), F.lit(0))
+                "hist_cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long")
             )
         else:
-            scored = batch_counts.withColumn("hist_cnt", F.lit(0))
+            scored = batch_counts.withColumn("hist_cnt", F.lit(0).cast("long"))
         scored = scored.select(
             "term",
             "batch_cnt",

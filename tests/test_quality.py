@@ -74,3 +74,21 @@ def test_single_scan_for_row_local_rules(spark):
         df, [Q.not_null("code"), Q.in_range("amount", 0.0, 100.0)]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_empty_rules_and_unknown_kind(spark):
+    import pytest as _pytest
+
+    out = Q.run_expectations(_df(spark), [])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["rule", "n_violations", "passed"]
+    with _pytest.raises(ValueError, match="unknown rule kind"):
+        Q.run_expectations(_df(spark), [Q.Rule("x", "notnull", "code")])
+
+
+def test_empty_dataframe_passes_vacuously(spark):
+    empty = _df(spark).filter("id < 0")
+    rows = Q.run_expectations(
+        empty, [Q.not_null("code"), Q.in_range("amount", 0.0, 1.0), Q.unique(["id"])]
+    ).collect()
+    assert all(r.n_violations == 0 and r.passed for r in rows)

@@ -88,3 +88,28 @@ def test_scd2_idempotent_on_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_untracked_columns_carry_over(spark):
+    """A dim with untracked attributes (the normal Kimball shape):
+    they ride along unchanged into new versions; inserts get NULLs."""
+    dim = spark.createDataFrame(
+        [
+            (1, "blue", "acme corp", D(2021, 1, 1), None, True),
+            (2, "red", "globex", D(2020, 6, 1), None, True),
+        ],
+        "k long, attr string, company string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "violet", D(2024, 3, 1)), (9, "new", D(2024, 3, 1))], UPD_SCHEMA
+    )
+    out = scd2_merge(dim, upd, key="k", tracked=["attr"])
+    rows = {(r.k, r.is_current): r for r in out.collect()}
+    # Changed key keeps its untracked company on BOTH the closed row
+    # and the new version.
+    assert rows[(1, False)].company == "acme corp"
+    assert rows[(1, True)].company == "acme corp"
+    assert rows[(1, True)].attr == "violet"
+    # Untouched key unchanged; fresh insert has NULL company.
+    assert rows[(2, True)].company == "globex"
+    assert rows[(9, True)].company is None
