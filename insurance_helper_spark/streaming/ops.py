@@ -627,3 +627,77 @@ def trending_terms_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def scd2_maintenance_stream(
+    spark,
+    updates_dir: str,
+    dim_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    tracked: list[str],
+    schema: str,
+    effective_col: str = "effective_date",
+) -> None:
+    """CDC-style streaming SCD2 maintenance: micro-batches of dimension
+    updates flow through ``operators.scd.scd2_merge`` against the
+    persisted dimension table — the change-data-capture pipeline that
+    keeps a versioned dim current as updates stream in
+    (Trigger.AvailableNow: one cron drain per feed drop).
+
+    Per micro-batch: collapse the batch to its LATEST update per key
+    (window argmax on effective date — scd2_merge expects one update
+    per key), merge against the current dim parquet, rewrite. The
+    rewrite touches |dim| rows; at 100 TB partition the dim on the key
+    and rewrite only matched partitions (the merge itself already
+    isolates untouched keys to a pass-through branch).
+
+    First batch bootstraps the dim from the updates themselves (every
+    key inserts).
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.operators.scd import scd2_merge
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy(key).orderBy(F.desc(effective_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            dim = spark_b.read.parquet(dim_dir)
+        except AnalysisException:
+            dim = None  # bootstrap (only missing-table absorbed)
+        if dim is None:
+            merged = latest.select(
+                F.col(key),
+                *[F.col(t) for t in tracked],
+                F.col(effective_col).alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        else:
+            merged = scd2_merge(dim, latest, key=key, tracked=tracked,
+                                effective_col=effective_col)
+        # Cut the read-then-overwrite cycle on dim_dir.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(updates_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -508,3 +508,55 @@ class TestTrendingTerms:
         ops.trending_terms_stream(*args)  # checkpoint: second drain is a no-op
         counts = {r.term: r.cnt for r in spark.read.parquet(str(tmp_path / "c")).collect()}
         assert counts == {"alpha": 2, "beta": 1, "gamma": 1}
+
+
+class TestScd2Stream:
+    def test_cdc_versions_accumulate_across_batches(self, spark, tmp_path):
+        import json as _json
+
+        upd_dir = tmp_path / "scd_in"
+        upd_dir.mkdir()
+
+        def drop(name, rows):
+            with open(upd_dir / name, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+
+        # Batch 1 bootstraps; batch 2 changes k=1 (two updates in-batch,
+        # later one wins), no-ops k=2, inserts k=3.
+        drop("b1.json", [
+            {"k": 1, "tier": "bronze", "effective_date": "2024-01-01"},
+            {"k": 2, "tier": "silver", "effective_date": "2024-01-01"},
+        ])
+        drop("b2.json", [
+            {"k": 1, "tier": "gold", "effective_date": "2024-02-01"},
+            {"k": 1, "tier": "platinum", "effective_date": "2024-03-01"},
+            {"k": 2, "tier": "silver", "effective_date": "2024-03-01"},
+            {"k": 3, "tier": "bronze", "effective_date": "2024-03-01"},
+        ])
+        dim_dir = str(tmp_path / "dim")
+        ops.scd2_maintenance_stream(
+            spark, str(upd_dir), dim_dir, str(tmp_path / "ckpt"),
+            key="k", tracked=["tier"],
+            schema="k long, tier string, effective_date date",
+        )
+        rows = sorted(
+            spark.read.parquet(dim_dir).collect(),
+            key=lambda r: (r.k, str(r.valid_from)),
+        )
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r.k, []).append(r)
+        # k=1: bronze closed at 2024-03-01 (latest in-batch update wins),
+        # platinum current.
+        assert [(r.tier, r.is_current) for r in by_key[1]] == [
+            ("bronze", False), ("platinum", True)]
+        assert str(by_key[1][0].valid_to) == "2024-03-01"
+        # k=2: no-op update → single current version.
+        assert [(r.tier, r.is_current) for r in by_key[2]] == [("silver", True)]
+        # k=3: inserted in batch 2.
+        assert [(r.tier, r.is_current, str(r.valid_from)) for r in by_key[3]] == [
+            ("bronze", True, "2024-03-01")]
+        # Exactly one current row per key.
+        for k, rs in by_key.items():
+            assert sum(1 for r in rs if r.is_current) == 1
