@@ -4,9 +4,13 @@ The Knuth multiplicative hash maps an integer key to a uniform in
 [0, 1) with pure 64-bit integer arithmetic — exactly reproducible in
 Spark AND in the DuckDB oracle SQL (no rand(), no engine-specific hash
 function), which is what makes hash-based sampling/splitting
-value-checkable. Canonical home for the constants; the SQL twin of
-``knuth_uniform`` is ``((key * 2654435761) % 4294967296) * 1.0 /
-4294967296``.
+value-checkable.
+
+The key is pre-reduced modulo 2^31 so the multiplication never leaves
+signed int64: (2^31 - 1) x 2654435761 < 2^63. Without the reduction a
+key above ~3.47e9 overflows — DuckDB raises, Spark silently WRAPS, and
+the engines diverge (found by the hypothesis property test). Canonical
+home for the constants; ``knuth_uniform_sql`` emits the DuckDB twin.
 """
 
 from __future__ import annotations
@@ -16,15 +20,20 @@ from pyspark.sql import functions as F
 
 KNUTH_MUL = 2_654_435_761
 KNUTH_MOD = 4_294_967_296
+_KEY_REDUCE = 2_147_483_648  # 2^31: keeps key*MUL inside signed int64
 
 
 def knuth_uniform(key: Column) -> Column:
     """Uniform-ish double in [0, 1) from an integer key column."""
-    return ((key * F.lit(KNUTH_MUL)) % F.lit(KNUTH_MOD)).cast("double") / F.lit(
+    reduced = key % F.lit(_KEY_REDUCE)
+    return ((reduced * F.lit(KNUTH_MUL)) % F.lit(KNUTH_MOD)).cast("double") / F.lit(
         float(KNUTH_MOD)
     )
 
 
 def knuth_uniform_sql(key_expr: str) -> str:
     """The DuckDB-side twin as a SQL fragment."""
-    return f"(({key_expr} * {KNUTH_MUL}) % {KNUTH_MOD}) * 1.0 / {KNUTH_MOD}"
+    return (
+        f"((({key_expr}) % {_KEY_REDUCE}) * {KNUTH_MUL}) % {KNUTH_MOD}"
+        f" * 1.0 / {KNUTH_MOD}"
+    )

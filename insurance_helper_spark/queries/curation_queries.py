@@ -220,12 +220,14 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split is write.partitionBy('split') downstream of the same column.
 # ---------------------------------------------------------------------------
 
+from insurance_helper_spark.functions.hashing import knuth_uniform_sql as _kus
+
 SPLIT_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source,
          CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
               THEN 0 ELSE len({_TOKS}) END AS n_tokens,
-         ((doc_id * {_KNUTH_MUL}) % {_KNUTH_MOD}) * 1.0 / {_KNUTH_MOD} AS u
+         {_kus("doc_id")} AS u
   FROM documents
 ),
 labeled AS (

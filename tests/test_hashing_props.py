@@ -1,0 +1,57 @@
+"""Property tests for the shared deterministic-hash helpers
+(functions/hashing.py) — the split/sample primitives whose uniformity
+and determinism the curation queries rely on."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from insurance_helper_spark.functions.hashing import (
+    KNUTH_MOD,
+    KNUTH_MUL,
+    knuth_uniform,
+    knuth_uniform_sql,
+)
+
+
+def _py_knuth(key: int) -> float:
+    return (((key % 2_147_483_648) * KNUTH_MUL) % KNUTH_MOD) / KNUTH_MOD
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@settings(max_examples=25, deadline=None)
+def test_sql_twin_matches_python(keys):
+    """The documented DuckDB fragment computes the identical uniform."""
+    con = duckdb.connect()
+    for k in keys:
+        (got,) = con.execute(f"SELECT {knuth_uniform_sql(str(k))}").fetchone()
+        assert got == _py_knuth(k)
+
+
+def test_spark_matches_python_and_range(spark):
+    from pyspark.sql import functions as F
+
+    # Include keys far above 2^31: the pre-reduction must keep Spark
+    # exact (no silent int64 wrap) and identical to the SQL twin.
+    df = spark.range(0, 2500).union(
+        spark.range(2**40, 2**40 + 2500)
+    ).select("id", knuth_uniform(F.col("id")).alias("u"))
+    rows = df.collect()
+    for r in rows:
+        assert r.u == _py_knuth(r.id)
+        assert 0.0 <= r.u < 1.0
+
+
+def test_split_fractions_approximately_uniform(spark):
+    """80/10/10 cuts land within binomial tolerance over 5k keys."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(knuth_uniform(F.col("id")).alias("u"))
+    n_train = df.filter("u < 0.8").count()
+    n_val = df.filter("u >= 0.8 AND u < 0.9").count()
+    n_test = df.filter("u >= 0.9").count()
+    assert abs(n_train / 5000 - 0.8) < 0.03
+    assert abs(n_val / 5000 - 0.1) < 0.02
+    assert abs(n_test / 5000 - 0.1) < 0.02
