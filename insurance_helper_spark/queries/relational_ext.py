@@ -788,3 +788,35 @@ def sql_surface_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_topn — correlated LATERAL subquery with ORDER BY + LIMIT,
+# in the comma-LATERAL dialect BOTH engines parse verbatim: each
+# customer's two most recent orders. Spark decorrelates the lateral
+# into a ranked window join (the same plan topk_per_group hand-writes);
+# the point of the row is that the LATERAL surface itself works and
+# matches. Scale: decorrelation means one orderkey shuffle + window —
+# no per-customer re-execution.
+# ---------------------------------------------------------------------------
+
+LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 2
+) AS o
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@register("sql_lateral_topn", LATERAL_TOPN_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-shared correlated LATERAL: the SQL text IS the oracle."""
+    from insurance_helper_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPN_SQL)
