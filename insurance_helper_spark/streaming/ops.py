@@ -701,3 +701,84 @@ def scd2_maintenance_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def user_topk_state(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Per-user running top-k values on the NEW state API
+    (transformWithStateInPandas, Spark 4 state processor v2) — the
+    successor to applyInPandasWithState the engine's other custom
+    stateful ops use. Demonstrates the StatefulProcessor lifecycle
+    (init → getValueState → handleInputRows → close) with typed,
+    individually-evolvable state variables instead of one packed tuple.
+
+    Emits one row per user per micro-batch containing the post-batch
+    top-k (descending) — the "current leaderboard" shape. State is the
+    k-element list per key: O(k) per user, store-partitioned.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (ships with ``pyspark[connect]``; absent in
+    minimal containers — the test suite skips there, and
+    ``user_running_state`` above provides the same capability tier on
+    the v1 applyInPandasWithState API with no extra dependency).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("top_values", T.ArrayType(T.DoubleType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tops", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topk", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                tops, n = self._state.get()
+                tops = list(tops)
+            else:
+                tops, n = [], 0
+            for pdf in rows:
+                vals = pdf["value"].astype(float).tolist()
+                n += len(vals)
+                tops = sorted(tops + vals, reverse=True)[:k]
+            self._state.update((tops, n))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "top_values": [tops], "n_seen": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=TopKProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

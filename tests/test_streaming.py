@@ -560,3 +560,60 @@ class TestScd2Stream:
         # Exactly one current row per key.
         for k, rs in by_key.items():
             assert sum(1 for r in rs if r.is_current) == 1
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        not _has_protobuf(),
+        reason="transformWithState's driver worker needs protobuf "
+        "(pyspark[connect] extra); not shipped in this container",
+    )
+    def test_topk_accumulates_across_microbatches(self, spark, tmp_path):
+        # The v2 state API requires the RocksDB state store provider.
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        d = tmp_path / "twstate_in"
+        d.mkdir()
+        write_events_file(d / "b1.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+             "event_type": "view", "value": 5.0},
+            {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 1,
+             "event_type": "view", "value": 9.0},
+            {"event_id": 3, "ts": "2024-01-01T00:03:00", "user_id": 2,
+             "event_type": "view", "value": 1.0},
+        ])
+        write_events_file(d / "b2.json", [
+            {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1,
+             "event_type": "view", "value": 7.0},
+            {"event_id": 5, "ts": "2024-01-01T01:01:00", "user_id": 1,
+             "event_type": "view", "value": 2.0},
+        ])
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA,
+                                       max_files_per_trigger=1)
+        out = ops.user_topk_state(stream, k=3)
+        ops.run_to_memory(out, "twstate_sink")
+        rows = spark.table("twstate_sink").collect()
+        # User 1 appears once per batch; the SECOND emission must carry
+        # state from the first (9,7,5 across both batches, n_seen=4).
+        u1 = sorted(
+            [r for r in rows if r.user_id == 1], key=lambda r: r.n_seen
+        )
+        assert [list(r.top_values) for r in u1] == [[9.0, 5.0], [9.0, 7.0, 5.0]]
+        assert [r.n_seen for r in u1] == [2, 4]
+        u2 = [r for r in rows if r.user_id == 2]
+        assert len(u2) == 1 and list(u2[0].top_values) == [1.0]
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
