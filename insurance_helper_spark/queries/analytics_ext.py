@@ -1300,3 +1300,90 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_seasonality — the hour-of-day × day-of-week activity
+# matrix (load heatmap): event counts and value mass per (dow, hour)
+# cell. Cross-engine day-numbering pinned via dayofweek ISO convention
+# on both sides. Scale: one shuffle onto a 7×24 key space with map-side
+# partials — the canonical tiny-agg-over-huge-fact shape.
+# ---------------------------------------------------------------------------
+
+SEASONALITY_ORACLE = """
+SELECT isodow(ts) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY dow, hour_of_day
+ORDER BY dow, hour_of_day
+"""
+
+
+@register("events_hourly_seasonality", SEASONALITY_ORACLE)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "value"])
+    # Spark dayofweek is 1=Sunday; ISO dow is 1=Monday — remap to ISO
+    # so the SQL twin (isodow) agrees.
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        ev.groupBy(
+            iso_dow.cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_shipping_lag — per-supplier fulfillment latency: days from
+# order date to line ship date, with exact median and p90 (the
+# operational SLA view). Integer day lags are exact on both engines;
+# the ordered statistics follow the agg_percentiles conventions.
+# Scale: one shuffle on suppkey; exact percentiles sort per key — swap
+# approx_percentile at the 100 TB tier under the bounds contract.
+# ---------------------------------------------------------------------------
+
+SHIPPING_LAG_ORACLE = """
+WITH lags AS (
+  SELECT l.l_suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+             AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lag_days) AS BIGINT) AS min_lag,
+       round(quantile_cont(lag_days, 0.5), 1) AS median_lag,
+       round(quantile_cont(lag_days, 0.9), 1) AS p90_lag,
+       CAST(max(lag_days) AS BIGINT) AS max_lag
+FROM lags
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+@register("supplier_shipping_lag", SHIPPING_LAG_ORACLE)
+def supplier_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    lags = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lag_days"),
+    )
+    return (
+        lags.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("lag_days").cast("long").alias("min_lag"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 1).alias("median_lag"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 1).alias("p90_lag"),
+            F.max("lag_days").cast("long").alias("max_lag"),
+        )
+        .orderBy("l_suppkey")
+    )
