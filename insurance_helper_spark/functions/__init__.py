@@ -1,3 +1,3 @@
-from insurance_helper_spark.functions import cleaning, dates, text
+from insurance_helper_spark.functions import cleaning, dates, hashing, text, udtfs
 
-__all__ = ["cleaning", "dates", "text"]
+__all__ = ["cleaning", "dates", "hashing", "text", "udtfs"]

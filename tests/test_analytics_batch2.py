@@ -116,3 +116,20 @@ def test_crosslingual_margin_one_match_per_source_doc(spark, catalog):
     assert all(r.en_doc_id in en_ids for r in rows)
     assert all(r.x_lang != "en" for r in rows)
     assert all(r.margin > 1.0 for r in rows)
+
+
+def test_seasonality_matrix_covers_all_events(spark, catalog):
+    rows = catalog.QUERIES["events_hourly_seasonality"](spark, SF_DIR).collect()
+    assert rows
+    n_total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_total
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour_of_day <= 23
+
+
+def test_shipping_lag_stats_ordered(spark, catalog):
+    rows = catalog.QUERIES["supplier_shipping_lag"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.min_lag <= r.median_lag <= r.p90_lag <= r.max_lag
+        assert r.n_lines > 0
