@@ -1387,3 +1387,59 @@ def supplier_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_listagg — the remaining aggregate-surface pair: MODE (most
+# frequent value, deterministic lowest-wins tiebreak) and ordered
+# string aggregation (LISTAGG / string_agg WITHIN GROUP). Spark's
+# native mode() breaks ties engine-specifically, so the query computes
+# the deterministic mode via count + argmin-window — same result
+# DuckDB's documented lowest-value tie rule produces — while listagg
+# gets an explicit ORDER BY on both sides. Scale: two aggregations
+# co-shuffled on the user key; the ordered concat is bounded by
+# events-per-user.
+# ---------------------------------------------------------------------------
+
+MODE_LISTAGG_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+mode_pick AS (
+  SELECT user_id, event_type AS modal_type
+  FROM (SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts)
+  WHERE rn = 1
+),
+kinds AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_list
+  FROM events GROUP BY user_id
+)
+SELECT m.user_id, m.modal_type, k.type_list
+FROM mode_pick m JOIN kinds k ON m.user_id = k.user_id
+ORDER BY m.user_id
+"""
+
+
+@register("agg_mode_listagg", MODE_LISTAGG_ORACLE)
+def agg_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    mode_pick = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    kinds = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_list")
+    )
+    return (
+        mode_pick.join(kinds, "user_id")
+        .select("user_id", "modal_type", "type_list")
+        .orderBy("user_id")
+    )
