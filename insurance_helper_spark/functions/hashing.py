@@ -20,20 +20,28 @@ from pyspark.sql import functions as F
 
 KNUTH_MUL = 2_654_435_761
 KNUTH_MOD = 4_294_967_296
-_KEY_REDUCE = 2_147_483_648  # 2^31: keeps key*MUL inside signed int64
+KEY_REDUCE = 2_147_483_648  # 2^31: keeps key*MUL inside signed int64
+_KEY_REDUCE = KEY_REDUCE  # backwards-compat alias
 
 
 def knuth_uniform(key: Column) -> Column:
-    """Uniform-ish double in [0, 1) from an integer key column."""
-    reduced = key % F.lit(_KEY_REDUCE)
-    return ((reduced * F.lit(KNUTH_MUL)) % F.lit(KNUTH_MOD)).cast("double") / F.lit(
-        float(KNUTH_MOD)
-    )
+    """Uniform-ish double in [0, 1) from an integer key column.
+
+    Both reductions use the portable non-negative modulo
+    ``((x % m) + m) % m``: plain ``%`` follows the dividend's sign in
+    Spark AND DuckDB, so a negative key would land in (-1, 0] and every
+    such row would satisfy ``u < train_frac`` — silently skewing any
+    hash split. The double-mod keeps the documented [0, 1) contract for
+    all int64 keys on both engines.
+    """
+    reduced = ((key % F.lit(KEY_REDUCE)) + F.lit(KEY_REDUCE)) % F.lit(KEY_REDUCE)
+    # reduced is in [0, 2^31) for every int64 key, so the product stays a
+    # positive signed int64 and the outer % is already non-negative.
+    h = (reduced * F.lit(KNUTH_MUL)) % F.lit(KNUTH_MOD)
+    return h.cast("double") / F.lit(float(KNUTH_MOD))
 
 
 def knuth_uniform_sql(key_expr: str) -> str:
-    """The DuckDB-side twin as a SQL fragment."""
-    return (
-        f"((({key_expr}) % {_KEY_REDUCE}) * {KNUTH_MUL}) % {KNUTH_MOD}"
-        f" * 1.0 / {KNUTH_MOD}"
-    )
+    """The DuckDB-side twin as a SQL fragment (same pmod semantics)."""
+    reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
+    return f"((({reduced}) * {KNUTH_MUL}) % {KNUTH_MOD}) * 1.0 / {KNUTH_MOD}"

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from insurance_helper_spark.functions import text as T
 from insurance_helper_spark.functions.hashing import (
+    KEY_REDUCE as _KEY_REDUCE,
     KNUTH_MOD as _KNUTH_MOD,
     KNUTH_MUL as _KNUTH_MUL,
     knuth_uniform as _knuth_uniform,
@@ -66,7 +67,7 @@ SEMANTIC_ORACLE = f"""
 WITH seeds AS (
     SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
     FROM embeddings
-    ORDER BY (vec_id * {_KNUTH_MUL}) % {_KNUTH_MOD}, vec_id
+    ORDER BY ((vec_id % {_KEY_REDUCE}) * {_KNUTH_MUL}) % {_KNUTH_MOD}, vec_id
     LIMIT 8
 ),
 scored AS (
@@ -115,7 +116,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup decision list: cluster → canonical → cosine prune."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     seeds = (
-        emb.orderBy((F.col("vec_id") * _KNUTH_MUL) % _KNUTH_MOD, "vec_id")
+        emb.orderBy(
+            ((F.col("vec_id") % _KEY_REDUCE) * _KNUTH_MUL) % _KNUTH_MOD, "vec_id"
+        )
         .limit(8)
         .select(
             F.col("vec_id").alias("centroid_id"),

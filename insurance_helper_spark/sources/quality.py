@@ -66,6 +66,11 @@ def foreign_key(column: str, dim: DataFrame, dim_column: str, name: str | None =
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a rule name for use as a Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _row_local_violation(rule: Rule):
     c = F.col(rule.column)
     if rule.kind == "not_null":
@@ -98,12 +103,19 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         aggs = [
             # coalesce: sum over ZERO rows is NULL — an empty table
             # violates nothing, so the count must be 0, not null.
-            F.coalesce(F.sum(_row_local_violation(r).cast("long")), F.lit(0)).alias(r.name)
-            for r in row_local
+            # Aliased to positional placeholders, NOT the rule name:
+            # a name with spaces/quotes must never reach selectExpr as
+            # an identifier or unescaped literal.
+            F.coalesce(F.sum(_row_local_violation(r).cast("long")), F.lit(0)).alias(
+                f"__r{i}"
+            )
+            for i, r in enumerate(row_local)
         ]
         wide = df.agg(*aggs)
         # One row → |row_local| rows via stack (no shuffle; 1-row input).
-        pairs = ", ".join(f"'{r.name}', {r.name}" for r in row_local)
+        pairs = ", ".join(
+            f"{_sql_str(r.name)}, __r{i}" for i, r in enumerate(row_local)
+        )
         results.append(
             wide.selectExpr(f"stack({len(row_local)}, {pairs}) AS (rule, n_violations)")
         )

@@ -133,8 +133,6 @@ def run_to_memory(
 
 def user_running_state(
     events: DataFrame,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
     watermark: str = "1 hour",
     idle_timeout: str = "2 hours",
 ) -> DataFrame:
@@ -152,6 +150,10 @@ def user_running_state(
     Scale: state lives in the state store, partitioned by user —
     thousands of executors each hold a shard; the watermark bounds
     state lifetime so the store cannot grow unboundedly.
+
+    Input schema is FIXED (``ts``/``user_id``/``value`` — the
+    events-table shape); rename upstream with ``select`` to adapt
+    other sources.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -203,8 +205,8 @@ def user_running_state(
         yield  # pragma: no cover — keeps fn a generator on the flush-free path
 
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -224,8 +226,6 @@ def _duration_ms(spec: str) -> int:
 
 def running_zscore_anomalies(
     events: DataFrame,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
     watermark: str = "1 hour",
     min_history: int = 5,
     z_threshold: float = 3.0,
@@ -233,6 +233,13 @@ def running_zscore_anomalies(
     """Streaming twin of the batch ``events_rolling_zscore`` query:
     per-user online anomaly scoring with Welford running mean/variance
     state (n, mean, M2 — O(1) per key, no sample buffer).
+
+    Input schema is FIXED: ``(event_id long, ts timestamp, user_id
+    long, value double, ...)`` — the events-table shape. The column
+    names are baked into the pandas kernel, its sort keys, and the
+    output schema; rename upstream with ``select`` to adapt other
+    sources (parameterizing the names here would silently break the
+    kernel, which is why there are no ts_col/key_col arguments).
 
     Each event is scored against the state accumulated from STRICTLY
     EARLIER events (trailing semantics, matching the batch twin's
@@ -309,8 +316,8 @@ def running_zscore_anomalies(
         )
 
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -552,6 +559,13 @@ def trending_terms_stream(
     vocabulary is |terms|-sized (millions of rows at web scale — a
     normal shuffle join against the batch delta); the trending window
     is a top-k over the DELTA's vocabulary only.
+
+    Replay safety: foreachBatch re-runs a batch whose checkpoint commit
+    never landed, so both writes are idempotent per batch_id — the
+    counts table carries a ``last_batch`` marker column (replayed batch
+    with ``last_batch >= batch_id`` → no-op), and the top-k snapshot is
+    written via dynamic partition overwrite on batch_id (a replay
+    rewrites its own partition instead of appending a duplicate).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -575,6 +589,11 @@ def trending_terms_stream(
             # the batch, not silently reset history (the overwrite
             # below would otherwise wipe the vocabulary).
             hist = None
+        if hist is not None and "last_batch" in hist.columns:
+            (applied,) = hist.agg(F.max("last_batch")).first()
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch already fully applied
+            hist = hist.drop("last_batch")
         # Explicit LONG on both branches: lit(0) alone is INT, which
         # would alternate the snapshot parquet schema between batches
         # and break the unioned read (PARQUET_COLUMN_DATA_TYPE_MISMATCH).
@@ -601,7 +620,14 @@ def trending_terms_stream(
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
         top = top.localCheckpoint(eager=True)  # snapshot before the counts rewrite
-        top.write.mode("append").parquet(trending_dir)
+        # Dynamic partition overwrite: a replayed batch rewrites ONLY
+        # its own batch_id partition — same rows, no duplicate append.
+        (
+            top.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(trending_dir)
+        )
         merged = (
             batch_counts.select("term", F.col("batch_cnt").alias("cnt"))
             if hist is None
@@ -610,7 +636,7 @@ def trending_terms_stream(
             )
             .groupBy("term")
             .agg(F.sum("cnt").alias("cnt"))
-        )
+        ).withColumn("last_batch", F.lit(batch_id).cast("long"))
         # Overwrite-rewrite of the |vocab| table; localCheckpoint cuts
         # the read-then-overwrite cycle on the same path.
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(counts_dir)
@@ -705,8 +731,6 @@ def scd2_maintenance_stream(
 
 def user_topk_state(
     events: DataFrame,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
     watermark: str = "1 hour",
     k: int = 3,
 ) -> DataFrame:
@@ -720,6 +744,10 @@ def user_topk_state(
     Emits one row per user per micro-batch containing the post-batch
     top-k (descending) — the "current leaderboard" shape. State is the
     k-element list per key: O(k) per user, store-partitioned.
+
+    Input schema is FIXED (``ts``/``user_id``/``value`` — the
+    events-table shape); rename upstream with ``select`` to adapt
+    other sources.
 
     Runtime requirements: the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
@@ -773,8 +801,8 @@ def user_topk_state(
             pass
 
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=TopKProcessor(),
             outputStructType=out_schema,

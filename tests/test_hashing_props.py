@@ -20,7 +20,9 @@ def _py_knuth(key: int) -> float:
     return (((key % 2_147_483_648) * KNUTH_MUL) % KNUTH_MOD) / KNUTH_MOD
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50)
+)
 @settings(max_examples=25, deadline=None)
 def test_sql_twin_matches_python(keys):
     """The documented DuckDB fragment computes the identical uniform."""
@@ -33,11 +35,15 @@ def test_sql_twin_matches_python(keys):
 def test_spark_matches_python_and_range(spark):
     from pyspark.sql import functions as F
 
-    # Include keys far above 2^31: the pre-reduction must keep Spark
-    # exact (no silent int64 wrap) and identical to the SQL twin.
-    df = spark.range(0, 2500).union(
-        spark.range(2**40, 2**40 + 2500)
-    ).select("id", knuth_uniform(F.col("id")).alias("u"))
+    # Include keys far above 2^31 (pre-reduction must keep Spark exact,
+    # no silent int64 wrap) AND negative keys (Spark's % follows the
+    # dividend's sign; the pmod form must still land in [0, 1)).
+    df = (
+        spark.range(0, 2500)
+        .union(spark.range(2**40, 2**40 + 2500))
+        .union(spark.range(-2500, 0))
+        .select("id", knuth_uniform(F.col("id")).alias("u"))
+    )
     rows = df.collect()
     for r in rows:
         assert r.u == _py_knuth(r.id)

@@ -92,3 +92,19 @@ def test_empty_dataframe_passes_vacuously(spark):
         empty, [Q.not_null("code"), Q.in_range("amount", 0.0, 1.0), Q.unique(["id"])]
     ).collect()
     assert all(r.n_violations == 0 and r.passed for r in rows)
+
+
+def test_hostile_rule_names_are_sql_safe(spark):
+    """Rule names with spaces, hyphens, quotes, and backslashes must
+    survive the stack() splice verbatim (no parse error, no injection)."""
+    rules = [
+        Q.not_null("code", name="code has no null"),
+        Q.in_range("amount", 0.0, 100.0, name="amount-in-range"),
+        Q.matches("status", "^ok$", name="it's 'quoted' \\ back"),
+    ]
+    rows = {r.rule: r.n_violations for r in Q.run_expectations(_df(spark), rules).collect()}
+    assert rows == {
+        "code has no null": 1,
+        "amount-in-range": 2,
+        "it's 'quoted' \\ back": 1,
+    }

@@ -509,6 +509,39 @@ class TestTrendingTerms:
         counts = {r.term: r.cnt for r in spark.read.parquet(str(tmp_path / "c")).collect()}
         assert counts == {"alpha": 2, "beta": 1, "gamma": 1}
 
+    def test_replay_after_lost_checkpoint_is_idempotent(self, spark, tmp_path):
+        """Crash-replay safety: foreachBatch re-runs every batch when
+        the checkpoint commit is lost; the last_batch marker + dynamic
+        partition overwrite must keep counts and snapshots exact."""
+        import shutil
+
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in3"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        pd.DataFrame({
+            "doc_id": [2], "text": ["delta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [11],
+        }).to_parquet(in_dir / "b2.parquet")
+        ckpt = tmp_path / "k3"
+        args = (spark, str(in_dir), str(tmp_path / "c3"), str(tmp_path / "t3"),
+                str(ckpt))
+        ops.trending_terms_stream(*args)
+        # Simulate a crash that lost the commit log: the whole input
+        # replays through foreachBatch with the same batch ids.
+        shutil.rmtree(ckpt)
+        ops.trending_terms_stream(*args)
+        counts = {r.term: r.cnt
+                  for r in spark.read.parquet(str(tmp_path / "c3")).collect()}
+        assert counts == {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+        trending = spark.read.parquet(str(tmp_path / "t3"))
+        # No duplicate snapshot rows: one rank-1 row per batch.
+        assert trending.filter("rank = 1").count() == 2
+
 
 class TestScd2Stream:
     def test_cdc_versions_accumulate_across_batches(self, spark, tmp_path):
