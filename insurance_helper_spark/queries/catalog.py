@@ -68,8 +68,8 @@ _R1_GREEN = frozenset(
 )
 
 
-def _verified_green() -> frozenset[str]:
-    """Queries already fully verified in ANY prior round.
+def _driver_history() -> tuple[frozenset[str], dict[str, int]]:
+    """(ever-fully-green queries, last round each query was sampled).
 
     Reads every ``CORRECTNESS_r*.json`` the driver has written at the
     repo root (two levels above this package); falls back to the
@@ -79,24 +79,26 @@ def _verified_green() -> frozenset[str]:
     import glob
     import json
     import os
+    import re
 
     green: set[str] = set(_R1_GREEN)
+    last_round: dict[str, int] = dict.fromkeys(_R1_GREEN, 1)
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
-            for name, v in rows.items():
-                if (
-                    isinstance(v, dict)
-                    and v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match")
-                ):
-                    green.add(name)
         except (OSError, ValueError):
             continue
-    return frozenset(green)
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            last_round[name] = max(last_round.get(name, 0), rnd)
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                green.add(name)
+    return frozenset(green), last_round
 
 
 def load_all() -> None:
@@ -122,15 +124,27 @@ def load_all() -> None:
         relational_ext,
     )
 
-    # Stable-partition the registry: queries still lacking a fully-green
-    # driver verdict first (they need CORRECTNESS rows), already-verified
-    # queries last. The driver checks the first 50 per round, so this
-    # self-rotates the verification window every round with no manual
-    # reordering.
-    green = _verified_green()
+    # Stable-sort the registry so the driver's first-50 verification
+    # window self-rotates every round with no manual reordering:
+    #   tier 0 — oracle-backed queries with NO fully-green driver row
+    #            yet (new or previously failed): they need green
+    #            CORRECTNESS evidence most urgently;
+    #   tier 1 — rows-only queries never sampled at all;
+    #   tier 2 — everything already checked, STALEST driver row first,
+    #            so old verifications re-rotate through the window as
+    #            the modules they live in keep changing.
+    # Ties keep registration order (stable sort).
+    green, last_round = _driver_history()
     snapshot = dict(QUERIES)
-    ordered = [k for k in snapshot if k not in green]
-    ordered += [k for k in snapshot if k in green]
+
+    def tier(name: str) -> tuple[int, int]:
+        if name in ORACLE_SQL and name not in green:
+            return (0, 0)
+        if name not in last_round:
+            return (1, 0)
+        return (2, last_round[name])
+
+    ordered = sorted(snapshot, key=tier)
     QUERIES.clear()
     QUERIES.update({k: snapshot[k] for k in ordered})
 
