@@ -213,6 +213,89 @@ def ann_lsh_topk(
     return scored.withColumn("nn_rank", F.row_number().over(w)).filter(F.col("nn_rank") <= k)
 
 
+def srp_bucket_ids_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched SRP bucketing kernel: one BLAS matmul per block
+    computes all n_tables×n_planes sign bits, packed into a LONG bucket
+    id per table (integer join keys beat strings in the shuffle).
+    Returns a pandas_udf ``vec -> array<long>`` of length n_tables."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_mat = np.array(hyperplanes(dim, n_planes * n_tables, seed), dtype=np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        bits = (mat @ planes_mat.T) >= 0  # (n, n_tables*n_planes)
+        ids = bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(ids))
+
+    return bucket_ids
+
+
+def pair_cosine_udf(round_digits: int = 6):
+    """Vectorized cosine over two vector columns (one BLAS pass per
+    Arrow batch); round_digits pins cross-engine-stable values."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(list(a), dtype=np.float64)
+        mb = np.array(list(b), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.round((ma * mb).sum(axis=1) / (na * nb), round_digits))
+
+    return pair_cosine
+
+
+def cross_bucket_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    left_id: str = "x_id",
+    right_id: str = "y_id",
+    vec_col: str = "vec",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    materialize: bool = True,
+) -> DataFrame:
+    """Candidate (left_id, right_id) pairs between TWO relations that
+    share any SRP bucket in any of ``n_tables`` hash tables — the
+    bipartite analog of embedding_near_dup_pairs' self-join.
+
+    Scale: each side is hashed once (one narrow Arrow pass); the join
+    carries only 24-byte (tbl, bucket, id) rows — vectors never ride
+    through the many-to-many bucket join; a pair matching in several
+    tables is deduplicated BEFORE any cosine is computed. Recall is
+    1 - (1 - p^b)^L with p = 1 - θ/π — tune n_planes/n_tables, never
+    the join shape.
+    """
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(left.sparkSession)
+    bucket_ids = srp_bucket_ids_udf(dim, n_planes, n_tables, seed)
+    lsig = left.select(
+        F.col(left_id), F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bucket")
+    )
+    rsig = right.select(
+        F.col(right_id), F.posexplode(bucket_ids(F.col(vec_col))).alias("tbl", "bucket")
+    )
+    if materialize:
+        # Both signature relations feed one join; checkpointing keeps
+        # the Python bucketing kernel to exactly one pass per side.
+        lsig = lsig.localCheckpoint(eager=True)
+        rsig = rsig.localCheckpoint(eager=True)
+    return (
+        lsig.join(rsig, ["tbl", "bucket"])
+        .dropDuplicates([left_id, right_id])
+        .select(left_id, right_id)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -239,8 +322,6 @@ def embedding_near_dup_pairs(
     BEFORE the cosine is computed, so the verification matmul runs once
     per candidate pair.
     """
-    from pyspark.sql.functions import pandas_udf
-
     from insurance_helper_spark.shipping import ensure_shipped
 
     base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
@@ -249,29 +330,11 @@ def embedding_near_dup_pairs(
     ensure_shipped(base.sparkSession)
 
     # All n_tables×n_planes sign bits in ONE Arrow-batched matmul per
-    # block, packed into a LONG bucket id per table (integer join keys
-    # beat strings in the shuffle). The per-element interpreted-HOF dot
+    # block (srp_bucket_ids_udf). The per-element interpreted-HOF dot
     # (64 aggregate/zip_with trees per row) measured ~6× slower than
     # the exact path at sf0.1 — this formulation is the fix.
-    planes_mat = np.array(hyperplanes(dim, n_planes * n_tables, seed), dtype=np.float64)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-
-    @pandas_udf("array<long>")
-    def bucket_ids(v: pd.Series) -> pd.Series:
-        mat = np.array(list(v), dtype=np.float64)
-        bits = (mat @ planes_mat.T) >= 0  # (n, n_tables*n_planes)
-        ids = bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
-        return pd.Series(list(ids))
-
-    @pandas_udf("double")
-    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.array(list(a), dtype=np.float64)
-        mb = np.array(list(b), dtype=np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        na[na == 0.0] = 1.0
-        nb[nb == 0.0] = 1.0
-        return pd.Series(np.round((ma * mb).sum(axis=1) / (na * nb), 6))
+    bucket_ids = srp_bucket_ids_udf(dim, n_planes, n_tables, seed)
+    pair_cosine = pair_cosine_udf(6)
 
     # Bucket join carries ONLY (tbl, bucket, id) — never the vectors:
     # a candidate row is 24 bytes, so even a hot bucket shuffles cheaply,

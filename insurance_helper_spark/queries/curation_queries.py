@@ -731,6 +731,15 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec")
         .mapInPandas(run, schema="x_id bigint, x_lang string, y_id bigint, cos_sim double")
     )
+    return _margin_best(grid)
+
+
+def _margin_best(grid: DataFrame) -> DataFrame:
+    """Ratio-margin scoring + best-match selection over a scored pair
+    relation (x_id, x_lang, y_id, cos_sim). Shared by the exact-grid
+    oracle query and the LSH scale twin — the margin definition is
+    identical; only the candidate relation differs. Both neighborhood
+    windows partition on a doc-id key: one shuffle each side."""
     w_fwd = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"), "y_id")
     fwd = (
         grid.withColumn("rn", F.row_number().over(w_fwd))
@@ -760,3 +769,55 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x_id", "x_lang", F.col("y_id").alias("en_doc_id"), "margin")
         .orderBy("x_id")
     )
+
+
+@register("crosslingual_margin_pairs_lsh")  # rows-only: ANN recall < 1
+def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for bitext mining: SRP-LSH candidate generation
+    replaces the full non-en × en grid, then the SAME ratio-margin
+    windows (_margin_best) run over candidates only — the CCMatrix
+    shape, where margins are computed over ANN neighborhoods rather
+    than exact ones.
+
+    Scale: no driver collect anywhere — both sides are hashed once
+    (Arrow-batched matmul), candidates come from 24-byte-row bucket
+    equi-joins (never all-pairs), vectors are fetched per deduped
+    candidate pair, and the cosine is one vectorized batch pass.
+    Recall tunes via n_planes/n_tables: a pair at angle θ shares one
+    table's bucket with p = (1-θ/π)^n_planes, recall = 1-(1-p)^L. The
+    fixture's best pairs are only weakly similar (median cos 0.33 →
+    p_plane 0.61), so the params here are generous (4 planes × 12
+    tables → ~0.83 predicted candidate recall); a production corpus
+    with LASER-grade pairs (cos ≥ 0.7 → p_plane ≥ 0.77) reaches the
+    same recall with 8+ planes and far smaller buckets.
+    tests/test_crosslingual_lsh.py pins recall-vs-exact on the fixture.
+    """
+    from insurance_helper_spark.operators.similarity import (
+        cross_bucket_candidates,
+        pair_cosine_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    v = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    src = v.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec"
+    )
+    tgt = v.filter(F.col("lang") == "en").select(F.col("doc_id").alias("y_id"), "vec")
+    dim = 64  # fixture embedding width (TESTDATA.md)
+    cand = cross_bucket_candidates(
+        src.select("x_id", "vec"), tgt, dim=dim, n_planes=4, n_tables=12
+    )
+    grid = (
+        cand.join(src.select("x_id", "x_lang", F.col("vec").alias("x_vec")), "x_id")
+        .join(tgt.select("y_id", F.col("vec").alias("y_vec")), "y_id")
+        .select(
+            "x_id",
+            "x_lang",
+            "y_id",
+            pair_cosine_udf(4)(F.col("x_vec"), F.col("y_vec")).alias("cos_sim"),
+        )
+    )
+    return _margin_best(grid)

@@ -1,0 +1,37 @@
+"""Recall invariant for the crosslingual bitext-mining scale twin:
+the LSH-candidate variant must recover most of the exact grid's best
+pairs on the fixture corpus (deterministic hyperplanes -> stable)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixture data absent")
+def test_lsh_twin_recall_vs_exact(spark):
+    from insurance_helper_spark.queries.curation_queries import (
+        crosslingual_margin_pairs,
+        crosslingual_margin_pairs_lsh,
+    )
+
+    exact = {
+        (r.x_id, r.en_doc_id)
+        for r in crosslingual_margin_pairs(spark, SF_DIR).collect()
+    }
+    approx_rows = crosslingual_margin_pairs_lsh(spark, SF_DIR).collect()
+    approx = {(r.x_id, r.en_doc_id) for r in approx_rows}
+    assert exact, "exact variant found no pairs — fixture changed?"
+    recall = len(exact & approx) / len(exact)
+    # 6 planes x 6 tables on 64-dim embeddings: high-similarity pairs
+    # collide with high probability; margins over ANN neighborhoods may
+    # swap the best match for borderline docs, so pin a floor, not
+    # equality.
+    assert recall >= 0.6, f"recall {recall:.2f} below floor"
+    # Margins are computed over candidate neighborhoods only, so the
+    # schema and value domain must still match the exact twin.
+    for r in approx_rows:
+        assert r.margin > 1.0
