@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (  # protobuf-free import
+    StatefulProcessor as _StatefulProcessor,
+)
 
 
 def read_event_stream(
@@ -729,6 +732,50 @@ def scd2_maintenance_stream(
     q.awaitTermination()
 
 
+class TopKProcessor(_StatefulProcessor):
+    """StatefulProcessor for user_topk_state, defined at module level
+    so its state-fold logic is unit-testable with a fake handle even
+    where the transformWithState RUNTIME (protobuf) is unavailable.
+    State: (tops array<double>, n long)."""
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def state_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("tops", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("topk", self.state_schema())
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        if self._state.exists():
+            tops, n = self._state.get()
+            tops = list(tops)
+        else:
+            tops, n = [], 0
+        for pdf in rows:
+            vals = pdf["value"].astype(float).tolist()
+            n += len(vals)
+            tops = sorted(tops + vals, reverse=True)[: self._k]
+        self._state.update((tops, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "top_values": [tops], "n_seen": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def user_topk_state(
     events: DataFrame,
     watermark: str = "1 hour",
@@ -756,12 +803,7 @@ def user_topk_state(
     ``user_running_state`` above provides the same capability tier on
     the v1 applyInPandasWithState API with no extra dependency).
     """
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
 
     out_schema = T.StructType(
         [
@@ -770,41 +812,11 @@ def user_topk_state(
             T.StructField("n_seen", T.LongType()),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("tops", T.ArrayType(T.DoubleType())),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-
-    class TopKProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("topk", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            (user_id,) = key
-            if self._state.exists():
-                tops, n = self._state.get()
-                tops = list(tops)
-            else:
-                tops, n = [], 0
-            for pdf in rows:
-                vals = pdf["value"].astype(float).tolist()
-                n += len(vals)
-                tops = sorted(tops + vals, reverse=True)[:k]
-            self._state.update((tops, n))
-            yield pd.DataFrame(
-                {"user_id": [user_id], "top_values": [tops], "n_seen": [n]}
-            )
-
-        def close(self) -> None:
-            pass
-
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=TopKProcessor(),
+            statefulProcessor=TopKProcessor(k),
             outputStructType=out_schema,
             outputMode="append",
             timeMode="none",

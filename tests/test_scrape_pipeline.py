@@ -202,6 +202,51 @@ class TestDownloadBatch:
         assert res[0]["attempts"] == 2
         assert (tmp_path / "f1.bin").read_bytes() == b"data"
 
+    def test_aggregate_rate_cap_across_partitions(self, spark, tmp_path):
+        """The reference's one hard operational invariant (config.py:39,
+        10 req/s GLOBAL): with k partitions each budgeted rate/k, the
+        FLEET-WIDE request rate must stay under the configured cap.
+        Each fetch appends a wall-clock timestamp to a shared file
+        (workers are separate processes; O_APPEND lines are atomic at
+        this size), then the aggregate rate over the observed window is
+        checked against the cap."""
+        import os
+        import time
+
+        log = tmp_path / "stamps.log"
+        log_path = str(log)
+
+        def stamping_downloader(url: str) -> bytes:
+            with open(log_path, "a") as f:
+                f.write(f"{time.time()}\n")
+            return b"x"
+
+        n_parts, rate, n_req = 4, 20.0, 40
+        tasks = spark.createDataFrame(
+            [(f"u{i}", None, "t", "k") for i in range(n_req)],
+            schema="url string, destination string, product_type string, uin string",
+        )
+        res = http.download_batch(
+            tasks, downloader=stamping_downloader,
+            config=http.ScrapeConfig(
+                rate_limit=rate, retry_attempts=1, retry_delay_s=0.0
+            ),
+            download_partitions=n_parts, write_files=False,
+        ).collect()
+        assert all(r["success"] for r in res)
+        stamps = sorted(float(x) for x in log.read_text().split())
+        assert len(stamps) == n_req
+        span = stamps[-1] - stamps[0]
+        # Each partition's bucket grants one burst token, so exclude
+        # the k free first-requests from the numerator; everything else
+        # must have been paced at <= rate overall (25% timing slack).
+        paced = n_req - n_parts
+        assert span > 0
+        assert paced / span <= rate * 1.25, (
+            f"aggregate {paced / span:.1f} req/s exceeds cap {rate}"
+        )
+        assert os.path.exists(log_path)
+
     def test_rate_limit_honored(self, spark):
         """Global politeness: 4 downloads at 2 req/s global across 2
         partitions (1 req/s each) must take ≥ ~1s."""

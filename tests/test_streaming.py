@@ -604,6 +604,58 @@ def _has_protobuf() -> bool:
 
 
 class TestTransformWithState:
+    def test_plan_construction_without_protobuf(self, spark, tmp_path):
+        """The StatefulProcessor wiring (groupBy → transformWithState
+        InPandas → output schema) must analyze without the protobuf
+        runtime — regressions in the v2 plumbing surface here even in
+        containers where the e2e test below is env-skipped."""
+        d = tmp_path / "tws_plan"
+        d.mkdir()
+        write_events_file(d / "b.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+             "event_type": "view", "value": 5.0}])
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA)
+        out = ops.user_topk_state(stream, k=3)
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "user_id", "top_values", "n_seen"]
+        assert "TransformWithStateIn" in out._jdf.queryExecution().analyzed().toString()
+
+    def test_topk_processor_state_fold_unit(self):
+        """TopKProcessor's fold logic against a fake state handle —
+        the part of the v2 path that needs no Spark runtime at all."""
+        import pandas as pd
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+            def exists(self):
+                return self._v is not None
+            def get(self):
+                return self._v
+            def update(self, v):
+                self._v = v
+
+        class FakeHandle:
+            def __init__(self):
+                self.state = FakeState()
+            def getValueState(self, name, schema):
+                return self.state
+
+        proc = ops.TopKProcessor(k=3)
+        handle = FakeHandle()
+        proc.init(handle)
+        (out1,) = list(proc.handleInputRows(
+            (1,), [pd.DataFrame({"value": [5.0, 9.0, 1.0, 7.0]})], None))
+        assert out1["top_values"][0] == [9.0, 7.0, 5.0]
+        assert out1["n_seen"][0] == 4
+        # Second micro-batch folds on top of persisted state.
+        (out2,) = list(proc.handleInputRows(
+            (1,), [pd.DataFrame({"value": [8.0]})], None))
+        assert out2["top_values"][0] == [9.0, 8.0, 7.0]
+        assert out2["n_seen"][0] == 5
+        proc.close()
+
     @pytest.mark.skipif(
         not _has_protobuf(),
         reason="transformWithState's driver worker needs protobuf "
