@@ -122,6 +122,8 @@ def load_all() -> None:
         curation_queries,
         relational,
         relational_ext,
+        stat_queries,
+        sequence_queries,
     )
 
     # Stable-sort the registry so the driver's first-50 verification

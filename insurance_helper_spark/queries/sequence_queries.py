@@ -1,0 +1,347 @@
+"""Sequence, interval, graph-iteration, and snapshot-diff operators.
+
+Four §2B-tier shapes the engine had not yet exercised:
+
+- fixed-iteration PageRank over the co-purchase graph — the iterative
+  join→aggregate loop (label propagation's weighted cousin; the
+  connected-components operator covers the min-label variant);
+- interval merging (gaps-and-islands over [start, end] spans, the
+  calendar/coverage primitive);
+- snapshot diff — CDC-style compare of two table versions into
+  added / removed / changed rows (the reference's upsert inverse:
+  storage/state.py:142-156 applies deltas, this derives them);
+- last-touch attribution — each conversion event joined to the latest
+  preceding touch event within a window (the marketing/causal shape).
+
+All exact arithmetic (integer counts, date arithmetic, rank-normalized
+PageRank rounded after ×N scaling), so every query is oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_copurchase — 3 unrolled PageRank iterations over the
+# part co-purchase graph (edge: two parts share an order). Scale: the
+# edge list is the basket pair blowup (bounded per order); each
+# iteration is ONE shuffle join (ranks ⋈ edges on src) + ONE shuffle
+# aggregate (sum contributions on dst) — the canonical distributed
+# PageRank plan; degree and edges are computed once and checkpointed.
+# The symmetric graph has no dangling nodes by construction. Ranks are
+# reported ×N (mean-normalized to 1) so 6-decimal rounding keeps real
+# precision at any graph size.
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+
+PAGERANK_ORACLE = f"""
+WITH order_parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM order_parts a JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) * 1.0 AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+r1 AS (
+  SELECT e.dst AS node, (1 - {_PR_D}) / any_value(nn.n) + {_PR_D} * sum(r0.r / deg.d) AS r
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  CROSS JOIN nn GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node, (1 - {_PR_D}) / any_value(nn.n) + {_PR_D} * sum(r1.r / deg.d) AS r
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  CROSS JOIN nn GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node, (1 - {_PR_D}) / any_value(nn.n) + {_PR_D} * sum(r2.r / deg.d) AS r
+  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+  CROSS JOIN nn GROUP BY e.dst
+)
+SELECT r3.node AS part_id,
+       round(r3.r * any_value(nn.n), 6) AS rank_norm,
+       deg.d AS degree
+FROM r3 JOIN deg ON r3.node = deg.src CROSS JOIN nn
+GROUP BY part_id, r3.r, deg.d
+ORDER BY part_id
+"""
+
+
+@register("graph_pagerank_copurchase", PAGERANK_ORACLE)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    order_parts = li.distinct()
+    a, b = order_parts.alias("a"), order_parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by deg + 3 iterations
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select("node", (1.0 / F.col("n")).alias("r"))
+    contrib_edges = edges.join(deg, "src")
+    for _ in range(3):
+        ranks = (
+            contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                ((1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("mass")).alias("r"),
+            )
+        )
+    return (
+        ranks.crossJoin(F.broadcast(nn))
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("r") * F.col("n"), 6).alias("rank_norm"),
+            F.col("d").alias("degree"),
+        )
+        .orderBy("part_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_interval_merge — merge overlapping shipment-coverage spans
+# [shipdate, shipdate+1d] per supplier into islands (the interval-
+# union primitive: SLA coverage, sensor uptime, lease periods). Scale:
+# one shuffle on the supplier key; the island assignment is the
+# classic running-max prefix scan inside each partition (O(1) state
+# per row), and the two-level re-aggregation stays on the same key —
+# no further shuffles.
+# ---------------------------------------------------------------------------
+
+INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT DISTINCT l_suppkey AS suppkey,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + INTERVAL 1 DAY AS e
+  FROM lineitem
+),
+flagged AS (
+  SELECT suppkey, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY suppkey ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT suppkey, s, e,
+         sum(new_island) OVER (PARTITION BY suppkey ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island_id
+  FROM flagged
+),
+per_island AS (
+  SELECT suppkey, island_id,
+         date_diff('day', min(s), max(e)) AS covered
+  FROM islands GROUP BY suppkey, island_id
+)
+SELECT suppkey,
+       CAST((SELECT count(*) FROM iv i WHERE i.suppkey = per_island.suppkey) AS BIGINT)
+           AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(covered) AS BIGINT) AS covered_days
+FROM per_island
+GROUP BY suppkey
+ORDER BY suppkey
+"""
+
+
+@register("supplier_interval_merge", INTERVAL_MERGE_ORACLE)
+def supplier_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate"])
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(F.col("l_shipdate").cast("date"), 1).alias("e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("suppkey", "island_id").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("covered"),
+        F.count("*").alias("n_iv"),
+    )
+    return (
+        per_island.groupBy("suppkey")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("covered_days"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_snapshot_diff — CDC derivation: diff two snapshot versions of
+# the orders table into added / removed / changed rows (with old/new
+# values). The snapshots are deterministic fixture derivations (drop
+# every 89th key from "old", every 97th from "new", bump price on
+# every 13th) so the diff is value-checkable. Scale: ONE full outer
+# join on the key — both sides shuffle once; at 100 TB the same plan
+# runs bucketed-by-key to skip the shuffle entirely (sources/bucketed).
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         round(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END, 2) AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       o.price AS old_price,
+       n.price AS new_price
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.price <> n.price
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    old_snap = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("old_price")
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("new_price"),
+    )
+    j = old_snap.alias("o").join(
+        new_snap.alias("n"), on="o_orderkey", how="full_outer"
+    )
+    change = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_last_touch — for every purchase, the latest
+# click/view by the same user in the preceding 7 days (last-touch
+# attribution). Scale: the join is per-user (one shuffle on user_id,
+# the natural event partitioning); the per-purchase argmax is a window
+# over each purchase's candidate touches — never a global sort. The
+# 7-day predicate bounds the per-user pair blowup the same way a
+# stream-stream interval join's watermark does (this is its batch
+# twin from the opposite direction).
+# ---------------------------------------------------------------------------
+
+LAST_TOUCH_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         t.event_id AS touch_id, t.event_type AS touch_type, t.ts AS touch_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY t.ts DESC NULLS LAST, t.event_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.ts <= p.ts
+   AND t.ts > p.ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, user_id, touch_id, touch_type,
+       CAST(date_diff('second', touch_ts, purchase_ts) AS BIGINT) AS secs_before
+FROM joined WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
+@register("events_attribution_last_touch", LAST_TOUCH_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("touch_ts") > F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("touch_ts"), F.desc_nulls_last("touch_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "touch_id",
+            "touch_type",
+            (
+                (F.unix_timestamp("purchase_ts") - F.unix_timestamp("touch_ts"))
+            ).cast("long").alias("secs_before"),
+        )
+        .orderBy("purchase_id")
+    )

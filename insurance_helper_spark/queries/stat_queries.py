@@ -1,0 +1,354 @@
+"""Statistical-analysis surface: hypothesis tests, divergence metrics,
+robust/winsorized estimators, and the GROUPED_AGG pandas-UDF tier.
+
+These extend §2B's "agg — stats" row from descriptive moments to the
+inferential toolkit a data-curation team runs distributed (A/B deltas,
+segment drift, corpus-distribution shift). Everything is exact closed-
+form arithmetic over one or two aggregation passes — no sampling, no
+iteration — so each query is fully SQL-expressible and oracle-gated.
+
+Engine-parity notes: every float aggregate is rounded on both sides;
+rank positions use INTEGER ceil-division ((k*n + 9) div 10), never
+double multiplication, because 0.1*n can land on either side of an
+integer depending on the engine's rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.queries.text_queries import _TOKS
+from insurance_helper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# stat_welch_ttest_segments — Welch's unequal-variance t-test per
+# customer segment: high-priority vs normal-priority order values.
+# Scale: two aggregation passes fused into one groupBy with
+# conditional aggregates — a single shuffle on the segment key; the
+# t statistic and Welch–Satterthwaite df are closed-form from
+# (n, mean, var) per arm.
+# ---------------------------------------------------------------------------
+
+WELCH_ORACLE = """
+WITH arms AS (
+  SELECT c.c_mktsegment AS segment,
+         count(*) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS n_hi,
+         avg(o.o_totalprice) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS m_hi,
+         var_samp(o.o_totalprice) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS v_hi,
+         count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS n_lo,
+         avg(o.o_totalprice) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS m_lo,
+         var_samp(o.o_totalprice) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS v_lo
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment
+)
+SELECT segment,
+       CAST(n_hi AS BIGINT) AS n_hi, CAST(n_lo AS BIGINT) AS n_lo,
+       round(m_hi - m_lo, 4) AS mean_diff,
+       round((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo), 4) AS welch_t,
+       round(pow(v_hi / n_hi + v_lo / n_lo, 2)
+             / (pow(v_hi / n_hi, 2) / (n_hi - 1)
+                + pow(v_lo / n_lo, 2) / (n_lo - 1)), 2) AS welch_df
+FROM arms
+ORDER BY segment
+"""
+
+
+@register("stat_welch_ttest_segments", WELCH_ORACLE)
+def stat_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    price = F.col("o_totalprice")
+    arms = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("n_hi"),
+            F.avg(F.when(hi, price)).alias("m_hi"),
+            F.var_samp(F.when(hi, price)).alias("v_hi"),
+            F.count(F.when(~hi, 1)).alias("n_lo"),
+            F.avg(F.when(~hi, price)).alias("m_lo"),
+            F.var_samp(F.when(~hi, price)).alias("v_lo"),
+        )
+    )
+    se2 = F.col("v_hi") / F.col("n_hi") + F.col("v_lo") / F.col("n_lo")
+    return arms.select(
+        "segment",
+        "n_hi",
+        "n_lo",
+        F.round(F.col("m_hi") - F.col("m_lo"), 4).alias("mean_diff"),
+        F.round((F.col("m_hi") - F.col("m_lo")) / F.sqrt(se2), 4).alias("welch_t"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_hi") / F.col("n_hi"), 2) / (F.col("n_hi") - 1)
+                + F.pow(F.col("v_lo") / F.col("n_lo"), 2) / (F.col("n_lo") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# stat_chi2_priority_status — chi-square test of independence over the
+# order-priority × order-status contingency table. Scale: the cell
+# counts are one groupBy over the fact table; margins are tiny
+# re-aggregations of the CELLS (never a second fact scan), and the
+# final statistic is a broadcast-joined fold over |cells| rows.
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY prio, status
+),
+rowm AS (SELECT prio, sum(obs) AS row_tot FROM cells GROUP BY prio),
+colm AS (SELECT status, sum(obs) AS col_tot FROM cells GROUP BY status),
+n AS (SELECT sum(obs) AS n FROM cells)
+SELECT round(sum(pow(c.obs - r.row_tot * co.col_tot * 1.0 / n.n, 2)
+              / (r.row_tot * co.col_tot * 1.0 / n.n)), 6) AS chi2,
+       CAST((count(DISTINCT c.prio) - 1) * (count(DISTINCT c.status) - 1) AS BIGINT)
+           AS dof,
+       CAST(any_value(n.n) AS BIGINT) AS n_obs
+FROM cells c
+JOIN rowm r ON c.prio = r.prio
+JOIN colm co ON c.status = co.status
+CROSS JOIN n
+"""
+
+
+@register("stat_chi2_priority_status", CHI2_ORACLE)
+def stat_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("prio"), F.col("o_orderstatus").alias("status")
+        )
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)  # 15 rows; feeds margins + fold
+    )
+    rowm = cells.groupBy("prio").agg(F.sum("obs").alias("row_tot"))
+    colm = cells.groupBy("status").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return (
+        cells.join(F.broadcast(rowm), "prio")
+        .join(F.broadcast(colm), "status")
+        .join(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+            (
+                (F.count_distinct("prio") - 1) * (F.count_distinct("status") - 1)
+            ).cast("long").alias("dof"),
+            F.any_value("n").cast("long").alias("n_obs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_js_divergence_sources — per-source unigram-distribution drift vs
+# the whole corpus: KL(P_src || P_corpus) and Jensen–Shannon(P_src,
+# P_corpus). The distribution-shift monitor a curation pipeline runs
+# per ingest source. Scale: corpus term stats are one explode + one
+# term shuffle (the TF-IDF relation); the per-(source, term) grid is
+# |sources| × |vocab| — vocab-bounded, never corpus-bounded — built by
+# broadcasting the source list, and the final fold is one shuffle on
+# the source key.
+# ---------------------------------------------------------------------------
+
+JS_DIV_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+src_term AS (SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+src_tot AS (SELECT source, sum(c) AS tot_s FROM src_term GROUP BY source),
+corp_term AS (SELECT term, sum(c) AS cc FROM src_term GROUP BY term),
+corp_tot AS (SELECT sum(cc) AS tot_c FROM corp_term),
+grid AS (
+  SELECT s.source, t.term,
+         coalesce(st.c, 0) * 1.0 / s2.tot_s AS p,
+         t.cc * 1.0 / ct.tot_c AS q
+  FROM (SELECT DISTINCT source FROM src_term) s
+  CROSS JOIN corp_term t
+  CROSS JOIN corp_tot ct
+  JOIN src_tot s2 ON s.source = s2.source
+  LEFT JOIN src_term st ON st.source = s.source AND st.term = t.term
+)
+SELECT source,
+       round(sum(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6) AS kl_src_corpus,
+       round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+             + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js_divergence
+FROM grid
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("stat_js_divergence_sources", JS_DIV_ORACLE)
+def stat_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    src_term = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    src_term = src_term.localCheckpoint(eager=False)  # 4 consumers below
+    src_tot = src_term.groupBy("source").agg(F.sum("c").alias("tot_s"))
+    corp_term = src_term.groupBy("term").agg(F.sum("c").alias("cc"))
+    corp_tot = corp_term.agg(F.sum("cc").alias("tot_c"))
+    sources = src_term.select("source").distinct()
+    grid = (
+        F.broadcast(sources)
+        .crossJoin(corp_term)
+        .crossJoin(F.broadcast(corp_tot))
+        .join(F.broadcast(src_tot), "source")
+        .join(src_term.withColumnRenamed("c", "sc"), ["source", "term"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("sc"), F.lit(0)) / F.col("tot_s")).alias("p"),
+            (F.col("cc") / F.col("tot_c")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kl_pq = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("q"))).otherwise(0.0)
+    kl_pm = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    kl_qm = F.col("q") * F.log(F.col("q") / m)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.round(F.sum(kl_pq), 6).alias("kl_src_corpus"),
+            F.round(0.5 * F.sum(kl_pm) + 0.5 * F.sum(kl_qm), 6).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_geometric_mean_udaf — the GROUPED_AGG pandas-UDF tier (the one
+# UDF eval type the engine's surface didn't yet exercise): per-priority
+# geometric mean of order value, Arrow-batched, vs the closed-form
+# exp(avg(ln x)) oracle. Scale: grouped-agg UDFs get Spark's partial-
+# less hash aggregation (full shuffle of the group's values) — fine for
+# bounded groups; the docstring exists to say so, and the closed-form
+# identity is the map-side-combinable alternative when groups are huge.
+# ---------------------------------------------------------------------------
+
+GEOMEAN_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price
+FROM orders
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("agg_geometric_mean_udaf", GEOMEAN_ORACLE)
+def agg_geometric_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    # Explicit functionType: the module-wide `from __future__ import
+    # annotations` stringifies type hints, so pyspark's hint-based
+    # eval-type inference can't see Series -> scalar here.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas aggregate, not F.count.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def pd_count(v):
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            pd_count(F.col("o_totalprice")).alias("n_orders"),
+            F.round(geomean(F.col("o_totalprice")), 2).alias("geo_mean_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_winsorized_event_values — winsorized mean per event type: clamp
+# to the exact p10/p90 order statistics, then average. Rank positions
+# are INTEGER ceil-divisions over the group count, and the order
+# statistic at a sorted position is tiebreak-independent, so both
+# engines pick the identical clamp bounds. Scale: one sort-within-
+# partition window (the same shuffle the percentile family needs) +
+# one re-aggregation; no second fact scan — bounds rejoin by key.
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         min(CASE WHEN r = (n + 9) // 10 THEN value END) AS v_lo,
+         min(CASE WHEN r = (9 * n + 9) // 10 THEN value END) AS v_hi,
+         any_value(n) AS n_events
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(b.n_events AS BIGINT) AS n_events,
+       round(b.v_lo, 4) AS p10,
+       round(b.v_hi, 4) AS p90,
+       round(avg(least(greatest(r.value, b.v_lo), b.v_hi)), 4) AS winsorized_mean
+FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+GROUP BY r.event_type, b.n_events, b.v_lo, b.v_hi
+ORDER BY r.event_type
+"""
+
+
+@register("stat_winsorized_event_values", WINSOR_ORACLE)
+def stat_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    ).localCheckpoint(eager=False)  # bounds + re-aggregation share it
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("r") == F.floor((F.col("n") + 9) / 10), F.col("value"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("r") == F.floor((9 * F.col("n") + 9) / 10), F.col("value"))
+        ).alias("v_hi"),
+        F.any_value("n").alias("n_events"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("v_lo")), F.col("v_hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n_events", "v_lo", "v_hi")
+        .agg(F.round(F.avg(clamped), 4).alias("winsorized_mean"))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("v_lo", 4).alias("p10"),
+            F.round("v_hi", 4).alias("p90"),
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )

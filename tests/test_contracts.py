@@ -27,14 +27,24 @@ def test_entry_contract_shapes():
 
 
 def test_catalog_window_prioritizes_unverified():
-    # The driver verifies the first 50 registered queries per round;
-    # every query without a fully-green CORRECTNESS row from a prior
-    # round must sort ahead of the already-verified tail.
+    # The driver verifies the first 50 registered queries per round:
+    # never-green oracle queries must sort first, then never-sampled
+    # rows-only queries, then previously-checked ones stalest-first.
     from insurance_helper_spark.queries import catalog
 
     catalog.load_all()
     names = list(catalog.QUERIES)
-    green = catalog._verified_green()
-    boundary = sum(1 for n in names if n not in green)
-    assert all(n not in green for n in names[:boundary])
-    assert all(n in green for n in names[boundary:])
+    green, last_round = catalog._driver_history()
+
+    def tier(n):
+        if n in catalog.ORACLE_SQL and n not in green:
+            return 0
+        if n not in last_round:
+            return 1
+        return 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers)
+    # Within tier 2, staleness ordering: last-sampled round ascending.
+    t2_rounds = [last_round[n] for n in names if tier(n) == 2]
+    assert t2_rounds == sorted(t2_rounds)
