@@ -84,6 +84,19 @@ HEADLINE = [
     "agg_hll_mergeable_daily",
     "incremental_agg_maintenance",
     "crosslingual_margin_pairs",
+    # round-5 additions: crosslingual scale twin + statistics/graph/CDC
+    "crosslingual_margin_pairs_lsh",
+    "stat_welch_ttest_segments",
+    "stat_chi2_priority_status",
+    "stat_js_divergence_sources",
+    "agg_geometric_mean_udaf",
+    "stat_winsorized_event_values",
+    "graph_pagerank_copurchase",
+    "supplier_interval_merge",
+    "orders_snapshot_diff",
+    "events_attribution_last_touch",
+    "stat_gini_order_values",
+    "agg_cms_heavy_hitters_bounds",
 ]
 
 

@@ -352,3 +352,128 @@ def stat_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_gini_order_values — Gini concentration coefficient of order
+# value per priority class, from the exact rank formula
+# G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted values.
+# Integer ranks come from one sort-window; both Σ folds are plain
+# aggregates on the same key — one shuffle total. Complements the HHI
+# query (share-of-squares) with the rank-based inequality measure.
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS i
+  FROM orders
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("stat_gini_order_values", GINI_ORACLE)
+def stat_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count("*")
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            n.cast("long").alias("n_orders"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_heavy_hitters_bounds — Count-Min-Sketch frequency estimates
+# with the one-sided error contract verified against exact counts (the
+# approx-with-oracle-checked-bound pattern agg_hll_mergeable_daily and
+# agg_approx_percentile_bounds establish). The sketch is Spark's
+# built-in mergeable CMS aggregate: map-side partial sketches, one
+# merge — a constant-size summary regardless of input size (the
+# 100 TB heavy-hitter monitor). Estimates are read driver-side from
+# the deserialized sketch for the top-k candidate keys only (index-
+# metadata access, same tier as the IVF centroids); the guarantee
+# est ≥ exact AND est ≤ exact + ⌈eps·N⌉ holds deterministically for
+# the fixed seed, so the booleans are value-checkable.
+# ---------------------------------------------------------------------------
+
+CMS_ORACLE = """
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY l_partkey
+),
+topk AS (
+  SELECT l_partkey, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) AS rk
+  FROM counts
+)
+SELECT l_partkey, exact_cnt,
+       TRUE AS est_not_below_exact,
+       TRUE AS est_within_eps_n
+FROM topk WHERE rk <= 20
+ORDER BY exact_cnt DESC, l_partkey
+"""
+
+
+@register("agg_cms_heavy_hitters_bounds", CMS_ORACLE)
+def agg_cms_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps, conf, seed = 0.001, 0.99, 42
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"])
+    (sketch_bytes,) = (
+        li.agg(
+            F.count_min_sketch(
+                "l_partkey", F.lit(eps), F.lit(conf), F.lit(seed)
+            ).alias("s")
+        ).first()
+    )
+    import math
+
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sketch_bytes))
+    slack = math.ceil(eps * sk.totalCount())
+    w = Window.orderBy(F.desc("exact_cnt"), "l_partkey")
+    topk = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("l_partkey", "exact_cnt")
+        .collect()
+    )
+    rows = [
+        (
+            r["l_partkey"],
+            r["exact_cnt"],
+            sk.estimateCount(int(r["l_partkey"])) >= r["exact_cnt"],
+            sk.estimateCount(int(r["l_partkey"])) <= r["exact_cnt"] + slack,
+        )
+        for r in topk
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "l_partkey long, exact_cnt long, est_not_below_exact boolean, est_within_eps_n boolean",
+    )
+    return out.orderBy(F.desc("exact_cnt"), "l_partkey")
