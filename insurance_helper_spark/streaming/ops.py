@@ -407,8 +407,12 @@ def corpus_ingest_stream(
        100 TB: 32-byte keys, broadcastable daily deltas, never rescans
        corpus text);
     4. append survivors to the corpus, their fingerprints to the key
-       table. A batch-id column makes replays observable; the
-       checkpoint makes them no-ops.
+       table. Both writes are dynamic partition overwrites on
+       ingest_batch, so a replayed batch (crash before the checkpoint
+       commit — including BETWEEN the two writes) rewrites its own
+       partition with identical rows instead of appending duplicates;
+       when the fingerprints did land, the anti-join empties the
+       replay and both partitions keep their (already correct) data.
     """
     from pyspark.sql import functions as F
 
@@ -458,8 +462,20 @@ def corpus_ingest_stream(
             # analysis error is absorbed — corruption must fail loudly)
         fresh = fresh.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
         fresh = fresh.localCheckpoint(eager=True)  # cut the double-write lineage
-        fresh.drop("fingerprint").write.mode("append").parquet(corpus_dir)
-        fresh.select("fingerprint").write.mode("append").parquet(fingerprints_dir)
+        (
+            fresh.drop("fingerprint")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(corpus_dir)
+        )
+        (
+            fresh.select("fingerprint", "ingest_batch")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(fingerprints_dir)
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -683,6 +699,13 @@ def scd2_maintenance_stream(
 
     First batch bootstraps the dim from the updates themselves (every
     key inserts).
+
+    Replay safety: scd2_merge suppresses no-op updates (tracked values
+    equal to the current row produce no new version), so a replayed
+    batch — crash after the dim rewrite but before the checkpoint
+    commit — merges the same updates into a dim that already reflects
+    them and rewrites it unchanged. Verified by
+    test_streaming::TestScd2Stream::test_replay_is_noop.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W

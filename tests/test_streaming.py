@@ -284,6 +284,24 @@ class TestCorpusIngestStream:
         fps = spark.read.parquet(str(tmp_path / "fp")).distinct().count()
         assert fps == 2
 
+    def test_replay_after_lost_checkpoint_no_duplicates(self, spark, tmp_path):
+        """Crash-replay: losing the commit log replays every batch; the
+        dynamic partition overwrite on ingest_batch must keep both the
+        corpus and the fingerprint table exact (no duplicate docs)."""
+        import shutil
+
+        self._write_batch(
+            spark,
+            str(tmp_path / "in"),
+            [(1, self.GOOD, "en", "s1", len(self.GOOD))],
+        )
+        assert self._run(spark, tmp_path) == {1}
+        shutil.rmtree(tmp_path / "ckpt")
+        assert self._run(spark, tmp_path) == {1}
+        corpus = spark.read.parquet(str(tmp_path / "corpus"))
+        assert corpus.count() == 1  # one ROW, not just one distinct id
+        assert spark.read.parquet(str(tmp_path / "fp")).count() == 1
+
 
 class TestContinuousRollup:
     """Streaming continuous aggregate: minute partials append as the
@@ -593,6 +611,38 @@ class TestScd2Stream:
         # Exactly one current row per key.
         for k, rs in by_key.items():
             assert sum(1 for r in rs if r.is_current) == 1
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        """scd2_merge's no-op suppression makes batch replay (lost
+        checkpoint) idempotent: same updates against a dim that
+        already reflects them must add no versions."""
+        import json as _json
+        import shutil
+
+        upd_dir = tmp_path / "scd_in2"
+        upd_dir.mkdir()
+        with open(upd_dir / "b1.json", "w") as f:
+            for r in [
+                {"k": 1, "tier": "bronze", "effective_date": "2024-01-01"},
+                {"k": 2, "tier": "silver", "effective_date": "2024-01-01"},
+            ]:
+                f.write(_json.dumps(r) + "\n")
+        dim_dir = str(tmp_path / "dim2")
+        args = (spark, str(upd_dir), dim_dir, str(tmp_path / "ckpt2"))
+        kw = dict(key="k", tracked=["tier"],
+                  schema="k long, tier string, effective_date date")
+        ops.scd2_maintenance_stream(*args, **kw)
+        before = sorted(
+            (r.k, r.tier, r.is_current)
+            for r in spark.read.parquet(dim_dir).collect()
+        )
+        shutil.rmtree(tmp_path / "ckpt2")
+        ops.scd2_maintenance_stream(*args, **kw)
+        after = sorted(
+            (r.k, r.tier, r.is_current)
+            for r in spark.read.parquet(dim_dir).collect()
+        )
+        assert before == after == [(1, "bronze", True), (2, "silver", True)]
 
 
 def _has_protobuf() -> bool:
