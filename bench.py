@@ -97,6 +97,11 @@ HEADLINE = [
     "events_attribution_last_touch",
     "stat_gini_order_values",
     "agg_cms_heavy_hitters_bounds",
+    "spatial_grid_nearest_customer",
+    "hierarchy_flatten_bfs",
+    "corpus_mixing_weights",
+    "embedding_quantization_error",
+    "events_attribution_linear",
 ]
 
 

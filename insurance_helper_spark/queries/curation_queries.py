@@ -821,3 +821,125 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _margin_best(grid)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixing_weights — temperature-scaled source mixing (the
+# Pile/LLaMA recipe): per-source sampling weight w_i ∝ tokens_i^α
+# (α < 1 upweights small sources), plus the implied epoch count each
+# source would run at a given training-token budget. One groupBy on
+# source + a 1-row broadcast of the normalizer — trivially scalable;
+# the point is the exact, auditable recipe artifact.
+# ---------------------------------------------------------------------------
+
+MIXING_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+  GROUP BY source
+),
+norm AS (SELECT sum(pow(n_tokens, 0.5)) AS z, sum(n_tokens) * 2 AS budget FROM per_src)
+SELECT p.source, p.n_docs, p.n_tokens,
+       round(pow(p.n_tokens, 0.5) / n.z, 6) AS mix_weight,
+       round(pow(p.n_tokens, 0.5) / n.z * n.budget / p.n_tokens, 4) AS epochs
+FROM per_src p CROSS JOIN norm n
+ORDER BY p.source
+"""
+
+
+@register("corpus_mixing_weights", MIXING_ORACLE)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    per_src = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("nt"))
+        .filter(F.col("nt") > 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    norm = per_src.agg(
+        F.sum(F.pow("n_tokens", 0.5)).alias("z"),
+        (F.sum("n_tokens") * 2).alias("budget"),
+    )
+    w = F.pow("n_tokens", 0.5) / F.col("z")
+    return (
+        per_src.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("mix_weight"),
+            F.round(w * F.col("budget") / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantization_error — int8 affine quantization of the
+# embedding column with per-vector scale/zero-point and exact
+# reconstruction-error stats — the storage-tier compression audit an
+# embedding warehouse runs before switching its ANN index to int8.
+# Entirely JVM-side higher-order functions (transform/aggregate over
+# the array column): no Python in the loop, one narrow pass, no
+# shuffle. DuckDB twin uses list_transform/list_aggregate — same
+# arithmetic, rounded identically.
+# ---------------------------------------------------------------------------
+
+QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+s AS (
+  SELECT vec_id, x,
+         list_aggregate(x, 'min') AS vmin,
+         (list_aggregate(x, 'max') - list_aggregate(x, 'min')) / 255.0 AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, vmin, scale,
+         CASE WHEN scale = 0 THEN list_transform(x, y -> 0.0)
+              ELSE list_transform(x, y -> abs(y - (vmin + round((y - vmin) / scale) * scale)))
+         END AS errs
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 8) AS scale,
+       round(vmin, 6) AS zero_point,
+       round(list_aggregate(errs, 'max'), 8) AS max_abs_err,
+       round(list_aggregate(errs, 'sum') / len(errs), 8) AS mean_abs_err,
+       list_aggregate(errs, 'max') <= scale / 2 + 1e-12 AS within_half_step
+FROM err
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantization_error", QUANT_ORACLE)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    x = F.col("embedding").cast("array<double>")
+    vmin = F.array_min(x)
+    scale = (F.array_max(x) - F.array_min(x)) / 255.0
+    s = emb.select("vec_id", x.alias("x"), vmin.alias("vmin"), scale.alias("scale"))
+    dequant_err = F.transform(
+        "x",
+        lambda y: F.abs(
+            y - (F.col("vmin") + F.round((y - F.col("vmin")) / F.col("scale")) * F.col("scale"))
+        ),
+    )
+    errs = F.when(
+        F.col("scale") == 0, F.transform("x", lambda y: F.lit(0.0))
+    ).otherwise(dequant_err)
+    e = s.select("vec_id", "vmin", "scale", errs.alias("errs"))
+    max_err = F.array_max("errs")
+    mean_err = F.aggregate("errs", F.lit(0.0), lambda acc, v: acc + v) / F.size("errs")
+    return e.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round("vmin", 6).alias("zero_point"),
+        F.round(max_err, 8).alias("max_abs_err"),
+        F.round(mean_err, 8).alias("mean_abs_err"),
+        (max_err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
+    ).orderBy("vec_id")

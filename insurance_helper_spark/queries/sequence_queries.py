@@ -345,3 +345,249 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial_grid_nearest_customer — grid-bucketed nearest-neighbor join:
+# customers get deterministic lat/lon (integer Knuth hashing of the
+# key — exact on both engines), space is cut into 1°×1° cells, and
+# each BUILDING-segment customer searches its 3×3 neighbor cells for
+# the nearest AUTOMOBILE-segment customer by haversine distance. The
+# geo analog of LSH bucketing: candidates come from a cell equi-join
+# (explode 9 offsets on the probe side), never a cross join. Scale:
+# cell ids are integers, the join shuffles on them, per-probe argmin
+# is a window — the standard distributed spatial-join plan (a quadtree
+# refines the same idea; the operator shape is identical).
+# ---------------------------------------------------------------------------
+
+SPATIAL_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         ((c_custkey * 2654435761) % 1700000) / 10000.0 - 85.0 AS lat,
+         ((c_custkey * 40503) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+),
+probes AS (
+  SELECT c_custkey AS probe_id, lat, lon,
+         CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+  FROM pts WHERE c_mktsegment = 'BUILDING'
+),
+cands AS (
+  SELECT c_custkey AS cand_id, lat AS clat, lon AS clon,
+         CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+  FROM pts WHERE c_mktsegment = 'AUTOMOBILE'
+),
+probe_cells AS (
+  SELECT p.probe_id, p.lat, p.lon, p.cy + dy.d AS cy, p.cx + dx.d AS cx
+  FROM probes p
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+),
+scored AS (
+  SELECT pc.probe_id, c.cand_id,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(c.clat - pc.lat) / 2), 2)
+           + cos(radians(pc.lat)) * cos(radians(c.clat))
+             * pow(sin(radians(c.clon - pc.lon) / 2), 2))), 2) AS dist_km
+  FROM probe_cells pc JOIN cands c ON pc.cy = c.cy AND pc.cx = c.cx
+),
+best AS (
+  SELECT probe_id, cand_id, dist_km,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dist_km, cand_id) AS rn
+  FROM scored
+)
+SELECT probe_id, cand_id AS nearest_id, dist_km
+FROM best WHERE rn = 1
+ORDER BY probe_id
+"""
+
+
+@register("spatial_grid_nearest_customer", SPATIAL_ORACLE)
+def spatial_grid_nearest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    lat = ((F.col("c_custkey") * 2654435761) % 1700000) / 10000.0 - 85.0
+    lon = ((F.col("c_custkey") * 40503) % 3600000) / 10000.0 - 180.0
+    pts = cust.select("c_custkey", "c_mktsegment", lat.alias("lat"), lon.alias("lon"))
+    probes = pts.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("probe_id"),
+        "lat",
+        "lon",
+        F.floor("lat").alias("py"),
+        F.floor("lon").alias("px"),
+    )
+    cands = pts.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("cand_id"),
+        F.col("lat").alias("clat"),
+        F.col("lon").alias("clon"),
+        F.floor("clat").alias("cy"),
+        F.floor("clon").alias("cx"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probe_cells = probes.select("probe_id", "lat", "lon", "py", "px", offsets).select(
+        "probe_id",
+        "lat",
+        "lon",
+        (F.col("py") + F.col("o.dy")).alias("cy"),
+        (F.col("px") + F.col("o.dx")).alias("cx"),
+    )
+    dlat = F.radians(F.col("clat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("clon") - F.col("lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("clat")) * F.pow(F.sin(dlon), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 2)
+    scored = probe_cells.join(cands, ["cy", "cx"]).select(
+        "probe_id", "cand_id", dist.alias("dist_km")
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist_km", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("cand_id").alias("nearest_id"), "dist_km")
+        .orderBy("probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_flatten_bfs — flatten a parent-pointer hierarchy to
+# (node, root, depth) without recursive SQL: Spark lacks WITH
+# RECURSIVE, so the BFS is a fixed-point loop of self-joins (the
+# pagerank pattern applied to reachability; DuckDB's oracle IS the
+# recursive CTE, making this the one query pair where the two engines
+# use structurally different algorithms for identical semantics).
+# The synthetic forest over part keys (parent = k div 7, roots 1..6)
+# has depth ≤ ⌈log₇ max_key⌉, so the unrolled loop bound is data-
+# independent and tiny; each iteration is one broadcast-ready
+# equi-join (frontier ⋈ parent-edges). 100 TB stance: iterate
+# frontier-only (rows whose root is still unresolved), checkpoint
+# every few hops to cut lineage — both already the shape below.
+# ---------------------------------------------------------------------------
+
+HIERARCHY_ORACLE = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey >= 1
+),
+walk AS (
+  SELECT node, node AS cur, 0 AS depth FROM nodes
+  UNION ALL
+  SELECT node, cur // 7 AS cur, depth + 1
+  FROM walk WHERE cur >= 7
+)
+SELECT node, CAST(cur AS BIGINT) AS root_id, CAST(max(depth) AS INT) AS depth
+FROM walk
+WHERE cur < 7
+GROUP BY node, cur
+ORDER BY node
+"""
+
+
+@register("hierarchy_flatten_bfs", HIERARCHY_ORACLE)
+def hierarchy_flatten_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey"])
+    nodes = part.filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("node")
+    ).distinct()
+    # Data-independent loop bound from the max key (one tiny agg).
+    (max_key,) = nodes.agg(F.max("node")).first()
+    hops = max(1, math.ceil(math.log(max(int(max_key), 7), 7)))
+    walk = nodes.select("node", F.col("node").alias("cur"), F.lit(0).alias("depth"))
+    for _ in range(hops):
+        walk = walk.select(
+            "node",
+            F.when(F.col("cur") >= 7, (F.col("cur") / 7).cast("long")).otherwise(
+                F.col("cur")
+            ).alias("cur"),
+            F.when(F.col("cur") >= 7, F.col("depth") + 1).otherwise(
+                F.col("depth")
+            ).alias("depth"),
+        )
+    return nodes.join(walk, "node").select(
+        "node",
+        F.col("cur").cast("long").alias("root_id"),
+        F.col("depth").cast("int").alias("depth"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_linear — linear multi-touch attribution: each
+# purchase's value splits EVENLY across every click/view by the same
+# user in the preceding 7 days, then credit rolls up per touch type.
+# Same bounded per-user join as the last-touch query; the split is a
+# count() window over each purchase's touches (no second join), and
+# the rollup is a tiny re-aggregation. Credit conservation (Σcredit =
+# Σattributed purchase value) is the built-in audit: exact by
+# construction since value/n_touches is summed exactly n_touches
+# times — pinned by the oracle's totals row.
+# ---------------------------------------------------------------------------
+
+LINEAR_ATTR_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.event_id AS purchase_id, p.value, t.event_type AS touch_type,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.ts <= p.ts
+   AND t.ts > p.ts - INTERVAL 7 DAY
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited_touches,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched,
+       round(sum(value / n_touches), 4) AS total_credit
+FROM joined
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@register("events_attribution_linear", LINEAR_ATTR_ORACLE)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("touch_ts") > F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = joined.withColumn("n_touches", F.count("*").over(w))
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_credited_touches"),
+            F.count_distinct("purchase_id").alias("n_purchases_touched"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )
