@@ -158,6 +158,22 @@ R4_WARM = {
     "crosslingual_margin_pairs": 3.85,
 }
 
+# Warm timings for round-5 additions (in-suite min-of-2-warm, sf0.1,
+# local[32], rc=0; pagerank re-measured after the contribution-relation
+# precompute). Same 2×-with-1.0s-floor warning budget.
+R5_WARM = {
+    "crosslingual_margin_pairs_lsh": 3.553,
+    "stat_welch_ttest_segments": 0.533, "stat_chi2_priority_status": 0.49,
+    "stat_js_divergence_sources": 0.745, "agg_geometric_mean_udaf": 0.659,
+    "stat_winsorized_event_values": 0.825, "graph_pagerank_copurchase": 4.4,
+    "supplier_interval_merge": 1.778, "orders_snapshot_diff": 0.663,
+    "events_attribution_last_touch": 0.617, "stat_gini_order_values": 0.636,
+    "agg_cms_heavy_hitters_bounds": 1.59,
+    "spatial_grid_nearest_customer": 0.557, "hierarchy_flatten_bfs": 0.674,
+    "corpus_mixing_weights": 0.528, "embedding_quantization_error": 0.504,
+    "events_attribution_linear": 0.743,
+}
+
 
 def _release_blocks(spark) -> None:
     """Free persist/localCheckpoint blocks left behind by the last query.
@@ -219,7 +235,7 @@ def main() -> None:
     comparable_total = round(sum(t for n, t in timings.items() if n in R1_WARM), 3)
     regressions = {}
     if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
-        budgets = {**R4_WARM, **R1_WARM}  # r1 numbers win where both exist
+        budgets = {**R5_WARM, **R4_WARM, **R1_WARM}  # earliest round wins where both exist
         for name, t in timings.items():
             if name in budgets and t > max(2.0 * budgets[name], 1.0):
                 regressions[name] = {"budget": budgets[name], "now": t}
