@@ -282,41 +282,24 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    bands: int = 4,
-    materialize: bool = True,
-) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash signatures as (doc_id, sim bigint).
 
-    Pigeonhole blocking: split the 64-bit signature into ``bands``
-    16-bit blocks; any pair within distance ≤ bands-1 agrees exactly on
-    ≥1 block, so candidates come from an equi-join on (block_idx,
-    block_value) — no all-pairs scan. Verify exact Hamming ≤ k on
-    candidates only.
-
-    ``materialize`` eagerly localCheckpoints the 16-byte-per-doc
-    signature table before the block self-join; without it the clone of
-    the lineage runs the tokenize→explode→packed-bit-count aggregation
-    twice (measured ~2× the operator's wall time at sf0.1).
+    Signature via PACKED bit-count aggregates over exploded token rows
+    (token MULTISET, standard SimHash weighting): vote_j > 0 ⇔
+    2·Σbit_j > n_tokens. Three 20-bit counters share one 64-bit sum
+    (each token contributes ≤1 per field, so counters stay exact for
+    docs up to 2^20 ≈ 1M tokens — chunk longer docs upstream), cutting
+    the aggregate count 64 → 22. Fully codegen'd with map-side partial
+    aggregation; same wall time as one-sum-per-bit at sf0.1 (cold time
+    is codegen compilation) but 3× less generated aggregate code —
+    lower compile/cache pressure across a multi-query run. The
+    one-sum-per-bit form was ~4× faster than the interpreted
+    aggregate/zip_with HOF it replaced.
     """
-    block_bits = 64 // bands
-    mask = (1 << block_bits) - 1
+    import functools
+
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    # Signature via PACKED bit-count aggregates over exploded token rows
-    # (token MULTISET, standard SimHash weighting): vote_j > 0 ⇔
-    # 2·Σbit_j > n_tokens. Three 20-bit counters share one 64-bit sum
-    # (each token contributes ≤1 per field, so counters stay exact for
-    # docs up to 2^20 ≈ 1M tokens — chunk longer docs upstream), cutting
-    # the aggregate count 64 → 22. Fully codegen'd with map-side partial
-    # aggregation; same wall time as one-sum-per-bit at sf0.1 (cold time
-    # is codegen compilation) but 3× less generated aggregate code —
-    # lower compile/cache pressure across a multi-query run. The
-    # one-sum-per-bit form was ~4× faster than the interpreted
-    # aggregate/zip_with HOF it replaced.
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("th"))
@@ -331,8 +314,6 @@ def simhash_pairs(
             packed = term if packed is None else packed + term
         packed_sums.append(F.sum(packed).alias(f"__p{a}"))
     votes = tok.groupBy("doc_id").agg(F.count("*").alias("__n"), *packed_sums)
-    import functools
-
     field_mask = (1 << field_bits) - 1
     sim_bits = [
         F.when(
@@ -344,9 +325,37 @@ def simhash_pairs(
         ).otherwise(F.lit(0).cast("bigint"))
         for j in range(64)
     ]
-    sig = votes.select(
+    return votes.select(
         "doc_id", functools.reduce(lambda x, y: x.bitwiseOR(y), sim_bits).alias("sim")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``bands``
+    16-bit blocks; any pair within distance ≤ bands-1 agrees exactly on
+    ≥1 block, so candidates come from an equi-join on (block_idx,
+    block_value) — no all-pairs scan. Verify exact Hamming ≤ k on
+    candidates only. That guarantee is pinned as a test
+    (tests/test_lsh_recall.py) against brute-force hamming over
+    ``simhash_signatures``.
+
+    ``materialize`` eagerly localCheckpoints the 16-byte-per-doc
+    signature table before the block self-join; without it the clone of
+    the lineage runs the tokenize→explode→packed-bit-count aggregation
+    twice (measured ~2× the operator's wall time at sf0.1).
+    """
+    block_bits = 64 // bands
+    mask = (1 << block_bits) - 1
+    sig = simhash_signatures(df, id_col, text_col)
     if materialize:
         sig = sig.localCheckpoint(eager=True)
     blocks = sig.select(
