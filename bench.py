@@ -102,6 +102,8 @@ HEADLINE = [
     "corpus_mixing_weights",
     "embedding_quantization_error",
     "events_attribution_linear",
+    "stat_benford_first_digit",
+    "stat_entropy_priority_mix",
 ]
 
 

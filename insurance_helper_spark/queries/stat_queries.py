@@ -477,3 +477,118 @@ def agg_cms_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey long, exact_cnt long, est_not_below_exact boolean, est_within_eps_n boolean",
     )
     return out.orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# stat_benford_first_digit — Benford's-law conformance audit over
+# order values (the classic fabricated-data screen). The first
+# significant digit comes from the INTEGER cents cast to string —
+# floor(log10(x)) is the textbook route but straddles engine-specific
+# float error at exact powers of ten; string-of-integer is exact on
+# both engines. One groupBy on a 9-value key; expected frequencies are
+# closed-form log10(1 + 1/d).
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+),
+tot AS (SELECT sum(n_obs) AS n FROM counts)
+SELECT c.d AS digit, c.n_obs,
+       round(c.n_obs * 1.0 / t.n, 6) AS obs_frac,
+       round(log10(1 + 1.0 / c.d), 6) AS benford_frac,
+       round(pow(c.n_obs * 1.0 / t.n - log10(1 + 1.0 / c.d), 2)
+             / log10(1 + 1.0 / c.d) * t.n, 4) AS chi2_term
+FROM counts c CROSS JOIN tot t
+ORDER BY digit
+"""
+
+
+@register("stat_benford_first_digit", BENFORD_ORACLE)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    obs = F.col("n_obs") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs, 6).alias("obs_frac"),
+            F.round(benford, 6).alias("benford_frac"),
+            F.round(F.pow(obs - benford, 2) / benford * F.col("n"), 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_entropy_priority_mix — Shannon entropy of the order-priority
+# mix per customer segment (+ the normalized evenness index): the
+# categorical-diversity profile (how uniform is each segment's demand
+# across priority classes). One fact shuffle on (segment, priority),
+# margins re-aggregate the cells — the chi-square query's plan with an
+# information-theoretic fold.
+# ---------------------------------------------------------------------------
+
+ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS prio,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, prio
+),
+tot AS (SELECT segment, sum(n) AS seg_n, count(*) AS k FROM cells GROUP BY segment)
+SELECT c.segment,
+       CAST(any_value(t.seg_n) AS BIGINT) AS n_orders,
+       round(-sum((c.n * 1.0 / t.seg_n) * ln(c.n * 1.0 / t.seg_n)), 6) AS entropy_nats,
+       round(-sum((c.n * 1.0 / t.seg_n) * ln(c.n * 1.0 / t.seg_n))
+             / ln(any_value(t.k)), 6) AS evenness
+FROM cells c JOIN tot t ON c.segment = t.segment
+GROUP BY c.segment
+ORDER BY c.segment
+"""
+
+
+@register("stat_entropy_priority_mix", ENTROPY_ORACLE)
+def stat_entropy_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # |segments|×|priorities| rows
+    )
+    tot = cells.groupBy("segment").agg(
+        F.sum("n").alias("seg_n"), F.count("*").alias("k")
+    )
+    p = F.col("n") / F.col("seg_n")
+    return (
+        cells.join(F.broadcast(tot), "segment")
+        .groupBy("segment")
+        .agg(
+            F.any_value("seg_n").cast("long").alias("n_orders"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(-F.sum(p * F.log(p)) / F.log(F.any_value("k")), 6).alias("evenness"),
+        )
+        .orderBy("segment")
+    )
