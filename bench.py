@@ -104,6 +104,8 @@ HEADLINE = [
     "events_attribution_linear",
     "stat_benford_first_digit",
     "stat_entropy_priority_mix",
+    "events_ewma_daily",
+    "stat_auc_mann_whitney",
 ]
 
 

@@ -598,3 +598,63 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_daily — exponentially-weighted moving average of daily
+# event value per type, as an explicit truncated lag-polynomial:
+# s_t = α·Σ_{j=0..9} (1-α)^j · x_{t-j} (normalized by the weight mass
+# actually present, so series heads and gaps stay unbiased). The
+# recursive EWMA is inherently sequential; the 10-term truncation
+# ((1-α)^10 < 3% of mass at α=0.3) turns it into a fixed window of
+# lag() columns — pure window functions, one shuffle on the type key,
+# and EXACTLY the same arithmetic on both engines (no running-state
+# nondeterminism). Scale: identical to any lag-window query.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_TERMS = 10
+
+_ewma_sql_terms = " + ".join(
+    f"coalesce(power({1 - _EWMA_ALPHA}, {j}) * lag(day_value, {j}) OVER w, 0)"
+    for j in range(_EWMA_TERMS)
+)
+_ewma_sql_mass = " + ".join(
+    f"CASE WHEN lag(day_value, {j}) OVER w IS NULL THEN 0 "
+    f"ELSE power({1 - _EWMA_ALPHA}, {j}) END"
+    for j in range(_EWMA_TERMS)
+)
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 4) AS day_value
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, day_value,
+       round(({_ewma_sql_terms}) / ({_ewma_sql_mass}), 4) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+
+
+@register("events_ewma_daily", EWMA_ORACLE)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    decay = 1 - _EWMA_ALPHA
+    num = None
+    mass = None
+    for j in range(_EWMA_TERMS):
+        lagged = F.lag("day_value", j).over(w)
+        term = F.coalesce(F.lit(decay**j) * lagged, F.lit(0.0))
+        weight = F.when(lagged.isNull(), 0.0).otherwise(float(decay**j))
+        num = term if num is None else num + term
+        mass = weight if mass is None else mass + weight
+    return daily.select(
+        "event_type", "day", "day_value", F.round(num / mass, 4).alias("ewma")
+    ).orderBy("event_type", "day")

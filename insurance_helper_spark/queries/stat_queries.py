@@ -592,3 +592,62 @@ def stat_entropy_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_auc_mann_whitney — ROC AUC of the event value "score"
+# discriminating error events from the rest, via the rank formulation
+# (Mann–Whitney U with midrank tie handling):
+# AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻). The ML-eval metric computed the
+# distributed way: one global sort-window for ranks (the only
+# all-data ordering any exact AUC needs), ties collapsed to midranks
+# by an avg-over-value window, then a single fold. Exact rational
+# arithmetic until the final division.
+# ---------------------------------------------------------------------------
+
+AUC_ORACLE = """
+WITH scored AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+         row_number() OVER (ORDER BY value, event_id) AS r
+  FROM events
+),
+midranks AS (
+  SELECT label, avg(r) OVER (PARTITION BY score) AS mr FROM scored
+),
+agg AS (
+  SELECT sum(CASE WHEN label = 1 THEN mr ELSE 0 END) AS r_pos,
+         sum(label) AS n_pos,
+         sum(1 - label) AS n_neg
+  FROM midranks
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+
+@register("stat_auc_mann_whitney", AUC_ORACLE)
+def stat_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    scored = events.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("r"),
+    )
+    midranks = scored.select(
+        "label", F.avg("r").over(Window.partitionBy("score")).alias("mr")
+    )
+    return midranks.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("mr")).otherwise(0.0))
+                - F.sum("label") * (F.sum("label") + 1) / 2.0
+            )
+            / (F.sum("label") * F.sum(1 - F.col("label"))),
+            6,
+        ).alias("auc"),
+    ).select("n_pos", "n_neg", "auc")

@@ -253,3 +253,94 @@ def resize_images(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
 
     return binaries.select("path", "content").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+ARCHIVE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("archive_format", T.StringType(), True),
+        T.StructField("member", T.StringType(), True),
+        T.StructField("member_size", T.LongType(), True),
+        T.StructField("member_crc", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def archive_manifest(binaries: DataFrame) -> DataFrame:
+    """Explode archive blobs into per-member manifest rows — a REAL
+    decode path (stdlib zipfile/tarfile/gzip, no external libs), unlike
+    the image/audio stubs: (path, archive_format, member, member_size,
+    member_crc, error).
+
+    Same 100 TB stance as extract_features: blobs never shuffle — the
+    archive is opened inside the mapInPandas pass that scanned it, and
+    only small manifest rows flow downstream. Corrupt or non-archive
+    inputs become error ROWS (the engine-wide F3 contract), never task
+    failures. CRC comes free from the zip central directory; tar has
+    none (null).
+    """
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(binaries.sparkSession)
+
+    def one(path: str, content: bytes) -> list[dict]:
+        buf = io.BytesIO(content)
+        try:
+            if content[:4] == b"PK\x03\x04":
+                with zipfile.ZipFile(buf) as zf:
+                    return [
+                        {
+                            "path": path, "archive_format": "zip",
+                            "member": zi.filename, "member_size": zi.file_size,
+                            "member_crc": zi.CRC, "error": None,
+                        }
+                        for zi in zf.infolist()
+                    ] or [{"path": path, "archive_format": "zip", "member": None,
+                           "member_size": None, "member_crc": None, "error": None}]
+            if content[:2] == b"\x1f\x8b":
+                try:
+                    with tarfile.open(fileobj=buf, mode="r:gz") as tf:
+                        return [
+                            {
+                                "path": path, "archive_format": "tar.gz",
+                                "member": m.name, "member_size": m.size,
+                                "member_crc": None, "error": None,
+                            }
+                            for m in tf.getmembers()
+                        ]
+                except tarfile.TarError:
+                    buf.seek(0)
+                    raw = gzip.decompress(buf.read())
+                    return [{"path": path, "archive_format": "gzip",
+                             "member": None, "member_size": len(raw),
+                             "member_crc": None, "error": None}]
+            if len(content) > 262 and content[257:262] == b"ustar":
+                with tarfile.open(fileobj=buf, mode="r:") as tf:
+                    return [
+                        {"path": path, "archive_format": "tar", "member": m.name,
+                         "member_size": m.size, "member_crc": None, "error": None}
+                        for m in tf.getmembers()
+                    ]
+            return [{"path": path, "archive_format": None, "member": None,
+                     "member_size": None, "member_crc": None,
+                     "error": "not an archive"}]
+        except Exception as ex:  # corrupt archive → error row (F3)
+            return [{"path": path, "archive_format": None, "member": None,
+                     "member_size": None, "member_crc": None, "error": str(ex)}]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(one(path, bytes(content)))
+            yield pd.DataFrame(rows, columns=[f.name for f in ARCHIVE_MANIFEST_SCHEMA])
+
+    return binaries.select("path", "content").mapInPandas(
+        run, schema=ARCHIVE_MANIFEST_SCHEMA
+    )
