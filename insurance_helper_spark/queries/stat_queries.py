@@ -651,3 +651,45 @@ def stat_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     ).select("n_pos", "n_neg", "auc")
+
+
+# ---------------------------------------------------------------------------
+# json_variant_props — the Spark 4 VARIANT type surface: parse the
+# events props JSON into variant once, extract typed fields with
+# variant_get, aggregate. Variant keeps the parsed binary form through
+# the plan (parse once, extract many — the shredded-JSON story), vs
+# get_json_object re-parsing the string per extraction; the existing
+# json_extract_events query covers that older path. Oracle: DuckDB
+# JSON extraction — same values, different storage.
+# ---------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_variant_props", VARIANT_ORACLE)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["event_type", "props"])
+    v = events.select(
+        "event_type", F.try_parse_json(F.col("props")).alias("vprops")
+    )
+    k = F.variant_get(F.col("vprops"), "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
