@@ -106,6 +106,7 @@ HEADLINE = [
     "stat_entropy_priority_mix",
     "events_ewma_daily",
     "stat_auc_mann_whitney",
+    "json_variant_props",
 ]
 
 
@@ -176,6 +177,9 @@ R5_WARM = {
     "spatial_grid_nearest_customer": 0.557, "hierarchy_flatten_bfs": 0.674,
     "corpus_mixing_weights": 0.528, "embedding_quantization_error": 0.504,
     "events_attribution_linear": 0.743,
+    "stat_benford_first_digit": 0.403, "stat_entropy_priority_mix": 0.645,
+    "events_ewma_daily": 0.616, "stat_auc_mann_whitney": 0.526,
+    "json_variant_props": 0.484,
 }
 
 

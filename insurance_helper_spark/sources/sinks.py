@@ -118,3 +118,17 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     the ingest shape for unstructured corpus files feeding the text/
     dedup operators."""
     return spark.read.text(path, wholetext=whole)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory written by SEVERAL schema versions with
+    schema merging: columns added over time come back as one unified
+    schema, with nulls where an older file lacks the column — the
+    append-only table-evolution contract a long-lived bronze layer
+    needs (the reference recreates its CSVs wholesale; an engine
+    cannot). mergeSchema reads every file's footer (a metadata pass,
+    not a data pass); at 100 TB prefer declaring the CURRENT schema
+    explicitly and letting parquet's by-name column resolution null-fill
+    older files — this helper is the discovery path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

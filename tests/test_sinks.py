@@ -153,3 +153,29 @@ def test_register_views_sql_surface(spark, sf_dir):
     # parquet physical type (r≤3 testdata: TIMESTAMP(NANOS) → converted
     # µs TIMESTAMP; r4 testdata: naive timestamp[us] → TIMESTAMP_NTZ)
     assert dict(spark.table("events").dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+
+
+def test_schema_evolution_merge_and_null_fill(spark, tmp_path):
+    """Appends from newer writers (extra columns) must unify under
+    mergeSchema, with nulls backfilled for files that predate the
+    column — and an explicit-schema read must null-fill without
+    needing the footer scan."""
+    from insurance_helper_spark.sources import sinks
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = sinks.read_parquet_evolved(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    # Explicit current schema: no mergeSchema pass, same null-fill.
+    explicit = spark.read.schema("id long, name string, score double").parquet(p)
+    got = {r.id: r.score for r in explicit.collect()}
+    assert got == {1: None, 2: 9.5}
