@@ -78,3 +78,73 @@ def test_simhash_banding_pigeonhole_guarantee(spark):
     )
     for pair, h in found.items():
         assert h == truth_ham[pair], (pair, h, truth_ham[pair])
+
+
+def test_ann_lsh_topk_recall_on_planted_neighbors(spark):
+    """ann_lsh_topk targets the high-similarity regime (a query's true
+    neighbor at small angle shares the full bucket with probability
+    (1-θ/π)^n_planes per table). Planted noisy duplicates at cosine
+    ≈ 0.996 (θ ≈ 5°, p ≈ 0.9 at 4 planes) must come back as the top-1
+    for most queries; on weakly-similar corpora (fixture top-1 cos
+    ≈ 0.4, p ≈ 0.17) single-table LSH is the WRONG tool and the
+    operator's docstring says to raise tables — that regime is covered
+    by embedding_near_dup_pairs' multi-table tests."""
+    import numpy as np
+
+    from insurance_helper_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(300, 64))
+    probes = base[:20] + 0.05 * rng.normal(size=(20, 64))
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, v.tolist()) for i, v in enumerate(probes)],
+        "query_id bigint, embedding array<double>",
+    )
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ann_lsh_topk(
+            corpus, queries, dim=64, k=1, n_planes=4
+        ).collect()
+    }
+    hits = sum(1 for i in range(20) if top1.get(1000 + i) == i)
+    assert hits >= 16, f"planted top-1 recall {hits}/20"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="fixture data absent")
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF probe-masked top-k vs exact: probing every cell must equal
+    the exact result EXACTLY (the mask degenerates to a full scan),
+    and half the cells must still clear a recall floor on the
+    unclustered fixture — the two ends of the probe dial."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.operators import similarity
+    from insurance_helper_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full_probe == exact, "full-probe IVF must equal the exact scan"
+    half_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(half_probe & exact) / len(exact)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} at 4/8 probes"
