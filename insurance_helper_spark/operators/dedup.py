@@ -184,14 +184,28 @@ def ngram_jaccard_pairs_prefix(
     losslessly. Verification then counts the full intersection for the
     surviving candidates ONLY (fan-out bounded by candidates × doc
     size, not by shingle document frequency squared). At threshold 0.5
-    on the sf0.01 fixture the prefix join meets on 60% fewer shingle
-    rows than the full join while returning the identical relation
-    (pinned by tests/test_prefix_filter.py).
+    on the fixture the prefix join meets on 60% fewer shingle rows
+    than the full join while returning the identical relation (pinned
+    by tests/test_prefix_filter.py).
+
+    Fixture-scale honesty: at sf0.1 this variant is WALL-CLOCK slower
+    than the plain join (~8.7 s vs ~2.0 s warm) — the extra passes
+    (document-frequency count, rarest-first rank window, candidate
+    verify) are fixed stage overhead that a 260k-row shingle relation
+    cannot amortize. The crossover is where the plain join's df(h)²
+    bucket blow-up dominates — skewed web-scale corpora — which is
+    exactly when ``max_doc_freq`` capping changes the answer and this
+    pruner does not. Use plain + cap when approximate filtering is
+    acceptable; use prefix when the EXACT relation is required at
+    scale.
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
     """
     shd = hashed_shingle_rows(df, id_col, text_col, k)
-    shd = shd.localCheckpoint(eager=True)  # feeds dfreq, prefix, verify
+    # NOT checkpointed: the shingle relation is one row per
+    # (doc, shingle) — writing it costs more than recomputing the
+    # codegen'd tokenize (the same measurement that sets
+    # ngram_jaccard_pairs' materialize default to False).
     dfreq = shd.groupBy("h").agg(F.count("*").alias("dfh"))
     sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
     ranked = sized.join(dfreq, "h").withColumn(
