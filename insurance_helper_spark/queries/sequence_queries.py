@@ -658,3 +658,59 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", "day_value", F.round(num / mass, 4).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# events_sequence_trigrams — sequential pattern mining, contiguous
+# 3-event shape: the most common event-type trigrams across user
+# timelines (extends the Markov query's 2-state transitions to
+# order-3 patterns). One shuffle to order each user's timeline
+# (lead() window over the user partition — the same sort every
+# sessionization query pays), then a plain pattern groupBy. Support =
+# share of all trigram instances. Scale: per-user window state is
+# O(1); the pattern space is |types|³ — tiny.
+# ---------------------------------------------------------------------------
+
+TRIGRAM_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT event_type AS e1, e2, e3 FROM ordered
+  WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+),
+tot AS (SELECT count(*) AS n FROM tri)
+SELECT t.e1, t.e2, t.e3,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(count(*) * 1.0 / any_value(tot.n), 6) AS support
+FROM tri t CROSS JOIN tot
+GROUP BY t.e1, t.e2, t.e3
+HAVING count(*) >= 5
+ORDER BY n_occurrences DESC, e1, e2, e3
+"""
+
+
+@register("events_sequence_trigrams", TRIGRAM_ORACLE)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    tot = ordered.agg(F.count("*").alias("n"))
+    return (
+        ordered.crossJoin(F.broadcast(tot))
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.round(F.count("*") / F.any_value("n"), 6).alias("support"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+    )
