@@ -693,3 +693,76 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_ols_residual_outliers — model-based outlier detection: fit
+# price ~ quantity per part brand-prefix with the closed-form OLS
+# aggregates (regr_slope/intercept — one shuffle), broadcast the tiny
+# coefficient table back, and flag lineitems whose studentized-ish
+# residual |e| / s_e exceeds 3. Two passes over the fact (fit, score)
+# — the standard distributed shape when the model is per-group
+# closed-form; residual variance uses the exact n-2 denominator.
+# ---------------------------------------------------------------------------
+
+OLS_OUTLIER_ORACLE = """
+WITH fit AS (
+  SELECT l_partkey % 10 AS grp,
+         regr_slope(l_extendedprice, l_quantity) AS b1,
+         regr_intercept(l_extendedprice, l_quantity) AS b0,
+         count(*) AS n
+  FROM lineitem GROUP BY grp
+),
+scored AS (
+  SELECT f.grp, l.l_orderkey, l.l_linenumber,
+         l.l_extendedprice - (f.b0 + f.b1 * l.l_quantity) AS resid, f.n
+  FROM lineitem l JOIN fit f ON l.l_partkey % 10 = f.grp
+),
+sigma AS (
+  SELECT grp, sqrt(sum(resid * resid) / (any_value(n) - 2)) AS s_e
+  FROM scored GROUP BY grp
+)
+SELECT s.grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(any_value(g.s_e), 4) AS resid_stddev,
+       CAST(sum(CASE WHEN abs(s.resid) > 3 * g.s_e THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM scored s JOIN sigma g ON s.grp = g.grp
+GROUP BY s.grp
+ORDER BY s.grp
+"""
+
+
+@register("stat_ols_residual_outliers", OLS_OUTLIER_ORACLE)
+def stat_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"],
+    ).withColumn("grp", F.col("l_partkey") % 10)
+    fit = li.groupBy("grp").agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b1"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("b0"),
+        F.count("*").alias("n"),
+    )
+    scored = li.join(F.broadcast(fit), "grp").select(
+        "grp",
+        "n",
+        (
+            F.col("l_extendedprice") - (F.col("b0") + F.col("b1") * F.col("l_quantity"))
+        ).alias("resid"),
+    ).localCheckpoint(eager=False)  # feeds sigma + the outlier fold
+    sigma = scored.groupBy("grp").agg(
+        F.sqrt(F.sum(F.col("resid") * F.col("resid")) / (F.any_value("n") - 2)).alias("s_e")
+    )
+    return (
+        scored.join(F.broadcast(sigma), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.any_value("s_e"), 4).alias("resid_stddev"),
+            F.sum(
+                F.when(F.abs("resid") > 3 * F.col("s_e"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("grp")
+    )
