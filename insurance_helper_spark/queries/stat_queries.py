@@ -766,3 +766,95 @@ def stat_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_within_group_percentiles — the SQL-standard ordered-set aggregate
+# syntax (PERCENTILE_CONT/DISC ... WITHIN GROUP), run as the SAME SQL
+# text on Spark and DuckDB (shared-dialect evidence, like
+# sql_surface_shared_dialect). percentile_disc picks an actual data
+# value so it is tie-exact; percentile_cont interpolates — both engines
+# use the same linear rule and the result rounds at 2 (cents).
+# ---------------------------------------------------------------------------
+
+WITHIN_GROUP_SQL = """
+SELECT o_orderpriority AS priority,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+           AS median_price,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+           AS p25_price,
+       round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+           AS p90_disc_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("agg_within_group_percentiles", WITHIN_GROUP_SQL)
+def agg_within_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(WITHIN_GROUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# window_cumulative_distinct — COUNT(DISTINCT) OVER a running window,
+# which Spark's window functions reject outright: the standard
+# workaround marks each key's FIRST occurrence (row_number over the
+# (partition, key) pair) and running-sums the markers. Cumulative
+# distinct parts shipped per supplier over time. Two window passes on
+# the same supplier shuffle; no extra exchange.
+# ---------------------------------------------------------------------------
+
+CUM_DISTINCT_ORACLE = """
+WITH marked AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day, l_partkey,
+         CASE WHEN row_number() OVER (PARTITION BY l_suppkey, l_partkey
+                                      ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM lineitem
+),
+daily AS (
+  SELECT l_suppkey, day, sum(first_seen) AS new_parts
+  FROM marked GROUP BY l_suppkey, day
+)
+SELECT l_suppkey, day,
+       CAST(sum(new_parts) OVER (PARTITION BY l_suppkey ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_parts_to_date
+FROM daily
+WHERE l_suppkey <= 10
+ORDER BY l_suppkey, day
+"""
+
+
+@register("window_cumulative_distinct", CUM_DISTINCT_ORACLE)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_suppkey", "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    w_first = Window.partitionBy("l_suppkey", "l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    marked = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    daily = marked.groupBy("l_suppkey", "day").agg(F.sum("first_seen").alias("new_parts"))
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn(
+            "distinct_parts_to_date", F.sum("new_parts").over(w_run).cast("long")
+        )
+        .filter(F.col("l_suppkey") <= 10)
+        .select("l_suppkey", "day", "distinct_parts_to_date")
+        .orderBy("l_suppkey", "day")
+    )
