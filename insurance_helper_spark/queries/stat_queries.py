@@ -858,3 +858,57 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "day", "distinct_parts_to_date")
         .orderBy("l_suppkey", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_hash_encode — the hashing trick for categorical features
+# (Weinberger et al. 2009): project (segment × priority) onto
+# n_buckets columns via a cross-engine hash (first 8 hex chars of
+# sha256 → int — the only string hash both engines share bit-exactly;
+# xxhash64/murmur differ between Spark and DuckDB). Output is the
+# bucket-incidence profile: rows per bucket, distinct source
+# categories (collisions visible), total weight. Scale: a pure
+# projection + one groupBy on the bucket id — the encode itself is
+# shuffle-free and gets applied identically at training and serving
+# time, which is the whole point of the trick.
+# ---------------------------------------------------------------------------
+
+FEATURE_HASH_ORACLE = """
+WITH enc AS (
+  SELECT CAST(('0x' || substr(sha256(c.c_mktsegment || '|' || o.o_orderpriority), 1, 8))
+              AS BIGINT) % 16 AS bucket,
+         c.c_mktsegment || '|' || o.o_orderpriority AS category,
+         o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT category) AS BIGINT) AS n_categories,
+       round(sum(o_totalprice), 2) AS total_weight
+FROM enc
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("ml_feature_hash_encode", FEATURE_HASH_ORACLE)
+def ml_feature_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    category = F.concat_ws("|", "c_mktsegment", "o_orderpriority")
+    bucket = (
+        F.conv(F.substring(F.sha2(category, 256), 1, 8), 16, 10).cast("long") % 16
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(bucket.alias("bucket"), category.alias("category"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("category").alias("n_categories"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_weight"),
+        )
+        .orderBy("bucket")
+    )
