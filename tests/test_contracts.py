@@ -12,6 +12,12 @@ def test_bench_headline_queries_are_registered():
     catalog.load_all()
     missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
     assert not missing, missing
+    # No duplicate timings, and every recorded budget belongs to a
+    # headline query (a rename would silently orphan its budget).
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    budgets = {**bench.R1_WARM, **bench.R4_WARM, **bench.R5_WARM}
+    orphaned = [n for n in budgets if n not in bench.HEADLINE]
+    assert not orphaned, orphaned
 
 
 def test_entry_contract_shapes():
