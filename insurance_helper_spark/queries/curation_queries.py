@@ -823,7 +823,11 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             "x_id",
             "x_lang",
             "y_id",
-            pair_cosine_udf(4)(F.col("x_vec"), F.col("y_vec")).alias("cos_sim"),
+            # 6 decimals to match the exact twin (operators/similarity
+            # pair_cosine_udf default): coarser rounding manufactures
+            # ties that fall to the y_id tiebreak and needlessly lower
+            # recall vs crosslingual_margin_pairs.
+            pair_cosine_udf(6)(F.col("x_vec"), F.col("y_vec")).alias("cos_sim"),
         )
     )
     return _margin_best(grid)

@@ -579,13 +579,26 @@ def trending_terms_stream(
     normal shuffle join against the batch delta); the trending window
     is a top-k over the DELTA's vocabulary only.
 
-    Replay safety: foreachBatch re-runs a batch whose checkpoint commit
-    never landed, so both writes are idempotent per batch_id — the
-    counts table carries a ``last_batch`` marker column (replayed batch
-    with ``last_batch >= batch_id`` → no-op), and the top-k snapshot is
-    written via dynamic partition overwrite on batch_id (a replay
-    rewrites its own partition instead of appending a duplicate).
+    Replay safety is CONTENT-based, not batch-id-based: batch ids are
+    only meaningful within one checkpoint lineage, so a guard that
+    compares them against a persisted marker silently drops data when
+    the checkpoint is lost but ``counts_dir`` survives (restarted low
+    batch ids would be skipped → permanent undercount). Instead the
+    counts table holds per-INPUT-FILE term partials, partitioned by a
+    key derived from the file name (``src_key``); every write is a
+    dynamic partition overwrite of exactly its own files' partitions,
+    so replaying a batch — in ANY lineage, with ANY batch id — rewrites
+    identical partitions instead of double-merging. The top-k snapshot
+    is likewise partitioned by a hash of the batch's file list
+    (``snap_key``), so replays rewrite rather than append. Partition
+    keys carry a letter prefix so parquet partition-column inference
+    can never flip them to a numeric type. The cumulative vocabulary is
+    the sum over partials (``trending_vocabulary``) — the mergeable-
+    partials pattern (operators/incremental); a periodic compaction of
+    old partitions into one keeps the file count bounded at scale.
     """
+    import hashlib
+
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -593,30 +606,42 @@ def trending_terms_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        batch_counts = (
-            batch_df.select(F.explode(T.tokens(F.col("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count("*").alias("batch_cnt"))
+        staged = batch_df.withColumn("_src", F.input_file_name())
+        # File list is bounded by maxFilesPerTrigger — driver-safe.
+        files = sorted(r[0] for r in staged.select("_src").distinct().collect())
+        if not files:
+            return
+        snap_key = "s" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+        src_key = F.concat(F.lit("f"), F.substring(F.sha2(F.col("_src"), 256), 1, 16))
+        # sha2 (column) and hashlib.sha256 (driver) agree on hex prefix.
+        batch_keys = ["f" + hashlib.sha256(f.encode()).hexdigest()[:16] for f in files]
+        partials = (
+            staged.select("_src", F.explode(T.tokens(F.col("text"))).alias("term"))
+            .groupBy(src_key.alias("src_key"), "term")
+            .agg(F.count("*").alias("cnt"))
         )
+        # One tokenize pass feeds both the snapshot and the counts write.
+        partials = partials.localCheckpoint(eager=True)
+        batch_counts = partials.groupBy("term").agg(F.sum("cnt").alias("batch_cnt"))
         from pyspark.errors import AnalysisException
 
         try:
-            hist = spark_b.read.parquet(counts_dir)
+            hist_partials = spark_b.read.parquet(counts_dir)
         except AnalysisException:
             # First batch: table not created yet. ONLY the analysis
             # error is absorbed — a corrupt/unreadable table must fail
-            # the batch, not silently reset history (the overwrite
-            # below would otherwise wipe the vocabulary).
-            hist = None
-        if hist is not None and "last_batch" in hist.columns:
-            (applied,) = hist.agg(F.max("last_batch")).first()
-            if applied is not None and applied >= batch_id:
-                return  # replayed batch already fully applied
-            hist = hist.drop("last_batch")
-        # Explicit LONG on both branches: lit(0) alone is INT, which
-        # would alternate the snapshot parquet schema between batches
-        # and break the unioned read (PARQUET_COLUMN_DATA_TYPE_MISMATCH).
-        if hist is not None:
+            # the batch, not silently reset history.
+            hist_partials = None
+        if hist_partials is not None:
+            # Exclude THIS batch's partitions (present iff replaying),
+            # so a replay scores against exactly the history the
+            # original run saw. Partition pruning makes this a
+            # metadata-only filter.
+            hist = (
+                hist_partials.filter(~F.col("src_key").isin(batch_keys))
+                .groupBy("term")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
             scored = batch_counts.join(hist, "term", "left").withColumn(
                 "hist_cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long")
             )
@@ -637,28 +662,25 @@ def trending_terms_stream(
             )
             .filter(F.col("rank") <= top_k)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("snap_key", F.lit(snap_key))
         )
-        top = top.localCheckpoint(eager=True)  # snapshot before the counts rewrite
-        # Dynamic partition overwrite: a replayed batch rewrites ONLY
-        # its own batch_id partition — same rows, no duplicate append.
+        # Dynamic partition overwrite on the CONTENT key: a replayed
+        # batch (any lineage) rewrites its own snapshot partition.
         (
             top.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("snap_key")
             .parquet(trending_dir)
         )
-        merged = (
-            batch_counts.select("term", F.col("batch_cnt").alias("cnt"))
-            if hist is None
-            else hist.unionByName(
-                batch_counts.select("term", F.col("batch_cnt").alias("cnt"))
-            )
-            .groupBy("term")
-            .agg(F.sum("cnt").alias("cnt"))
-        ).withColumn("last_batch", F.lit(batch_id).cast("long"))
-        # Overwrite-rewrite of the |vocab| table; localCheckpoint cuts
-        # the read-then-overwrite cycle on the same path.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(counts_dir)
+        # Same for the counts: only this batch's file partitions are
+        # touched; history partitions are never rewritten, so there is
+        # no read-then-overwrite cycle on the same data.
+        (
+            partials.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_key")
+            .parquet(counts_dir)
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -672,6 +694,21 @@ def trending_terms_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def trending_vocabulary(spark, counts_dir: str) -> DataFrame:
+    """Cumulative term counts from the per-file partials that
+    trending_terms_stream maintains: sum over ``src_key`` partitions —
+    the read half of the mergeable-partials contract. One shuffle on
+    the term key; at scale a periodic compaction job can pre-fold old
+    partitions so this aggregates O(recent files) rows, not O(all)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(counts_dir)
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def scd2_maintenance_stream(

@@ -26,7 +26,7 @@ def test_lsh_twin_recall_vs_exact(spark):
     approx = {(r.x_id, r.en_doc_id) for r in approx_rows}
     assert exact, "exact variant found no pairs — fixture changed?"
     recall = len(exact & approx) / len(exact)
-    # 6 planes x 6 tables on 64-dim embeddings: high-similarity pairs
+    # 4 planes x 12 tables on 64-dim embeddings: high-similarity pairs
     # collide with high probability; margins over ANN neighborhoods may
     # swap the best match for borderline docs, so pin a floor, not
     # equality.

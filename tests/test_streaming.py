@@ -506,8 +506,9 @@ class TestTrendingTerms:
             trending.batch_id == batches[1]).collect()}
         assert second[1].term == "solareclipse"
         assert second[1].hist_cnt == 0 and second[1].batch_cnt == 8
-        # Cumulative counts table merged both batches exactly.
-        counts = {r.term: r.cnt for r in spark.read.parquet(counts_dir).collect()}
+        # Cumulative counts (sum over per-file partials) merged both batches.
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, counts_dir).collect()}
         assert counts["solareclipse"] == 8
         assert counts["the"] == 6 * 2 + 6  # 6 per doc x 3 docs
 
@@ -524,13 +525,14 @@ class TestTrendingTerms:
                 str(tmp_path / "k"))
         ops.trending_terms_stream(*args)
         ops.trending_terms_stream(*args)  # checkpoint: second drain is a no-op
-        counts = {r.term: r.cnt for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, str(tmp_path / "c")).collect()}
         assert counts == {"alpha": 2, "beta": 1, "gamma": 1}
 
     def test_replay_after_lost_checkpoint_is_idempotent(self, spark, tmp_path):
         """Crash-replay safety: foreachBatch re-runs every batch when
-        the checkpoint commit is lost; the last_batch marker + dynamic
-        partition overwrite must keep counts and snapshots exact."""
+        the checkpoint commit is lost; the content-keyed partition
+        overwrites must keep counts and snapshots exact."""
         import shutil
 
         import pandas as pd
@@ -554,11 +556,58 @@ class TestTrendingTerms:
         shutil.rmtree(ckpt)
         ops.trending_terms_stream(*args)
         counts = {r.term: r.cnt
-                  for r in spark.read.parquet(str(tmp_path / "c3")).collect()}
+                  for r in ops.trending_vocabulary(spark, str(tmp_path / "c3")).collect()}
         assert counts == {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
         trending = spark.read.parquet(str(tmp_path / "t3"))
         # No duplicate snapshot rows: one rank-1 row per batch.
         assert trending.filter("rank = 1").count() == 2
+
+    def test_lost_checkpoint_with_new_data_no_undercount(self, spark, tmp_path):
+        """The batch-id-marker failure mode: checkpoint lost, counts
+        table survives, NEW files arrive. A marker-based guard skips
+        the restarted low batch ids and permanently undercounts; the
+        content-based guard must (a) replay old files idempotently and
+        (b) fully count the new ones."""
+        import shutil
+
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in4"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        pd.DataFrame({
+            "doc_id": [2], "text": ["delta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [11],
+        }).to_parquet(in_dir / "b2.parquet")
+        ckpt = tmp_path / "k4"
+        args = (spark, str(in_dir), str(tmp_path / "c4"), str(tmp_path / "t4"),
+                str(ckpt))
+        ops.trending_terms_stream(*args)
+        # Checkpoint gone, counts table kept, and two NEW files land.
+        shutil.rmtree(ckpt)
+        pd.DataFrame({
+            "doc_id": [3], "text": ["epsilon alpha epsilon"], "lang": ["en"],
+            "source": ["s"], "n_chars": [21],
+        }).to_parquet(in_dir / "b3.parquet")
+        pd.DataFrame({
+            "doc_id": [4], "text": ["zeta"], "lang": ["en"],
+            "source": ["s"], "n_chars": [4],
+        }).to_parquet(in_dir / "b4.parquet")
+        ops.trending_terms_stream(*args)
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, str(tmp_path / "c4")).collect()}
+        # Old files counted once, new files counted fully — no skips.
+        assert counts == {"alpha": 4, "beta": 1, "gamma": 1, "delta": 1,
+                          "epsilon": 2, "zeta": 1}
+        # The new files also produced snapshots, scored against the
+        # surviving history (epsilon bursts: 2 hits vs 0 history).
+        trending = spark.read.parquet(str(tmp_path / "t4"))
+        assert trending.filter("rank = 1").count() == 4
+        eps = trending.filter("term = 'epsilon' and rank = 1").collect()
+        assert len(eps) == 1 and eps[0].hist_cnt == 0 and eps[0].batch_cnt == 2
 
 
 class TestScd2Stream:
