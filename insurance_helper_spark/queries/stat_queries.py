@@ -410,73 +410,160 @@ def stat_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_cms_heavy_hitters_bounds — Count-Min-Sketch frequency estimates
 # with the one-sided error contract verified against exact counts (the
 # approx-with-oracle-checked-bound pattern agg_hll_mergeable_daily and
-# agg_approx_percentile_bounds establish). The sketch is Spark's
-# built-in mergeable CMS aggregate: map-side partial sketches, one
-# merge — a constant-size summary regardless of input size (the
-# 100 TB heavy-hitter monitor). Estimates are read driver-side from
-# the deserialized sketch for the top-k candidate keys only (index-
-# metadata access, same tier as the IVF centroids); the guarantee
-# est ≥ exact AND est ≤ exact + ⌈eps·N⌉ holds deterministically for
-# the fixed seed, so the booleans are value-checkable.
+# agg_approx_percentile_bounds establish). The sketch is built from
+# first principles as DataFrame ops so BOTH engines compute the SAME
+# d×w counter table from the same portable Knuth hash family
+# (functions/hashing): d hash rows, w buckets, cell = count of keys
+# hashing there, estimate = min over rows. est ≥ exact holds for ANY
+# hash family (CMS only overcounts); est ≤ exact + ⌈e·N/w⌉ is the
+# Markov bound, computed as a REAL boolean on both engines — never
+# pinned, so a scale-factor or width change flips it identically on
+# both sides instead of manufacturing a spurious mismatch. The whole
+# plan is lazy: no sketch bytes ever touch the driver. Scale: the
+# groupBy (row, bucket) has d·w = 8192 distinct keys, so map-side
+# partial aggregation hands each executor a constant-size partial
+# sketch and the merge is one tiny shuffle — the mergeable-sketch
+# property, realized by Catalyst's partial aggregation instead of a
+# custom UDAF; the d·w-row sketch then broadcast-joins to the top-k
+# candidates.
 # ---------------------------------------------------------------------------
 
-CMS_ORACLE = """
-WITH counts AS (
-  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
-  FROM lineitem GROUP BY l_partkey
+_CMS_D, _CMS_W = 4, 2048
+_CMS_MIX = 97531  # per-row seed spacing in the hash family
+
+
+def _cms_bucket_sql(key_expr: str, seed: int) -> str:
+    """DuckDB fragment for the row-``seed`` CMS bucket of an int key —
+    the exact SQL twin of ``_cms_bucket``: pmod-reduce the key, Knuth
+    multiply + seed mix mod 2^32, then take the HIGH bits via
+    floor(t·w / 2^32). Every intermediate fits signed int64, and t·w
+    has < 53 significant bits, so the double floor is exact on both
+    engines."""
+    from insurance_helper_spark.functions.hashing import (
+        KEY_REDUCE,
+        KNUTH_MOD,
+        KNUTH_MUL,
+    )
+
+    reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
+    t = f"(({reduced}) * {KNUTH_MUL} + {seed} * {_CMS_MIX}) % {KNUTH_MOD}"
+    return f"CAST(floor((({t}) * {_CMS_W}) / {KNUTH_MOD}.0) AS BIGINT)"
+
+
+def _cms_bucket(key, seed: int):
+    """Bucket in [0, w) for CMS hash row ``seed`` (Spark column twin)."""
+    from insurance_helper_spark.functions.hashing import (
+        KEY_REDUCE,
+        KNUTH_MOD,
+        KNUTH_MUL,
+    )
+
+    reduced = ((key % F.lit(KEY_REDUCE)) + F.lit(KEY_REDUCE)) % F.lit(KEY_REDUCE)
+    t = (reduced * F.lit(KNUTH_MUL) + F.lit(seed * _CMS_MIX)) % F.lit(KNUTH_MOD)
+    return F.floor((t * F.lit(_CMS_W)) / F.lit(float(KNUTH_MOD))).cast("long")
+
+
+def _cms_oracle() -> str:
+    buckets = ",\n         ".join(
+        f"{_cms_bucket_sql('k', i)} AS b{i}" for i in range(1, _CMS_D + 1)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT k, {i} AS i, b{i} AS b FROM hx" for i in range(1, _CMS_D + 1)
+    )
+    return f"""
+WITH li AS (SELECT l_partkey AS k FROM lineitem),
+hx AS (
+  SELECT k, {buckets}
+  FROM li
+),
+cells AS ({unpivot}),
+sketch AS (
+  SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY i, b
+),
+counts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM li GROUP BY k
 ),
 topk AS (
-  SELECT l_partkey, exact_cnt,
-         row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) AS rk
+  SELECT k, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, k) AS rk
   FROM counts
-)
-SELECT l_partkey, exact_cnt,
-       TRUE AS est_not_below_exact,
-       TRUE AS est_within_eps_n
-FROM topk WHERE rk <= 20
-ORDER BY exact_cnt DESC, l_partkey
+),
+kb AS (
+  SELECT t.k, t.exact_cnt, x.i, x.b
+  FROM (SELECT k, exact_cnt FROM topk WHERE rk <= 20) t
+  JOIN (SELECT DISTINCT k, i, b FROM cells) x USING (k)
+),
+est AS (
+  SELECT kb.k, kb.exact_cnt, min(s.c) AS est_cnt
+  FROM kb JOIN sketch s USING (i, b)
+  GROUP BY kb.k, kb.exact_cnt
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li)
+SELECT est.k AS l_partkey, est.exact_cnt, est.est_cnt,
+       est.est_cnt >= est.exact_cnt AS est_not_below_exact,
+       est.est_cnt <= est.exact_cnt
+         + CAST(ceil(2.718281828459045 * tot.n / {_CMS_W}) AS BIGINT)
+         AS est_within_eps_n
+FROM est CROSS JOIN tot
+ORDER BY est.exact_cnt DESC, l_partkey
 """
+
+
+CMS_ORACLE = _cms_oracle()
 
 
 @register("agg_cms_heavy_hitters_bounds", CMS_ORACLE)
 def agg_cms_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eps, conf, seed = 0.001, 0.99, 42
-    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"])
-    (sketch_bytes,) = (
-        li.agg(
-            F.count_min_sketch(
-                "l_partkey", F.lit(eps), F.lit(conf), F.lit(seed)
-            ).alias("s")
-        ).first()
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"]).select(
+        F.col("l_partkey").alias("k")
     )
-    import math
-
-    jvm = spark.sparkContext._jvm
-    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sketch_bytes))
-    slack = math.ceil(eps * sk.totalCount())
-    w = Window.orderBy(F.desc("exact_cnt"), "l_partkey")
+    rows = range(1, _CMS_D + 1)
+    # d buckets per key in one pass; posexplode → (hash row i, bucket b).
+    hashed = li.select(
+        "k",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("k"), i) for i in rows])
+        ).alias("i0", "b"),
+    ).select("k", (F.col("i0") + 1).alias("i"), "b")
+    # d·w cells after partial aggregation — the (constant-size) sketch.
+    sketch = hashed.groupBy("i", "b").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("exact_cnt"), "k")
     topk = (
-        li.groupBy("l_partkey")
+        li.groupBy("k")
         .agg(F.count("*").alias("exact_cnt"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
-        .select("l_partkey", "exact_cnt")
-        .collect()
+        .select("k", "exact_cnt")
     )
-    rows = [
-        (
-            r["l_partkey"],
-            r["exact_cnt"],
-            sk.estimateCount(int(r["l_partkey"])) >= r["exact_cnt"],
-            sk.estimateCount(int(r["l_partkey"])) <= r["exact_cnt"] + slack,
+    kb = topk.select(
+        "k",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("k"), i) for i in rows])
+        ).alias("i0", "b"),
+    ).select("k", "exact_cnt", (F.col("i0") + 1).alias("i"), "b")
+    est = (
+        kb.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    tot = li.agg(F.count("*").cast("long").alias("n"))
+    slack = F.ceil(F.lit(2.718281828459045) * F.col("n") / F.lit(_CMS_W)).cast(
+        "long"
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("l_partkey"),
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("est_not_below_exact"),
+            (F.col("est_cnt") <= F.col("exact_cnt") + slack).alias(
+                "est_within_eps_n"
+            ),
         )
-        for r in topk
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "l_partkey long, exact_cnt long, est_not_below_exact boolean, est_within_eps_n boolean",
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
     )
-    return out.orderBy(F.desc("exact_cnt"), "l_partkey")
 
 
 # ---------------------------------------------------------------------------

@@ -413,6 +413,13 @@ def corpus_ingest_stream(
        partition with identical rows instead of appending duplicates;
        when the fingerprints did land, the anti-join empties the
        replay and both partitions keep their (already correct) data.
+
+    ``ingest_batch`` is written as a DIRECTORY partition key, so bare
+    ``spark.read.parquet`` re-infers it — as INT, not the LONG this
+    pipeline stamps (the long-vs-int parquet-union hazard). Read both
+    tables back through ``read_ingested_corpus`` /
+    ``read_ingested_fingerprints``, which pin the column to LONG with
+    an explicit schema; the in-stream history read does the same.
     """
     from pyspark.sql import functions as F
 
@@ -451,7 +458,9 @@ def corpus_ingest_stream(
         from pyspark.errors import AnalysisException
 
         try:
-            seen = spark_b.read.parquet(fingerprints_dir).select("fingerprint")
+            seen = read_ingested_fingerprints(spark_b, fingerprints_dir).select(
+                "fingerprint"
+            )
             # History GROWS without bound — never broadcast it. left_anti
             # shuffles both sides on the 32-byte key; the delta side is
             # small, history is append-only sorted-ish parquet, and AQE
@@ -489,6 +498,30 @@ def corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def read_ingested_corpus(
+    spark,
+    corpus_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+) -> DataFrame:
+    """Corpus read-back with ``ingest_batch`` PINNED to LONG.
+
+    The ingest stream writes ``ingest_batch`` as a directory partition
+    key; partition-column type inference would hand it back as INT,
+    which breaks any union with the LONG the pipeline stamps
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH — the same hazard the trending
+    snapshot guards against). An explicit read schema overrides the
+    inference, so every layout ever written reads back identically."""
+    return spark.read.schema(schema + ", ingest_batch long").parquet(corpus_dir)
+
+
+def read_ingested_fingerprints(spark, fingerprints_dir: str) -> DataFrame:
+    """Fingerprint-table read-back with ``ingest_batch`` pinned to LONG
+    (see read_ingested_corpus)."""
+    return spark.read.schema("fingerprint string, ingest_batch long").parquet(
+        fingerprints_dir
+    )
 
 
 def continuous_rollup_stream(

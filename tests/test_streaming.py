@@ -302,6 +302,37 @@ class TestCorpusIngestStream:
         assert corpus.count() == 1  # one ROW, not just one distinct id
         assert spark.read.parquet(str(tmp_path / "fp")).count() == 1
 
+    def test_ingest_batch_readback_type_pinned_long(self, spark, tmp_path):
+        """ingest_batch is a directory partition key, so bare reads
+        re-infer its type (INT) instead of the LONG the pipeline
+        stamps; the read helpers must pin LONG so unions across
+        layouts/engines never hit the long-vs-int parquet mismatch."""
+        from pyspark.sql.types import LongType
+
+        from insurance_helper_spark.streaming import ops
+
+        self._write_batch(
+            spark,
+            str(tmp_path / "in"),
+            [(1, self.GOOD, "en", "s1", len(self.GOOD))],
+        )
+        assert self._run(spark, tmp_path) == {1}
+        corpus = ops.read_ingested_corpus(spark, str(tmp_path / "corpus"))
+        fps = ops.read_ingested_fingerprints(spark, str(tmp_path / "fp"))
+        assert corpus.schema["ingest_batch"].dataType == LongType()
+        assert fps.schema["ingest_batch"].dataType == LongType()
+        # The hazard is real: inference hands back a non-long type.
+        inferred = spark.read.parquet(str(tmp_path / "corpus"))
+        assert inferred.schema["ingest_batch"].dataType != LongType()
+        # A union with a LONG-stamped delta (the mixed-layout case)
+        # must work through the pinned readers.
+        delta = spark.createDataFrame(
+            [(99, self.GOOD, "en", "s9", len(self.GOOD), 7)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_batch long",
+        )
+        assert corpus.unionByName(delta).count() == 2
+
 
 class TestContinuousRollup:
     """Streaming continuous aggregate: minute partials append as the
