@@ -45,3 +45,23 @@ def knuth_uniform_sql(key_expr: str) -> str:
     """The DuckDB-side twin as a SQL fragment (same pmod semantics)."""
     reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
     return f"((({reduced}) * {KNUTH_MUL}) % {KNUTH_MOD}) * 1.0 / {KNUTH_MOD}"
+
+
+HASH_MIX = 97531  # seed spacing for the indexed hash family
+
+
+def hash_family(key: Column, seed: int) -> Column:
+    """Member ``seed`` of a portable indexed hash family: an integer in
+    [0, 2^32) from pure int64 arithmetic — pmod-reduce the key to 2^31,
+    Knuth multiply, add the seed mix, mod 2^32. Every intermediate fits
+    signed int64 (see module docstring), so Spark and the DuckDB twin
+    (``hash_family_sql``) agree bit-for-bit. The family behind the CMS
+    sketch rows and the MinHash signature rows."""
+    reduced = ((key % F.lit(KEY_REDUCE)) + F.lit(KEY_REDUCE)) % F.lit(KEY_REDUCE)
+    return (reduced * F.lit(KNUTH_MUL) + F.lit(seed * HASH_MIX)) % F.lit(KNUTH_MOD)
+
+
+def hash_family_sql(key_expr: str, seed: int) -> str:
+    """DuckDB twin of ``hash_family`` as a SQL fragment."""
+    reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
+    return f"(({reduced}) * {KNUTH_MUL} + {seed} * {HASH_MIX}) % {KNUTH_MOD}"

@@ -1467,3 +1467,125 @@ def agg_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "modal_type", "type_list")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_interp_gapfill — calendar spine + LINEAR interpolation between
+# the surrounding observations (the other half of TimescaleDB's
+# gap-fill pair; events_locf_gapfill is the step-function half). Per
+# user-day: daily max (order-independent), then gap days get
+# prev + (next − prev) · Δdays/span from the nearest observed days on
+# each side — two IGNORE-NULLS window scans, no self-join. Spine edges
+# are always observed (bounds come from the data), so every gap has
+# both neighbors. Scale: identical shape to LOCF — rows multiply only
+# by days-per-user, everything partitions on user_id end to end (one
+# shuffle), and both windows are streaming frames with O(1) state.
+# ---------------------------------------------------------------------------
+
+INTERP_ORACLE = """
+WITH obs AS (
+  -- Cents from the start: value is a 2-dp decimal stored as double, so
+  -- round(max*100) is engine-exact; all interpolation then happens in
+  -- integer arithmetic (double round() half-cases differ between the
+  -- JVM's decimal-string HALF_UP and C round on the binary value).
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(max(value) * 100) AS BIGINT) AS day_max
+  FROM events GROUP BY user_id, day
+),
+bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+ctx AS (
+  SELECT s.user_id, s.day, o.day_max,
+         last_value(o.day_max IGNORE NULLS) OVER wp AS prev_val,
+         last_value(CASE WHEN o.day_max IS NOT NULL THEN s.day END IGNORE NULLS)
+             OVER wp AS prev_day,
+         first_value(o.day_max IGNORE NULLS) OVER wn AS next_val,
+         first_value(CASE WHEN o.day_max IS NOT NULL THEN s.day END IGNORE NULLS)
+             OVER wn AS next_day
+  FROM spine s
+  LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  -- Round-half-up rational interpolation in pure integers:
+  -- floor((2*rise*run + span) / (2*span)). The double division's
+  -- operands are exact integers far below 2^53, and a non-integer
+  -- quotient sits ≥ 1/(2*span) from any integer, so floor is exact on
+  -- both engines.
+  SELECT user_id, day, day_max,
+         CASE WHEN day_max IS NOT NULL THEN day_max
+              ELSE prev_val + CAST(floor(
+                     (2 * (next_val - prev_val) * date_diff('day', prev_day, day)
+                      + date_diff('day', prev_day, next_day))
+                     / (2.0 * date_diff('day', prev_day, next_day))) AS BIGINT)
+         END AS interp_c
+  FROM ctx
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(day_max) AS BIGINT) AS n_observed,
+       CAST(count(*) - count(day_max) AS BIGINT) AS n_interp,
+       sum(interp_c) / 100.0 AS total_interp
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_interp_gapfill", INTERP_ORACLE)
+def events_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    obs = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.max("value") * 100).cast("long").alias("day_max")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_max").isNotNull(), F.col("day"))
+    ctx = (
+        spine.join(obs, ["user_id", "day"], "left")
+        .withColumn("prev_val", F.last("day_max", ignorenulls=True).over(wp))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("next_val", F.first("day_max", ignorenulls=True).over(wn))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    # Round-half-up rational interpolation in pure integers (see the
+    # oracle comment): floor((2*rise*run + span) / (2*span)).
+    run = F.datediff("day", "prev_day")
+    span = F.datediff("next_day", "prev_day")
+    rise = F.col("next_val") - F.col("prev_val")
+    interp_c = F.when(F.col("day_max").isNotNull(), F.col("day_max")).otherwise(
+        F.col("prev_val")
+        + F.floor((2 * rise * run + span) / (2.0 * span)).cast("long")
+    )
+    return (
+        ctx.withColumn("interp_c", interp_c)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("day_max").alias("n_observed"),
+            (F.count("*") - F.count("day_max")).alias("n_interp"),
+            (F.sum("interp_c") / 100.0).alias("total_interp"),
+        )
+        .orderBy("user_id")
+    )

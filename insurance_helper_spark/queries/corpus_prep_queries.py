@@ -528,3 +528,75 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_budget_quota_sample — per-source token-budget quota sampling:
+# each source contributes documents, in deterministic Knuth-hash order
+# (a uniform random permutation reproducible on any engine/cluster),
+# until its token budget is exhausted — the "cap every source at N
+# tokens" rebalancing step of a training-data mix (the hard-cap
+# complement of corpus_mixing_weights' proportional recipe). Keep rule:
+# a doc is kept iff the budget was not yet exhausted when its turn
+# came (cumulative tokens BEFORE it < budget), so exactly one doc may
+# straddle the boundary — deterministic and engine-identical. Scale:
+# one shuffle on source; the running sum is a streaming O(1) frame.
+# A single giant source serializes its own partition — at that point
+# pre-slice by a salt, give each slice budget/S, and union (bounded
+# error vs the exact sequential cut), which keeps the window parallel.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    knuth_uniform as _ku,
+)
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    knuth_uniform_sql as _ku_sql,
+)
+
+_QUOTA_TOKENS = 400  # per-source budget at fixture scale
+
+QUOTA_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0 ELSE CAST(len({_TOKS}) AS BIGINT) END AS n_tokens,
+         {_ku_sql("doc_id")} AS u
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens, cum_before
+FROM ordered
+WHERE cum_before < {_QUOTA_TOKENS}
+ORDER BY source, doc_id
+"""
+
+
+@register("corpus_budget_quota_sample", QUOTA_SAMPLE_ORACLE)
+def corpus_budget_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    toks = corpus.tokens_col(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        _ku(F.col("doc_id")).alias("u"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < _QUOTA_TOKENS)
+        .select("source", "doc_id", "n_tokens", "cum_before")
+        .orderBy("source", "doc_id")
+    )

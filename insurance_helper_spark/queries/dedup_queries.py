@@ -735,3 +735,182 @@ def dedup_clusters_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_audit — MinHash signature quality, value-
+# checked: signatures built from the PORTABLE indexed hash family
+# (functions/hashing.hash_family — the same family behind the CMS
+# sketch), so BOTH engines compute identical m-row signatures and the
+# estimate Ĵ = |{i : sig_i(a)=sig_i(b)}| / m is compared against the
+# exact shingle Jaccard as real values. This upgrades the MinHash tier
+# from rows-only (the xxhash64 production path, engine-specific by
+# contract) to a fully oracle-checked accuracy audit: per candidate
+# pair the output pins Ĵ, J, |Ĵ−J|, and the Hoeffding bound boolean
+# |Ĵ−J| ≤ sqrt(ln(2/δ)/2m) (δ=0.05 → 0.3393 at m=16) — deterministic
+# on both sides, so a violation flips identically instead of
+# manufacturing a mismatch. Scale: signatures are one explode (m rows
+# per distinct shingle) + a (doc,i) min-agg — map-side combine leaves
+# m rows per doc; candidates come from the shingle equi-join (never
+# all-pairs); the signature compare joins m-row slivers per pair.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    hash_family as _hash_family,
+)
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    hash_family_sql as _hash_family_sql,
+)
+
+_MH_M = 16  # signature rows
+_MH_EPS = 0.3393  # sqrt(ln(2/0.05) / (2*16)), rounded down at 4 dp
+
+
+def _minhash_audit_oracle() -> str:
+    sigs = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS i, {_hash_family_sql('h0', i)} AS hv FROM hx"
+        for i in range(1, _MH_M + 1)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(shingle), 1, 8)) AS BIGINT) AS h0
+  FROM ex
+),
+sigrows AS (
+  SELECT doc_id, i, min(hv) AS sig FROM ({sigs}) GROUP BY doc_id, i
+),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.id_a, p.id_b,
+         p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) AS jacc
+  FROM pairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common) >= 0.4
+),
+est AS (
+  SELECT e.id_a, e.id_b, e.jacc,
+         sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) * 1.0 / {_MH_M} AS est_jacc
+  FROM exact e
+  JOIN sigrows x ON e.id_a = x.doc_id
+  JOIN sigrows y ON e.id_b = y.doc_id AND x.i = y.i
+  GROUP BY e.id_a, e.id_b, e.jacc
+)
+SELECT id_a, id_b,
+       round(jacc, 6) AS jaccard,
+       round(est_jacc, 6) AS est_jaccard,
+       round(abs(est_jacc - jacc), 6) AS abs_err,
+       abs(est_jacc - jacc) <= {_MH_EPS} AS within_hoeffding
+FROM est
+ORDER BY id_a, id_b
+"""
+
+
+MINHASH_AUDIT_ORACLE = _minhash_audit_oracle()
+
+
+def _portable_shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, h0) rows with h0 a cross-engine 32-bit shingle
+    hash: sha256 of the space-joined k-token shingle, first 8 hex
+    chars as an integer (the ml_feature_hash_encode pattern). Same
+    posexplode + lead plumbing as operators/dedup.hashed_shingle_rows
+    (no higher-order functions — those interpret per element); tokens
+    contain no spaces, so the space join is boundary-exact."""
+    sp = docs.sparkSession
+    d = docs.repartition(sp.sparkContext.defaultParallelism, "doc_id")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text")))
+    ).toDF("doc_id", "pos", "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    sh = tok.select("doc_id", "tok", *leads).filter(F.col(f"t{k-1}").isNotNull())
+    shingle = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)])
+    return sh.select(
+        "doc_id",
+        F.conv(F.substring(F.sha2(shingle, 256), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h0"),
+    ).distinct()
+
+
+@register("dedup_minhash_estimate_audit", MINHASH_AUDIT_ORACLE)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ex = _portable_shingle_rows(docs, k=3)
+    # One pass feeds signatures, sizes, and the candidate join.
+    ex = ex.localCheckpoint(eager=True)
+    sig = (
+        ex.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[_hash_family(F.col("h0"), i) for i in range(1, _MH_M + 1)])
+            ).alias("i0", "hv"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "hv")
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "h0")
+    b = ex.select(F.col("doc_id").alias("id_b"), "h0")
+    common = (
+        a.join(b, "h0")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jacc = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    exact = (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("sh_size").alias("size_a"))), "id_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("sh_size").alias("size_b"))), "id_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.4)
+        .select("id_a", "id_b", "jacc")
+    )
+    sx = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("sig").alias("sig_a"))
+    sy = sig.select(F.col("doc_id").alias("id_b"), "i", F.col("sig").alias("sig_b"))
+    est = (
+        exact.join(sx, "id_a")
+        .join(sy, ["id_b", "i"])
+        .groupBy("id_a", "id_b", "jacc")
+        .agg(
+            (
+                F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+                / F.lit(_MH_M)
+            ).alias("est_jacc")
+        )
+    )
+    err = F.abs(F.col("est_jacc") - F.col("jacc"))
+    return (
+        est.select(
+            "id_a",
+            "id_b",
+            F.round("jacc", 6).alias("jaccard"),
+            F.round("est_jacc", 6).alias("est_jaccard"),
+            F.round(err, 6).alias("abs_err"),
+            (err <= F.lit(_MH_EPS)).alias("within_hoeffding"),
+        )
+        .orderBy("id_a", "id_b")
+    )

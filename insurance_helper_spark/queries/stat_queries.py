@@ -429,37 +429,25 @@ def stat_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CMS_D, _CMS_W = 4, 2048
-_CMS_MIX = 97531  # per-row seed spacing in the hash family
 
 
 def _cms_bucket_sql(key_expr: str, seed: int) -> str:
     """DuckDB fragment for the row-``seed`` CMS bucket of an int key —
-    the exact SQL twin of ``_cms_bucket``: pmod-reduce the key, Knuth
-    multiply + seed mix mod 2^32, then take the HIGH bits via
-    floor(t·w / 2^32). Every intermediate fits signed int64, and t·w
-    has < 53 significant bits, so the double floor is exact on both
+    the exact SQL twin of ``_cms_bucket``: the shared portable hash
+    family's value t, then the HIGH bits via floor(t·w / 2^32). t·w has
+    < 53 significant bits, so the double floor is exact on both
     engines."""
-    from insurance_helper_spark.functions.hashing import (
-        KEY_REDUCE,
-        KNUTH_MOD,
-        KNUTH_MUL,
-    )
+    from insurance_helper_spark.functions.hashing import KNUTH_MOD, hash_family_sql
 
-    reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
-    t = f"(({reduced}) * {KNUTH_MUL} + {seed} * {_CMS_MIX}) % {KNUTH_MOD}"
+    t = hash_family_sql(key_expr, seed)
     return f"CAST(floor((({t}) * {_CMS_W}) / {KNUTH_MOD}.0) AS BIGINT)"
 
 
 def _cms_bucket(key, seed: int):
     """Bucket in [0, w) for CMS hash row ``seed`` (Spark column twin)."""
-    from insurance_helper_spark.functions.hashing import (
-        KEY_REDUCE,
-        KNUTH_MOD,
-        KNUTH_MUL,
-    )
+    from insurance_helper_spark.functions.hashing import KNUTH_MOD, hash_family
 
-    reduced = ((key % F.lit(KEY_REDUCE)) + F.lit(KEY_REDUCE)) % F.lit(KEY_REDUCE)
-    t = (reduced * F.lit(KNUTH_MUL) + F.lit(seed * _CMS_MIX)) % F.lit(KNUTH_MOD)
+    t = hash_family(key, seed)
     return F.floor((t * F.lit(_CMS_W)) / F.lit(float(KNUTH_MOD))).cast("long")
 
 
