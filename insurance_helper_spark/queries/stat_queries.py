@@ -987,3 +987,124 @@ def ml_feature_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_kaplan_meier_retention — Kaplan-Meier survival over customer
+# order-activity lifetimes with right-censoring: duration = weeks
+# between a customer's first and last order; customers whose last
+# order falls within 90 days of the observation end are CENSORED
+# (still active), the rest are churn events. S(t) = Pi_{t_i <= t}
+# (1 - d_i/n_i) over event times, computed as exp(Sum ln factors) with
+# an explicit zero guard (both engines treat a d=n factor as survival
+# 0 without evaluating ln(0)). Scale: one shuffle to the per-customer
+# relation, then every window runs over the |distinct week buckets|
+# rows — a reduced relation orders of magnitude smaller than the fact
+# table; the single unpartitioned window is over that reduced relation
+# only (the RFM caveat applies: for huge bucket counts, cut by range
+# first).
+# ---------------------------------------------------------------------------
+
+KM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                              CAST(max(o_orderdate) AS DATE)) / 7.0) AS BIGINT)
+             AS duration,
+         CAST(max(o_orderdate) AS DATE) AS last_day
+  FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT max(last_day) AS obs_end, count(*) AS n_total FROM per_cust),
+flagged AS (
+  SELECT p.duration,
+         CASE WHEN p.last_day < h.obs_end - INTERVAL 90 DAY THEN 1 ELSE 0 END AS churned,
+         h.n_total
+  FROM per_cust p CROSS JOIN horizon h
+),
+per_dur AS (
+  SELECT duration, n_total,
+         CAST(count(*) AS BIGINT) AS n_leaving,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM flagged GROUP BY duration, n_total
+),
+risk AS (
+  SELECT duration, n_leaving, n_events,
+         n_total - CAST(coalesce(sum(n_leaving) OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_risk
+  FROM per_dur
+),
+km AS (
+  SELECT duration, n_risk, n_events,
+         sum(CASE WHEN n_events < n_risk AND n_events > 0
+                  THEN ln(1.0 - n_events * 1.0 / n_risk) ELSE 0.0 END)
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+         max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM risk
+)
+SELECT duration AS duration_weeks, n_risk, n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+FROM km
+WHERE n_events > 0
+ORDER BY duration_weeks
+"""
+
+
+@register("stat_kaplan_meier_retention", KM_ORACLE)
+def stat_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.datediff(F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate")))
+            / 7.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.to_date(F.max("o_orderdate")).alias("last_day"),
+    )
+    horizon = per_cust.agg(
+        F.max("last_day").alias("obs_end"), F.count("*").alias("n_total")
+    )
+    flagged = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "duration",
+        F.when(F.col("last_day") < F.date_sub("obs_end", 90), 1)
+        .otherwise(0)
+        .alias("churned"),
+        "n_total",
+    )
+    per_dur = flagged.groupBy("duration", "n_total").agg(
+        F.count("*").alias("n_leaving"), F.sum("churned").alias("n_events")
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_dur.withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0)),
+    )
+    ln_factor = F.when(
+        (F.col("n_events") < F.col("n_risk")) & (F.col("n_events") > 0),
+        F.log(1.0 - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    km = risk.withColumn("lnsum", F.sum(ln_factor).over(w_cum)).withColumn(
+        "hit_zero", hit_zero
+    )
+    return (
+        km.filter(F.col("n_events") > 0)
+        .select(
+            F.col("duration").alias("duration_weeks"),
+            "n_risk",
+            "n_events",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_weeks")
+    )

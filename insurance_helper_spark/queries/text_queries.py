@@ -477,3 +477,77 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", "term", "tf", "tfidf")
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_surprisal — conditional-LM quality scoring: per document,
+# the mean/max of −ln P(w_i | w_{i−1}) under an add-one-smoothed corpus
+# bigram model (P = (c(w₁w₂)+1)/(c(w₁·)+V)) — the next step up from
+# text_unigram_surprisal's context-free model, and the cheap proxy for
+# "model-perplexity" corpus filtering when no neural LM is in the
+# loop. Scale: bigram rows come from the posexplode+lead plumbing (no
+# higher-order functions — see hashed_shingle_rows' measured 30×
+# penalty); the model is one shuffle on the bigram key; the per-doc
+# score joins each document's bigrams to the model on that same key —
+# vocab-bounded model relation, map-side-combined aggregates.
+# ---------------------------------------------------------------------------
+
+BIGRAM_SURPRISAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+  FROM t
+),
+bigrams AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bigrams GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bigrams)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((m.c12 + 1.0) / (c.c1 + vb.v))), 4) AS mean_surprisal,
+       round(max(-ln((m.c12 + 1.0) / (c.c1 + vb.v))), 4) AS max_surprisal
+FROM bigrams b
+JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+JOIN ctx c ON b.w1 = c.w1
+CROSS JOIN vocab vb
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("text_bigram_surprisal", BIGRAM_SURPRISAL_ORACLE)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sp = docs.sparkSession
+    tok = docs.repartition(sp.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.posexplode(T.tokens(F.col("text")))
+    ).toDF("doc_id", "pos", "w1")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bigrams.agg(F.count_distinct("w2").alias("v"))
+    surprisal = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(surprisal), 4).alias("mean_surprisal"),
+            F.round(F.max(surprisal), 4).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
