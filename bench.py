@@ -107,6 +107,17 @@ HEADLINE = [
     "events_ewma_daily",
     "stat_auc_mann_whitney",
     "json_variant_props",
+    # round-7 additions: sketch-accuracy audit + gap-fill/sampling/survival/LM
+    "dedup_minhash_estimate_audit",
+    "events_interp_gapfill",
+    "corpus_budget_quota_sample",
+    "stat_kaplan_meier_retention",
+    "text_bigram_surprisal",
+    "text_burst_terms",
+    "events_seasonal_anomalies",
+    "events_attribution_time_decay",
+    "events_cusum_changepoint",
+    "orders_decile_transform",
 ]
 
 

@@ -1589,3 +1589,132 @@ def events_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_anomalies — seasonal-baseline anomaly detection: each
+# event is scored against ITS OWN (iso-dow × hour) cell's robust
+# baseline (median + MAD over the cell), so a value that is normal at
+# Friday-noon load but wild at Sunday-3am is caught — the seasonal-
+# hybrid upgrade of events_mad_outliers' global-per-type filter.
+# Output is the per-cell scorecard (baseline, spread, flagged count),
+# not the flagged rows, so the result stays 7×24-bounded at any SF.
+# Scale: two ordered-statistic passes over the SAME (dow, hour)
+# partitioning (exact medians sort per cell; swap approx_percentile at
+# the 100 TB tier under the bounds contract), then one broadcast join
+# back to the fact for the flag fold — one fact shuffle total.
+# ---------------------------------------------------------------------------
+
+SEASONAL_ANOM_ORACLE = """
+WITH cells AS (
+  SELECT isodow(ts) AS dow, CAST(hour(ts) AS INTEGER) AS hour_of_day, value
+  FROM events
+),
+base AS (
+  SELECT dow, hour_of_day, median(value) AS med
+  FROM cells GROUP BY dow, hour_of_day
+),
+dev AS (
+  SELECT c.dow, c.hour_of_day, c.value, b.med, abs(c.value - b.med) AS adev
+  FROM cells c JOIN base b USING (dow, hour_of_day)
+),
+spread AS (
+  SELECT dow, hour_of_day, median(adev) AS mad FROM dev GROUP BY dow, hour_of_day
+)
+SELECT d.dow, d.hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(d.med), 4) AS median_value,
+       round(max(s.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.5 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies
+FROM dev d JOIN spread s USING (dow, hour_of_day)
+GROUP BY d.dow, d.hour_of_day
+ORDER BY d.dow, d.hour_of_day
+"""
+
+
+@register("events_seasonal_anomalies", SEASONAL_ANOM_ORACLE)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "value"])
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    cells = ev.select(
+        iso_dow.cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        "value",
+    )
+    base = cells.groupBy("dow", "hour_of_day").agg(
+        F.expr("median(value)").alias("med")
+    )
+    dev = cells.join(F.broadcast(base), ["dow", "hour_of_day"]).withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    spread = dev.groupBy("dow", "hour_of_day").agg(F.expr("median(adev)").alias("mad"))
+    return (
+        dev.join(F.broadcast(spread), ["dow", "hour_of_day"])
+        .groupBy("dow", "hour_of_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3.5 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_decile_transform — equi-depth quantile binning (the rank-based
+# feature transform): within each order priority, orders are cut into
+# 10 equal-count bins over a deterministic total order (price, then
+# key), and the report pins each bin's population and price range —
+# the per-bin min/max ARE the empirical decile edges, the lookup table
+# a quantile-normalizing feature encoder ships to training. ntile's
+# remainder rule (first bins get the extra row) is the same on both
+# engines. Scale: the per-priority windows sort within each of 5
+# partitions; for an unpartitioned billion-row transform, swap ntile
+# for percent_rank cuts (RFM's caveat) or approx_percentile edges.
+# ---------------------------------------------------------------------------
+
+DECILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT priority, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(price_cents) / 100.0 AS min_price,
+       max(price_cents) / 100.0 AS max_price,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents
+FROM ranked
+GROUP BY priority, decile
+ORDER BY priority, decile
+"""
+
+
+@register("orders_decile_transform", DECILE_ORACLE)
+def orders_decile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        ranked.groupBy("priority", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.min("price_cents") / 100.0).alias("min_price"),
+            (F.max("price_cents") / 100.0).alias("max_price"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        .orderBy("priority", "decile")
+    )

@@ -714,3 +714,198 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= 5)
         .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_time_decay — exponential time-decay multi-touch
+# attribution (half-life 3 days), completing the family: last-touch
+# (winner-take-all) → linear (equal split) → time-decay (recency-
+# weighted split). Each touch inside the 7-day window gets
+# w = 0.5^(Δsecs / 3d), normalized per purchase; the per-purchase
+# scorecard folds credit by touch type. Scale: identical join shape to
+# the siblings — the purchase×touch interval join shuffles on user_id,
+# the normalization is one window over each purchase's own touches.
+# ---------------------------------------------------------------------------
+
+TIME_DECAY_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS touch_id, user_id AS t_user, ts AS touch_ts,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+         CAST(date_diff('second', t.touch_ts, p.purchase_ts) AS BIGINT) AS secs_before
+  FROM p JOIN t ON p.user_id = t.t_user
+   AND t.touch_ts <= p.purchase_ts
+   AND t.touch_ts > p.purchase_ts - INTERVAL 7 DAY
+),
+wts AS (
+  SELECT purchase_id, user_id, touch_id, touch_type,
+         pow(0.5, secs_before / 259200.0) AS w,
+         sum(pow(0.5, secs_before / 259200.0))
+             OVER (PARTITION BY purchase_id) AS wsum
+  FROM j
+)
+SELECT purchase_id, user_id,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(CASE WHEN touch_type = 'click' THEN w / wsum ELSE 0 END), 4)
+           AS click_credit,
+       round(sum(CASE WHEN touch_type = 'view' THEN w / wsum ELSE 0 END), 4)
+           AS view_credit
+FROM wts
+GROUP BY purchase_id, user_id
+ORDER BY purchase_id
+"""
+
+
+@register("events_attribution_time_decay", TIME_DECAY_ORACLE)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("touch_ts") > F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("touch_ts"))
+        .cast("long")
+        .alias("secs_before"),
+    )
+    w = F.pow(0.5, F.col("secs_before") / 259200.0)
+    wp = Window.partitionBy("purchase_id")
+    wts = j.withColumn("w", w).withColumn("wsum", F.sum("w").over(wp))
+    share = F.col("w") / F.col("wsum")
+    return (
+        wts.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(
+                F.sum(F.when(F.col("touch_type") == "click", share).otherwise(0.0)), 4
+            ).alias("click_credit"),
+            F.round(
+                F.sum(F.when(F.col("touch_type") == "view", share).otherwise(0.0)), 4
+            ).alias("view_credit"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — change-point detection per event type via
+# CUSUM of daily counts against the series' own mean. All arithmetic
+# is EXACT integers: S_t·D = D·cumsum(n) − t·T (D days, T total), so
+# the argmax day and the scaled statistic match bit-for-bit across
+# engines — no float drift, no rounding policy. The day spine comes
+# from the GLOBAL event span so silent zero-days count. Scale: one
+# shuffle to (type, day) counts, the spine join broadcasts the tiny
+# bounds row, and the scan window is a streaming frame per type.
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, s.day FROM types t CROSS JOIN spine s),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+series AS (
+  SELECT g.event_type, g.day, coalesce(d.n, 0) AS n
+  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+),
+scanned AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         CAST(row_number() OVER w AS BIGINT) AS t_idx,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  SELECT event_type, day, n_days, total,
+         abs(n_days * cum_n - t_idx * total) AS s_scaled,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_days * cum_n - t_idx * total) DESC, day)
+             AS rn
+  FROM scanned
+)
+SELECT event_type, day AS change_day,
+       CAST(s_scaled AS BIGINT) AS cusum_scaled, n_days, total
+FROM stat WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("events_cusum_changepoint", CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "ts"])
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    scanned = (
+        series.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .withColumn("t_idx", F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+        .withColumn("total", F.sum("n").over(wt).cast("long"))
+        .withColumn("n_days", F.count("*").over(wt).cast("long"))
+    )
+    s_scaled = F.abs(
+        F.col("n_days") * F.col("cum_n") - F.col("t_idx") * F.col("total")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("s_scaled"), "day")
+    return (
+        scanned.withColumn("s_scaled", s_scaled)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("s_scaled").cast("long").alias("cusum_scaled"),
+            "n_days",
+            "total",
+        )
+        .orderBy("event_type")
+    )

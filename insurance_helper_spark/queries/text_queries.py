@@ -551,3 +551,82 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_burst_terms — batch twin of streaming/ops.trending_terms_stream:
+# the corpus is split into history (doc_id < split) and delta, each
+# side's term counts aggregated, and delta terms scored with the SAME
+# burst ratio the stream uses (delta_cnt / (hist_cnt + smoothing)),
+# top-k by (burst, count, term). Gives the trending-terms component
+# value-checked oracle evidence alongside its streaming e2e tests —
+# the batch-twin pattern every foreachBatch operator here follows.
+# Scale: two term aggregations (map-side combined) + one left join on
+# the term key; the top-k is a single-partition window over the
+# DELTA's vocabulary only (bounded by the delta, not the corpus).
+# ---------------------------------------------------------------------------
+
+BURST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+hist AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS hist_cnt
+  FROM toks WHERE doc_id < 400 GROUP BY term
+),
+delta AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS delta_cnt
+  FROM toks WHERE doc_id >= 400 GROUP BY term
+),
+scored AS (
+  SELECT d.term, d.delta_cnt, coalesce(h.hist_cnt, 0) AS hist_cnt,
+         round(d.delta_cnt / (coalesce(h.hist_cnt, 0) + 5.0), 4) AS burst
+  FROM delta d LEFT JOIN hist h USING (term)
+),
+ranked AS (
+  SELECT term, delta_cnt, hist_cnt, burst,
+         row_number() OVER (ORDER BY burst DESC, delta_cnt DESC, term) AS rank
+  FROM scored
+)
+SELECT term, delta_cnt, hist_cnt, burst, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@register("text_burst_terms", BURST_ORACLE)
+def text_burst_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of trending_terms_stream (streaming/ops.py) — same
+    burst ratio, deterministic history/delta split on doc_id."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    hist = (
+        toks.filter(F.col("doc_id") < 400)
+        .groupBy("term")
+        .agg(F.count("*").alias("hist_cnt"))
+    )
+    delta = (
+        toks.filter(F.col("doc_id") >= 400)
+        .groupBy("term")
+        .agg(F.count("*").alias("delta_cnt"))
+    )
+    scored = delta.join(hist, "term", "left").select(
+        "term",
+        "delta_cnt",
+        F.coalesce("hist_cnt", F.lit(0)).alias("hist_cnt"),
+    )
+    scored = scored.withColumn(
+        "burst",
+        F.round(F.col("delta_cnt") / (F.col("hist_cnt") + F.lit(5.0)), 4),
+    )
+    w = W.orderBy(F.desc("burst"), F.desc("delta_cnt"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("term", "delta_cnt", "hist_cnt", "burst", "rank")
+        .orderBy("rank")
+    )
