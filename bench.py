@@ -118,6 +118,10 @@ HEADLINE = [
     "events_attribution_time_decay",
     "events_cusum_changepoint",
     "orders_decile_transform",
+    "corpus_pps_systematic_sample",
+    "text_pmi_term_pairs",
+    "stat_weighted_median_price",
+    "embedding_covariance_pairs",
 ]
 
 

@@ -600,3 +600,78 @@ def corpus_budget_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens", "cum_before")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pps_systematic_sample — systematic probability-proportional-
+# to-size sampling: walk each source's documents in deterministic
+# Knuth-hash order, lay their token counts end to end, and take one
+# document at every (total/k)-token stride — every doc's inclusion
+# probability is proportional to its length, the sample size is
+# exactly k (long docs can absorb several strides → they are simply
+# kept once per crossing; the count column reports multiplicity), and
+# EVERYTHING is integer arithmetic: a doc is selected iff
+# floor(cum_before·k/total) < floor(cum_after·k/total), products
+# < 2^53, no RNG, no floats — the exact-size complement of
+# corpus_weighted_sample's Bernoulli keep. Scale: same shape as the
+# quota sample — one shuffle on source, one streaming running-sum
+# window, plus a broadcast of per-source totals.
+# ---------------------------------------------------------------------------
+
+_PPS_K = 10  # strides per source
+
+PPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0 ELSE CAST(len({_TOKS}) AS BIGINT) END AS n_tokens,
+         {_ku_sql("doc_id")} AS u
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM t GROUP BY source),
+walked AS (
+  SELECT t.doc_id, t.source, t.n_tokens, x.total,
+         CAST(coalesce(sum(t.n_tokens) OVER (PARTITION BY t.source
+                   ORDER BY t.u, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+  FROM t JOIN tot x USING (source)
+)
+SELECT source, doc_id, n_tokens,
+       CAST((cum_before + n_tokens) * {_PPS_K} // total
+            - cum_before * {_PPS_K} // total AS BIGINT) AS n_strides
+FROM walked
+WHERE (cum_before + n_tokens) * {_PPS_K} // total > cum_before * {_PPS_K} // total
+ORDER BY source, doc_id
+"""
+
+
+@register("corpus_pps_systematic_sample", PPS_ORACLE)
+def corpus_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(corpus.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        _ku(F.col("doc_id")).alias("u"),
+    )
+    tot = t.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    walked = t.join(F.broadcast(tot), "source").withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    strides = F.expr(
+        f"((cum_before + n_tokens) * {_PPS_K}) div total"
+    ) - F.expr(f"(cum_before * {_PPS_K}) div total")
+    return (
+        walked.withColumn("n_strides", strides.cast("long"))
+        .filter(F.col("n_strides") > 0)
+        .select("source", "doc_id", "n_tokens", "n_strides")
+        .orderBy("source", "doc_id")
+    )

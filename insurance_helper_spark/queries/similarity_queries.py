@@ -162,3 +162,92 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_pairs — embedding-space covariance diagnostics:
+# the top-10 most-correlated dimension pairs (|corr|, off-diagonal) of
+# the corpus embedding distribution — the check that catches collapsed
+# or duplicated embedding dimensions before they poison ANN recall and
+# semantic-dedup thresholds. Population moments from one flattened
+# pass: per-dim sums, plus per-(i,j) cross-product sums from a
+# vec_id-keyed self-join of the (vec, dim, value) relation. Scale: the
+# cross relation is n·d(d+1)/2 rows BEFORE aggregation, but map-side
+# partial aggregation reduces every task to ≤ d² cells — the same
+# constant-size-partials argument as the CMS sketch; the d² moment
+# table then folds driver-free into the ranked pair report.
+# ---------------------------------------------------------------------------
+
+COV_PAIRS_ORACLE = """
+WITH x AS (
+  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+dim AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM x GROUP BY i
+),
+cross_m AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY a.i, b.i
+),
+scored AS (
+  SELECT c.i, c.j,
+         (c.sxy / da.n - (da.s / da.n) * (db.s / db.n)) /
+         sqrt((da.ss / da.n - (da.s / da.n) * (da.s / da.n))
+              * (db.ss / db.n - (db.s / db.n) * (db.s / db.n))) AS corr
+  FROM cross_m c
+  JOIN dim da ON c.i = da.i
+  JOIN dim db ON c.j = db.i
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+       round(corr, 4) AS corr,
+       CAST(row_number() OVER (ORDER BY abs(corr) DESC, i, j) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+@register("embedding_covariance_pairs", COV_PAIRS_ORACLE)
+def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "i", "v")
+    x = x.localCheckpoint(eager=True)  # feeds dim moments + both join sides
+    dim = x.groupBy("i").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ss")
+    )
+    a = x.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
+    cross_m = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("sxy"))
+    )
+    da = dim.select(F.col("i"), F.col("n"), F.col("s").alias("sa"), F.col("ss").alias("ssa"))
+    db = dim.select(F.col("i").alias("j"), F.col("s").alias("sb"), F.col("ss").alias("ssb"))
+    mean_a, mean_b = F.col("sa") / F.col("n"), F.col("sb") / F.col("n")
+    var_a = F.col("ssa") / F.col("n") - mean_a * mean_a
+    var_b = F.col("ssb") / F.col("n") - mean_b * mean_b
+    corr = (F.col("sxy") / F.col("n") - mean_a * mean_b) / F.sqrt(var_a * var_b)
+    wr = W.orderBy(F.desc(F.abs(F.col("corr"))), "i", "j")
+    return (
+        cross_m.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .withColumn("corr", corr)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            F.round("corr", 4).alias("corr"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -1108,3 +1108,86 @@ def stat_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_weighted_median_price — weighted (lower) median: the smallest
+# price whose cumulative quantity-weight reaches half the group total.
+# Everything is integer arithmetic (price cents, integral quantities,
+# 2·cum ≥ tot comparison), so the crossing row — and therefore the
+# median — is engine-exact with no interpolation policy to reconcile.
+# The estimator behind "median unit price per line weighted by volume"
+# — plain median answers the wrong question when one line carries 50
+# units. Scale: one sort-window shuffle per group key + a same-key
+# re-aggregation, the agg_percentiles shape; approx at 100 TB via
+# weight-replicated approx_percentile under the bounds contract.
+# ---------------------------------------------------------------------------
+
+WMEDIAN_ORACLE = """
+WITH rows_w AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+scanned AS (
+  SELECT flag, price_cents, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY price_cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(w) OVER (PARTITION BY flag) AS tot_w,
+         count(*) OVER (PARTITION BY flag) AS n_lines
+  FROM rows_w
+),
+crossing AS (
+  SELECT flag, price_cents, tot_w, n_lines,
+         row_number() OVER (PARTITION BY flag ORDER BY cum_w, price_cents) AS rn
+  FROM scanned
+  WHERE 2 * cum_w >= tot_w
+)
+SELECT flag, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(tot_w AS BIGINT) AS total_weight,
+       price_cents / 100.0 AS weighted_median_price
+FROM crossing WHERE rn = 1
+ORDER BY flag
+"""
+
+
+@register("stat_weighted_median_price", WMEDIAN_ORACLE)
+def stat_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity",
+                 "l_orderkey", "l_linenumber"],
+    )
+    rows_w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    scanned = (
+        rows_w.withColumn("cum_w", F.sum("w").over(w_cum))
+        .withColumn("tot_w", F.sum("w").over(w_tot))
+        .withColumn("n_lines", F.count("*").over(w_tot))
+    )
+    w_rn = Window.partitionBy("flag").orderBy("cum_w", "price_cents")
+    return (
+        scanned.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("tot_w").cast("long").alias("total_weight"),
+            (F.col("price_cents") / 100.0).alias("weighted_median_price"),
+        )
+        .orderBy("flag")
+    )

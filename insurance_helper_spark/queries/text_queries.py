@@ -535,6 +535,9 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
     )
+    # Four consumers (model, context, vocab, scoring join) would each
+    # re-run the tokenizer through lineage — materialize once.
+    bigrams = bigrams.localCheckpoint(eager=True)
     model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigrams.agg(F.count_distinct("w2").alias("v"))
@@ -628,5 +631,100 @@ def text_burst_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
         .select("term", "delta_cnt", "hist_cnt", "burst", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_term_pairs — pointwise mutual information over within-
+# document co-occurrence, restricted to the global top-40 vocabulary:
+# PMI(a,b) = ln(n·c(a,b) / (c(a)·c(b))) over document-level presence.
+# The vocabulary cap is what makes the pair space scale-honest —
+# unrestricted per-doc token pairing is quadratic in document length,
+# while capped pairing is ≤ C(40,2) per doc and the candidate relation
+# is (doc × kept-term), built by broadcasting the 40-term list. The
+# collocation-mining primitive behind phrase detection and
+# compound-token merging in corpus prep. Scale: one term shuffle for
+# the vocabulary, a broadcast semi-filter, one (a,b) shuffle with
+# map-side combine; top-20 by rounded PMI with lexical tiebreak.
+# ---------------------------------------------------------------------------
+
+PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+  FROM tok GROUP BY term
+),
+kept AS (SELECT term, df FROM vocab WHERE rk <= 40),
+ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS co_df
+  FROM (SELECT t.doc_id, t.term FROM tok t JOIN kept k USING (term)) a
+  JOIN (SELECT t.doc_id, t.term FROM tok t JOIN kept k USING (term)) b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY term_a, term_b
+),
+scored AS (
+  SELECT p.term_a, p.term_b, p.co_df, ka.df AS df_a, kb.df AS df_b,
+         round(ln(nd.n * p.co_df * 1.0 / (ka.df * kb.df)), 4) AS pmi
+  FROM pairs p
+  JOIN kept ka ON p.term_a = ka.term
+  JOIN kept kb ON p.term_b = kb.term
+  CROSS JOIN ndocs nd
+)
+SELECT term_a, term_b, co_df, df_a, df_b, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register("text_pmi_term_pairs", PMI_ORACLE)
+def text_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    tok = tok.localCheckpoint(eager=True)  # vocab + two pair sides + ndocs
+    wv = W.orderBy(F.desc("df"), "term")
+    vocab = tok.groupBy("term").agg(F.count("*").alias("df"))
+    kept = (
+        vocab.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 40)
+        .select("term", "df")
+    )
+    ndocs = tok.agg(F.count_distinct("doc_id").alias("n"))
+    base = tok.join(F.broadcast(kept.select("term")), "term")
+    a = base.select("doc_id", F.col("term").alias("term_a"))
+    b = base.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("co_df"))
+    )
+    ka = kept.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    kb = kept.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log(F.col("n") * F.col("co_df") / (F.col("df_a") * F.col("df_b"))), 4
+    )
+    wr = W.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return (
+        pairs.join(F.broadcast(ka), "term_a")
+        .join(F.broadcast(kb), "term_b")
+        .join(F.broadcast(ndocs))
+        .withColumn("pmi", pmi)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("term_a", "term_b", "co_df", "df_a", "df_b", "pmi", "rank")
         .orderBy("rank")
     )

@@ -668,10 +668,21 @@ def trending_terms_stream(
         if hist_partials is not None:
             # Exclude THIS batch's partitions (present iff replaying),
             # so a replay scores against exactly the history the
-            # original run saw. Partition pruning makes this a
-            # metadata-only filter.
+            # original run saw, plus any manifest-listed dead partitions
+            # (replays of already-compacted files — their counts live in
+            # the compacted partition). Partition pruning makes this a
+            # metadata-only filter. One caveat: replaying a file AFTER
+            # its partials were folded rescored it against a history
+            # that already contains its own counts, so its snapshot is
+            # recomputed-as-of-now rather than bit-stable; the counts
+            # table stays exact either way.
+            dead = sorted(
+                k
+                for k in _folded_keys(spark_b, counts_dir)
+                if k != _COMPACTED_KEY and k not in batch_keys
+            )
             hist = (
-                hist_partials.filter(~F.col("src_key").isin(batch_keys))
+                hist_partials.filter(~F.col("src_key").isin(batch_keys + dead))
                 .groupBy("term")
                 .agg(F.sum("cnt").alias("cnt"))
             )
@@ -729,19 +740,96 @@ def trending_terms_stream(
     q.awaitTermination()
 
 
+_FOLDED_DIR = "_compaction"  # leading underscore: invisible to parquet reads
+_COMPACTED_KEY = "c0"
+
+
+def _folded_keys(spark, counts_dir: str):
+    """Set of src_keys whose partials were folded into the compacted
+    partition (empty if never compacted). Stored under a leading-
+    underscore dir so the main partition read never sees it."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(counts_dir, _FOLDED_DIR)
+    try:
+        return {r[0] for r in spark.read.parquet(path).select("src_key").collect()}
+    except AnalysisException:
+        return set()
+
+
 def trending_vocabulary(spark, counts_dir: str) -> DataFrame:
     """Cumulative term counts from the per-file partials that
     trending_terms_stream maintains: sum over ``src_key`` partitions —
     the read half of the mergeable-partials contract. One shuffle on
-    the term key; at scale a periodic compaction job can pre-fold old
-    partitions so this aggregates O(recent files) rows, not O(all)."""
+    the term key. Partials listed in the compaction manifest are
+    EXCLUDED: their counts live inside the compacted partition, and a
+    live partition with a folded key can only be a post-compaction
+    replay of an already-folded input file (counting it would double)."""
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.parquet(counts_dir)
+    folded = _folded_keys(spark, counts_dir)
+    df = spark.read.parquet(counts_dir)
+    if folded:
+        live = [k for k in folded if k != _COMPACTED_KEY]
+        df = df.filter(~F.col("src_key").isin(live))
+    return df.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_term_partials(spark, counts_dir: str) -> int:
+    """Maintenance job: fold every live per-file partition (plus any
+    previous compacted partition) into ONE ``src_key=c0`` partition,
+    record the folded keys in the manifest, and delete the folded
+    partition directories. Returns the number of partitions folded.
+
+    Replay safety is preserved: a checkpoint-loss replay of an
+    already-folded input file rewrites its (now-deleted) partition, but
+    both ``trending_vocabulary`` and the stream's history read exclude
+    manifest-listed keys, so the counts stay exact — the rewritten
+    partition is dead weight until the next compaction deletes it
+    again. At scale this is the parquet analog of a log-structured
+    merge: O(files) partials between compactions, one bounded
+    aggregation per compaction, deletes via the Hadoop FileSystem API
+    (storage-agnostic — works on object stores)."""
+    from pyspark.sql import functions as F
+
+    folded = _folded_keys(spark, counts_dir)
+    df = spark.read.parquet(counts_dir)
+    keys = {r[0] for r in df.select("src_key").distinct().collect()}
+    dead = {k for k in keys if k in folded and k != _COMPACTED_KEY}
+    to_fold = sorted(k for k in keys if k not in folded)
+    merged = (
+        df.filter(~F.col("src_key").isin(sorted(dead)))
         .groupBy("term")
         .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("src_key", F.lit(_COMPACTED_KEY))
     )
+    # Snapshot before the overwrite below rewrites what it read.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("src_key")
+        .parquet(counts_dir)
+    )
+    new_folds = [k for k in to_fold if k != _COMPACTED_KEY]
+    if new_folds:
+        import os
+
+        spark.createDataFrame(
+            [(k,) for k in new_folds], "src_key string"
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(counts_dir, _FOLDED_DIR)
+        )
+    # Drop folded + dead partition dirs via the Hadoop FS API.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k in sorted(set(new_folds) | dead):
+        p = jvm.org.apache.hadoop.fs.Path(f"{counts_dir}/src_key={k}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return len(new_folds)
 
 
 def scd2_maintenance_stream(

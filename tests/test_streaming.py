@@ -640,6 +640,82 @@ class TestTrendingTerms:
         eps = trending.filter("term = 'epsilon' and rank = 1").collect()
         assert len(eps) == 1 and eps[0].hist_cnt == 0 and eps[0].batch_cnt == 2
 
+    def test_compaction_folds_partials_and_preserves_counts(self, spark, tmp_path):
+        """compact_term_partials merges per-file partitions into one,
+        the vocabulary is unchanged, and new files still merge in."""
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in5"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        pd.DataFrame({
+            "doc_id": [2], "text": ["delta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [11],
+        }).to_parquet(in_dir / "b2.parquet")
+        c = str(tmp_path / "c5")
+        args = (spark, str(in_dir), c, str(tmp_path / "t5"), str(tmp_path / "k5"))
+        ops.trending_terms_stream(*args)
+        expected = {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+        n = ops.compact_term_partials(spark, c)
+        assert n == 2
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == expected
+        # Exactly one live partition remains on disk.
+        keys = {r[0] for r in spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert keys == {"c0"}
+        # Idempotent rerun: nothing new to fold.
+        assert ops.compact_term_partials(spark, c) == 0
+        # New file after compaction merges into the vocabulary.
+        pd.DataFrame({
+            "doc_id": [3], "text": ["zeta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [10],
+        }).to_parquet(in_dir / "b3.parquet")
+        ops.trending_terms_stream(*args)
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == {"alpha": 4, "beta": 1, "gamma": 1, "delta": 1, "zeta": 1}
+
+    def test_replay_of_folded_file_does_not_double_count(self, spark, tmp_path):
+        """The compaction hazard: a checkpoint-loss replay of a file
+        whose partials were already folded rewrites its partition, but
+        the manifest exclusion must keep the vocabulary exact."""
+        import shutil
+
+        import pandas as pd
+
+        in_dir = tmp_path / "trend_in6"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        c = str(tmp_path / "c6")
+        ckpt = tmp_path / "k6"
+        args = (spark, str(in_dir), c, str(tmp_path / "t6"), str(ckpt))
+        ops.trending_terms_stream(*args)
+        ops.compact_term_partials(spark, c)
+        # Lose the checkpoint; add one genuinely new file; replay all.
+        shutil.rmtree(ckpt)
+        pd.DataFrame({
+            "doc_id": [2], "text": ["delta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [11],
+        }).to_parquet(in_dir / "b2.parquet")
+        ops.trending_terms_stream(*args)
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+        # The next compaction sweeps the replayed dead partition.
+        ops.compact_term_partials(spark, c)
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+        keys = {r[0] for r in spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert keys == {"c0"}
+
 
 class TestScd2Stream:
     def test_cdc_versions_accumulate_across_batches(self, spark, tmp_path):
