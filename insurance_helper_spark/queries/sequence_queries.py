@@ -909,3 +909,81 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_acf_lags — sample autocorrelation of the daily event-count
+# series at lags 1..7 (the weekly-seasonality diagnostic that decides
+# rollup granularity and anomaly-detector windows). Exactness trick:
+# instead of centering on the rational mean, every term is scaled by
+# n — z = n*cnt - S (S = total count) is an exact BIGINT, and
+# acf_k = sum(z_t * z_{t-k}) / sum(z^2) because the n^2 factors
+# cancel — so both engines compute identical integers until the one
+# rounded division. The lag alignment is a date-equi-join (b.day =
+# a.day - k), NOT an unpartitioned window, so nothing ever funnels to
+# a single task. Scale: one map-side-combine shuffle to the T-row
+# daily series; the lag join and moment aggregation run on broadcast-
+# size relations (T = calendar days, independent of event volume).
+# ---------------------------------------------------------------------------
+
+ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY day
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s FROM daily
+),
+z AS (
+  SELECT day, n * cnt - s AS z, n, s FROM daily CROSS JOIN tot
+),
+denom AS (SELECT sum(z * z) AS ss FROM z),
+lags AS (SELECT unnest(range(1, 8)) AS lag_k),
+num AS (
+  SELECT l.lag_k, sum(a.z * b.z) AS num, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM z a JOIN lags l ON true
+  JOIN z b ON b.day = a.day - l.lag_k * INTERVAL 1 DAY
+  GROUP BY l.lag_k
+)
+SELECT CAST(lag_k AS INT) AS lag_k, n_pairs,
+       round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 4) AS acf
+FROM num CROSS JOIN denom
+ORDER BY lag_k
+"""
+
+
+@register("events_acf_lags", ACF_ORACLE)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cnt").cast("long").alias("s")
+    )
+    z = daily.join(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("cnt") - F.col("s")).alias("z")
+    )
+    denom = z.agg(F.sum(F.col("z") * F.col("z")).alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    a = z.select(F.col("day").alias("da"), F.col("z").alias("za"))
+    b = z.select(F.col("day").alias("db"), F.col("z").alias("zb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.date_sub(F.col("da"), F.col("lag_k")))
+        .groupBy("lag_k")
+        .agg(
+            F.sum(F.col("za") * F.col("zb")).alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(F.broadcast(denom))
+        .select(
+            "lag_k",
+            "n_pairs",
+            F.round(F.col("num").cast("double") / F.col("ss").cast("double"), 4)
+            .alias("acf"),
+        )
+        .orderBy("lag_k")
+    )

@@ -1191,3 +1191,160 @@ def stat_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_spearman_corr — Spearman rank correlation (tie-corrected, via
+# average ranks) between line quantity and extended price per return
+# flag. Everything before the final division is INTEGER arithmetic:
+# doubled average ranks r2 = 2*rank + ties - 1 are integers, the
+# per-group mean of r2 is exactly (n+1) because rank sums are
+# invariant under ties, so the centered products/squares are exact
+# BIGINTs and the two engines cannot disagree until the one rounded
+# division. Scale: two rank windows + one tie-count window, all
+# partitioned on the same flag key — one shuffle total — then a
+# same-key aggregation; BIGINT centered sums stay exact to ~sf1
+# (4n^3 < 2^63), beyond which the same plan runs with DOUBLE sums.
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+ranked AS (
+  SELECT flag, x, y,
+         CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n,
+         2 * rank() OVER (PARTITION BY flag ORDER BY x)
+           + count(*) OVER (PARTITION BY flag, x) - 1 AS r2x,
+         2 * rank() OVER (PARTITION BY flag ORDER BY y)
+           + count(*) OVER (PARTITION BY flag, y) - 1 AS r2y
+  FROM base
+),
+sums AS (
+  SELECT flag, any_value(n) AS n,
+         sum((r2x - (n + 1)) * (r2y - (n + 1))) AS sxy,
+         sum((r2x - (n + 1)) * (r2x - (n + 1))) AS sxx,
+         sum((r2y - (n + 1)) * (r2y - (n + 1))) AS syy
+  FROM ranked GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n_lines,
+       round(CAST(sxy AS DOUBLE)
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 4)
+           AS spearman_rho
+FROM sums
+ORDER BY flag
+"""
+
+
+@register("stat_spearman_corr", SPEARMAN_ORACLE)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    wf = Window.partitionBy("flag")
+    wx, wy = wf.orderBy("x"), wf.orderBy("y")
+    ranked = base.select(
+        "flag",
+        F.count("*").over(wf).cast("long").alias("n"),
+        (2 * F.rank().over(wx) + F.count("*").over(Window.partitionBy("flag", "x")) - 1)
+        .cast("long").alias("r2x"),
+        (2 * F.rank().over(wy) + F.count("*").over(Window.partitionBy("flag", "y")) - 1)
+        .cast("long").alias("r2y"),
+    )
+    dx, dy = F.col("r2x") - (F.col("n") + 1), F.col("r2y") - (F.col("n") + 1)
+    sums = ranked.groupBy("flag").agg(
+        F.any_value("n").alias("n"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    rho = F.round(
+        F.col("sxy").cast("double")
+        / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
+        4,
+    )
+    return sums.select(
+        "flag", F.col("n").cast("long").alias("n_lines"), rho.alias("spearman_rho")
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_sen_slope — robust trend estimation: the Theil–Sen
+# estimator (lower median of all pairwise slopes) of the daily event
+# count per event type. Pairwise slopes are quadratic in SERIES LENGTH
+# — bounded by the calendar (T days → T(T-1)/2 pairs per type), not by
+# the row count, so the pair relation is a within-type self-join of an
+# already-aggregated T-row series: ~66k pairs/type/year forever, while
+# the raw events feeding the daily rollup can be 100 TB. Slopes are
+# exact IEEE quotients of integers (count delta / day delta), so the
+# ordered median is engine-deterministic with a (slope, d1, d2)
+# tiebreak. Scale: one shuffle to the daily rollup (map-side combine),
+# then per-type self-join on broadcast-size series.
+# ---------------------------------------------------------------------------
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.cnt - a.cnt AS DOUBLE) / datediff('day', a.day, b.day) AS slope,
+         a.day AS d1, b.day AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ordered AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(slope, 6) AS theil_sen_slope
+FROM ordered
+WHERE rn = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+
+@register("stat_theil_sen_slope", THEIL_SEN_ORACLE)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("cnt").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            ((F.col("c2") - F.col("c1")).cast("double")
+             / F.datediff("d2", "d1")).alias("slope"),
+            "d1",
+            "d2",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count("*").over(wn).cast("long"))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type", "n_pairs", F.round("slope", 6).alias("theil_sen_slope")
+        )
+        .orderBy("event_type")
+    )
