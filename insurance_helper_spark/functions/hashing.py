@@ -65,3 +65,21 @@ def hash_family_sql(key_expr: str, seed: int) -> str:
     """DuckDB twin of ``hash_family`` as a SQL fragment."""
     reduced = f"((({key_expr}) % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE}"
     return f"(({reduced}) * {KNUTH_MUL} + {seed} * {HASH_MIX}) % {KNUTH_MOD}"
+
+
+SHA_PREFIX_BITS = 48  # 12 hex chars -> [0, 2^48): fits int64, exact in double
+
+
+def sha_prefix_long(col: Column) -> Column:
+    """Portable STRING hash: the first 12 hex chars of sha2-256 parsed
+    as an integer in [0, 2^48). xxhash64 differs between engines, but
+    sha-256 is bit-identical everywhere, so this is the string
+    counterpart of ``knuth_uniform`` — the hash behind any oracle-gated
+    sketch keyed on text (KMV distinct, hash-ordered token sampling).
+    Cost: one sha2 per row, JVM-side, codegen-friendly."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+
+
+def sha_prefix_long_sql(expr: str) -> str:
+    """DuckDB twin of ``sha_prefix_long`` (hex-literal cast)."""
+    return f"(('0x' || substr(sha256({expr}), 1, 12))::BIGINT)"

@@ -1718,3 +1718,65 @@ def orders_decile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_compound_growth — month-over-month revenue growth and the
+# compounded growth index per order priority: the KPI triple (monthly
+# revenue, MoM growth rate, index-vs-first-month) every revenue
+# dashboard opens with. The cumulative product of (1+g) telescopes to
+# cents_t / cents_first, so the index is ONE exact integer ratio —
+# no exp(sum(ln)) float chain for the engines to disagree on; all
+# pre-division arithmetic is BIGINT cents. Scale: one map-side-combine
+# shuffle to the (priority, month) rollup; the lag/first_value windows
+# then run over an O(priorities x months) series — calendar-bounded,
+# like every series query here, no unpartitioned window.
+# ---------------------------------------------------------------------------
+
+COMPOUND_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY priority, month
+)
+SELECT priority, month, cents / 100.0 AS revenue,
+       round(CAST(cents AS DOUBLE)
+             / lag(cents) OVER (PARTITION BY priority ORDER BY month) - 1,
+             4) AS mom_growth,
+       round(CAST(cents AS DOUBLE)
+             / first_value(cents) OVER (PARTITION BY priority ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS growth_index
+FROM monthly
+ORDER BY priority, month
+"""
+
+
+@register("orders_compound_growth", COMPOUND_GROWTH_ORACLE)
+def orders_compound_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "priority",
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.lag("cents").over(w) - 1, 4
+        ).alias("mom_growth"),
+        F.round(
+            F.col("cents").cast("double") / F.first("cents").over(wf), 4
+        ).alias("growth_index"),
+    ).orderBy("priority", "month")

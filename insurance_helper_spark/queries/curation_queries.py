@@ -953,3 +953,86 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_err, 8).alias("mean_abs_err"),
         (max_err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_integrity — foreign-key audit across the whole star:
+# for each FK edge, the child row count, rows whose FK is null, and
+# rows whose non-null FK has no parent (orphans). The constraint suite
+# dq_orders_expectations checks VALUES; this checks the JOIN GRAPH —
+# the audit you run before trusting any downstream join's row counts.
+# Scale stance: each edge pre-aggregates the child to (fk, count)
+# (map-side combine collapses 100 TB of lineitem to |distinct keys|),
+# then LEFT-joins the parent's pruned pk column — small parents
+# (nation, region) broadcast; big ones shuffle on the same key the
+# child was just aggregated by. Edges evaluate independently → the
+# union is embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_REF_INTEGRITY_EDGE_SQL = """
+SELECT '{edge}' AS edge,
+       CAST(sum(cnt) AS BIGINT) AS n_child,
+       CAST(coalesce(sum(cnt) FILTER (fk IS NULL), 0) AS BIGINT) AS n_null_fk,
+       CAST(coalesce(sum(cnt) FILTER (fk IS NOT NULL AND pk IS NULL), 0)
+            AS BIGINT) AS n_orphan
+FROM (
+  SELECT c.fk, c.cnt, p.{pk} AS pk
+  FROM (SELECT {fk} AS fk, count(*) AS cnt FROM {child} GROUP BY 1) c
+  LEFT JOIN {parent} p ON c.fk = p.{pk}
+)
+"""
+
+REF_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
+    _REF_INTEGRITY_EDGE_SQL.format(edge=e, child=c, fk=fk, parent=p, pk=pk)
+    for e, c, fk, p, pk in _FK_EDGES
+) + "\nORDER BY edge"
+
+
+@register("dq_referential_integrity", REF_INTEGRITY_ORACLE)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _SMALL_PARENTS = {"nation", "region", "supplier"}
+    parts = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = (
+            load_table(spark, sf_dir, child, columns=[fk])
+            .groupBy(F.col(fk).alias("fk"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        p = load_table(spark, sf_dir, parent, columns=[pk]).select(
+            F.col(pk).alias("pk")
+        )
+        if parent in _SMALL_PARENTS:
+            p = F.broadcast(p)
+        joined = c.join(p, F.col("fk") == F.col("pk"), "left")
+        parts.append(
+            joined.agg(
+                F.lit(edge).alias("edge"),
+                F.sum("cnt").cast("long").alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+                ).cast("long").alias("n_null_fk"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("fk").isNotNull() & F.col("pk").isNull(),
+                            F.col("cnt"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n_orphan"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionAll(p_df)
+    return out.orderBy("edge")

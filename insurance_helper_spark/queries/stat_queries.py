@@ -1348,3 +1348,103 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_distinct_union — K-Minimum-Values distinct-count sketch
+# (Bar-Yossef et al. 2002) with the union-merge that motivates it: per
+# source, keep the k=64 smallest sha-48 hashes of the distinct token
+# set and estimate |D| = (k-1) * 2^48 / h_(k); the ALL row merges the
+# per-source sketches by taking the k smallest of their union — the
+# mergeability HLL offers, but with an exactly-reproducible integer
+# estimator (engine-portable sha hash, integer k-th order statistic,
+# one rounded division), so the driver value-hashes the SKETCH itself,
+# not just a tolerance neighborhood. Scale: tokenize+distinct is one
+# shuffle; the rank window orders only each source's distinct-hash
+# set; every sketch is 64 ints, so the union costs O(sources * k) and
+# never touches the driver. Exact counts ride along for relative
+# error. (At 100 TB the rank window's per-source ordering is the cost
+# — swap to a top-k aggregate per source, same estimator.)
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    sha_prefix_long as _sha48,
+    sha_prefix_long_sql as _sha48_sql,
+)
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 48
+
+KMV_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+h AS (
+  SELECT DISTINCT source, {_sha48_sql("term")} AS h FROM tok
+),
+scoped AS (
+  SELECT source AS scope, h FROM h
+  UNION ALL
+  SELECT 'ALL' AS scope, h FROM (SELECT DISTINCT h FROM h)
+),
+ranked AS (
+  SELECT scope, h,
+         row_number() OVER (PARTITION BY scope ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY scope) AS nd
+  FROM scoped
+),
+kth AS (
+  SELECT scope, any_value(nd) AS nd,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY scope
+)
+SELECT scope, CAST(nd AS BIGINT) AS n_exact,
+       round(CASE WHEN nd < {_KMV_K} THEN nd * 1.0
+                  ELSE ({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk END, 2) AS kmv_est,
+       round(abs(CASE WHEN nd < {_KMV_K} THEN nd * 1.0
+                      ELSE ({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk END - nd)
+             / nd, 4) AS rel_err
+FROM kth
+ORDER BY scope
+"""
+
+
+@register("agg_kmv_distinct_union", KMV_ORACLE)
+def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    h = tok.select("source", _sha48(F.col("term")).alias("h")).distinct()
+    scoped = h.select(F.col("source").alias("scope"), "h").unionAll(
+        h.select("h").distinct().select(F.lit("ALL").alias("scope"), "h")
+    )
+    wr = Window.partitionBy("scope").orderBy("h")
+    wn = Window.partitionBy("scope")
+    ranked = scoped.select(
+        "scope",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("nd"),
+    )
+    kth = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("scope")
+        .agg(
+            F.any_value("nd").alias("nd"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    est = F.when(F.col("nd") < _KMV_K, F.col("nd") * 1.0).otherwise(
+        F.lit(float((_KMV_K - 1) * _KMV_DOMAIN)) / F.col("hk")
+    )
+    return kth.select(
+        "scope",
+        F.col("nd").cast("long").alias("n_exact"),
+        F.round(est, 2).alias("kmv_est"),
+        F.round(F.abs(est - F.col("nd")) / F.col("nd"), 4).alias("rel_err"),
+    ).orderBy("scope")
