@@ -251,3 +251,99 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_lloyd_step — one full Lloyd iteration of cosine k-means
+# (k=8, seeds = the 8 vectors minimizing the Knuth hash of vec_id —
+# the same deterministic seeding as dedup_semantic_clusters): assign
+# every vector to its nearest centroid (cosine, rounded to 4 before
+# the argmin so both engines break ties identically), then UPDATE —
+# per cluster: member count, inertia = sum(1 - cos), and the first
+# four dimensions of the recomputed mean centroid. This is the
+# building block the iterative clustering loop repeats; one step is
+# fully SQL-expressible so the driver value-hashes assignment AND
+# update exactly. Scale: the k seed centroids broadcast (k x d
+# doubles), assignment is a per-row map over the broadcast (no
+# shuffle), and the update is ONE groupBy(cluster) with map-side
+# combine — the canonical distributed-Lloyd step; iterate by feeding
+# the new centroids back as the next broadcast.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    KEY_REDUCE as _KR,
+    KNUTH_MOD as _KMOD,
+    KNUTH_MUL as _KMUL,
+)
+from insurance_helper_spark.operators.similarity import cosine as _cosine  # noqa: E402
+
+KMEANS_STEP_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY ((vec_id % {_KR}) * {_KMUL}) % {_KMOD}, vec_id
+  LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, s.centroid_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cvec), 4)
+             AS cos_c
+  FROM embeddings e CROSS JOIN seeds s
+),
+member AS (
+  SELECT vec_id, centroid_id AS cluster_id, cos_c
+  FROM (SELECT vec_id, centroid_id, cos_c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT m.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(sum(1 - m.cos_c), 3) AS inertia,
+       round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS c0,
+       round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS c1,
+       round(avg(CAST(e.embedding[3] AS DOUBLE)), 4) AS c2,
+       round(avg(CAST(e.embedding[4] AS DOUBLE)), 4) AS c3
+FROM member m JOIN embeddings e ON m.vec_id = e.vec_id
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
+@register("ml_kmeans_lloyd_step", KMEANS_STEP_ORACLE)
+def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    hkey = (F.col("vec_id") % _KR) * _KMUL % _KMOD
+    seeds = (
+        emb.orderBy(hkey, "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "vec",
+        "centroid_id",
+        F.round(_cosine(F.col("vec"), F.col("cvec")), 4).alias("cos_c"),
+    )
+    wm = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "centroid_id")
+    member = (
+        scored.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(F.col("centroid_id").alias("cluster_id"), "cos_c", "vec")
+    )
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.sum(1 - F.col("cos_c")), 3).alias("inertia"),
+            *[
+                F.round(F.avg(F.col("vec").getItem(i)), 4).alias(f"c{i}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("cluster_id")
+    )

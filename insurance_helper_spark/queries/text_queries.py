@@ -728,3 +728,96 @@ def text_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term_a", "term_b", "co_df", "df_a", "df_b", "pmi", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_flesch — Flesch reading-ease per language: per doc,
+# words = tokenizer count, sentences = terminal-punctuation runs + 1,
+# syllables = vowel-group count per word (floored at 1) — the standard
+# dictionary-free syllable heuristic — then
+# flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+# averaged per lang. The readability gate corpus-prep pipelines run
+# next to the length/punct/stopword quality score (text_lang_quality):
+# too-high = listicle/boilerplate, too-low = run-on OCR garbage.
+# Parity: all per-doc counts are exact integers from the SAME regex
+# semantics both engines (explicit char classes, no \\b); the only
+# floats are two divisions and the final fixed-coefficient polynomial,
+# rounded after the per-lang average. Scale: one explode + doc-key
+# reduce (map-side combine), one lang-key reduce — two shuffles, both
+# on keys that shrink the data; no windows, no driver state.
+# ---------------------------------------------------------------------------
+
+FLESCH_ORACLE = f"""
+WITH docs_ne AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+words AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(greatest(1, len(regexp_extract_all(term, '[aeiouy]+'))))
+              AS BIGINT) AS n_syll
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM docs_ne)
+  GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.lang, w.n_words, w.n_syll,
+         1 + len(regexp_extract_all(d.text, '[.!?]+')) AS n_sent,
+         206.835
+           - 1.015 * (w.n_words * 1.0 / (1 + len(regexp_extract_all(d.text, '[.!?]+'))))
+           - 84.6 * (w.n_syll * 1.0 / w.n_words) AS flesch
+  FROM docs_ne d JOIN words w ON d.doc_id = w.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_words * 1.0 / n_sent), 2) AS avg_words_per_sentence,
+       round(avg(n_syll * 1.0 / n_words), 4) AS avg_syllables_per_word,
+       round(avg(flesch), 2) AS avg_flesch
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_readability_flesch", FLESCH_ORACLE)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    docs_ne = docs.filter(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ) != ""
+    )
+    words = (
+        docs_ne.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(
+                F.greatest(F.lit(1), F.regexp_count("term", F.lit("[aeiouy]+")))
+            ).cast("long").alias("n_syll"),
+        )
+    )
+    n_sent = 1 + F.regexp_count("text", F.lit("[.!?]+"))
+    per_doc = docs_ne.join(words, "doc_id").select(
+        "lang",
+        "n_words",
+        "n_syll",
+        n_sent.alias("n_sent"),
+        (
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") * 1.0 / n_sent)
+            - 84.6 * (F.col("n_syll") * 1.0 / F.col("n_words"))
+        ).alias("flesch"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_words") * 1.0 / F.col("n_sent")), 2)
+            .alias("avg_words_per_sentence"),
+            F.round(F.avg(F.col("n_syll") * 1.0 / F.col("n_words")), 4)
+            .alias("avg_syllables_per_word"),
+            F.round(F.avg("flesch"), 2).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
