@@ -1448,3 +1448,244 @@ def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 2).alias("kmv_est"),
         F.round(F.abs(est - F.col("nd")) / F.col("nd"), 4).alias("rel_err"),
     ).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# stat_poisson_bootstrap_ci — distributed bootstrap CI for the mean
+# order value per priority, via the POISSON bootstrap (Chamandy et al.
+# 2012 — the resampling scheme that works on unbounded partitioned
+# data): classic bootstrap needs n draws from n rows (impossible
+# distributed), but each row's multiplicity in a resample is
+# asymptotically Poisson(1), so every row independently draws its own
+# weight per replicate from the indexed Knuth hash family — no global
+# coordination, fully deterministic, engine-portable. Replicate means
+# are exact integer ratios (sum(w*cents)/sum(w)); the CI is the
+# rank-2 / rank-18 of the 20 ordered replicate means (decile CI, b as
+# tiebreak) — order statistics, not moments, so no float-summation
+# drift. Scale: a 20x flatMap expansion collapsed immediately by
+# map-side combine into (priority, replicate) partials — the expansion
+# never materializes in the shuffle; one tiny rank window after.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    HASH_MIX as _HMIX,
+    KEY_REDUCE,
+    KNUTH_MOD,
+    KNUTH_MUL,
+)
+
+_BOOT_B = 20
+# Cumulative Poisson(1) CDF thresholds for inverse-CDF weight draws.
+_POIS_CDF = [
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+]
+
+_pois_sql_ladder = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {w}" for w, c in enumerate(_POIS_CDF)
+) + " ELSE 6 END"
+
+BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ((o_orderkey % {KEY_REDUCE}) + {KEY_REDUCE}) % {KEY_REDUCE} AS rk
+  FROM orders
+),
+drawn AS (
+  SELECT priority, cents, b.b,
+         (rk * {KNUTH_MUL} + b.b * {_HMIX}) % {KNUTH_MOD} * 1.0 / {KNUTH_MOD} AS u
+  FROM base CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+),
+weighted AS (SELECT priority, cents, b, {_pois_sql_ladder} AS w FROM drawn),
+reps AS (
+  SELECT priority, b,
+         CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_b
+  FROM weighted GROUP BY priority, b
+),
+ranked AS (
+  SELECT priority, mean_b,
+         row_number() OVER (PARTITION BY priority ORDER BY mean_b, b) AS rn
+  FROM reps
+),
+point AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS tot_cents
+  FROM base GROUP BY priority
+)
+SELECT p.priority, p.n_orders,
+       round(CAST(p.tot_cents AS DOUBLE) / p.n_orders / 100, 2) AS mean_price,
+       round(max(CASE WHEN r.rn = 2 THEN r.mean_b END) / 100, 2) AS boot_lo,
+       round(max(CASE WHEN r.rn = {_BOOT_B - 2} THEN r.mean_b END) / 100, 2) AS boot_hi
+FROM point p JOIN ranked r ON p.priority = r.priority
+GROUP BY p.priority, p.n_orders, p.tot_cents
+ORDER BY p.priority
+"""
+
+
+@register("stat_poisson_bootstrap_ci", BOOT_ORACLE)
+def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (((F.col("o_orderkey") % KEY_REDUCE) + KEY_REDUCE) % KEY_REDUCE).alias("rk"),
+    )
+    reps_b = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        (F.col("rk") * KNUTH_MUL + F.col("b") * _HMIX) % KNUTH_MOD
+    ) * 1.0 / KNUTH_MOD
+    w = F.lit(6)
+    for wv in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_CDF[wv], wv).otherwise(w)
+    reps = (
+        base.crossJoin(F.broadcast(reps_b))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("priority", "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w"))
+            .alias("mean_b")
+        )
+    )
+    wr = Window.partitionBy("priority").orderBy("mean_b", "b")
+    ranked = reps.withColumn("rn", F.row_number().over(wr))
+    point = base.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("tot_cents"),
+    )
+    return (
+        point.join(ranked, "priority")
+        .groupBy("priority", "n_orders", "tot_cents")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == 2, F.col("mean_b"))) / 100, 2
+            ).alias("boot_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == _BOOT_B - 2, F.col("mean_b"))) / 100, 2
+            ).alias("boot_hi"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            F.round(F.col("tot_cents").cast("double") / F.col("n_orders") / 100, 2)
+            .alias("mean_price"),
+            "boot_lo",
+            "boot_hi",
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_mann_kendall_trend — the Mann–Kendall non-parametric trend test
+# per event type: S = sum of sign(c_j - c_i) over all ordered day
+# pairs, tie-corrected variance Var(S) = [n(n-1)(2n+5) - SUM_t
+# t(t-1)(2t+5)] / 18, continuity-corrected z. The hypothesis-test
+# companion to stat_theil_sen_slope (same pair relation — Theil–Sen
+# answers "how steep", Mann–Kendall answers "is it real"). S and both
+# variance terms are exact BIGINTs; the only floats are the /18, the
+# sqrt, and the rounded z. Scale: identical to Theil–Sen — pairs are
+# quadratic in CALENDAR DAYS over the pre-aggregated T-row series, not
+# in event rows; the tie census is one extra groupBy on the tiny
+# series.
+# ---------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+),
+s_stat AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, cnt)
+  WHERE t > 1
+  GROUP BY event_type
+),
+n_days AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+)
+SELECT n.event_type, n.n AS n_days, s.s AS s_stat,
+       round((n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_sum, 0)) / 18.0, 4)
+           AS var_s,
+       round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                  WHEN s.s < 0 THEN (s.s + 1) ELSE 0 END
+             / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_sum, 0))
+                    / 18.0), 4) AS mk_z,
+       CASE WHEN s.s > 0 THEN 'increasing'
+            WHEN s.s < 0 THEN 'decreasing' ELSE 'none' END AS direction
+FROM n_days n
+JOIN s_stat s ON n.event_type = s.event_type
+LEFT JOIN ties t ON n.event_type = t.event_type
+ORDER BY n.event_type
+"""
+
+
+@register("stat_mann_kendall_trend", MANN_KENDALL_ORACLE)
+def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("cnt").alias("c2"))
+    s_stat = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).cast("long").alias("tie_sum")
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    joined = (
+        n_days.join(s_stat, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn("tie_sum", F.coalesce(F.col("tie_sum"), F.lit(0)))
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_sum")
+    ) / 18.0
+    num = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(F.lit(0))
+    )
+    return joined.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(num / F.sqrt(var_s), 4).alias("mk_z"),
+        F.when(F.col("s") > 0, "increasing")
+        .when(F.col("s") < 0, "decreasing")
+        .otherwise("none")
+        .alias("direction"),
+    ).orderBy("event_type")
