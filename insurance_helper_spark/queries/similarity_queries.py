@@ -347,3 +347,105 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power_iteration — the top principal component of the
+# corpus embedding distribution via three unrolled power iterations
+# over the d x d centered second-moment matrix: M is built ONCE from a
+# vec_id-keyed self-join of the flattened (vec, dim, value) relation
+# (n·d² products collapsed by map-side combine into d² = 4096 cells),
+# then each iteration is a d²-row matrix-vector join — data volume is
+# gone after the first aggregation, so the iterative part costs
+# nothing at any corpus size. Start vector = 1/sqrt(d) (exactly
+# representable for d=64); eigenvalue estimate = ||M v|| after the
+# last multiply. Reports the top-8 |loading| dims — the "which
+# directions dominate my embedding space" diagnostic that pairs with
+# embedding_covariance_pairs (correlated dims) and quantization error
+# (how much a low-rank/int8 compression would lose).
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_V0 = 0.125  # 1/sqrt(64), exact in binary
+
+PCA_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_D})) AS i) i
+),
+mu AS (SELECT i, avg(v) AS m, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY i),
+c AS (
+  SELECT x.vec_id, x.i, x.v - mu.m AS v FROM x JOIN mu ON x.i = mu.i
+),
+mat AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) / any_value(mu.n) AS m
+  FROM c a JOIN c b ON a.vec_id = b.vec_id
+  JOIN mu ON mu.i = a.i
+  GROUP BY a.i, b.i
+),
+v0 AS (SELECT i, {_PCA_V0} AS v FROM mu),
+w1 AS (SELECT mat.i, sum(mat.m * v0.v) AS w FROM mat JOIN v0 ON mat.j = v0.i GROUP BY mat.i),
+v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+w2 AS (SELECT mat.i, sum(mat.m * v1.v) AS w FROM mat JOIN v1 ON mat.j = v1.i GROUP BY mat.i),
+v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+w3 AS (SELECT mat.i, sum(mat.m * v2.v) AS w FROM mat JOIN v2 ON mat.j = v2.i GROUP BY mat.i),
+norm3 AS (SELECT sqrt(sum(w * w)) AS eig FROM w3),
+v3 AS (SELECT i, w / (SELECT eig FROM norm3) AS v FROM w3)
+SELECT CAST(i AS INT) AS dim,
+       round(v, 4) AS loading,
+       round((SELECT eig FROM norm3), 4) AS eigenvalue_est,
+       CAST(row_number() OVER (ORDER BY abs(v) DESC, i) AS INT) AS rank
+FROM v3
+QUALIFY rank <= 8
+ORDER BY rank
+"""
+
+
+@register("embedding_pca_power_iteration", PCA_ORACLE)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "i", "v")
+    mu = x.groupBy("i").agg(F.avg("v").alias("m"), F.count("*").cast("long").alias("n"))
+    c = x.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("v") - F.col("m")).alias("v")
+    )
+    c = c.localCheckpoint(eager=True)  # both sides of the Gram self-join
+    a = c.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
+    b = c.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
+    mat = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        .join(F.broadcast(mu.select(F.col("i"), F.col("n"))), "i")
+        .select("i", "j", (F.col("s") / F.col("n")).alias("m"))
+    )
+    mat = mat.localCheckpoint(eager=True)  # reused by all three iterations
+    v = mu.select("i", F.lit(_PCA_V0).alias("v"))
+    eig = None
+    for _ in range(3):
+        w_df = (
+            mat.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        norm = w_df.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w_df.join(F.broadcast(norm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+        eig = norm
+    wr = W.orderBy(F.desc(F.abs(F.col("v"))), "i")
+    return (
+        v.join(F.broadcast(eig))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round("v", 4).alias("loading"),
+            F.round("nrm", 4).alias("eigenvalue_est"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 8)
+        .orderBy("rank")
+    )
