@@ -122,6 +122,17 @@ HEADLINE = [
     "text_pmi_term_pairs",
     "stat_weighted_median_price",
     "embedding_covariance_pairs",
+    "stat_spearman_corr",
+    "stat_theil_sen_slope",
+    "events_acf_lags",
+    "agg_kmv_distinct_union",
+    "dq_referential_integrity",
+    "orders_compound_growth",
+    "ml_kmeans_lloyd_step",
+    "text_readability_flesch",
+    "stat_poisson_bootstrap_ci",
+    "stat_mann_kendall_trend",
+    "embedding_pca_power_iteration",
 ]
 
 

@@ -1689,3 +1689,199 @@ def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("direction"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# stat_ks_two_sample — exact two-sample Kolmogorov–Smirnov test:
+# D = max_x |F_hi(x) - F_lo(x)| between urgent-priority and normal-
+# priority order-value distributions, computed on the MERGED sorted
+# sample with cross-multiplied integer ECDFs — |c_hi·n_lo − c_lo·n_hi|
+# is an exact BIGINT at every step, so the maximizing point (and the
+# reported D as one final division) is bit-identical across engines;
+# the asymptotic p-value uses the standard 2·exp(−2λ²) one-term bound.
+# The distribution-shift gate that catches what mean-based tests
+# (Welch) miss — shape changes with equal means. Scale: the sample
+# first collapses to (value, arm-counts) via map-side combine — the
+# ordered scan then walks DISTINCT VALUES, not rows; at 100 TB the
+# remaining global prefix-sum becomes the standard two-phase scan
+# (range-partitioned partials + broadcast offsets), and per-segment
+# variants partition the window by segment so nothing is global.
+# ---------------------------------------------------------------------------
+
+KS_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi,
+         o_orderkey
+  FROM orders
+),
+tot AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS n_hi,
+         CAST(sum(1 - hi) AS BIGINT) AS n_lo
+  FROM arms
+),
+by_val AS (
+  SELECT cents, CAST(sum(hi) AS BIGINT) AS h, CAST(sum(1 - hi) AS BIGINT) AS l
+  FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(h) OVER w AS c_hi,
+         sum(l) OVER w AS c_lo
+  FROM by_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gap AS (
+  SELECT max(abs(c_hi * t.n_lo - c_lo * t.n_hi)) AS num,
+         any_value(t.n_hi) AS n_hi, any_value(t.n_lo) AS n_lo
+  FROM walked CROSS JOIN tot t
+)
+SELECT n_hi, n_lo,
+       round(CAST(num AS DOUBLE) / (n_hi * n_lo), 6) AS ks_d,
+       round(2 * exp(-2 * pow(CAST(num AS DOUBLE) / (n_hi * n_lo), 2)
+                     * (CAST(n_hi AS DOUBLE) * n_lo / (n_hi + n_lo))), 6)
+           AS p_approx
+FROM gap
+"""
+
+
+@register("stat_ks_two_sample", KS_ORACLE)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("hi"),
+        "o_orderkey",
+    )
+    tot = arms.agg(
+        F.sum("hi").cast("long").alias("n_hi"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n_lo"),
+    )
+    by_val = arms.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("h"),
+        F.sum(1 - F.col("hi")).cast("long").alias("l"),
+    )
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = by_val.select(
+        F.sum("h").over(w).alias("c_hi"),
+        F.sum("l").over(w).alias("c_lo"),
+    )
+    gap = walked.join(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("c_hi") * F.col("n_lo") - F.col("c_lo") * F.col("n_hi"))
+        ).alias("num"),
+        F.any_value("n_hi").alias("n_hi"),
+        F.any_value("n_lo").alias("n_lo"),
+    )
+    d = F.col("num").cast("double") / (F.col("n_hi") * F.col("n_lo"))
+    lam2 = (
+        F.pow(d, 2)
+        * (F.col("n_hi").cast("double") * F.col("n_lo") / (F.col("n_hi") + F.col("n_lo")))
+    )
+    return gap.select(
+        "n_hi",
+        "n_lo",
+        F.round(d, 6).alias("ks_d"),
+        F.round(2 * F.exp(-2 * lam2), 6).alias("p_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_reorder_gap_percentiles — reorder cadence per market segment:
+# the day gaps between each customer's consecutive orders, summarized
+# as exact lower-median / p90 (integer rank selection, (k*n + 9) div
+# 10 — never float rank arithmetic) plus an exact-ratio mean. The
+# purchase-frequency signal behind replenishment forecasts and churn
+# windows (a customer 3x past their segment's p90 gap is churning).
+# Scale: the customer join and the per-customer lag window shuffle on
+# the SAME custkey — one co-partitioned rendezvous (exchange reuse),
+# with (o_orderdate, o_orderkey) ordering so same-day orders are
+# deterministic; the percentile windows then partition by segment over
+# the already-reduced gap relation.
+# ---------------------------------------------------------------------------
+
+REORDER_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT c.c_mktsegment AS segment,
+         datediff('day',
+                  lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                           ORDER BY o.o_orderdate, o.o_orderkey),
+                  o.o_orderdate) AS gap_days
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (SELECT segment, CAST(gap_days AS BIGINT) AS gap_days FROM gaps
+      WHERE gap_days IS NOT NULL),
+ranked AS (
+  SELECT segment, gap_days,
+         row_number() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
+         count(*) OVER (PARTITION BY segment) AS n,
+         sum(gap_days) OVER (PARTITION BY segment) AS s
+  FROM g
+)
+SELECT segment, CAST(n AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS BIGINT)
+           AS median_gap_days,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END) AS BIGINT)
+           AS p90_gap_days,
+       round(CAST(any_value(s) AS DOUBLE) / n, 2) AS mean_gap_days
+FROM ranked
+GROUP BY segment, n
+ORDER BY segment
+"""
+
+
+@register("orders_reorder_gap_percentiles", REORDER_GAP_ORACLE)
+def orders_reorder_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(wc)
+            ).cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    wr = Window.partitionBy("segment").orderBy("gap_days")
+    ws = Window.partitionBy("segment")
+    ranked = gaps.select(
+        "segment",
+        "gap_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(ws).alias("n"),
+        F.sum("gap_days").over(ws).alias("s"),
+    )
+    return (
+        ranked.groupBy("segment", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
+            ).cast("long").alias("median_gap_days"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_days"))
+            ).cast("long").alias("p90_gap_days"),
+            F.round(F.any_value("s").cast("double") / F.col("n"), 2)
+            .alias("mean_gap_days"),
+        )
+        .select(
+            "segment",
+            F.col("n").cast("long").alias("n_gaps"),
+            "median_gap_days",
+            "p90_gap_days",
+            "mean_gap_days",
+        )
+        .orderBy("segment")
+    )
