@@ -1457,8 +1457,10 @@ def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data): classic bootstrap needs n draws from n rows (impossible
 # distributed), but each row's multiplicity in a resample is
 # asymptotically Poisson(1), so every row independently draws its own
-# weight per replicate from the indexed Knuth hash family — no global
-# coordination, fully deterministic, engine-portable. Replicate means
+# weight per replicate from a Knuth hash of (row_key + b*MIX) — the
+# replicate index folds into the key BEFORE the multiplicative mix
+# (a post-multiply additive seed would barely move the uniform) — no
+# global coordination, fully deterministic, engine-portable. Replicate means
 # are exact integer ratios (sum(w*cents)/sum(w)); the CI is the
 # rank-2 / rank-18 of the 20 ordered replicate means (decile CI, b as
 # tiebreak) — order statistics, not moments, so no float-summation
@@ -1494,7 +1496,7 @@ WITH base AS (
 ),
 drawn AS (
   SELECT priority, cents, b.b,
-         (rk * {KNUTH_MUL} + b.b * {_HMIX}) % {KNUTH_MOD} * 1.0 / {KNUTH_MOD} AS u
+         ((rk + b.b * {_HMIX}) % {KEY_REDUCE}) * {KNUTH_MUL} % {KNUTH_MOD} * 1.0 / {KNUTH_MOD} AS u
   FROM base CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
 ),
 weighted AS (SELECT priority, cents, b, {_pois_sql_ladder} AS w FROM drawn),
@@ -1535,7 +1537,7 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps_b = spark.range(_BOOT_B).select(F.col("id").alias("b"))
     u = (
-        (F.col("rk") * KNUTH_MUL + F.col("b") * _HMIX) % KNUTH_MOD
+        ((F.col("rk") + F.col("b") * _HMIX) % KEY_REDUCE) * KNUTH_MUL % KNUTH_MOD
     ) * 1.0 / KNUTH_MOD
     w = F.lit(6)
     for wv in range(len(_POIS_CDF) - 1, -1, -1):

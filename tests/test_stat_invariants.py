@@ -120,3 +120,146 @@ def test_attribution_linear_credit_conserved(spark):
         .first()[0]
     )
     assert abs(total_credit - float(touched)) < 0.05 * len(rows)
+
+
+# ---- round-7 statistical operators ----
+
+
+def test_spearman_rho_in_unit_interval(spark):
+    rows = _rows(spark, "stat_spearman_corr")
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0, r
+        assert r.n_lines > 0
+
+
+def test_theil_sen_and_mann_kendall_agree_on_direction(spark):
+    """Sign of the Theil-Sen slope must agree with the Mann-Kendall S
+    statistic whenever both are decisive (same pair relation)."""
+    slopes = {r.event_type: r.theil_sen_slope
+              for r in _rows(spark, "stat_theil_sen_slope")}
+    mk = {r.event_type: r for r in _rows(spark, "stat_mann_kendall_trend")}
+    assert set(slopes) == set(mk)
+    for et, s in slopes.items():
+        r = mk[et]
+        assert -1e9 < r.mk_z < 1e9
+        if r.direction == "increasing":
+            assert s >= 0, (et, s, r)
+        elif r.direction == "decreasing":
+            assert s <= 0, (et, s, r)
+
+
+def test_acf_bounds_and_lag_zero_excluded(spark):
+    rows = _rows(spark, "events_acf_lags")
+    assert [r.lag_k for r in rows] == list(range(1, 8))
+    for r in rows:
+        # Cauchy-Schwarz: |acf| <= 1 (subset numerator keeps it there).
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9, r
+        assert r.n_pairs > 0
+
+
+def test_kmv_estimate_within_theoretical_error(spark):
+    """KMV relative error is ~1/sqrt(k-2); allow 6 sigma. Exact scopes
+    (n < k) must report zero error."""
+    rows = _rows(spark, "agg_kmv_distinct_union")
+    scopes = {r.scope for r in rows}
+    assert "ALL" in scopes
+    sigma = 1.0 / math.sqrt(64 - 2)
+    for r in rows:
+        if r.n_exact < 64:
+            assert r.kmv_est == float(r.n_exact) and r.rel_err == 0.0, r
+        else:
+            assert r.rel_err <= 6 * sigma, r
+
+
+def test_kmv_all_row_bounded_by_source_sum(spark):
+    rows = {r.scope: r for r in _rows(spark, "agg_kmv_distinct_union")}
+    all_exact = rows.pop("ALL").n_exact
+    per_source = [r.n_exact for r in rows.values()]
+    assert max(per_source) <= all_exact <= sum(per_source)
+
+
+def test_referential_integrity_clean_fixture(spark):
+    rows = _rows(spark, "dq_referential_integrity")
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_child > 0
+        assert r.n_orphan == 0 and r.n_null_fk == 0, r
+
+
+def test_compound_growth_index_telescopes(spark):
+    """growth_index must equal revenue_t / revenue_first per priority."""
+    rows = _rows(spark, "orders_compound_growth")
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.priority, []).append(r)
+    for p, rs in by_p.items():
+        rs.sort(key=lambda r: r.month)
+        first = rs[0].revenue
+        assert rs[0].growth_index == 1.0
+        assert rs[0].mom_growth is None
+        for r in rs[1:]:
+            assert abs(r.growth_index - r.revenue / first) < 5e-4, (p, r)
+
+
+def test_kmeans_step_partitions_corpus(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_kmeans_lloyd_step")
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert r.inertia >= 0.0
+
+
+def test_flesch_components_sane(spark):
+    for r in _rows(spark, "text_readability_flesch"):
+        assert r.n_docs > 0
+        assert r.avg_words_per_sentence > 0
+        assert r.avg_syllables_per_word >= 1.0  # floored at 1 per word
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Decile bootstrap CI must contain the full-sample mean (20
+    replicates of a mean on thousands of rows concentrate tightly)."""
+    for r in _rows(spark, "stat_poisson_bootstrap_ci"):
+        assert r.boot_lo <= r.boot_hi
+        assert r.boot_lo <= r.mean_price <= r.boot_hi, r
+
+
+def test_ks_d_in_unit_interval(spark):
+    (r,) = _rows(spark, "stat_ks_two_sample")
+    assert 0.0 <= r.ks_d <= 1.0
+    assert 0.0 <= r.p_approx <= 2.0  # one-term bound can exceed 1 slightly
+    assert r.n_hi > 0 and r.n_lo > 0
+
+
+def test_pca_loading_vector_normalized(spark):
+    rows = _rows(spark, "embedding_pca_power_iteration")
+    assert len(rows) == 8
+    # Top-8 of a 64-dim unit vector: partial sum of squares <= 1.
+    assert sum(r.loading ** 2 for r in rows) <= 1.0 + 1e-6
+    assert all(r.eigenvalue_est == rows[0].eigenvalue_est for r in rows)
+    assert rows[0].eigenvalue_est > 0
+
+
+def test_reorder_gap_percentile_ordering(spark):
+    for r in _rows(spark, "orders_reorder_gap_percentiles"):
+        assert 0 <= r.median_gap_days <= r.p90_gap_days
+        assert r.n_gaps > 0 and r.mean_gap_days > 0
+
+
+def test_weighted_median_between_min_max(spark):
+    from insurance_helper_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    bounds = {
+        r.flag: r
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for r in _rows(spark, "stat_weighted_median_price"):
+        b = bounds[r.flag]
+        assert b.lo <= r.weighted_median_price <= b.hi, r
