@@ -1201,10 +1201,13 @@ def stat_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-group mean of r2 is exactly (n+1) because rank sums are
 # invariant under ties, so the centered products/squares are exact
 # BIGINTs and the two engines cannot disagree until the one rounded
-# division. Scale: two rank windows + one tie-count window, all
-# partitioned on the same flag key — one shuffle total — then a
-# same-key aggregation; BIGINT centered sums stay exact to ~sf1
-# (4n^3 < 2^63), beyond which the same plan runs with DOUBLE sums.
+# division. Scale: the low-cardinality variable's ranks come from a
+# broadcast distinct-value lookup (no sort); the near-unique variable
+# pays exactly ONE full-data sort, in which min-rank and the ties-
+# inclusive cumulative count together yield the doubled average rank
+# — one shuffle + one sort total, down from three sort windows.
+# BIGINT centered sums stay exact to ~sf1 (4n^3 < 2^63), beyond which
+# the same plan runs with DOUBLE sums.
 # ---------------------------------------------------------------------------
 
 SPEARMAN_ORACLE = """
@@ -1250,15 +1253,37 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    wf = Window.partitionBy("flag")
-    wx, wy = wf.orderBy("x"), wf.orderBy("y")
-    ranked = base.select(
+    # x (integer quantity) has ~50 distinct values per flag: its rank
+    # lookup comes from a TINY map-side-combined groupBy + prefix
+    # window, broadcast back (no full-data sort). y (price) is
+    # near-unique, so a reduced relation would be no smaller than the
+    # data — instead ONE sorted window produces the doubled average
+    # rank directly: min-rank (ANSI rank()) + max-rank (cumulative
+    # count over the ties-inclusive RANGE frame) = 2*cum_before+cnt+1,
+    # both riding the same (flag, y) sort — one full-data sort total.
+    xv = base.groupBy("flag", "x").agg(F.count("*").alias("cnt"))
+    wxv = (
+        Window.partitionBy("flag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xlk = xv.select(
         "flag",
-        F.count("*").over(wf).cast("long").alias("n"),
-        (2 * F.rank().over(wx) + F.count("*").over(Window.partitionBy("flag", "x")) - 1)
-        .cast("long").alias("r2x"),
-        (2 * F.rank().over(wy) + F.count("*").over(Window.partitionBy("flag", "y")) - 1)
-        .cast("long").alias("r2y"),
+        "x",
+        (2 * F.coalesce(F.sum("cnt").over(wxv), F.lit(0)) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("r2x"),
+    )
+    n_by_flag = base.groupBy("flag").agg(F.count("*").cast("long").alias("n"))
+    wy = Window.partitionBy("flag").orderBy("y")
+    wy_ties = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        base.join(F.broadcast(xlk), ["flag", "x"])
+        .join(F.broadcast(n_by_flag), "flag")
+        .withColumn(
+            "r2y",
+            (F.rank().over(wy) + F.count("*").over(wy_ties)).cast("long"),
+        )
     )
     dx, dy = F.col("r2x") - (F.col("n") + 1), F.col("r2y") - (F.col("n") + 1)
     sums = ranked.groupBy("flag").agg(
