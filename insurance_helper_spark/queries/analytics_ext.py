@@ -1780,3 +1780,94 @@ def orders_compound_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.first("cents").over(wf), 4
         ).alias("growth_index"),
     ).orderBy("priority", "month")
+
+
+# ---------------------------------------------------------------------------
+# orders_max_drawdown — maximum drawdown of the daily revenue series
+# per order priority: running peak via a cumulative-max window, then
+# the deepest (peak - value)/peak dip, reported with its trough day —
+# the risk/volatility summary for any cumulative KPI series (the
+# dual of the compound-growth index: that tracks gains vs the first
+# month, this tracks losses vs the best day so far). All pre-division
+# arithmetic is BIGINT cents; drawdown ratios are IEEE quotients of
+# integers, so the argmax row (day tiebreak) is engine-deterministic.
+# Scale: one map-side-combine shuffle to the (priority, day) rollup;
+# the cumulative-max and argmax windows run over the calendar-bounded
+# series — same stance as every series query here.
+# ---------------------------------------------------------------------------
+
+MAX_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY priority, day
+),
+walked AS (
+  SELECT priority, day, cents,
+         max(cents) OVER (PARTITION BY priority ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS peak,
+         count(*) OVER (PARTITION BY priority) AS n_days
+  FROM daily
+),
+scored AS (
+  SELECT priority, day, cents, peak, n_days,
+         CAST(peak - cents AS DOUBLE) / peak AS dd,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY CAST(peak - cents AS DOUBLE) / peak DESC,
+                                     day) AS rn
+  FROM walked
+)
+SELECT priority, CAST(n_days AS BIGINT) AS n_days,
+       round(dd, 6) AS max_drawdown,
+       peak / 100.0 AS peak_revenue,
+       cents / 100.0 AS trough_revenue,
+       day AS trough_day
+FROM scored WHERE rn = 1
+ORDER BY priority
+"""
+
+
+@register("orders_max_drawdown", MAX_DRAWDOWN_ORACLE)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wp = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("priority")
+    walked = daily.select(
+        "priority",
+        "day",
+        "cents",
+        F.max("cents").over(wp).alias("peak"),
+        F.count("*").over(wn).alias("n_days"),
+    )
+    dd = (F.col("peak") - F.col("cents")).cast("double") / F.col("peak")
+    wr = Window.partitionBy("priority").orderBy(F.desc(dd), "day")
+    return (
+        walked.withColumn("dd", dd)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("dd", 6).alias("max_drawdown"),
+            (F.col("peak") / 100.0).alias("peak_revenue"),
+            (F.col("cents") / 100.0).alias("trough_revenue"),
+            F.col("day").alias("trough_day"),
+        )
+        .orderBy("priority")
+    )
