@@ -449,3 +449,147 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= 8)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_cluster_label_nmi — external cluster validation: purity, mutual
+# information, and normalized MI between the deterministic cosine
+# cluster assignment (same seeded rule as ml_kmeans_lloyd_step) and
+# the ground-truth ``label`` column — the evaluation step that decides
+# whether an unsupervised partition is worth using for stratification
+# or semantic dedup. Everything flows through ONE contingency
+# aggregation: groupBy(cluster, label) counts, marginals by re-agg of
+# the contingency cells (never a second corpus pass), closed-form
+# MI / H_c / H_l / purity from the k x L cell table. Scale: the only
+# corpus-sized steps are the broadcast-centroid assignment map and one
+# map-side-combined groupBy; the entropy arithmetic runs on k x L
+# cells regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+NMI_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY ((vec_id % {_KR}) * {_KMUL}) % {_KMOD}, vec_id
+  LIMIT 8
+),
+member AS (
+  SELECT vec_id, centroid_id AS cluster_id, label
+  FROM (SELECT e.vec_id, e.label, s.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), s.cvec), 4) DESC,
+                          s.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+cells AS (
+  SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS n_cl FROM member
+  GROUP BY cluster_id, label
+),
+tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+mc AS (SELECT cluster_id, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY cluster_id),
+ml AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY label),
+mi AS (
+  SELECT sum(c.n_cl * 1.0 / t.n * ln(t.n * 1.0 * c.n_cl / (mc.n_c * ml.n_l))) AS mi
+  FROM cells c
+  JOIN mc ON c.cluster_id = mc.cluster_id
+  JOIN ml ON c.label = ml.label
+  CROSS JOIN tot t
+),
+hc AS (SELECT -sum(n_c * 1.0 / t.n * ln(n_c * 1.0 / t.n)) AS h FROM mc CROSS JOIN tot t),
+hl AS (SELECT -sum(n_l * 1.0 / t.n * ln(n_l * 1.0 / t.n)) AS h FROM ml CROSS JOIN tot t),
+pur AS (
+  SELECT sum(mx) AS hits FROM (
+    SELECT cluster_id, max(n_cl) AS mx FROM cells GROUP BY cluster_id)
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mc) AS n_clusters,
+         (SELECT CAST(count(*) AS BIGINT) FROM ml) AS n_labels
+)
+SELECT t.n AS n_vecs, c.n_clusters, c.n_labels,
+       round(p.hits * 1.0 / t.n, 4) AS purity,
+       round(m.mi, 4) AS mutual_info,
+       round(m.mi / sqrt(hc.h * hl.h), 4) AS nmi
+FROM tot t CROSS JOIN counts c CROSS JOIN pur p
+CROSS JOIN mi m CROSS JOIN hc CROSS JOIN hl
+"""
+
+
+@register("ml_cluster_label_nmi", NMI_ORACLE)
+def ml_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    hkey = (F.col("vec_id") % _KR) * _KMUL % _KMOD
+    seeds = (
+        emb.orderBy(hkey, "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+    wm = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(_cosine(F.col("vec"), F.col("cvec")), 4)), "centroid_id"
+    )
+    member = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(F.col("centroid_id").alias("cluster_id"), "label")
+    )
+    cells = member.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("n_cl")
+    )
+    cells = cells.localCheckpoint(eager=True)  # feeds 4 downstream folds
+    tot = cells.agg(F.sum("n_cl").cast("long").alias("n"))
+    mc = cells.groupBy("cluster_id").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    ml = cells.groupBy("label").agg(F.sum("n_cl").cast("long").alias("n_l"))
+    mi = (
+        cells.join(F.broadcast(mc), "cluster_id")
+        .join(F.broadcast(ml), "label")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_cl") * 1.0 / F.col("n")
+                * F.log(
+                    F.col("n") * 1.0 * F.col("n_cl") / (F.col("n_c") * F.col("n_l"))
+                )
+            ).alias("mi")
+        )
+    )
+    hc = mc.join(F.broadcast(tot)).agg(
+        (-F.sum(F.col("n_c") * 1.0 / F.col("n") * F.log(F.col("n_c") * 1.0 / F.col("n"))))
+        .alias("h_c")
+    )
+    hl = ml.join(F.broadcast(tot)).agg(
+        (-F.sum(F.col("n_l") * 1.0 / F.col("n") * F.log(F.col("n_l") * 1.0 / F.col("n"))))
+        .alias("h_l")
+    )
+    pur = (
+        cells.groupBy("cluster_id")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").alias("hits"))
+    )
+    counts = F.broadcast(
+        mc.agg(F.count("*").cast("long").alias("n_clusters")).crossJoin(
+            ml.agg(F.count("*").cast("long").alias("n_labels"))
+        )
+    )
+    return (
+        tot.crossJoin(counts)
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "n_clusters",
+            "n_labels",
+            F.round(F.col("hits") * 1.0 / F.col("n"), 4).alias("purity"),
+            F.round("mi", 4).alias("mutual_info"),
+            F.round(F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l")), 4).alias("nmi"),
+        )
+    )

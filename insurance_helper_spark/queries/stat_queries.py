@@ -1912,3 +1912,158 @@ def orders_reorder_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_hill_tail_index — Hill estimator of the power-law tail index of
+# user activity: alpha = 1 / mean(ln(x_i) - ln(x_k)) over the top-k
+# user event counts (k = 100). The heavy-tail diagnostic behind skew
+# planning — alpha near 1 means a handful of users dominate the
+# event volume (salt those keys), large alpha means the tail is tame.
+# Deterministic: counts are integers, the top-k cut uses (count desc,
+# user_id) so the order statistics are unique, and ln-ratio sums over
+# 99 terms round at 4. Scale: the per-user rollup is one map-side-
+# combined shuffle; the top-k cut is a TakeOrdered (per-partition
+# top-k then merge — never a global sort), and the estimator folds
+# over k rows.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+HILL_ORACLE = f"""
+WITH activity AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT cnt, rn FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+    FROM activity)
+  WHERE rn <= {_HILL_K}
+),
+keff AS (SELECT CAST(max(rn) AS BIGINT) AS k FROM topk),
+xk AS (SELECT t.cnt AS x_k, e.k FROM topk t JOIN keff e ON t.rn = e.k)
+SELECT x.k,
+       CAST(any_value(x.x_k) AS BIGINT) AS x_k,
+       round(avg(ln(t.cnt * 1.0 / x.x_k)) FILTER (t.rn < x.k), 6)
+           AS mean_log_excess,
+       round(1.0 / avg(ln(t.cnt * 1.0 / x.x_k)) FILTER (t.rn < x.k), 4)
+           AS hill_alpha
+FROM topk t CROSS JOIN xk x
+GROUP BY x.k
+"""
+
+
+@register("stat_hill_tail_index", HILL_ORACLE)
+def stat_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["user_id"])
+    activity = events.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k, then merge) — never a global sort; the row_number window
+    # then runs over <= k rows. k_eff = min(k, n_users) so the
+    # estimator stays defined on tiny fixtures.
+    topk = (
+        activity.orderBy(F.desc("cnt"), "user_id")
+        .limit(_HILL_K)
+        .select("cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id")).alias("rn"))
+    )
+    keff = topk.agg(F.max("rn").cast("long").alias("k"))
+    xk = topk.join(F.broadcast(keff), F.col("rn") == F.col("k")).select(
+        F.col("cnt").alias("x_k"), "k"
+    )
+    log_excess = F.log(F.col("cnt") * 1.0 / F.col("x_k"))
+    return (
+        topk.join(F.broadcast(xk))
+        .groupBy("k")
+        .agg(
+            F.any_value("x_k").cast("long").alias("x_k"),
+            F.round(
+                F.avg(F.when(F.col("rn") < F.col("k"), log_excess)), 6
+            ).alias("mean_log_excess"),
+            F.round(
+                1.0 / F.avg(F.when(F.col("rn") < F.col("k"), log_excess)), 4
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_entropy_rate — the entropy rate of the first-order
+# Markov chain over user event-type transitions: H = -SUM_ij (n_ij/N)
+# ln(n_ij / n_i.), with the empirical transition counts as the chain —
+# one number summarizing how PREDICTABLE user behavior is (0 =
+# deterministic next action, ln(k) = uniform). Complements
+# events_markov_transitions (which reports the matrix) with the
+# information-theoretic rollup, plus the efficiency ratio vs the
+# ln(n_states) ceiling. Scale: the transition relation is the same
+# lead()-window shuffle every sequence query pays; everything after
+# runs on the k^2 transition-count cells.
+# ---------------------------------------------------------------------------
+
+MARKOV_ENTROPY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY a, b
+),
+row_m AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM trans GROUP BY a),
+tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM trans),
+states AS (SELECT CAST(count(*) AS BIGINT) AS k FROM row_m)
+SELECT t.n AS n_transitions, s.k AS n_states,
+       round(-sum(tr.n_ab * 1.0 / t.n * ln(tr.n_ab * 1.0 / r.n_a)), 4)
+           AS entropy_rate_nats,
+       round(ln(s.k), 4) AS max_entropy_nats,
+       round(1 + sum(tr.n_ab * 1.0 / t.n * ln(tr.n_ab * 1.0 / r.n_a)) / ln(s.k), 4)
+           AS predictability
+FROM trans tr
+JOIN row_m r ON tr.a = r.a
+CROSS JOIN tot t CROSS JOIN states s
+GROUP BY t.n, s.k
+"""
+
+
+@register("events_markov_entropy_rate", MARKOV_ENTROPY_ORACLE)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(wu).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    trans = trans.localCheckpoint(eager=True)  # k^2 cells feed 3 folds
+    row_m = trans.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    tot = trans.agg(F.sum("n_ab").cast("long").alias("n"))
+    states = row_m.agg(F.count("*").cast("long").alias("k"))
+    h_term = F.col("n_ab") * 1.0 / F.col("n") * F.log(
+        F.col("n_ab") * 1.0 / F.col("n_a")
+    )
+    return (
+        trans.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(states))
+        .groupBy("n", "k")
+        .agg(
+            F.round(-F.sum(h_term), 4).alias("entropy_rate_nats"),
+            F.round(F.log(F.col("k")), 4).alias("max_entropy_nats"),
+            F.round(1 + F.sum(h_term) / F.log(F.col("k")), 4).alias("predictability"),
+        )
+        .select(
+            F.col("n").alias("n_transitions"),
+            F.col("k").alias("n_states"),
+            "entropy_rate_nats",
+            "max_entropy_nats",
+            "predictability",
+        )
+    )

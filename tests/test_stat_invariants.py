@@ -263,3 +263,31 @@ def test_weighted_median_between_min_max(spark):
     for r in _rows(spark, "stat_weighted_median_price"):
         b = bounds[r.flag]
         assert b.lo <= r.weighted_median_price <= b.hi, r
+
+
+def test_nmi_and_purity_in_unit_interval(spark):
+    (r,) = _rows(spark, "ml_cluster_label_nmi")
+    assert 0.0 < r.purity <= 1.0
+    assert r.mutual_info >= -1e-9
+    assert -1e-4 <= r.nmi <= 1.0 + 1e-4
+    assert r.n_clusters <= 8 and r.n_labels >= 2
+
+
+def test_hill_alpha_positive(spark):
+    (r,) = _rows(spark, "stat_hill_tail_index")
+    assert 2 <= r.k <= 100 and r.x_k >= 1
+    assert r.mean_log_excess >= 0.0  # top-k counts >= x_k
+    if r.mean_log_excess > 0:
+        assert r.hill_alpha > 0
+
+
+def test_markov_entropy_rate_bounded(spark):
+    (r,) = _rows(spark, "events_markov_entropy_rate")
+    assert 0.0 <= r.entropy_rate_nats <= r.max_entropy_nats + 1e-9
+    assert 0.0 - 1e-9 <= r.predictability <= 1.0 + 1e-9
+
+
+def test_max_drawdown_in_unit_interval(spark):
+    for r in _rows(spark, "orders_max_drawdown"):
+        assert 0.0 <= r.max_drawdown < 1.0
+        assert r.trough_revenue <= r.peak_revenue
