@@ -69,3 +69,32 @@ def fy_label_from_date(d: Column) -> Column:
     start = F.when(m >= 4, y).otherwise(y - 1)
     end2 = F.format_string("%02d", (start + 1) % 100)
     return F.concat(F.lit("FY "), start.cast("string"), F.lit("-"), end2)
+
+
+def business_days_between(d1: Column, d2: Column) -> Column:
+    """Weekday count in the half-open interval (d1, d2], d1 <= d2 —
+    pure closed-form integer arithmetic (no calendar table, no UDF):
+    with w1 = Monday-indexed day-of-week of d1 and diff = d2 - d1 in
+    days, the weekend days crossed are g(w1 + diff) - g(w1) where
+    g(x) = (x div 7)*2 + max(0, x mod 7 - 4) counts integers in [0, x]
+    congruent to Sat/Sun. Engine-portable: the DuckDB twin is
+    ``business_days_between_sql``; both sides normalize their native
+    day-of-week origin to Monday=0 first."""
+    w1 = (F.dayofweek(d1) + 5) % 7  # Spark: Sun=1..Sat=7 -> Mon=0..Sun=6
+    diff = F.datediff(d2, d1)
+
+    def g(x: Column) -> Column:
+        return (x / 7).cast("long") * 2 + F.greatest(F.lit(0), x % 7 - 4)
+
+    return diff - (g(w1 + diff) - g(w1))
+
+
+def business_days_between_sql(d1: str, d2: str) -> str:
+    """DuckDB twin of ``business_days_between`` as a SQL fragment."""
+    w1 = f"((dayofweek({d1}) + 6) % 7)"  # DuckDB: Sun=0..Sat=6 -> Mon=0
+    diff = f"datediff('day', {d1}, {d2})"
+
+    def g(x: str) -> str:
+        return f"((({x}) // 7) * 2 + greatest(0, ({x}) % 7 - 4))"
+
+    return f"({diff} - ({g(f'{w1} + {diff}')} - {g(w1)}))"

@@ -1871,3 +1871,69 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_business_day_lag — order-to-ship lead time in BUSINESS days
+# per line status, via closed-form weekend-skipping date arithmetic
+# (functions/dates.business_days_between: no calendar dimension table,
+# no UDF — a div/mod formula over Monday-indexed day-of-week, so it
+# runs inside whole-stage codegen). Reports calendar vs business lag
+# side by side; the ratio exposes how much of the SLA is weekend
+# artifact. All-integer day counts; the only division is the final
+# rounded mean. Scale: one join keyed on l_orderkey (the natural
+# lineitem->orders rendezvous) and one tiny groupBy — the formula adds
+# zero shuffles over the plain calendar-lag query.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.functions.dates import (  # noqa: E402
+    business_days_between as _bdays,
+    business_days_between_sql as _bdays_sql,
+)
+
+BUSINESS_LAG_ORACLE = f"""
+WITH lag_rel AS (
+  SELECT l.l_linestatus AS linestatus,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS cal_days,
+         {_bdays_sql("o.o_orderdate", "l.l_shipdate")} AS biz_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(cal_days), 4) AS avg_calendar_days,
+       round(avg(biz_days), 4) AS avg_business_days,
+       CAST(max(cal_days) AS BIGINT) AS max_calendar_days,
+       CAST(max(biz_days) AS BIGINT) AS max_business_days
+FROM lag_rel
+GROUP BY linestatus
+ORDER BY linestatus
+"""
+
+
+@register("lineitem_business_day_lag", BUSINESS_LAG_ORACLE)
+def lineitem_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    lag_rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("l_linestatus").alias("linestatus"),
+            F.datediff("l_shipdate", "o_orderdate").alias("cal_days"),
+            _bdays(F.col("o_orderdate"), F.col("l_shipdate")).alias("biz_days"),
+        )
+    )
+    return (
+        lag_rel.groupBy("linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.avg("cal_days"), 4).alias("avg_calendar_days"),
+            F.round(F.avg("biz_days"), 4).alias("avg_business_days"),
+            F.max("cal_days").cast("long").alias("max_calendar_days"),
+            F.max("biz_days").cast("long").alias("max_business_days"),
+        )
+        .orderBy("linestatus")
+    )

@@ -1036,3 +1036,73 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_df in parts[1:]:
         out = out.unionAll(p_df)
     return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity_audit — privacy readiness: group the customer-order
+# rows by their quasi-identifier tuple (nation, market segment, order
+# year) and report how much of the table lives in groups smaller than
+# k=5 — the re-identification risk measure that gates any data
+# release; rows in small QI groups are the ones a linkage attack
+# singles out. One groupBy on the QI tuple (map-side combine), then a
+# constant-size fold of the group-size histogram — no row ever leaves
+# the executor, only (group, count) cells. Scale: the QI tuple is
+# low-cardinality by construction (that is the point of the audit);
+# a high-cardinality QI set degrades gracefully into many size-1
+# groups, which the audit reports as 100% at risk.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+grp AS (
+  SELECT nation, segment, order_year, CAST(count(*) AS BIGINT) AS sz
+  FROM qi GROUP BY nation, segment, order_year
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       CAST(count(*) FILTER (sz < {_K_ANON}) AS BIGINT) AS n_groups_lt_k,
+       CAST(coalesce(sum(sz) FILTER (sz < {_K_ANON}), 0) AS BIGINT)
+           AS n_rows_at_risk,
+       round(coalesce(sum(sz) FILTER (sz < {_K_ANON}), 0) * 1.0 / sum(sz), 6)
+           AS frac_rows_at_risk
+FROM grp
+"""
+
+
+@register("dq_k_anonymity_audit", K_ANON_ORACLE)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    grp = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    small = F.col("sz") < _K_ANON
+    return grp.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum(small.cast("long")).cast("long").alias("n_groups_lt_k"),
+        F.coalesce(F.sum(F.when(small, F.col("sz"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.coalesce(F.sum(F.when(small, F.col("sz"))), F.lit(0)) * 1.0
+            / F.sum("sz"),
+            6,
+        ).alias("frac_rows_at_risk"),
+    )

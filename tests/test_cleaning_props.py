@@ -185,3 +185,45 @@ def test_rolling_fingerprint_matches_python(rolling_fn, texts):
     got = rolling_fn(texts)
     want = [_py_rolling(t) for t in texts]
     assert got == want
+
+
+# ---- business-day arithmetic (functions/dates.py) ----
+
+
+class TestBusinessDaysBetween:
+    def test_matches_bruteforce_enumeration(self, spark):
+        """Closed-form weekday count == literal day-walk for every start
+        day-of-week and every span 0..21 (covers all mod-7 phases)."""
+        import datetime as dt
+
+        from insurance_helper_spark.functions.dates import business_days_between
+
+        base = dt.date(2024, 1, 1)  # a Monday
+        rows = []
+        for start_off in range(7):
+            d1 = base + dt.timedelta(days=start_off)
+            for span in range(22):
+                d2 = d1 + dt.timedelta(days=span)
+                expect = sum(
+                    (d1 + dt.timedelta(days=t)).weekday() < 5
+                    for t in range(1, span + 1)
+                )
+                rows.append((d1, d2, expect))
+        df = spark.createDataFrame(rows, "d1 date, d2 date, expect long")
+        out = df.select(
+            "expect",
+            business_days_between(F.col("d1"), F.col("d2")).alias("got"),
+        ).collect()
+        for r in out:
+            assert r.got == r.expect
+
+    def test_sql_twin_matches_spark(self, spark):
+        import duckdb
+
+        from insurance_helper_spark.functions.dates import (
+            business_days_between_sql,
+        )
+
+        frag = business_days_between_sql("DATE '2024-01-03'", "DATE '2024-01-17'")
+        got = duckdb.connect().execute(f"SELECT {frag}").fetchone()[0]
+        assert got == 10  # two full weeks from a Wednesday: 10 weekdays
