@@ -133,6 +133,17 @@ HEADLINE = [
     "stat_poisson_bootstrap_ci",
     "stat_mann_kendall_trend",
     "embedding_pca_power_iteration",
+    "stat_ks_two_sample",
+    "orders_reorder_gap_percentiles",
+    "orders_max_drawdown",
+    "ml_cluster_label_nmi",
+    "stat_hill_tail_index",
+    "events_markov_entropy_rate",
+    "dq_k_anonymity_audit",
+    "lineitem_business_day_lag",
+    "dedup_simhash_portable",
+    "events_daily_ohlc",
+    "corpus_quantile_normalize",
 ]
 
 

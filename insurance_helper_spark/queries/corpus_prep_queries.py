@@ -675,3 +675,95 @@ def corpus_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens", "n_strides")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quantile_normalize — quantile normalization of per-source
+# token-length distributions onto the GLOBAL length distribution (the
+# feature-normalization classic: each doc's length is replaced by the
+# global value at its within-source quantile), so length-based quality
+# gates can use one threshold across sources with very different
+# length profiles. Scale design: the global reference CDF collapses to
+# DISTINCT lengths with cumulative-count spans [lo, hi] (a prefix
+# window over the tiny distinct-length relation, broadcast); each doc
+# then needs only its within-source rank (keyed window) and one
+# broadcast RANGE join (target-rank BETWEEN lo AND hi) — the full data
+# is never globally sorted. All rank arithmetic is integer ceil-
+# division ((r*N + n_s - 1) div n_s), so the mapping is engine-exact.
+# ---------------------------------------------------------------------------
+
+QNORM_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0 ELSE CAST(len({_TOKS}) AS BIGINT) END AS n_tokens
+  FROM documents
+),
+ref AS (
+  SELECT n_tokens AS t,
+         CAST(coalesce(sum(c) OVER (ORDER BY n_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              AS BIGINT) AS lo,
+         CAST(sum(c) OVER (ORDER BY n_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+  FROM (SELECT n_tokens, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY n_tokens)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM lens
+)
+SELECT k.doc_id, k.source, k.n_tokens,
+       CAST(ref.t AS BIGINT) AS norm_tokens
+FROM ranked k CROSS JOIN tot
+JOIN ref ON (k.r * tot.n + k.n_s - 1) // k.n_s BETWEEN ref.lo AND ref.hi
+ORDER BY k.source, k.doc_id
+"""
+
+
+@register("corpus_quantile_normalize", QNORM_ORACLE)
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(corpus.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    lens = lens.localCheckpoint(eager=True)  # feeds ref CDF + ranked + total
+    by_len = lens.groupBy("n_tokens").agg(F.count("*").cast("long").alias("c"))
+    w_lo = W.orderBy("n_tokens").rowsBetween(W.unboundedPreceding, -1)
+    w_hi = W.orderBy("n_tokens").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ref = by_len.select(
+        F.col("n_tokens").alias("t"),
+        (F.coalesce(F.sum("c").over(w_lo), F.lit(0)) + 1).cast("long").alias("lo"),
+        F.sum("c").over(w_hi).cast("long").alias("hi"),
+    )
+    tot = lens.agg(F.count("*").cast("long").alias("n"))
+    wr = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ws = W.partitionBy("source")
+    ranked = lens.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(ws).alias("n_s"),
+    )
+    target = F.expr("(r * n + n_s - 1) div n_s")
+    return (
+        ranked.join(F.broadcast(tot))
+        .join(
+            F.broadcast(ref),
+            (target >= F.col("lo")) & (target <= F.col("hi")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("t").cast("long").alias("norm_tokens"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -914,3 +914,107 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_portable — an ORACLE-BACKED SimHash: the production
+# path (dedup_simhash_rowsonly) packs 64-bit xxhash64 signatures,
+# which no other engine reproduces, so the driver can only row-count
+# it. This twin builds a 16-bit signature from the portable sha-48
+# string hash instead — bit j's vote is sum(cnt * (2*bit_j(h) - 1))
+# over the doc's terms — so DuckDB computes the IDENTICAL signatures
+# and the driver value-hashes the whole dedup decision (the same
+# exact-twin strategy the MinHash accuracy audit uses). No row
+# explosion: all 16 bit-votes ride ONE groupBy(doc) as independent
+# conditional sums; signature collision groups then fall out of one
+# groupBy(sig). Scale: tokenize shuffle + doc-key reduce + sig-key
+# reduce — three map-side-combined shuffles, no windows, no pairs
+# (collision groups ARE the candidates; the production variant's
+# banded hamming join takes over when near-misses matter).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    sha_prefix_long as _sha48p,
+    sha_prefix_long_sql as _sha48p_sql,
+)
+
+_simhash_votes_sql = ",\n         ".join(
+    f"CASE WHEN sum(cnt * (((h >> {j}) & 1) * 2 - 1)) > 0 "
+    f"THEN {1 << j} ELSE 0 END AS s{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_simhash_sig_sql = " + ".join(f"s{j}" for j in range(_SIMHASH_BITS))
+
+SIMHASH_PORTABLE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({{toks}}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, term
+),
+hashed AS (SELECT doc_id, cnt, {_sha48p_sql("term")} AS h FROM tf),
+votes AS (
+  SELECT doc_id,
+         {_simhash_votes_sql}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, CAST({_simhash_sig_sql} AS BIGINT) AS sig FROM votes)
+SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM sigs
+GROUP BY sig
+HAVING count(*) >= 2
+ORDER BY sig
+"""
+
+
+@register(
+    "dedup_simhash_portable",
+    SIMHASH_PORTABLE_ORACLE.format(
+        toks="string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+    ),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    hashed = tf.select("doc_id", "cnt", _sha48p(F.col("term")).alias("h"))
+    votes = [
+        F.when(
+            F.sum(
+                F.col("cnt")
+                * ((F.shiftright(F.col("h"), j) % 2) * 2 - 1)
+            )
+            > 0,
+            F.lit(1 << j),
+        )
+        .otherwise(0)
+        .alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sig_expr = None
+    for j in range(_SIMHASH_BITS):
+        c = F.col(f"s{j}")
+        sig_expr = c if sig_expr is None else sig_expr + c
+    sigs = hashed.groupBy("doc_id").agg(*votes).select(
+        "doc_id", sig_expr.cast("long").alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("sig")
+    )

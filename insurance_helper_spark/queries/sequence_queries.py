@@ -987,3 +987,73 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_daily_ohlc — open/high/low/close bars of the event value per
+# (event_type, day): the time-bucketed summary where open/close carry
+# ORDER semantics (first/last by timestamp, event_id tiebreak), not
+# just extrema — the financial-candle shape every monitoring dashboard
+# reuses. Open/close via first_value/last_value over the full window
+# frame of one keyed sort; high/low/count ride the same frame, so the
+# whole bar costs ONE (type, day)-partitioned window — keyed, never
+# global — then a distinct. Scale: partitions are (type × day), so
+# parallelism grows with the calendar and the per-partition sort is
+# one day of one type; values stay exact doubles picked by order (no
+# float summation anywhere).
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+WITH bars AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+         first_value(value) OVER w AS open,
+         max(value) OVER w AS high,
+         min(value) OVER w AS low,
+         last_value(value) OVER w AS close,
+         CAST(count(*) OVER w AS BIGINT) AS n_events
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       round(open, 4) AS open, round(high, 4) AS high,
+       round(low, 4) AS low, round(close, 4) AS close, n_events
+FROM bars
+ORDER BY event_type, day
+"""
+
+
+@register("events_daily_ohlc", OHLC_ORACLE)
+def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["ts", "event_id", "event_type", "value"]
+    )
+    day = F.col("ts").cast("date")
+    w = (
+        Window.partitionBy("event_type", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "event_type",
+            day.alias("day"),
+            F.first("value").over(w).alias("open_raw"),
+            F.max("value").over(w).alias("high_raw"),
+            F.min("value").over(w).alias("low_raw"),
+            F.last("value").over(w).alias("close_raw"),
+            F.count("*").over(w).cast("long").alias("n_events"),
+        )
+        .distinct()
+        .select(
+            "event_type",
+            "day",
+            F.round("open_raw", 4).alias("open"),
+            F.round("high_raw", 4).alias("high"),
+            F.round("low_raw", 4).alias("low"),
+            F.round("close_raw", 4).alias("close"),
+            "n_events",
+        )
+        .orderBy("event_type", "day")
+    )
