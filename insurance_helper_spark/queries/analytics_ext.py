@@ -1937,3 +1937,85 @@ def lineitem_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonal_decomposition — classical ratio-to-moving-average
+# decomposition of monthly revenue: detrend with a 12-month moving
+# average (ROWS 5 PRECEDING..6 FOLLOWING, only where all 12 months
+# exist), then the seasonal index per month-of-year = mean detrended
+# ratio, normalized so the 12 indices average to 1. The multiplicative
+# seasonality profile behind "is December really +20%?" — complements
+# the dow x hour robust baselines (events_seasonal_anomalies) with the
+# calendar-month trade cycle. Exact BIGINT cents up to the trend
+# division; every later float op is a deterministic function of exact
+# inputs, rounded at 4. Scale: one map-side-combined rollup shuffle;
+# all windows run over the O(months) series (same stance as ACF /
+# compound growth).
+# ---------------------------------------------------------------------------
+
+SEASONAL_DECOMP_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+trended AS (
+  SELECT month, cents,
+         sum(cents) OVER w AS win_sum,
+         count(*) OVER w AS win_n
+  FROM monthly
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+),
+ratios AS (
+  SELECT CAST(month(month) AS INT) AS month_of_year,
+         cents * 12.0 / win_sum AS ratio
+  FROM trended WHERE win_n = 12
+),
+idx AS (
+  SELECT month_of_year, CAST(count(*) AS BIGINT) AS n_obs,
+         avg(ratio) AS raw_idx
+  FROM ratios GROUP BY month_of_year
+),
+norm AS (SELECT avg(raw_idx) AS grand FROM idx)
+SELECT month_of_year, n_obs,
+       round(raw_idx / grand, 4) AS seasonal_index
+FROM idx CROSS JOIN norm
+ORDER BY month_of_year
+"""
+
+
+@register("orders_seasonal_decomposition", SEASONAL_DECOMP_ORACLE)
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    trended = monthly.select(
+        "month",
+        "cents",
+        F.sum("cents").over(w).alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    ratios = trended.filter(F.col("win_n") == 12).select(
+        F.month("month").cast("int").alias("month_of_year"),
+        (F.col("cents") * 12.0 / F.col("win_sum")).alias("ratio"),
+    )
+    idx = ratios.groupBy("month_of_year").agg(
+        F.count("*").cast("long").alias("n_obs"), F.avg("ratio").alias("raw_idx")
+    )
+    norm = idx.agg(F.avg("raw_idx").alias("grand"))
+    return (
+        idx.join(F.broadcast(norm))
+        .select(
+            "month_of_year",
+            "n_obs",
+            F.round(F.col("raw_idx") / F.col("grand"), 4).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )

@@ -1057,3 +1057,82 @@ def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_capped_running_balance — floor-clamped running balance per
+# event type: balance_t = max(0, balance_{t-1} + delta_t) over the
+# daily net deltas (value - its type's mean, in exact cents — so
+# deltas sum to ~zero and the clamp actually engages). This recurrence
+# is NOT window-expressible — the clamp makes each prefix depend on
+# the full history nonlinearly — so it is the canonical case for the
+# engine's applyInPandas tier: one Arrow batch per type over the
+# calendar-bounded daily series, a 3-line sequential scan inside.
+# The DuckDB oracle replays the same recurrence with a RECURSIVE CTE,
+# so the stateful scan is still value-hashed. Scale: the scan runs on
+# the (type, day) ROLLUP (map-side combined), never raw events; state
+# is one number; types parallelize across executors — the standard
+# inventory/backlog shape (stock cannot go negative).
+# ---------------------------------------------------------------------------
+
+CAPPED_BALANCE_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+  FROM daily GROUP BY event_type
+),
+d AS (
+  SELECT daily.event_type, day, cents - mean_cents AS delta,
+         row_number() OVER (PARTITION BY daily.event_type ORDER BY day) AS rn
+  FROM daily JOIN m ON daily.event_type = m.event_type
+),
+walk AS (
+  SELECT event_type, day, rn, greatest(0, delta) AS balance
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rn,
+         greatest(0, w.balance + d.delta) AS balance
+  FROM walk w JOIN d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+)
+SELECT event_type, day, CAST(balance AS BIGINT) AS balance_cents
+FROM walk
+ORDER BY event_type, day
+"""
+
+
+@register("events_capped_running_balance", CAPPED_BALANCE_ORACLE)
+def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents")
+    )
+    d = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", (F.col("cents") - F.col("mean_cents")).alias("delta")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        bal, out = 0, []
+        for delta in pdf["delta"]:
+            bal = max(0, bal + int(delta))
+            out.append(bal)
+        pdf["balance_cents"] = pd.Series(out, dtype="int64")
+        return pdf[["event_type", "day", "balance_cents"]]
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(scan, "event_type string, day date, balance_cents long")
+        .orderBy("event_type", "day")
+    )
