@@ -144,6 +144,11 @@ HEADLINE = [
     "dedup_simhash_portable",
     "events_daily_ohlc",
     "corpus_quantile_normalize",
+    "events_capped_running_balance",
+    "orders_seasonal_decomposition",
+    "graph_degree_assortativity",
+    "text_heaps_law_fit",
+    "stat_fdr_bh_correction",
 ]
 
 

@@ -1136,3 +1136,80 @@ def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         .applyInPandas(scan, "event_type string, day date, balance_cents long")
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity — degree assortativity of the part
+# co-purchase graph: the Pearson correlation of (deg(src), deg(dst))
+# over directed edges — positive means hubs co-sell with hubs
+# (assortative catalog), negative means hubs bridge the long tail.
+# The one-number structure summary that complements PageRank (who is
+# central) and triangle count (how clustered). All sums are exact
+# BIGINTs (degrees and their products; n_e * sum(xy) stays inside
+# int64 through ~sf0.1 — beyond that the same plan runs the moment
+# sums in DOUBLE), one rounded division at the end. Scale: edges are
+# built once via the same distinct-pair equi-join every graph query
+# here shares; degrees are one groupBy; the edge-degree join shuffles
+# on src/dst — three map-side-combined shuffles total, no windows.
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH order_parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM order_parts a JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_edges,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS assortativity
+FROM s
+"""
+
+
+@register("graph_degree_assortativity", ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = order_parts.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)  # feeds deg + both join sides
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    ds = deg.select(F.col("src"), F.col("d").alias("x"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+    xy = edges.join(ds, "src").join(dd, "dst")
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 4).alias("assortativity"),
+    )

@@ -2067,3 +2067,86 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predictability",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_fdr_bh_correction — Benjamini–Hochberg false-discovery control
+# over the per-event-type Mann–Kendall trend family: two-sided p from
+# the logistic normal-CDF approximation (identical closed form both
+# engines, rounded BEFORE ranking so the order is engine-exact), then
+# the step-up rule at alpha=0.10 — reject every rank up to the largest
+# i with p_(i) <= i*alpha/m. The multiple-testing discipline any
+# fleet of per-segment monitors needs: 8 trend tests at alpha=0.10
+# WILL false-alarm without correction. COMPOSITION: the Spark side
+# literally calls the registered Mann–Kendall query and post-
+# processes; the oracle embeds the MK oracle as a CTE — one definition
+# of the base statistic, two consumers. Scale: everything after the MK
+# rollup runs on m rows (one per tested family member).
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.10
+
+FDR_BH_ORACLE = f"""
+WITH mk AS ({MANN_KENDALL_ORACLE}),
+scored AS (
+  SELECT event_type, mk_z,
+         round(2.0 / (1 + exp(1.702 * abs(mk_z))), 6) AS p_approx
+  FROM mk
+),
+ranked AS (
+  SELECT event_type, mk_z, p_approx,
+         row_number() OVER (ORDER BY p_approx, event_type) AS rnk,
+         count(*) OVER () AS m
+  FROM scored
+),
+kmax AS (
+  SELECT coalesce(max(rnk) FILTER (p_approx <= rnk * {_BH_ALPHA} / m), 0) AS k
+  FROM ranked
+)
+SELECT event_type, mk_z, p_approx, CAST(rnk AS INT) AS rank,
+       round(rnk * {_BH_ALPHA} / m, 6) AS bh_critical,
+       rnk <= k.k AS rejected
+FROM ranked CROSS JOIN kmax k
+ORDER BY rank
+"""
+
+
+@register("stat_fdr_bh_correction", FDR_BH_ORACLE)
+def stat_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mk = stat_mann_kendall_trend(spark, sf_dir)
+    scored = mk.select(
+        "event_type",
+        "mk_z",
+        F.round(2.0 / (1 + F.exp(1.702 * F.abs(F.col("mk_z")))), 6).alias("p_approx"),
+    )
+    wr = Window.orderBy("p_approx", "event_type")
+    ranked = scored.select(
+        "event_type",
+        "mk_z",
+        "p_approx",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_approx") <= F.col("rnk") * _BH_ALPHA / F.col("m"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.join(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "mk_z",
+            "p_approx",
+            F.col("rnk").cast("int").alias("rank"),
+            F.round(F.col("rnk") * _BH_ALPHA / F.col("m"), 6).alias("bh_critical"),
+            (F.col("rnk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
