@@ -149,6 +149,9 @@ HEADLINE = [
     "graph_degree_assortativity",
     "text_heaps_law_fit",
     "stat_fdr_bh_correction",
+    "incremental_join_view_delta",
+    "orders_cohort_ltv",
+    "dq_column_profile",
 ]
 
 

@@ -2019,3 +2019,101 @@ def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month_of_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — customer-lifetime-value curves by acquisition
+# cohort: customers grouped by FIRST-order month, and for every months-
+# since-acquisition index the active-customer count plus cumulative
+# revenue per cohort member — the LTV triangle that prices acquisition
+# spend (complement of events_cohort_retention: that counts presence,
+# this accumulates value). Month arithmetic is integer (year*12+month
+# deltas — no float months_between), revenue is exact BIGINT cents,
+# and the running sum is a window over the (cohort, month_index)
+# ROLLUP, never raw orders; the per-member LTV rounds HALF-UP IN
+# INTEGER CENTS ((2*cum+size) div (2*size)) so no engine rounding-
+# policy boundary can flip a penny. Scale: first-order month = one min-agg per
+# customer (map-side combine), joined back on the same custkey the
+# rollup then groups by — one key family end to end.
+# ---------------------------------------------------------------------------
+
+COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+sized AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_m
+),
+facts AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+             AS month_index,
+         o.o_custkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+),
+cells AS (
+  SELECT cohort_m, month_index,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM facts GROUP BY cohort_m, month_index
+)
+SELECT make_date(c.cohort_m // 12, c.cohort_m % 12 + 1, 1) AS cohort,
+       CAST(month_index AS INT) AS month_index,
+       s.cohort_size, n_active,
+       (2 * sum(rev_cents) OVER (PARTITION BY c.cohort_m ORDER BY month_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + s.cohort_size) // (2 * s.cohort_size) / 100.0 AS avg_cum_ltv
+FROM cells c JOIN sized s ON c.cohort_m = s.cohort_m
+ORDER BY cohort, month_index
+"""
+
+
+@register("orders_cohort_ltv", COHORT_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(mnum).alias("cohort_m"))
+    sized = firsts.groupBy("cohort_m").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort_m",
+        (mnum - F.col("cohort_m")).alias("month_index"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = facts.groupBy("cohort_m", "month_index").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort_m")
+        .select(
+            F.make_date(
+                F.expr("cohort_m div 12"), F.col("cohort_m") % 12 + 1, F.lit(1)
+            ).alias("cohort"),
+            F.col("month_index").cast("int").alias("month_index"),
+            "cohort_size",
+            "n_active",
+            (
+                F.expr(
+                    "(2 * sum(rev_cents) OVER (PARTITION BY cohort_m "
+                    "ORDER BY month_index ROWS BETWEEN UNBOUNDED PRECEDING "
+                    "AND CURRENT ROW) + cohort_size) div (2 * cohort_size)"
+                )
+                / 100.0
+            ).alias("avg_cum_ltv"),
+        )
+        .orderBy("cohort", "month_index")
+    )

@@ -1106,3 +1106,131 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_join_view_delta — incremental view maintenance for a
+# JOIN view, the delta-algebra identity: with O = O_base ∪ ΔO and
+# C = C_base ∪ ΔC (disjoint hash splits), the view delta is
+#   ΔV = (ΔO ⋈ C_base) ∪ (O_base ⋈ ΔC) ∪ (ΔO ⋈ ΔC)
+# — three joins touching only delta-sized inputs on at least one side.
+# VERIFICATION DESIGN: the Spark side computes ΔV via the delta
+# algebra; the oracle computes (O ⋈ C) EXCEPT (O_base ⋈ C_base) — the
+# definitionally-correct answer — so a value-hash match PROVES the
+# algebra (this is the join-view counterpart of
+# incremental_agg_maintenance's mergeable-state identity). Scale: at
+# 100 TB the full view is never materialized — each algebra term keys
+# on custkey with a delta-sized side, and ΔO ⋈ ΔC is tiny; the base
+# relations are touched only by (already co-partitioned) key joins.
+# ---------------------------------------------------------------------------
+
+IVM_JOIN_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         {_kus("o_orderkey")} < 0.9 AS is_base
+  FROM orders
+),
+c AS (
+  SELECT c_custkey, c_mktsegment,
+         {_kus("c_custkey")} < 0.95 AS is_base
+  FROM customer
+),
+full_v AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, o.price_cents
+  FROM o JOIN c ON o.o_custkey = c.c_custkey
+),
+base_v AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, o.price_cents
+  FROM (SELECT * FROM o WHERE is_base) o
+  JOIN (SELECT * FROM c WHERE is_base) c ON o.o_custkey = c.c_custkey
+)
+SELECT o_orderkey, o_custkey, c_mktsegment, price_cents
+FROM (SELECT * FROM full_v EXCEPT SELECT * FROM base_v)
+ORDER BY o_orderkey, o_custkey
+"""
+
+
+@register("incremental_join_view_delta", IVM_JOIN_ORACLE)
+def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        (_knuth_uniform(F.col("o_orderkey")) < 0.9).alias("is_base"),
+    )
+    c = cust.select(
+        "c_custkey", "c_mktsegment", (_knuth_uniform(F.col("c_custkey")) < 0.95).alias("is_base")
+    )
+    o_base, o_delta = o.filter("is_base"), o.filter("NOT is_base")
+    c_base, c_delta = c.filter("is_base"), c.filter("NOT is_base")
+
+    def view(odf, cdf):
+        return odf.join(cdf, odf.o_custkey == cdf.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_mktsegment", "price_cents"
+        )
+
+    delta_v = (
+        view(o_delta, c_base)
+        .unionAll(view(o_base, c_delta))
+        .unionAll(view(o_delta, c_delta))
+    )
+    return delta_v.orderBy("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile — Deequ-style single-pass column profiling of the
+# orders table: per column, row count, null count, and exact distinct
+# count — the schema-health snapshot every ingestion run records
+# before anything downstream trusts the data. SINGLE PASS: all 3
+# metrics for all 6 columns are one agg (18 aggregate expressions
+# sharing one scan — column pruning is irrelevant here because the
+# profile by definition reads everything), then a stack() unpivot to
+# (column, metric) rows — no per-column rescans. Scale: count_distinct
+# per column is the only shuffle-heavy term; at 100 TB swap those
+# terms for approx_count_distinct under the documented bounds contract
+# (same plan shape, one flag).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+DQ_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+@register("dq_column_profile", DQ_PROFILE_ORACLE)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=list(_PROFILE_COLS))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").cast("long").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+                "AS (column_name, n_rows, n_nulls, n_distinct)"
+            )
+        )
+        .orderBy("column_name")
+    )
