@@ -2117,3 +2117,80 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "month_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_forecast_backtest — backtesting harness for the two classical
+# zero-parameter forecasters on monthly revenue: seasonal-naive
+# (y_hat_t = y_{t-12}) vs naive (y_hat_t = y_{t-1}), scored with MAPE
+# and SMAPE over the months where both forecasts exist, plus the skill
+# score 1 - MAPE_seasonal/MAPE_naive (positive = seasonality is real
+# signal, worth a seasonal model). The evaluation shape every real
+# forecaster is judged by — the model is swappable, the harness is
+# the operator. Per-month errors are exact BIGINT-cents quotients; the
+# final averages fold a dozen such terms and round at 4. Scale: one
+# rollup shuffle, lag windows over the O(months) series.
+# ---------------------------------------------------------------------------
+
+FORECAST_BACKTEST_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+lagged AS (
+  SELECT month, cents,
+         lag(cents, 12) OVER (ORDER BY month) AS f_seasonal,
+         lag(cents, 1) OVER (ORDER BY month) AS f_naive
+  FROM monthly
+),
+scored AS (
+  SELECT month, cents, f_seasonal, f_naive,
+         abs(cents - f_seasonal) * 1.0 / cents AS ape_s,
+         abs(cents - f_naive) * 1.0 / cents AS ape_n,
+         2.0 * abs(cents - f_seasonal) / (cents + f_seasonal) AS sape_s,
+         2.0 * abs(cents - f_naive) / (cents + f_naive) AS sape_n
+  FROM lagged WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_months,
+       round(avg(ape_s), 4) AS mape_seasonal,
+       round(avg(ape_n), 4) AS mape_naive,
+       round(avg(sape_s), 4) AS smape_seasonal,
+       round(avg(sape_n), 4) AS smape_naive,
+       round(1 - avg(ape_s) / avg(ape_n), 4) AS skill_vs_naive
+FROM scored
+"""
+
+
+@register("orders_forecast_backtest", FORECAST_BACKTEST_ORACLE)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "cents",
+        F.lag("cents", 12).over(w).alias("f_seasonal"),
+        F.lag("cents", 1).over(w).alias("f_naive"),
+    ).filter(F.col("f_seasonal").isNotNull() & F.col("f_naive").isNotNull())
+    ape_s = F.abs(F.col("cents") - F.col("f_seasonal")) * 1.0 / F.col("cents")
+    ape_n = F.abs(F.col("cents") - F.col("f_naive")) * 1.0 / F.col("cents")
+    sape_s = 2.0 * F.abs(F.col("cents") - F.col("f_seasonal")) / (
+        F.col("cents") + F.col("f_seasonal")
+    )
+    sape_n = 2.0 * F.abs(F.col("cents") - F.col("f_naive")) / (
+        F.col("cents") + F.col("f_naive")
+    )
+    return lagged.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.round(F.avg(ape_s), 4).alias("mape_seasonal"),
+        F.round(F.avg(ape_n), 4).alias("mape_naive"),
+        F.round(F.avg(sape_s), 4).alias("smape_seasonal"),
+        F.round(F.avg(sape_n), 4).alias("smape_naive"),
+        F.round(1 - F.avg(ape_s) / F.avg(ape_n), 4).alias("skill_vs_naive"),
+    )

@@ -950,3 +950,109 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_langid_confusion_eval — classifier evaluation of the heuristic
+# language-ID against the declared ``lang`` column: per-class
+# true/predicted marginals, true positives, and precision/recall/F1 —
+# the eval harness any corpus-prep classifier (langid, quality gate,
+# topic router) plugs into. Classes = union of declared and predicted
+# labels (full-outer of the two marginals), so systematic confusions
+# (e.g. everything non-Latin → 'unknown') are visible, not silently
+# dropped. All counts are exact integers from ONE confusion-cell
+# groupBy; P/R/F1 are deterministic integer quotients rounded at 4,
+# null-guarded where a marginal is empty. Scale: one doc-level map
+# (the regex feature extraction), one (true, pred) groupBy on ≤ L²
+# cells, broadcast folds after.
+# ---------------------------------------------------------------------------
+
+LANGID_EVAL_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks,
+         text
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN regexp_matches(text, '[ऀ-ॿ]') THEN 'hi'
+              WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN (CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, x -> list_contains(['{_SW_LIST}'], x))) * 1.0 / len(toks)
+                    ELSE 0.0 END) >= 0.08 THEN 'en'
+              ELSE 'unknown' END AS pred
+  FROM t
+),
+cells AS (
+  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang, pred
+),
+truem AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY cls),
+predm AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY cls),
+tp AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS tp FROM cells WHERE lang = pred GROUP BY cls)
+SELECT coalesce(t.cls, p.cls) AS cls,
+       coalesce(t.n_true, 0) AS n_true,
+       coalesce(p.n_pred, 0) AS n_pred,
+       coalesce(tp.tp, 0) AS tp,
+       round(CASE WHEN coalesce(p.n_pred, 0) > 0
+                  THEN coalesce(tp.tp, 0) * 1.0 / p.n_pred END, 4) AS precision,
+       round(CASE WHEN coalesce(t.n_true, 0) > 0
+                  THEN coalesce(tp.tp, 0) * 1.0 / t.n_true END, 4) AS recall,
+       round(CASE WHEN coalesce(tp.tp, 0) > 0
+                  THEN 2.0 * tp.tp / (p.n_pred + t.n_true) END, 4) AS f1
+FROM truem t
+FULL JOIN predm p ON t.cls = p.cls
+LEFT JOIN tp ON coalesce(t.cls, p.cls) = tp.cls
+ORDER BY cls
+"""
+
+
+@register("ml_langid_confusion_eval", LANGID_EVAL_ORACLE)
+def ml_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    pred = docs.select("lang", T.lang_id(F.col("text")).alias("pred"))
+    cells = pred.groupBy("lang", "pred").agg(F.count("*").cast("long").alias("n"))
+    cells = cells.localCheckpoint(eager=True)  # feeds 3 marginal folds
+    truem = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    predm = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = (
+        cells.filter(F.col("lang") == F.col("pred"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    joined = (
+        truem.join(predm, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return joined.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(
+            F.when(F.col("n_pred") > 0, F.col("tp") * 1.0 / F.col("n_pred")), 4
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("tp") * 1.0 / F.col("n_true")), 4
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("tp") > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+            ),
+            4,
+        ).alias("f1"),
+    ).orderBy("cls")
