@@ -152,6 +152,10 @@ HEADLINE = [
     "incremental_join_view_delta",
     "orders_cohort_ltv",
     "dq_column_profile",
+    "ml_langid_confusion_eval",
+    "orders_forecast_backtest",
+    "orders_price_index_laspeyres",
+    "ml_churn_label_summary",
 ]
 
 

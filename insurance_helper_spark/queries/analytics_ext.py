@@ -2194,3 +2194,202 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(sape_n), 4).alias("smape_naive"),
         F.round(1 - F.avg(ape_s) / F.avg(ape_n), 4).alias("skill_vs_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_price_index_laspeyres — classical price-index numbers over
+# the sold-parts basket: per year vs the base (first) year,
+# Laspeyres (base-quantity weights), Paasche (current-quantity
+# weights) and Fisher (geometric mean) indices, using per-part-year
+# unit prices (cents-sum / quantity-sum, both exact BIGINTs). The
+# inflation/deflation lens on revenue growth — did revenue rise
+# because of volume or because of price? Scale: one (part, year)
+# rollup with map-side combine, a self-join keyed on partkey against
+# the base-year slice (broadcastable — one year of parts), constant
+# folds after; no windows.
+# ---------------------------------------------------------------------------
+
+PRICE_INDEX_ORACLE = """
+WITH py AS (
+  SELECT l_partkey AS part, CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY part, yr
+),
+base AS (
+  SELECT part, cents * 1.0 / qty AS p0, qty AS q0
+  FROM py WHERE yr = (SELECT min(yr) FROM py)
+),
+joined AS (
+  SELECT py.yr, py.part,
+         py.cents * 1.0 / py.qty AS pt, py.qty AS qt,
+         b.p0, b.q0
+  FROM py JOIN base b ON py.part = b.part
+)
+SELECT yr AS year, CAST(count(*) AS BIGINT) AS n_common_parts,
+       round(sum(pt * q0) / sum(p0 * q0), 4) AS laspeyres,
+       round(sum(pt * qt) / sum(p0 * qt), 4) AS paasche,
+       round(sqrt((sum(pt * q0) / sum(p0 * q0)) * (sum(pt * qt) / sum(p0 * qt))), 4)
+           AS fisher
+FROM joined
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@register("orders_price_index_laspeyres", PRICE_INDEX_ORACLE)
+def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    py = py.localCheckpoint(eager=True)  # base slice + all-years side
+    base_yr = py.agg(F.min("yr").alias("byr"))
+    base = (
+        py.join(F.broadcast(base_yr), F.col("yr") == F.col("byr"))
+        .select(
+            "part",
+            (F.col("cents") * 1.0 / F.col("qty")).alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = py.join(F.broadcast(base), "part").select(
+        "yr",
+        (F.col("cents") * 1.0 / F.col("qty")).alias("pt"),
+        F.col("qty").alias("qt"),
+        "p0",
+        "q0",
+    )
+    lasp = F.sum(F.col("pt") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("pt") * F.col("qt")) / F.sum(F.col("p0") * F.col("qt"))
+    return (
+        joined.groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.count("*").cast("long").alias("n_common_parts"),
+            F.round(lasp, 4).alias("laspeyres"),
+            F.round(paas, 4).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 4).alias("fisher"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_churn_label_summary — supervised-label generation for a churn
+# model: a customer is labeled churned when their last order predates
+# the dataset horizon (global max order date) by more than 90 days —
+# the standard "observation window" labeling rule — reported per
+# segment with rate and the median days-since-last-order of the
+# churned group (integer rank selection). The label-engineering step
+# between raw facts and any training run; the query IS the feature
+# spec, versioned with the engine. Scale: one max-date fold
+# (broadcast), one per-customer max-agg on the custkey the segment
+# join also uses, percentile window over the churned subset only.
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = 90
+
+CHURN_LABEL_ORACLE = f"""
+WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+last_orders AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order
+  FROM orders GROUP BY o_custkey
+),
+labeled AS (
+  SELECT c.c_mktsegment AS segment,
+         datediff('day', l.last_order, hz.h) AS days_silent,
+         datediff('day', l.last_order, hz.h) > {_CHURN_DAYS} AS churned,
+         l.o_custkey
+  FROM last_orders l
+  JOIN customer c ON l.o_custkey = c.c_custkey
+  CROSS JOIN horizon hz
+),
+ranked AS (
+  SELECT segment, churned, days_silent,
+         row_number() OVER (PARTITION BY segment, churned
+                            ORDER BY days_silent, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY segment, churned) AS n
+  FROM labeled
+),
+per_arm AS (
+  SELECT segment, churned, any_value(n) AS n_arm,
+         max(CASE WHEN rn = (n + 1) // 2 THEN days_silent END) AS median_silence
+  FROM ranked GROUP BY segment, churned
+)
+SELECT segment,
+       CAST(coalesce(sum(CASE WHEN churned THEN n_arm END), 0) AS BIGINT)
+           AS n_churned,
+       CAST(coalesce(sum(CASE WHEN NOT churned THEN n_arm END), 0) AS BIGINT)
+           AS n_active,
+       round(coalesce(sum(CASE WHEN churned THEN n_arm END), 0) * 1.0
+             / sum(n_arm), 6) AS churn_rate,
+       CAST(max(CASE WHEN churned THEN median_silence END) AS BIGINT)
+           AS median_churned_silence
+FROM per_arm
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("ml_churn_label_summary", CHURN_LABEL_ORACLE)
+def ml_churn_label_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    last_orders = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order")
+    )
+    labeled = (
+        last_orders.join(cust, last_orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(horizon))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("h", "last_order").alias("days_silent"),
+            (F.datediff("h", "last_order") > _CHURN_DAYS).alias("churned"),
+            "o_custkey",
+        )
+    )
+    wr = Window.partitionBy("segment", "churned").orderBy("days_silent", "o_custkey")
+    wn = Window.partitionBy("segment", "churned")
+    ranked = labeled.select(
+        "segment",
+        "churned",
+        "days_silent",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    per_arm = ranked.groupBy("segment", "churned").agg(
+        F.any_value("n").alias("n_arm"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days_silent"))
+        ).alias("median_silence"),
+    )
+    return (
+        per_arm.groupBy("segment")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("churned"), F.col("n_arm"))), F.lit(0)
+            ).cast("long").alias("n_churned"),
+            F.coalesce(
+                F.sum(F.when(~F.col("churned"), F.col("n_arm"))), F.lit(0)
+            ).cast("long").alias("n_active"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("churned"), F.col("n_arm"))), F.lit(0))
+                * 1.0 / F.sum("n_arm"),
+                6,
+            ).alias("churn_rate"),
+            F.max(
+                F.when(F.col("churned"), F.col("median_silence"))
+            ).cast("long").alias("median_churned_silence"),
+        )
+        .orderBy("segment")
+    )
