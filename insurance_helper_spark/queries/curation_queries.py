@@ -1234,3 +1234,81 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_duplicate_payment_candidates — rule-based duplicate detection:
+# same customer, same exact amount, within 7 days — the classic
+# double-charge / double-entry screen every finance DQ suite runs.
+# The pair relation is NOT a self-join: duplicates are adjacent in the
+# (custkey, cents, date) sort order, so one keyed window + lag finds
+# every candidate chain in a single pass (a same-key pair can only
+# hide from lag(1) if a third identical key sits between them — also
+# a candidate, so chains are fully reported). Scale: one shuffle on
+# (custkey, cents) — the dedup key itself — with O(1) window state;
+# flagged pairs are a tiny fraction, aggregated per segment for the
+# report.
+# ---------------------------------------------------------------------------
+
+DUP_PAYMENT_ORACLE = """
+WITH base AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate, o_orderkey
+  FROM orders
+),
+lagged AS (
+  SELECT o_custkey, cents, o_orderdate, o_orderkey,
+         lag(o_orderdate) OVER w AS prev_date,
+         lag(o_orderkey) OVER w AS prev_key
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey, cents ORDER BY o_orderdate, o_orderkey)
+),
+flagged AS (
+  SELECT o_custkey, cents, o_orderkey, prev_key,
+         datediff('day', prev_date, o_orderdate) AS gap_days
+  FROM lagged
+  WHERE prev_date IS NOT NULL
+    AND datediff('day', prev_date, o_orderdate) <= 7
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(f.cents) AS BIGINT) AS exposure_cents,
+       CAST(min(f.gap_days) AS BIGINT) AS min_gap_days
+FROM flagged f JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("dq_duplicate_payment_candidates", DUP_PAYMENT_ORACLE)
+def dq_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderdate", "o_orderkey"],
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    base = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey", "cents").orderBy("o_orderdate", "o_orderkey")
+    flagged = (
+        base.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+        .filter(F.col("gap_days") <= 7)
+    )
+    return (
+        flagged.join(cust, flagged.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_candidate_pairs"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("exposure_cents"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+        )
+        .orderBy("segment")
+    )

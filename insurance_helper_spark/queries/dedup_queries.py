@@ -1018,3 +1018,61 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("sig")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_token_sort_fingerprint — the OpenRefine "fingerprint" method:
+# canonical key = distinct tokens, sorted, re-joined — collapses word
+# reorderings, repeats, punctuation and case, catching the near-dups
+# exact-hash dedup misses ("ACME Corp ltd." vs "ltd corp acme") with
+# ZERO pair comparisons: duplicates collide on a groupBy key. The
+# cheapest member of the near-dup ladder (fingerprint < shingle
+# Jaccard < MinHash < embeddings) and the first gate a curation
+# pipeline runs. Parity note: Spark array_sort and DuckDB list_sort
+# both sort strings binary-lexicographically, so the canonical key is
+# engine-identical on the [a-z0-9] token alphabet. Scale: tokenize +
+# one doc-key array build + one fingerprint-key groupBy — the exact
+# shape of sha-fingerprint dedup with a smarter key.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.queries.text_queries import _TOKS as _TOKS_SQL  # noqa: E402
+
+TOKEN_SORT_FP_ORACLE = f"""
+WITH keys AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ') AS fp
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+)
+SELECT fp AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM keys
+GROUP BY fp
+HAVING count(*) >= 2
+ORDER BY fingerprint
+"""
+
+
+@register("dedup_token_sort_fingerprint", TOKEN_SORT_FP_ORACLE)
+def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ne = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    )
+    keys = ne.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(T.tokens(F.col("text")))), " "
+        ).alias("fp"),
+    )
+    return (
+        keys.groupBy(F.col("fp").alias("fingerprint"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fingerprint")
+    )
