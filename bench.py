@@ -156,6 +156,10 @@ HEADLINE = [
     "orders_forecast_backtest",
     "orders_price_index_laspeyres",
     "ml_churn_label_summary",
+    "dq_duplicate_payment_candidates",
+    "dedup_token_sort_fingerprint",
+    "events_top_paths",
+    "corpus_weighted_reservoir_es",
 ]
 
 

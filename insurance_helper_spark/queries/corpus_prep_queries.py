@@ -767,3 +767,70 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_reservoir_es — weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis 2006): each doc draws u from the deterministic
+# Knuth hash and scores key = ln(u)/w (monotone transform of u^(1/w));
+# the k=25 LARGEST keys are the sample — exactly the distribution of
+# sequential weighted reservoir sampling, but order-free and
+# single-pass, which is what makes it distributed-safe (the reservoir
+# algorithm itself is inherently sequential; the key trick removes the
+# sequence). Completes the sampling ladder: Bernoulli (weighted),
+# quota, systematic PPS, Poisson bootstrap — this one is the
+# fixed-size without-replacement member. Scale: score is a pure
+# projection; top-k via TakeOrdered (per-partition heads, then merge)
+# — no global sort, no state.
+# ---------------------------------------------------------------------------
+
+_ES_K = 25
+
+ES_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0 ELSE CAST(len({_TOKS}) AS BIGINT) END AS n_tokens,
+         {_ku_sql("doc_id")} AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_tokens,
+         ln(u) / n_tokens AS es_key
+  FROM scored WHERE n_tokens > 0 AND u > 0
+)
+SELECT doc_id, source, n_tokens, round(es_key, 8) AS es_key,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rank
+FROM keyed
+QUALIFY rank <= {_ES_K}
+ORDER BY rank
+"""
+
+
+@register("corpus_weighted_reservoir_es", ES_SAMPLE_ORACLE)
+def corpus_weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(corpus.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        _ku(F.col("doc_id")).alias("u"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("u") > 0))
+    keyed = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.log("u") / F.col("n_tokens")).alias("es_key"),
+    )
+    # orderBy+limit -> TakeOrderedAndProject; the window after runs on k rows.
+    topk = keyed.orderBy(F.desc("es_key"), "doc_id").limit(_ES_K)
+    wr = W.orderBy(F.desc("es_key"), "doc_id")
+    return topk.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("es_key", 8).alias("es_key"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    ).orderBy("rank")

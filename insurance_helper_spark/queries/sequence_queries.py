@@ -1213,3 +1213,74 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edges"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 4).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — top user journey prefixes: each user's first five
+# events (by time) concatenated into an ordered path string, counted
+# and ranked — the "what do people actually do first" report that
+# funnels and Markov matrices both flatten away. ORDER-CORRECT
+# AGGREGATION: Spark's groupBy collect_list has no order guarantee, so
+# the path is built with collect_list OVER the full frame of an
+# ordered window (deterministic), matched by DuckDB's string_agg(...
+# ORDER BY) — the one-per-user row then falls out of rn = 1. Scale:
+# one user-key window shuffle (the sequence family's standard cost),
+# path space capped by the 5-event prefix, top-20 by count with
+# lexical tiebreak.
+# ---------------------------------------------------------------------------
+
+TOP_PATHS_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM firsts WHERE rn <= 5
+  GROUP BY user_id
+),
+counted AS (
+  SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_users
+  FROM paths GROUP BY path, path_len
+)
+SELECT path, path_len, n_users,
+       CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT) AS rank
+FROM counted
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register("events_top_paths", TOP_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(
+        spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = events.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= 5)
+    # collect_list over the ordered full frame is deterministic (unlike
+    # groupBy collect_list); rn = 1 keeps one assembled row per user.
+    wf = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    paths = (
+        firsts.select(
+            "user_id",
+            "rn",
+            F.array_join(F.collect_list("event_type").over(wf), ">").alias("path"),
+            F.count("*").over(wf).cast("long").alias("path_len"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("path", "path_len")
+    )
+    counted = paths.groupBy("path", "path_len").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    wr = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("path", "path_len", "n_users", "rank")
+        .orderBy("rank")
+    )
