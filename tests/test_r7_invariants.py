@@ -1,0 +1,204 @@
+"""Mathematical/structural invariants for the round-7 wave-2 operators —
+properties that must hold for ANY input, checked on the fixture
+(complements the oracle hash check, which pins values but not meaning)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="fixture data absent"
+)
+
+
+def _rows(spark, name, sf=SF_DIR):
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf).collect()
+
+
+def test_ohlc_low_le_open_close_le_high(spark):
+    rows = _rows(spark, "events_daily_ohlc")
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+
+
+def test_quantile_normalize_preserves_rows_and_range(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "corpus_quantile_normalize")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    lens = sorted(r.n_tokens for r in rows)
+    for r in rows:
+        # Normalized values are drawn from the global length multiset.
+        assert lens[0] <= r.norm_tokens <= lens[-1]
+
+
+def test_capped_balance_never_negative(spark):
+    rows = _rows(spark, "events_capped_running_balance")
+    assert rows
+    for r in rows:
+        assert r.balance_cents >= 0
+
+
+def test_seasonal_indices_average_to_one(spark):
+    rows = _rows(spark, "orders_seasonal_decomposition")
+    if rows:  # needs >= 12 months of trend support
+        assert abs(sum(r.seasonal_index for r in rows) / len(rows) - 1.0) < 1e-3
+
+
+def test_assortativity_in_unit_interval(spark):
+    (r,) = _rows(spark, "graph_degree_assortativity")
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edges > 0
+
+
+def test_heaps_fit_sane(spark):
+    (r,) = _rows(spark, "text_heaps_law_fit")
+    assert r.n_points == 10
+    # Sublinear growth; the sf0.001 fixture's tiny synthetic vocabulary
+    # saturates in the first decile, making beta exactly 0 there.
+    assert 0.0 <= r.heaps_beta < 1.1
+    assert 0.0 <= r.r_squared <= 1.0
+    assert r.heaps_k > 0
+
+
+def test_fdr_rejections_form_rank_prefix(spark):
+    rows = _rows(spark, "stat_fdr_bh_correction")
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    rejected = [r.rank for r in rows if r.rejected]
+    assert rejected == list(range(1, len(rejected) + 1))  # BH step-up prefix
+    for r in rows:
+        assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_ivm_delta_plus_base_equals_full(spark):
+    """The delta-algebra output plus the base view must reconstruct the
+    full join view exactly (count-level check on top of the oracle)."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions.hashing import knuth_uniform
+    from insurance_helper_spark.sources.tables import load_table
+
+    delta_rows = len(_rows(spark, "incremental_join_view_delta"))
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    full = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    o_b = orders.filter(knuth_uniform(F.col("o_orderkey")) < 0.9)
+    c_b = cust.filter(knuth_uniform(F.col("c_custkey")) < 0.95)
+    base = o_b.join(c_b, o_b.o_custkey == c_b.c_custkey).count()
+    assert base + delta_rows == full
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    rows = _rows(spark, "orders_cohort_ltv")
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cohort, []).append(r)
+    assert by_c
+    for cohort, rs in by_c.items():
+        rs.sort(key=lambda r: r.month_index)
+        ltvs = [r.avg_cum_ltv for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:])), cohort
+        for r in rs:
+            assert r.n_active <= r.cohort_size
+
+
+def test_column_profile_bounds(spark):
+    rows = _rows(spark, "dq_column_profile")
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_rows
+
+
+def test_langid_eval_marginals_consistent(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_langid_confusion_eval")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_true for r in rows) == n_docs
+    assert sum(r.n_pred for r in rows) == n_docs
+    for r in rows:
+        assert r.tp <= min(r.n_true, r.n_pred) or (r.n_true == 0 or r.n_pred == 0)
+
+
+def test_forecast_backtest_bounds(spark):
+    (r,) = _rows(spark, "orders_forecast_backtest")
+    assert r.n_months > 0
+    assert r.mape_seasonal >= 0 and r.mape_naive >= 0
+    assert 0.0 <= r.smape_seasonal <= 2.0 and 0.0 <= r.smape_naive <= 2.0
+
+
+def test_price_index_base_year_is_one(spark):
+    rows = _rows(spark, "orders_price_index_laspeyres")
+    base = min(rows, key=lambda r: r.year)
+    assert base.laspeyres == 1.0 and base.paasche == 1.0 and base.fisher == 1.0
+    for r in rows:
+        assert min(r.laspeyres, r.paasche) - 1e-9 <= r.fisher <= max(
+            r.laspeyres, r.paasche
+        ) + 1e-9  # geometric mean lies between
+
+
+def test_churn_partition_covers_all_ordering_customers(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_churn_label_summary")
+    orders = load_table(spark, SF_DIR, "orders")
+    n_custs = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_churned + r.n_active for r in rows) == n_custs
+    for r in rows:
+        assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_duplicate_payment_gaps_bounded(spark):
+    for r in _rows(spark, "dq_duplicate_payment_candidates"):
+        assert 0 <= r.min_gap_days <= 7
+        assert r.n_customers <= r.n_candidate_pairs or r.n_candidate_pairs == 0
+
+
+def test_token_sort_fingerprint_groups_share_token_sets(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions import text as T
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "dedup_simhash_portable")  # smoke the sibling too
+    rows = _rows(spark, "dedup_token_sort_fingerprint")
+    if not rows:
+        pytest.skip("no fingerprint collisions at this sf")
+    docs = load_table(spark, SF_DIR, "documents")
+    pair = rows[0]
+    sets = (
+        docs.filter(F.col("doc_id").isin(pair.canonical_doc, pair.last_doc))
+        .select(F.array_sort(F.array_distinct(T.tokens(F.col("text")))).alias("s"))
+        .collect()
+    )
+    assert len(sets) == 2 and sets[0].s == sets[1].s
+
+
+def test_top_paths_prefix_capped(spark):
+    rows = _rows(spark, "events_top_paths")
+    assert rows
+    for r in rows:
+        assert 1 <= r.path_len <= 5
+        assert len(r.path.split(">")) == r.path_len
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_es_sample_exact_size_and_sorted(spark):
+    rows = _rows(spark, "corpus_weighted_reservoir_es")
+    assert len(rows) == 25
+    keys = [r.es_key for r in rows]
+    assert keys == sorted(keys, reverse=True)  # ln(u)/w is negative, top-k desc
+    assert all(r.n_tokens > 0 for r in rows)
