@@ -160,6 +160,8 @@ HEADLINE = [
     "dedup_token_sort_fingerprint",
     "events_top_paths",
     "corpus_weighted_reservoir_es",
+    "events_engagement_dau_mau",
+    "stat_poisson_gof_order_lines",
 ]
 
 

@@ -1284,3 +1284,66 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", "path_len", "n_users", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_engagement_dau_mau — the product-engagement staples: per
+# calendar month, MAU (exact distinct users), average DAU across the
+# month's active days, and stickiness = avgDAU/MAU — how much of the
+# monthly audience shows up on a given day. Exact arithmetic: DAU and
+# MAU are integer count_distincts; avg DAU is an integer ratio
+# (sum of daily distincts / days), half-up-rounded in integer
+# arithmetic before the final division so no float-mean boundary can
+# flip. Scale: two distinct-aggregations (day grain, month grain) —
+# both map-side partial on (bucket, user); at 100 TB swap exact
+# distinct for HLL partials per the documented bounds contract
+# (agg_hll_mergeable_daily is the template).
+# ---------------------------------------------------------------------------
+
+DAU_MAU_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY month, day
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY month
+)
+SELECT m.month, m.mau,
+       CAST(count(*) AS BIGINT) AS active_days,
+       CAST((2 * sum(d.dau) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_dau,
+       round(sum(d.dau) * 1.0 / count(*) / m.mau, 4) AS stickiness
+FROM daily d JOIN monthly m ON d.month = m.month
+GROUP BY m.month, m.mau
+ORDER BY m.month
+"""
+
+
+@register("events_engagement_dau_mau", DAU_MAU_ORACLE)
+def events_engagement_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts", "user_id"])
+    month = F.date_trunc("month", "ts").cast("date")
+    daily = events.groupBy(
+        month.alias("month"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    monthly = events.groupBy(month.alias("month")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").cast("long").alias("active_days"),
+            F.expr("(2 * sum(dau) + count(*)) div (2 * count(*))")
+            .cast("long")
+            .alias("avg_dau"),
+            F.round(
+                F.sum("dau") * 1.0 / F.count("*") / F.col("mau"), 4
+            ).alias("stickiness"),
+        )
+        .select("month", "mau", "active_days", "avg_dau", "stickiness")
+        .orderBy("month")
+    )

@@ -2150,3 +2150,90 @@ def stat_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_poisson_gof_order_lines — distribution fitting + goodness of
+# fit: does "lines per order" follow a Poisson? MLE lambda = mean
+# count (exact integer ratio), expected bin mass n·e^-λ·λ^k/k! via
+# factorial (both engines exact for k ≤ 20), Pearson chi-square over
+# the observed k-histogram with a pooled right tail (k ≥ 8) so no
+# expected cell goes degenerate. The modeling-assumption audit behind
+# any queueing/capacity model of order flow. Scale: one count-per-
+# order aggregation (map-side combine on the orderkey the data is
+# already clustered by), then a k-histogram fold — the chi-square
+# arithmetic runs on ≤ 9 cells.
+# ---------------------------------------------------------------------------
+
+_POIS_TAIL_K = 8
+
+POISSON_GOF_ORACLE = f"""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k FROM lineitem
+  GROUP BY l_orderkey
+),
+hist AS (
+  SELECT least(k, {_POIS_TAIL_K}) AS kbin, CAST(count(*) AS BIGINT) AS obs
+  FROM per_order GROUP BY kbin
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(k) * 1.0 / count(*) AS lam
+  FROM per_order
+),
+expected AS (
+  SELECT h.kbin, h.obs, f.n, f.lam,
+         CASE WHEN h.kbin < {_POIS_TAIL_K}
+              THEN f.n * exp(-f.lam) * pow(f.lam, h.kbin) / factorial(CAST(h.kbin AS INT))
+              ELSE f.n * (1 - (
+                SELECT sum(exp(-f2.lam) * pow(f2.lam, j.j) / factorial(CAST(j.j AS INT)))
+                FROM (SELECT unnest(range(0, {_POIS_TAIL_K})) AS j) j
+                CROSS JOIN fit f2))
+         END AS exp_n
+  FROM hist h CROSS JOIN fit f
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_orders,
+       round(any_value(lam), 4) AS lambda_hat,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(pow(obs - exp_n, 2) / exp_n), 4) AS chi2
+FROM expected
+"""
+
+
+@register("stat_poisson_gof_order_lines", POISSON_GOF_ORACLE)
+def stat_poisson_gof_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").cast("long").alias("k"))
+    hist = per_order.groupBy(
+        F.least(F.col("k"), F.lit(_POIS_TAIL_K)).alias("kbin")
+    ).agg(F.count("*").cast("long").alias("obs"))
+    fit = per_order.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("k") * 1.0 / F.count("*")).alias("lam"),
+    )
+    # Head-bin Poisson mass; the pooled tail gets the complement.
+    head_mass = None
+    for j in range(_POIS_TAIL_K):
+        term = F.exp(-F.col("lam")) * F.pow(F.col("lam"), j) / float(
+            __import__("math").factorial(j)
+        )
+        head_mass = term if head_mass is None else head_mass + term
+    pmf = (
+        F.exp(-F.col("lam"))
+        * F.pow(F.col("lam"), F.col("kbin"))
+        / F.factorial(F.col("kbin").cast("int"))
+    )
+    expected = hist.join(F.broadcast(fit)).withColumn(
+        "exp_n",
+        F.when(F.col("kbin") < _POIS_TAIL_K, F.col("n") * pmf).otherwise(
+            F.col("n") * (1 - head_mass)
+        ),
+    )
+    return expected.agg(
+        F.any_value("n").cast("long").alias("n_orders"),
+        F.round(F.any_value("lam"), 4).alias("lambda_hat"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum(F.pow(F.col("obs") - F.col("exp_n"), 2) / F.col("exp_n")), 4
+        ).alias("chi2"),
+    )
