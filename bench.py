@@ -162,6 +162,8 @@ HEADLINE = [
     "corpus_weighted_reservoir_es",
     "events_engagement_dau_mau",
     "stat_poisson_gof_order_lines",
+    "stat_capture_recapture_customers",
+    "stat_paired_treatment_effect",
 ]
 
 

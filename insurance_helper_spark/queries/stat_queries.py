@@ -2237,3 +2237,135 @@ def stat_poisson_gof_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("obs") - F.col("exp_n"), 2) / F.col("exp_n")), 4
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_capture_recapture_customers — Lincoln–Petersen / Chapman
+# mark-recapture estimation applied to customer populations: treating
+# each year's active customers as a capture sample, the overlap
+# estimates the total addressable population N ≈ (n1+1)(n2+1)/(m+1)-1
+# (Chapman's bias-corrected form) — the dedup-adjacent estimator for
+# "how many distinct entities exist beyond what either snapshot saw"
+# (same math that sizes hidden populations and double-collected
+# corpora). All counts are exact distinct-key aggregations; the
+# estimator is one integer expression with a final rounded division.
+# Scale: two year-filtered distinct sets + one inner join on custkey
+# for the overlap — three map-side-combined aggregations, no windows.
+# ---------------------------------------------------------------------------
+
+CAPTURE_RECAPTURE_ORACLE = """
+WITH yrs AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr FROM orders
+  GROUP BY o_custkey, yr
+),
+bounds AS (
+  SELECT min(yr) AS y1, max(yr) AS y2 FROM yrs
+),
+s1 AS (SELECT DISTINCT o_custkey FROM yrs, bounds WHERE yr = y1),
+s2 AS (SELECT DISTINCT o_custkey FROM yrs, bounds WHERE yr = y2),
+m AS (
+  SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n1,
+         CAST((SELECT count(*) FROM s2) AS BIGINT) AS n2,
+         CAST((SELECT count(*) FROM s1 JOIN s2 USING (o_custkey)) AS BIGINT)
+             AS n_both
+)
+SELECT (SELECT y1 FROM bounds) AS year_1,
+       (SELECT y2 FROM bounds) AS year_2,
+       n1, n2, n_both,
+       round((n1 + 1.0) * (n2 + 1.0) / (n_both + 1.0) - 1, 2) AS chapman_estimate
+FROM m
+"""
+
+
+@register("stat_capture_recapture_customers", CAPTURE_RECAPTURE_ORACLE)
+def stat_capture_recapture_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    yrs = orders.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).distinct()
+    bounds = yrs.agg(F.min("yr").alias("y1"), F.max("yr").alias("y2"))
+    tagged = yrs.join(F.broadcast(bounds))
+    s1 = tagged.filter(F.col("yr") == F.col("y1")).select("o_custkey")
+    s2 = tagged.filter(F.col("yr") == F.col("y2")).select("o_custkey")
+    n1 = s1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = s2.agg(F.count("*").cast("long").alias("n2"))
+    nb = s1.join(s2, "o_custkey").agg(F.count("*").cast("long").alias("n_both"))
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("n_both") + 1.0) - 1
+    return (
+        F.broadcast(bounds)
+        .crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(nb)
+        .select(
+            F.col("y1").alias("year_1"),
+            F.col("y2").alias("year_2"),
+            "n1",
+            "n2",
+            "n_both",
+            F.round(est, 2).alias("chapman_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_paired_treatment_effect — within-part discount effect: for
+# every part sold BOTH with and without a discount, compare mean
+# quantity per arm and average the per-part differences — pairing on
+# part removes part-level heterogeneity (the cheap observational
+# stand-in for a matched experiment; the naive pooled difference would
+# confound part mix with discount policy). Per-part means are exact
+# integer ratios (BIGINT qty sums / counts); the cross-part average
+# folds those exact quotients and rounds at 4. Scale: ONE
+# (part, arm)-conditional aggregation — both arms ride the same
+# groupBy(part) with FILTER-style conditional sums, so pairing costs
+# one map-side-combined shuffle, no join, no window.
+# ---------------------------------------------------------------------------
+
+PAIRED_EFFECT_ORACLE = """
+WITH arms AS (
+  SELECT l_partkey AS part,
+         CAST(coalesce(sum(CAST(round(l_quantity) AS BIGINT))
+                       FILTER (l_discount > 0), 0) AS BIGINT) AS q_disc,
+         CAST(count(*) FILTER (l_discount > 0) AS BIGINT) AS n_disc,
+         CAST(coalesce(sum(CAST(round(l_quantity) AS BIGINT))
+                       FILTER (l_discount = 0), 0) AS BIGINT) AS q_full,
+         CAST(count(*) FILTER (l_discount = 0) AS BIGINT) AS n_full
+  FROM lineitem GROUP BY part
+),
+paired AS (
+  SELECT part,
+         q_disc * 1.0 / n_disc AS m_disc,
+         q_full * 1.0 / n_full AS m_full
+  FROM arms WHERE n_disc > 0 AND n_full > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_paired_parts,
+       round(avg(m_disc), 4) AS mean_qty_discounted,
+       round(avg(m_full), 4) AS mean_qty_full_price,
+       round(avg(m_disc - m_full), 4) AS avg_paired_effect
+FROM paired
+"""
+
+
+@register("stat_paired_treatment_effect", PAIRED_EFFECT_ORACLE)
+def stat_paired_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"]
+    )
+    disc = F.col("l_discount") > 0
+    qty = F.round("l_quantity").cast("long")
+    arms = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.coalesce(F.sum(F.when(disc, qty)), F.lit(0)).cast("long").alias("q_disc"),
+        F.sum(disc.cast("long")).cast("long").alias("n_disc"),
+        F.coalesce(F.sum(F.when(~disc, qty)), F.lit(0)).cast("long").alias("q_full"),
+        F.sum((~disc).cast("long")).cast("long").alias("n_full"),
+    )
+    paired = arms.filter((F.col("n_disc") > 0) & (F.col("n_full") > 0)).select(
+        (F.col("q_disc") * 1.0 / F.col("n_disc")).alias("m_disc"),
+        (F.col("q_full") * 1.0 / F.col("n_full")).alias("m_full"),
+    )
+    return paired.agg(
+        F.count("*").cast("long").alias("n_paired_parts"),
+        F.round(F.avg("m_disc"), 4).alias("mean_qty_discounted"),
+        F.round(F.avg("m_full"), 4).alias("mean_qty_full_price"),
+        F.round(F.avg(F.col("m_disc") - F.col("m_full")), 4).alias("avg_paired_effect"),
+    )
