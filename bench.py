@@ -164,6 +164,8 @@ HEADLINE = [
     "stat_poisson_gof_order_lines",
     "stat_capture_recapture_customers",
     "stat_paired_treatment_effect",
+    "events_cross_correlation_leadlag",
+    "lineitem_revenue_waterfall",
 ]
 
 

@@ -2393,3 +2393,75 @@ def ml_churn_label_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_revenue_waterfall — the finance waterfall decomposition per
+# year: gross (extended price) → discount given → net → tax collected
+# → billed total, with each step's share of gross — the bridge report
+# that reconciles TPC-H q1's aggregate formulas into an explainable
+# sequence. EXACTNESS: each per-line step amount is computed in
+# integer cents with HALF-UP rounding applied AT THE LINE LEVEL
+# (round(ext*disc*100) etc.), so the waterfall reconciles to the penny
+# by construction — sums of exact BIGINTs — and both engines agree
+# bit-for-bit before the two ratio columns. Scale: pure projection +
+# one year-key map-side-combined aggregation; no joins, no windows.
+# ---------------------------------------------------------------------------
+
+WATERFALL_ORACLE = """
+WITH lines AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
+         CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)
+             AS tax_c
+  FROM lineitem
+)
+SELECT year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       sum(gross_c) / 100.0 AS gross_revenue,
+       sum(disc_c) / 100.0 AS discount_given,
+       (sum(gross_c) - sum(disc_c)) / 100.0 AS net_revenue,
+       sum(tax_c) / 100.0 AS tax_collected,
+       (sum(gross_c) - sum(disc_c) + sum(tax_c)) / 100.0 AS billed_total,
+       round(sum(disc_c) * 1.0 / sum(gross_c), 4) AS discount_rate,
+       round(sum(tax_c) * 1.0 / (sum(gross_c) - sum(disc_c)), 4) AS effective_tax_rate
+FROM lines
+GROUP BY year
+ORDER BY year
+"""
+
+
+@register("lineitem_revenue_waterfall", WATERFALL_ORACLE)
+def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_shipdate", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    lines = li.select(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("gross_c"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long")
+        .alias("disc_c"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 100
+        )
+        .cast("long")
+        .alias("tax_c"),
+    )
+    g, d, t = F.sum("gross_c"), F.sum("disc_c"), F.sum("tax_c")
+    return (
+        lines.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (g / 100.0).alias("gross_revenue"),
+            (d / 100.0).alias("discount_given"),
+            ((g - d) / 100.0).alias("net_revenue"),
+            (t / 100.0).alias("tax_collected"),
+            ((g - d + t) / 100.0).alias("billed_total"),
+            F.round(d * 1.0 / g, 4).alias("discount_rate"),
+            F.round(t * 1.0 / (g - d), 4).alias("effective_tax_rate"),
+        )
+        .orderBy("year")
+    )

@@ -1347,3 +1347,111 @@ def events_engagement_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "mau", "active_days", "avg_dau", "stickiness")
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_cross_correlation_leadlag — lead-lag discovery between event
+# types: for every ordered type pair and lag k in 1..3 days, the
+# cross-correlation of their daily-count series (does A's volume
+# predict B's k days later?). Same exactness device as the ACF: each
+# series is centered by n*cnt - S (exact BIGINT, no rational means),
+# ccf = sum(za_t * zb_{t+k}) / sqrt(sum(za^2) * sum(zb^2)) with one
+# rounded division; alignment is a date equi-join on the tiny daily
+# rollup, never a window. Reports the top-10 |ccf| (pair, lag) cells —
+# the causal-hypothesis shortlist feeding any lead-lag model. Scale:
+# one (type, day) rollup shuffle; everything after joins
+# calendar-bounded series (T rows per type).
+# ---------------------------------------------------------------------------
+
+CCF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+z AS (
+  SELECT d.event_type, d.day, t.n * d.cnt - t.s AS z
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+),
+ss AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS ss FROM z GROUP BY event_type),
+lags AS (SELECT unnest(range(1, 4)) AS lag_k),
+num AS (
+  SELECT a.event_type AS lead_type, b.event_type AS lag_type, l.lag_k,
+         sum(a.z * b.z) AS num, CAST(count(*) AS BIGINT) AS n_days
+  FROM z a
+  CROSS JOIN lags l
+  JOIN z b ON b.day = a.day + l.lag_k * INTERVAL 1 DAY
+          AND b.event_type <> a.event_type
+  GROUP BY lead_type, lag_type, l.lag_k
+),
+scored AS (
+  SELECT n.lead_type, n.lag_type, CAST(n.lag_k AS INT) AS lag_k, n.n_days,
+         round(CAST(n.num AS DOUBLE)
+               / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)), 4) AS ccf
+  FROM num n
+  JOIN ss sa ON n.lead_type = sa.event_type
+  JOIN ss sb ON n.lag_type = sb.event_type
+)
+SELECT lead_type, lag_type, lag_k, n_days, ccf,
+       CAST(row_number() OVER (ORDER BY abs(ccf) DESC, lead_type, lag_type, lag_k)
+            AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+@register("events_cross_correlation_leadlag", CCF_ORACLE)
+def events_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["ts", "event_type"])
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cnt").cast("long").alias("s")
+    )
+    z = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type", "day", (F.col("n") * F.col("cnt") - F.col("s")).alias("z")
+    )
+    z = z.localCheckpoint(eager=True)  # both join sides + the ss fold
+    ss = z.groupBy("event_type").agg(F.sum(F.col("z") * F.col("z")).alias("ss"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_k"))
+    a = z.select(F.col("event_type").alias("lead_type"), F.col("day").alias("da"), F.col("z").alias("za"))
+    b = z.select(F.col("event_type").alias("lag_type"), F.col("day").alias("db"), F.col("z").alias("zb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("db") == F.date_add(F.col("da"), F.col("lag_k")))
+            & (F.col("lag_type") != F.col("lead_type")),
+        )
+        .groupBy("lead_type", "lag_type", "lag_k")
+        .agg(
+            F.sum(F.col("za") * F.col("zb")).alias("num"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+    sa = ss.select(F.col("event_type").alias("lead_type"), F.col("ss").alias("ssa"))
+    sb = ss.select(F.col("event_type").alias("lag_type"), F.col("ss").alias("ssb"))
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.desc(F.abs(F.col("ccf"))), "lead_type", "lag_type", "lag_k")
+    return (
+        num.join(F.broadcast(sa), "lead_type")
+        .join(F.broadcast(sb), "lag_type")
+        .withColumn(
+            "ccf",
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(F.col("ssa").cast("double") * F.col("ssb").cast("double")),
+                4,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lead_type", "lag_type", "lag_k", "n_days", "ccf", "rank")
+        .orderBy("rank")
+    )
