@@ -166,6 +166,7 @@ HEADLINE = [
     "stat_paired_treatment_effect",
     "events_cross_correlation_leadlag",
     "lineitem_revenue_waterfall",
+    "ml_psi_drift_detection",
 ]
 
 

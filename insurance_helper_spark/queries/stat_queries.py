@@ -2369,3 +2369,146 @@ def stat_paired_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("m_full"), 4).alias("mean_qty_full_price"),
         F.round(F.avg(F.col("m_disc") - F.col("m_full")), 4).alias("avg_paired_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_psi_drift_detection — Population Stability Index between the
+# first and second halves of the event timeline (train vs serve): the
+# reference half defines 10 equal-mass bins (exact integer rank cuts
+# on cents), both halves are histogrammed against those edges, and
+# PSI = SUM (p_i - q_i) * ln(p_i / q_i) with the standard "PSI > 0.2
+# = investigate" reading — the drift monitor every deployed model
+# wires to its features. Exactness: the time split is the median
+# event_id (integer), bin edges are exact order statistics, bin
+# assignment is a broadcast RANGE join on integer cents, and the bin
+# masses are exact integer ratios; only the final ln/products float.
+# Scale: one sort window over the reference half's DISTINCT cents
+# (value-collapsed, KS-style), broadcast edges, one (half, bin)
+# groupBy — no global sort of raw data.
+# ---------------------------------------------------------------------------
+
+PSI_ORACLE = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+split AS (SELECT CAST(floor(median(event_id)) AS BIGINT) AS cut FROM base),
+halves AS (
+  SELECT cents, CASE WHEN event_id <= s.cut THEN 'ref' ELSE 'cur' END AS half
+  FROM base CROSS JOIN split s
+),
+refv AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS c FROM halves
+  WHERE half = 'ref' GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS tot
+  FROM refv
+),
+edges AS (
+  SELECT CAST(least(10 * (cum - 1) // tot, 9) + 1 AS INT) AS bin,
+         max(cents) AS hi
+  FROM walked GROUP BY bin
+),
+bounded AS (
+  SELECT bin,
+         coalesce(lag(hi) OVER (ORDER BY bin), -9223372036854775807) AS lo,
+         CASE WHEN bin = (SELECT max(bin) FROM edges)
+              THEN 9223372036854775807 ELSE hi END AS hi
+  FROM edges
+),
+binned AS (
+  SELECT h.half, b.bin, CAST(count(*) AS BIGINT) AS n
+  FROM halves h JOIN bounded b ON h.cents > b.lo AND h.cents <= b.hi
+  GROUP BY h.half, b.bin
+),
+masses AS (
+  SELECT bin,
+         coalesce(sum(n) FILTER (half = 'ref'), 0) * 1.0
+             / (SELECT sum(n) FROM binned WHERE half = 'ref') AS p,
+         coalesce(sum(n) FILTER (half = 'cur'), 0) * 1.0
+             / (SELECT sum(n) FROM binned WHERE half = 'cur') AS q
+  FROM binned GROUP BY bin
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(max(abs(p - q)), 6) AS max_bin_shift,
+       sum((p - q) * ln(p / q)) > 0.2 AS drift_alert
+FROM masses
+"""
+
+
+@register("ml_psi_drift_detection", PSI_ORACLE)
+def ml_psi_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "events", columns=["event_id", "value"]).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    split = base.agg(F.expr("CAST(floor(median(event_id)) AS BIGINT)").alias("cut"))
+    halves = base.join(F.broadcast(split)).select(
+        "cents",
+        F.when(F.col("event_id") <= F.col("cut"), "ref").otherwise("cur").alias("half"),
+    )
+    halves = halves.localCheckpoint(eager=True)  # ref histogram + bin assignment
+    refv = (
+        halves.filter(F.col("half") == "ref")
+        .groupBy("cents")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy()
+    walked = refv.select(
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    edges = walked.groupBy(
+        (F.least(F.expr("10 * (cum - 1) div tot"), F.lit(9)) + 1)
+        .cast("int")
+        .alias("bin")
+    ).agg(F.max("cents").alias("hi"))
+    max_bin = edges.agg(F.max("bin").alias("mb"))
+    w_edge = Window.orderBy("bin")
+    bounded = (
+        edges.join(F.broadcast(max_bin))
+        .select(
+            "bin",
+            F.coalesce(
+                F.lag("hi").over(w_edge), F.lit(-(2**63 - 1))
+            ).alias("lo"),
+            F.when(F.col("bin") == F.col("mb"), F.lit(2**63 - 1))
+            .otherwise(F.col("hi"))
+            .alias("hi"),
+        )
+    )
+    binned = (
+        halves.join(
+            F.broadcast(bounded),
+            (F.col("cents") > F.col("lo")) & (F.col("cents") <= F.col("hi")),
+        )
+        .groupBy("half", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot_ref = binned.filter("half = 'ref'").agg(F.sum("n").alias("tr"))
+    tot_cur = binned.filter("half = 'cur'").agg(F.sum("n").alias("tc"))
+    masses = (
+        binned.groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("half") == "ref", F.col("n"))), F.lit(0)).alias("nr"),
+            F.coalesce(F.sum(F.when(F.col("half") == "cur", F.col("n"))), F.lit(0)).alias("nc"),
+        )
+        .join(F.broadcast(tot_ref))
+        .join(F.broadcast(tot_cur))
+        .select(
+            (F.col("nr") * 1.0 / F.col("tr")).alias("p"),
+            (F.col("nc") * 1.0 / F.col("tc")).alias("q"),
+        )
+    )
+    psi = F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    return masses.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(psi, 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("p") - F.col("q"))), 6).alias("max_bin_shift"),
+        (psi > 0.2).alias("drift_alert"),
+    )
