@@ -202,3 +202,60 @@ def test_es_sample_exact_size_and_sorted(spark):
     keys = [r.es_key for r in rows]
     assert keys == sorted(keys, reverse=True)  # ln(u)/w is negative, top-k desc
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_dau_mau_stickiness_bounds(spark):
+    rows = _rows(spark, "events_engagement_dau_mau")
+    assert rows
+    for r in rows:
+        assert 1 <= r.avg_dau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0
+        assert 1 <= r.active_days <= 31
+
+
+def test_poisson_gof_components(spark):
+    (r,) = _rows(spark, "stat_poisson_gof_order_lines")
+    assert r.lambda_hat > 0 and r.chi2 >= 0
+    assert 1 <= r.n_bins <= 9
+
+
+def test_capture_recapture_estimate_bounds(spark):
+    (r,) = _rows(spark, "stat_capture_recapture_customers")
+    # Chapman estimate can never be below the larger sample, and both
+    # samples cannot exceed it materially (bias-corrected lower bound).
+    assert r.n_both <= min(r.n1, r.n2)
+    assert r.chapman_estimate >= max(r.n1, r.n2) - 1
+
+
+def test_paired_effect_identity(spark):
+    (r,) = _rows(spark, "stat_paired_treatment_effect")
+    assert r.n_paired_parts > 0
+    assert abs(
+        (r.mean_qty_discounted - r.mean_qty_full_price) - r.avg_paired_effect
+    ) < 2e-4  # avg of diffs == diff of avgs over the same paired set
+
+
+def test_ccf_bounds_and_no_self_pairs(spark):
+    rows = _rows(spark, "events_cross_correlation_leadlag")
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.ccf <= 1.0 + 1e-9
+        assert r.lead_type != r.lag_type
+        assert 1 <= r.lag_k <= 3
+
+
+def test_waterfall_reconciles(spark):
+    rows = _rows(spark, "lineitem_revenue_waterfall")
+    assert rows
+    for r in rows:
+        assert abs(r.net_revenue - (r.gross_revenue - r.discount_given)) < 1e-6
+        assert abs(r.billed_total - (r.net_revenue + r.tax_collected)) < 1e-6
+        assert 0.0 <= r.discount_rate < 1.0
+        assert r.effective_tax_rate >= 0.0
+
+
+def test_psi_nonnegative_and_bins_complete(spark):
+    (r,) = _rows(spark, "ml_psi_drift_detection")
+    assert r.n_bins == 10
+    assert r.psi >= 0.0  # PSI is a symmetrized KL: always >= 0
+    assert 0.0 <= r.max_bin_shift <= 1.0
