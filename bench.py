@@ -167,6 +167,7 @@ HEADLINE = [
     "events_cross_correlation_leadlag",
     "lineitem_revenue_waterfall",
     "ml_psi_drift_detection",
+    "multimodal_chunk_dedup",
 ]
 
 

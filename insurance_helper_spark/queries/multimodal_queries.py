@@ -110,3 +110,95 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_chunk_dedup — content-addressable-storage dedup over the
+# binary column: every blob splits into fixed 256-byte chunks, each
+# chunk is sha-256 fingerprinted, and chunks occurring in more than
+# one place become the dedup ledger (the CAS primitive behind blob
+# stores and artifact caches — store each chunk once, reference it
+# everywhere). Top-50 duplicated chunks by occurrence. Exactness:
+# byte-slicing and sha-256 are bit-identical across engines (ASCII
+# fixture text ⇒ UTF-8 encode is injective and reproducible), counts
+# are integers. Scale: chunking is a generate (sequence + substring
+# on the blob, JVM-side, no Python); only (hash, ids) rows shuffle —
+# 32-byte digests, never blob bytes; one hash-key groupBy.
+# ---------------------------------------------------------------------------
+
+_CHUNK_BYTES = 256
+
+CHUNK_DEDUP_ORACLE = f"""
+WITH blobs AS (
+  -- DuckDB substring() is VARCHAR-only; the fixture text is ASCII, so
+  -- character slicing == byte slicing and sha256(varchar) hashes the
+  -- same UTF-8 bytes the Spark side slices from the blob.
+  SELECT doc_id, text AS b, octet_length(encode(text)) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         sha256(substring(b, 1 + i.i * {_CHUNK_BYTES}, {_CHUNK_BYTES})) AS h
+  FROM blobs
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  WHERE i.i * {_CHUNK_BYTES} < n
+),
+groups AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY h
+  HAVING count(*) >= 2
+)
+SELECT substr(h, 1, 16) AS chunk_hash, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, h) AS INT) AS rank
+FROM groups
+QUALIFY rank <= 50
+ORDER BY rank
+"""
+
+
+@register("multimodal_chunk_dedup", CHUNK_DEDUP_ORACLE)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    blobs = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("b"),
+        F.length(F.encode("text", "UTF-8")).alias("n"),
+    )
+    chunks = (
+        blobs.select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            F.col("b"),
+        )
+        .filter(F.col("i") * _CHUNK_BYTES < F.col("n"))
+        .select(
+            "doc_id",
+            F.sha2(
+                F.expr(f"substring(b, 1 + i * {_CHUNK_BYTES}, {_CHUNK_BYTES})"), 256
+            ).alias("h"),
+        )
+    )
+    groups = (
+        chunks.groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    wr = W.orderBy(F.desc("n_occurrences"), "h")
+    return (
+        groups.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select(
+            F.substring("h", 1, 16).alias("chunk_hash"),
+            "n_occurrences",
+            "n_docs",
+            "rank",
+        )
+        .orderBy("rank")
+    )
