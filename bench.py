@@ -168,6 +168,7 @@ HEADLINE = [
     "lineitem_revenue_waterfall",
     "ml_psi_drift_detection",
     "multimodal_chunk_dedup",
+    "ops_rendezvous_sharding",
 ]
 
 

@@ -1312,3 +1312,76 @@ def dq_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_rendezvous_sharding — highest-random-weight (rendezvous) hashing
+# for shard assignment, with the property that justifies it measured
+# on real keys: assign every doc to argmax_s hash(key, s) over 8
+# shards, re-assign over 9, and report per-shard occupancy plus how
+# many keys MOVE — under HRW only keys whose new-shard hash wins can
+# move (all movers land on the new shard, ~1/(N+1) of keys), versus
+# mod-N hashing where ~8/9 of keys would shuffle. The partitioning
+# design tool for any stateful shard map (state stores, cache rings,
+# bucketed layouts). Deterministic: the indexed Knuth hash family on
+# the pmod-reduced key; argmax by first-position-of-max with identical
+# semantics both engines. Scale: pure projection (9 hash expressions,
+# JVM codegen) + one shard groupBy — no shuffle of anything but the
+# 9-cell report.
+# ---------------------------------------------------------------------------
+
+_HRW_N = 8
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    hash_family as _hf,
+    hash_family_sql as _hf_sql,
+)
+
+_hrw_list8 = ", ".join(_hf_sql("doc_id", s) for s in range(_HRW_N))
+_hrw_list9 = ", ".join(_hf_sql("doc_id", s) for s in range(_HRW_N + 1))
+
+HRW_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         list_position([{_hrw_list8}], list_max([{_hrw_list8}])) - 1 AS shard8,
+         list_position([{_hrw_list9}], list_max([{_hrw_list9}])) - 1 AS shard9
+  FROM documents
+)
+SELECT CAST(shard8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN shard8 <> shard9 THEN 1 END), 0) AS BIGINT)
+           AS n_moved,
+       CAST(coalesce(sum(CASE WHEN shard8 <> shard9 AND shard9 <> {_HRW_N}
+                              THEN 1 END), 0) AS BIGINT) AS n_moved_elsewhere,
+       round(coalesce(sum(CASE WHEN shard8 <> shard9 THEN 1 END), 0) * 1.0
+             / count(*), 4) AS moved_frac
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("ops_rendezvous_sharding", HRW_ORACLE)
+def ops_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    h8 = F.array(*[_hf(F.col("doc_id"), s) for s in range(_HRW_N)])
+    h9 = F.array(*[_hf(F.col("doc_id"), s) for s in range(_HRW_N + 1)])
+    assigned = docs.select(
+        (F.array_position(h8, F.array_max(h8)) - 1).alias("shard8"),
+        (F.array_position(h9, F.array_max(h9)) - 1).alias("shard9"),
+    )
+    moved = F.col("shard8") != F.col("shard9")
+    return (
+        assigned.groupBy(F.col("shard8").cast("int").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(moved, 1)), F.lit(0)).cast("long").alias("n_moved"),
+            F.coalesce(
+                F.sum(F.when(moved & (F.col("shard9") != _HRW_N), 1)), F.lit(0)
+            ).cast("long").alias("n_moved_elsewhere"),
+            F.round(
+                F.coalesce(F.sum(F.when(moved, 1)), F.lit(0)) * 1.0 / F.count("*"), 4
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard")
+    )

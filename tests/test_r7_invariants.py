@@ -259,3 +259,27 @@ def test_psi_nonnegative_and_bins_complete(spark):
     assert r.n_bins == 10
     assert r.psi >= 0.0  # PSI is a symmetrized KL: always >= 0
     assert 0.0 <= r.max_bin_shift <= 1.0
+
+
+def test_hrw_minimal_movement_property(spark):
+    """Rendezvous hashing's defining property: when a 9th shard joins,
+    every mover lands ON the new shard, and the moved fraction is near
+    1/9 (generous band — n is small at fixture scale). The original
+    post-multiply seed mix failed BOTH (100% moved); the pure
+    multiplicative chain failed the band (5.4%)."""
+    rows = _rows(spark, "ops_rendezvous_sharding")
+    assert {r.shard for r in rows} == set(range(8))
+    tot = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert sum(r.n_moved_elsewhere for r in rows) == 0
+    assert 0.03 < moved / tot < 0.25, moved / tot
+
+
+def test_minhash_rows_are_decorrelated(spark):
+    """With a seed-before-multiply avalanche family, MinHash estimates
+    take FRACTIONAL values (many effective permutations). The broken
+    additive family collapsed every estimate to 0 or 1."""
+    rows = _rows(spark, "dedup_minhash_estimate_audit", sf="/root/testdata/sf0.01")
+    assert rows
+    assert any(0.0 < r.est_jaccard < 1.0 for r in rows)
+    assert all(r.within_hoeffding for r in rows)
