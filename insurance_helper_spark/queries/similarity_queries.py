@@ -300,7 +300,10 @@ member AS (
 )
 SELECT m.cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       round(sum(1 - m.cos_c), 3) AS inertia,
+       -- cos_c is 4-decimal-rounded: sum exact integer ten-thousandths so
+       -- the inertia needs NO further rounding (a float sum of decimal
+       -- summands can tie at the rounding boundary and flip per run).
+       sum(CAST(round((1 - m.cos_c) * 10000) AS BIGINT)) / 10000.0 AS inertia,
        round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS c0,
        round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS c1,
        round(avg(CAST(e.embedding[3] AS DOUBLE)), 4) AS c2,
@@ -339,7 +342,9 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         member.groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.round(F.sum(1 - F.col("cos_c")), 3).alias("inertia"),
+            (
+                F.sum(F.round((1 - F.col("cos_c")) * 10000).cast("long")) / 10000.0
+            ).alias("inertia"),
             *[
                 F.round(F.avg(F.col("vec").getItem(i)), 4).alias(f"c{i}")
                 for i in range(4)
