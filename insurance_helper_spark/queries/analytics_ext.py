@@ -2465,3 +2465,101 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_apportionment_largest_remainder — proportional allocation of
+# a fixed integer budget (1000 "seats": capacity units, sample quota,
+# ad slots) across nations by revenue share, Hamilton's
+# largest-remainder method: every nation gets floor(seats * share),
+# and the leftover seats go to the largest fractional remainders —
+# the standard way to turn continuous shares into integers that sum
+# EXACTLY to the budget (naive per-group rounding drifts). All
+# arithmetic is exact int64 (seats * rev_cents ≤ ~2e16 at sf1;
+# div/mod against the grand total), the remainder rank breaks ties
+# deterministically on nation name, and the only double is the
+# display-quota column. Scale: revenue rollup is one shuffle; the
+# rank window runs over 25 pre-aggregated rows — the engine-wide
+# unpartitioned-window rule (calendar/key-bounded tiny series only)
+# holds.
+# ---------------------------------------------------------------------------
+
+APPORTION_SEATS = 1000
+
+APPORTION_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT sum(rev_cents) AS grand FROM rev),
+quota AS (
+  SELECT nation, rev_cents,
+         ({APPORTION_SEATS} * rev_cents) // grand AS floor_seats,
+         ({APPORTION_SEATS} * rev_cents) % grand AS remainder_num,
+         round({APPORTION_SEATS} * rev_cents * 1.0 / grand, 6) AS exact_quota
+  FROM rev, tot
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY remainder_num DESC, nation) AS rem_rank,
+         {APPORTION_SEATS} - sum(floor_seats) OVER () AS leftover
+  FROM quota
+)
+SELECT nation, rev_cents, exact_quota,
+       CAST(floor_seats AS BIGINT) AS floor_seats,
+       CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS bonus_seat,
+       CAST(floor_seats + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM ranked
+ORDER BY nation
+"""
+
+
+@register("orders_apportionment_largest_remainder", APPORTION_ORACLE)
+def orders_apportionment_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    grand_w = Window.partitionBy()
+    quota = rev.select(
+        "nation",
+        "rev_cents",
+        (F.lit(APPORTION_SEATS) * F.col("rev_cents")).alias("num"),
+        F.sum("rev_cents").over(grand_w).alias("grand"),
+    ).select(
+        "nation",
+        "rev_cents",
+        F.expr("num div grand").alias("floor_seats"),
+        (F.col("num") % F.col("grand")).alias("remainder_num"),
+        F.round(F.col("num") * 1.0 / F.col("grand"), 6).alias("exact_quota"),
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("remainder_num"), "nation"))
+        .alias("rem_rank"),
+        (F.lit(APPORTION_SEATS) - F.sum("floor_seats").over(grand_w)).alias("leftover"),
+    )
+    bonus = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "nation",
+        "rev_cents",
+        "exact_quota",
+        F.col("floor_seats").cast("long").alias("floor_seats"),
+        bonus.cast("long").alias("bonus_seat"),
+        (F.col("floor_seats") + bonus).cast("long").alias("seats"),
+    ).orderBy("nation")

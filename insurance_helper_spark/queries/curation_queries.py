@@ -1385,3 +1385,123 @@ def ops_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_bloom_semijoin_audit — Bloom-filter semi-join reduction, the
+# runtime filter every distributed engine (Spark's
+# spark.sql.optimizer.runtime.bloomFilter, Snowflake/Trino dynamic
+# filters) injects in front of a shuffle join: hash the build side's
+# join keys into an m-bit filter with k hash functions, prune the
+# probe side BEFORE the shuffle, and pay only a bounded
+# false-positive rate. This query makes the mechanism itself
+# auditable: build = BUILDING-segment customers, probe = orders, and
+# the report per order-priority compares bloom survivors against the
+# exact semi-join so the measured FP rate is a value-hashed result,
+# not a trusted constant. Deterministic: the portable indexed hash
+# family (k=3 seeds, m=4096 bits) — bit-identical in DuckDB — so
+# "probabilistic" here means data-dependent, not run-dependent.
+# Scale: the occupied-position set is ≤ m rows (bounded by the FILTER
+# SIZE, not the data), broadcast to the probe side; the probe scan is
+# a projection + broadcast hash join — exactly the plan shape that
+# makes runtime filters ~free at 100 TB. The exact semi-join column
+# exists only for the audit; production keeps just the bloom pass.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_bloom_build_pos = " UNION ".join(
+    f"SELECT ({_hf_sql('c_custkey', s)}) % {_BLOOM_M} AS p FROM build"
+    for s in range(_BLOOM_K)
+)
+_bloom_probe_pass = " AND ".join(
+    f"(({_hf_sql('o_custkey', s)}) % {_BLOOM_M}) IN (SELECT p FROM bits)"
+    for s in range(_BLOOM_K)
+)
+
+BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS ({_bloom_build_pos}),
+probe AS (
+  SELECT o_orderpriority, o_custkey,
+         CASE WHEN {_bloom_probe_pass} THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+              THEN 1 ELSE 0 END AS is_member
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(bloom_pass) AS BIGINT) AS n_pass_bloom,
+       CAST(sum(is_member) AS BIGINT) AS n_true_members,
+       CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       round(sum(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS fp_rate,
+       round(1.0 - sum(bloom_pass) * 1.0 / count(*), 4) AS pruned_frac
+FROM probe
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("ops_bloom_semijoin_audit", BLOOM_ORACLE)
+def ops_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+
+    # Occupied bit positions: union of the k hash positions over the
+    # build keys, ≤ m distinct rows however large the build side is.
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_hf(F.col("c_custkey"), s) % _BLOOM_M for s in range(_BLOOM_K)])
+            ).alias("p")
+        ).distinct()
+    )
+
+    # Probe each distinct customer key once (k positions must all be
+    # occupied), then broadcast the per-key verdicts onto orders.
+    probe_keys = orders.select("o_custkey").distinct()
+    key_pos = probe_keys.select(
+        "o_custkey",
+        F.posexplode(
+            F.array(*[_hf(F.col("o_custkey"), s) % _BLOOM_M for s in range(_BLOOM_K)])
+        ).alias("i", "p"),
+    )
+    key_pass = (
+        key_pos.join(F.broadcast(bits), "p", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("o_custkey", F.lit(1).alias("bloom_pass"))
+    )
+    members = build.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_member"))
+
+    flagged = (
+        orders.join(F.broadcast(key_pass), "o_custkey", "left")
+        .join(F.broadcast(members), "o_custkey", "left")
+        .select(
+            "o_orderpriority",
+            F.coalesce("bloom_pass", F.lit(0)).alias("bloom_pass"),
+            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+        )
+    )
+    fp = (F.col("bloom_pass") == 1) & (F.col("is_member") == 0)
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("bloom_pass").cast("long").alias("n_pass_bloom"),
+            F.sum("is_member").cast("long").alias("n_true_members"),
+            F.coalesce(F.sum(F.when(fp, 1)), F.lit(0)).cast("long").alias("n_false_positives"),
+            F.round(
+                F.coalesce(F.sum(F.when(fp, 1)), F.lit(0)) * 1.0 / F.count("*"), 4
+            ).alias("fp_rate"),
+            F.round(1.0 - F.sum("bloom_pass") * 1.0 / F.count("*"), 4).alias("pruned_frac"),
+        )
+        .orderBy("o_orderpriority")
+    )

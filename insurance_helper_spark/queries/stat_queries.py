@@ -2512,3 +2512,108 @@ def ml_psi_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("p") - F.col("q"))), 6).alias("max_bin_shift"),
         (psi > 0.2).alias("drift_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_ols_two_regressors — multiple linear regression fit the way a
+# distributed engine actually fits it: ONE aggregation pass collects
+# the Gram matrix / moment sums (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2,
+# Σx1y, Σx2y — all exact BIGINTs over integerized units), then the
+# 3×3 normal equations are solved closed-form per group (Cramer), so
+# adding a feature never adds a pass over the data. Fits
+# extendedprice_cents ~ quantity + discount_pct per return flag — the
+# "is pricing linear in volume and how much does discount distort it"
+# probe. Engine parity: the moment sums are order-independent exact
+# integers; the double-precision Cramer solve is the SAME expression
+# text on both engines (generated once, pasted into both), so every
+# IEEE operation sequence matches. Scale: one map-side-combined
+# shuffle on the group key; the solve runs on 3 tiny rows. This is
+# the same sufficient-statistics pattern MLlib's linear models use.
+# ---------------------------------------------------------------------------
+
+def _det3(r0: tuple[str, str, str], r1: tuple[str, str, str], r2: tuple[str, str, str]) -> str:
+    (a, b, c), (d, e, f), (g, h, i) = r0, r1, r2
+    return (
+        f"{a} * ({e} * {i} - {f} * {h}) - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g})"
+    )
+
+
+_OLS_DET = _det3(("fn", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22"))
+_OLS_D0 = _det3(("sy", "s1", "s2"), ("s1y", "s11", "s12"), ("s2y", "s12", "s22"))
+_OLS_D1 = _det3(("fn", "sy", "s2"), ("s1", "s1y", "s12"), ("s2", "s2y", "s22"))
+_OLS_D2 = _det3(("fn", "s1", "sy"), ("s1", "s11", "s1y"), ("s2", "s12", "s2y"))
+
+_OLS_SOLVE = (
+    f"round(({_OLS_D0}) / ({_OLS_DET}), 6) AS b0_cents",
+    f"round(({_OLS_D1}) / ({_OLS_DET}), 6) AS b1_cents_per_qty",
+    f"round(({_OLS_D2}) / ({_OLS_DET}), 6) AS b2_cents_per_disc_pct",
+)
+
+OLS2_ORACLE = f"""
+WITH obs AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS fn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM obs GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       {_OLS_SOLVE[0]},
+       {_OLS_SOLVE[1]},
+       {_OLS_SOLVE[2]}
+FROM moments
+WHERE ({_OLS_DET}) <> 0
+ORDER BY l_returnflag
+"""
+
+
+@register("stat_ols_two_regressors", OLS2_ORACLE)
+def stat_ols_two_regressors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    obs = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    moments = obs.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return (
+        moments.filter(F.expr(f"({_OLS_DET}) <> 0"))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.expr(_OLS_SOLVE[0]),
+            F.expr(_OLS_SOLVE[1]),
+            F.expr(_OLS_SOLVE[2]),
+        )
+        .orderBy("l_returnflag")
+    )

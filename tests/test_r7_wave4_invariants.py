@@ -1,0 +1,90 @@
+"""Mathematical/structural invariants for the round-7 wave-4 operators —
+properties that must hold for ANY input, checked on the fixture
+(complements the oracle hash check, which pins values but not meaning)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="fixture data absent"
+)
+
+
+def _rows(spark, name, sf=SF_DIR):
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf).collect()
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    rows = _rows(spark, "ops_bloom_semijoin_audit")
+    assert rows
+    for r in rows:
+        # A Bloom filter may over-approximate, never under-approximate.
+        assert r.n_pass_bloom >= r.n_true_members
+        assert r.n_false_positives == r.n_pass_bloom - r.n_true_members
+        assert 0.0 <= r.fp_rate <= 1.0
+        assert 0.0 <= r.pruned_frac <= 1.0
+
+
+def test_bloom_semijoin_member_total_matches_exact_semijoin(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ops_bloom_semijoin_audit")
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    exact = orders.join(
+        build, orders.o_custkey == build.c_custkey, "left_semi"
+    ).count()
+    assert sum(r.n_true_members for r in rows) == exact
+
+
+def test_ols_two_regressors_normal_equations_hold(spark):
+    """The fitted plane passes through the group centroid: this is the
+    first normal equation (sum of residuals = 0), true for any data."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "stat_ols_two_regressors")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    means = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.avg(F.round("l_quantity")).alias("mx1"),
+            F.avg(F.round(F.col("l_discount") * 100)).alias("mx2"),
+            F.avg(F.round(F.col("l_extendedprice") * 100)).alias("my"),
+        )
+        .collect()
+    }
+    for r in rows:
+        m = means[r["l_returnflag"]]
+        pred = r.b0_cents + r.b1_cents_per_qty * m.mx1 + r.b2_cents_per_disc_pct * m.mx2
+        assert abs(pred - m.my) / abs(m.my) < 1e-6
+
+
+def test_apportionment_seats_sum_to_budget(spark):
+    from insurance_helper_spark.queries.analytics_ext import APPORTION_SEATS
+
+    rows = _rows(spark, "orders_apportionment_largest_remainder")
+    assert rows
+    assert sum(r.seats for r in rows) == APPORTION_SEATS
+    grand = sum(r.rev_cents for r in rows)
+    for r in rows:
+        assert r.bonus_seat in (0, 1)
+        assert r.seats - r.bonus_seat == r.floor_seats
+        assert r.floor_seats == (APPORTION_SEATS * r.rev_cents) // grand
+        # Largest-remainder never strays more than one seat from the
+        # exact quota (the method's defining property).
+        assert abs(r.seats - r.exact_quota) < 1.0
