@@ -1505,3 +1505,94 @@ def ops_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_file_compaction_planner — small-file compaction planning, the
+# table-maintenance step every lake engine (Iceberg rewrite_data_files,
+# Delta OPTIMIZE) runs: within each partition, pack the small files
+# into target-size rewrite groups and report how much the file count
+# shrinks. Files here are the documents table (n_chars as the size
+# proxy), partitioned by source. The packer is the deterministic
+# streaming bin-pack: walk files in stable (size-class-free) id order,
+# cut a new group whenever the running byte total crosses the target —
+# group = (cum_bytes - bytes) div target, a pure window cumsum, no
+# sequential driver logic. Report per source: file count before/after,
+# mean fill of the planned groups, and the largest group (oversized
+# single files become singleton groups, as in real compactors).
+# Integer-exact throughout except the rounded fill ratio. Scale: one
+# window per partition key (the same order files are listed in), one
+# rollup — the plan costs less than listing the files.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000
+
+COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM documents
+),
+grouped AS (
+  SELECT source, doc_id, n_chars,
+         (cum_bytes - n_chars) // {_COMPACT_TARGET} AS grp
+  FROM files
+),
+plans AS (
+  SELECT source, grp,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_chars) AS BIGINT) AS grp_bytes
+  FROM grouped GROUP BY source, grp
+)
+SELECT source,
+       CAST(sum(n_files) AS BIGINT) AS n_files_before,
+       CAST(count(*) AS BIGINT) AS n_groups_after,
+       CAST(sum(grp_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(grp_bytes) AS BIGINT) AS max_group_bytes,
+       CAST(sum(CASE WHEN n_files = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singleton_groups,
+       round(sum(grp_bytes) * 1.0 / (count(*) * {_COMPACT_TARGET}), 4)
+           AS mean_fill
+FROM plans
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("ops_file_compaction_planner", COMPACT_ORACLE)
+def ops_file_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = (
+        docs.withColumn("cum_bytes", F.sum("n_chars").over(w))
+        .select(
+            "source",
+            "n_chars",
+            F.expr(f"(cum_bytes - n_chars) div {_COMPACT_TARGET}").alias("grp"),
+        )
+    )
+    plans = grouped.groupBy("source", "grp").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("grp_bytes"),
+    )
+    return (
+        plans.groupBy("source")
+        .agg(
+            F.sum("n_files").cast("long").alias("n_files_before"),
+            F.count("*").cast("long").alias("n_groups_after"),
+            F.sum("grp_bytes").cast("long").alias("total_bytes"),
+            F.max("grp_bytes").cast("long").alias("max_group_bytes"),
+            F.sum(F.when(F.col("n_files") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton_groups"),
+            F.round(
+                F.sum("grp_bytes") * 1.0 / (F.count("*") * _COMPACT_TARGET), 4
+            ).alias("mean_fill"),
+        )
+        .orderBy("source")
+    )

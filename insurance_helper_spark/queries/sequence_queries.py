@@ -1455,3 +1455,119 @@ def events_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFr
         .select("lead_type", "lag_type", "lag_k", "n_days", "ccf", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_holt_linear — Holt's linear-trend (double) exponential
+# smoothing over the daily revenue series per order priority:
+#   level_t = a*y_t + (1-a)*(level_{t-1} + trend_{t-1})
+#   trend_t = b*(level_t - level_{t-1}) + (1-b)*trend_{t-1}
+# with a=0.5, b=0.3, initialized level_1 = y_1, trend_1 = 0. The
+# level+trend pair is the one-step forecast — the next rung up from
+# EWMA (events_ewma_daily) because it tracks drift instead of lagging
+# it. The recurrence is nonlinear in the prefix (like the capped
+# balance), so it runs on the applyInPandas tier: one Arrow batch per
+# priority over the calendar-bounded daily rollup, a four-line scan
+# inside; the DuckDB oracle replays the identical recurrence with a
+# RECURSIVE CTE. Engine parity: daily revenue is exact cents; both
+# recurrences execute the SAME IEEE operation order (the expressions
+# are written identically), so the doubles match bit-for-bit before
+# the display rounding. Scale: the scan input is the (priority, day)
+# rollup — map-side combined, ~2.4k rows per series — never raw
+# orders; state is two numbers; series parallelize across executors.
+# ---------------------------------------------------------------------------
+
+HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+  FROM orders GROUP BY 1, 2
+),
+d AS (
+  SELECT priority, day, revenue,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily
+),
+walk AS (
+  SELECT priority, day, rn, revenue,
+         revenue AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.priority, d.day, d.rn, d.revenue,
+         0.5 * d.revenue + 0.5 * (w.level + w.trend) AS level,
+         0.3 * ((0.5 * d.revenue + 0.5 * (w.level + w.trend)) - w.level)
+             + 0.7 * w.trend AS trend
+  FROM walk w JOIN d ON d.priority = w.priority AND d.rn = w.rn + 1
+)
+SELECT priority, day,
+       round(revenue, 2) AS revenue,
+       round(level, 4) AS level,
+       round(trend, 4) AS trend,
+       round(level + trend, 4) AS forecast_next
+FROM walk
+ORDER BY priority, day
+"""
+
+
+@register("orders_holt_linear", HOLT_ORACLE)
+def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("revenue")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        levels, trends = [], []
+        level, trend = 0.0, 0.0
+        for i, y in enumerate(pdf["revenue"]):
+            y = float(y)
+            if i == 0:
+                level, trend = y, 0.0
+            else:
+                prev_level, prev_trend = level, trend
+                level = 0.5 * y + 0.5 * (prev_level + prev_trend)
+                trend = 0.3 * (level - prev_level) + 0.7 * prev_trend
+            levels.append(level)
+            trends.append(trend)
+        # Rounding happens Spark-side (F.round is HALF_UP like DuckDB's
+        # round; pandas .round is half-to-even and disagrees on exact
+        # .5 boundaries).
+        out = pd.DataFrame(
+            {
+                "priority": pdf["priority"],
+                "day": pdf["day"],
+                "revenue": pdf["revenue"],
+                "level": pd.Series(levels, dtype="float64"),
+                "trend": pd.Series(trends, dtype="float64"),
+            }
+        )
+        return out
+
+    return (
+        daily.groupBy("priority")
+        .applyInPandas(
+            scan,
+            "priority string, day date, revenue double, level double, trend double",
+        )
+        .select(
+            "priority",
+            "day",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("level", 4).alias("level"),
+            F.round("trend", 4).alias("trend"),
+            F.round(F.col("level") + F.col("trend"), 4).alias("forecast_next"),
+        )
+        .orderBy("priority", "day")
+    )

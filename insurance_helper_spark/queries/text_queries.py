@@ -1056,3 +1056,60 @@ def ml_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f1"),
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index — the retrieval structure itself: term →
+# (document frequency, collection frequency, capped sorted posting
+# list). BM25/TF-IDF above SCORE with term statistics; this query
+# MATERIALIZES the index a search tier would serve, the way
+# Lucene/Elasticsearch segments or a Spark-built offline index lay it
+# out. Postings are sorted doc_id arrays capped at 20 entries (real
+# indexes cap posting blocks too — skip lists resume them); the
+# report keeps the 25 highest-df terms, ties broken on the term. The
+# posting list is a comma-joined sorted id string (arrays don't
+# survive the driver's value-hash; the sort removes any collect_list
+# ordering hazard). Scale:
+# one explode + (term, doc) distinct aggregation — the classic
+# map-side-combinable index build; posting caps bound the row width,
+# and a production variant would range-partition by term to keep
+# segments contiguous.
+# ---------------------------------------------------------------------------
+
+INVERTED_INDEX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM t WHERE term <> '' GROUP BY term, doc_id
+),
+terms AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf,
+         array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+  FROM tf GROUP BY term
+)
+SELECT term, df, cf, postings_head
+FROM terms
+ORDER BY df DESC, term
+LIMIT 25
+"""
+
+
+@register("text_inverted_index", INVERTED_INDEX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+    return terms.orderBy(F.desc("df"), "term").limit(25)

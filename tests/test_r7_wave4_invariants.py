@@ -88,3 +88,59 @@ def test_apportionment_seats_sum_to_budget(spark):
         # Largest-remainder never strays more than one seat from the
         # exact quota (the method's defining property).
         assert abs(r.seats - r.exact_quota) < 1.0
+
+
+def test_compaction_planner_conserves_bytes_and_shrinks(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.queries.curation_queries import _COMPACT_TARGET
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ops_file_compaction_planner")
+    assert rows
+    truth = {
+        r["source"]: r
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("bytes"),
+            F.max("n_chars").alias("max_file"),
+        )
+        .collect()
+    }
+    for r in rows:
+        t = truth[r.source]
+        assert r.n_files_before == t.n
+        assert r.total_bytes == t.bytes
+        assert 1 <= r.n_groups_after <= r.n_files_before
+        # A group closes when the cumsum crosses the target, so it can
+        # exceed the target by at most one file.
+        assert r.max_group_bytes < _COMPACT_TARGET + t.max_file
+        assert r.mean_fill > 0.0
+
+
+def test_holt_linear_initialization_and_forecast(spark):
+    rows = _rows(spark, "orders_holt_linear")
+    assert rows
+    first_by_priority = {}
+    for r in rows:
+        first_by_priority.setdefault(r.priority, r)
+        assert abs(r.forecast_next - (r.level + r.trend)) < 2e-3
+    for r in first_by_priority.values():
+        assert r.trend == 0.0
+        assert abs(r.level - r.revenue) < 1e-9
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "text_inverted_index")
+    assert rows
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert 1 <= r.df <= n_docs
+        assert r.cf >= r.df
+        ids = [int(x) for x in r.postings_head.split(",")]
+        assert len(ids) == min(r.df, 20)
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
