@@ -2617,3 +2617,136 @@ def stat_ols_two_regressors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_cohens_kappa — chance-corrected agreement (Cohen's kappa)
+# between two duplicate-detection policies on the corpus: the cheap
+# "token-sort fingerprint" (word-order-insensitive exact match) vs
+# the expensive "3-gram Jaccard ≥ 0.5" near-dup pairing. Raw percent
+# agreement flatters any pair of raters that both say "not a dup"
+# almost always; kappa subtracts the agreement expected from the
+# marginal rates — the standard audit for whether the cheap policy
+# can pre-screen for the expensive one. The 2×2 contingency is exact
+# integers (fingerprint groupBy + the shared shingle-equi-join
+# candidate generator — never all-pairs); po/pe/kappa are one double
+# expression with identical text on both engines, NULL-guarded for
+# the degenerate pe=1 margin. Scale: the Jaccard flag reuses
+# operators/dedup.ngram_jaccard_pairs (hot-shingle-capped equi-join);
+# the rest is two key shuffles.
+# ---------------------------------------------------------------------------
+
+_KAPPA_EXPR = (
+    "CASE WHEN 1.0 - pe = 0.0 THEN NULL"
+    " ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa"
+)
+_PO_EXPR = "CAST(n_both_dup + n_neither AS DOUBLE) / n_docs AS po"
+_PE_EXPR = (
+    "(CAST(n_both_dup + n_jaccard_only AS DOUBLE) * (n_both_dup + n_tokensort_only)"
+    " + CAST(n_tokensort_only + n_neither AS DOUBLE) * (n_jaccard_only + n_neither))"
+    " / (CAST(n_docs AS DOUBLE) * n_docs) AS pe"
+)
+
+KAPPA_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+         {_TOKS} AS toks
+  FROM documents
+),
+keys AS (
+  SELECT doc_id, toks,
+         array_to_string(list_sort(list_distinct(toks)), ' ') AS fp
+  FROM norm WHERE norm_text <> ''
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM keys
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE c.common * 1.0 / (sa.sh_size + sb.sh_size - c.common) >= 0.5
+),
+jdocs AS (SELECT id_a AS doc_id FROM jpairs UNION SELECT id_b FROM jpairs),
+flags AS (
+  SELECT k.doc_id,
+         CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_a,
+         CASE WHEN count(*) OVER (PARTITION BY fp) >= 2 THEN 1 ELSE 0 END AS dup_b
+  FROM keys k LEFT JOIN jdocs j ON k.doc_id = j.doc_id
+),
+cont AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dup_a * dup_b) AS BIGINT) AS n_both_dup,
+         CAST(sum(dup_a * (1 - dup_b)) AS BIGINT) AS n_jaccard_only,
+         CAST(sum((1 - dup_a) * dup_b) AS BIGINT) AS n_tokensort_only,
+         CAST(sum((1 - dup_a) * (1 - dup_b)) AS BIGINT) AS n_neither
+  FROM flags
+),
+rates AS (SELECT *, {_PO_EXPR}, {_PE_EXPR} FROM cont)
+SELECT n_docs, n_both_dup, n_jaccard_only, n_tokensort_only, n_neither,
+       round(po, 6) AS po, round(pe, 6) AS pe,
+       {_KAPPA_EXPR}
+FROM rates
+"""
+
+
+@register("stat_cohens_kappa", KAPPA_ORACLE)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+    from insurance_helper_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    norm = T.normalize_text(F.col("text"))
+    keys = docs.select(
+        "doc_id",
+        "text",
+        F.array_join(F.sort_array(F.array_distinct(T.tokens(F.col("text")))), " ").alias(
+            "fp"
+        ),
+    ).filter(norm != "")
+    jpairs = dedup.ngram_jaccard_pairs(keys, "doc_id", "text", k=3, threshold=0.5)
+    jdocs = (
+        jpairs.select(F.col("id_a").alias("doc_id"))
+        .union(jpairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("dup_a", F.lit(1))
+    )
+    flags = (
+        keys.join(jdocs, "doc_id", "left")
+        .select(
+            F.coalesce("dup_a", F.lit(0)).alias("dup_a"),
+            F.when(F.count("*").over(Window.partitionBy("fp")) >= 2, 1)
+            .otherwise(0)
+            .alias("dup_b"),
+        )
+    )
+    cont = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("dup_a") * F.col("dup_b")).cast("long").alias("n_both_dup"),
+        F.sum(F.col("dup_a") * (1 - F.col("dup_b"))).cast("long").alias("n_jaccard_only"),
+        F.sum((1 - F.col("dup_a")) * F.col("dup_b")).cast("long").alias("n_tokensort_only"),
+        F.sum((1 - F.col("dup_a")) * (1 - F.col("dup_b"))).cast("long").alias("n_neither"),
+    )
+    rates = cont.select("*", F.expr(_PO_EXPR), F.expr(_PE_EXPR))
+    return rates.select(
+        "n_docs",
+        "n_both_dup",
+        "n_jaccard_only",
+        "n_tokensort_only",
+        "n_neither",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.expr(_KAPPA_EXPR),
+    )

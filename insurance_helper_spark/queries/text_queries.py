@@ -1113,3 +1113,180 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_head"),
     )
     return terms.orderBy(F.desc("df"), "term").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes_langid — a TRAINED language classifier, distributed
+# the way NB actually distributes: the model IS an aggregation
+# (per-(term, lang) counts + per-lang totals + vocabulary size), so
+# training is one groupBy over the 80% train split (deterministic
+# hash split, no rand()) and scoring is a broadcast join — no
+# iterations, no driver state. Add-one smoothing; score(doc, lang) =
+# ln prior + Σ_tokens ln((cnt+1)/(tot_lang+V)); unseen-in-train terms
+# are dropped (standard multinomial NB). Complements the rule-based
+# ml_langid_confusion_eval with the learned baseline. Engine parity:
+# all model statistics are exact integers; the per-(doc,lang)
+# log-likelihood sums are floats whose argmax is separated by many
+# nats (scores are rounded to 6 before ranking, ties break on the
+# lang name). Scale: model size is vocab×langs (broadcast); scoring
+# is explode + broadcast join + one (doc,lang) groupBy — the token
+# stream is touched once.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    hash_family as _hf,
+    hash_family_sql as _hf_sql,
+)
+
+_hf_sql_doc7 = _hf_sql("doc_id", 7)
+
+NB_LANGID_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+split AS (
+  SELECT *, CASE WHEN ({_hf_sql_doc7}) % 5 <> 0 THEN 1 ELSE 0 END AS is_train
+  FROM docs
+),
+train_tok AS (
+  SELECT lang, unnest(toks) AS term FROM split WHERE is_train = 1
+),
+model AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM train_tok GROUP BY lang, term
+),
+tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM model GROUP BY lang),
+vocab AS (SELECT DISTINCT term FROM model),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+priors AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_lang FROM split
+  WHERE is_train = 1 GROUP BY lang
+),
+ntrain AS (SELECT CAST(sum(n_docs_lang) AS BIGINT) AS n_train FROM priors),
+test_tok AS (
+  SELECT s.doc_id, t.term
+  FROM split s, unnest(s.toks) AS u(term)
+  JOIN vocab t ON u.term = t.term
+  WHERE s.is_train = 0
+),
+scored_tok AS (
+  SELECT tt.doc_id, p.lang AS plang,
+         ln((coalesce(m.cnt, 0) + 1) * 1.0 / (tot.tot + vsize.v)) AS contrib
+  FROM test_tok tt
+  CROSS JOIN priors p
+  LEFT JOIN model m ON m.term = tt.term AND m.lang = p.lang
+  JOIN tot ON tot.lang = p.lang
+  CROSS JOIN vsize
+),
+likelihood AS (
+  SELECT doc_id, plang, sum(contrib) AS like FROM scored_tok GROUP BY doc_id, plang
+),
+grid AS (
+  SELECT s.doc_id, s.lang AS true_lang, p.lang AS plang,
+         ln(p.n_docs_lang * 1.0 / ntrain.n_train) AS prior_ln
+  FROM split s CROSS JOIN priors p CROSS JOIN ntrain
+  WHERE s.is_train = 0
+),
+scores AS (
+  SELECT g.doc_id, g.true_lang, g.plang,
+         round(g.prior_ln + coalesce(l.like, 0.0), 6) AS score
+  FROM grid g LEFT JOIN likelihood l
+    ON g.doc_id = l.doc_id AND g.plang = l.plang
+),
+pred AS (
+  SELECT doc_id, true_lang, plang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, plang) AS rk
+  FROM scores
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register("ml_naive_bayes_langid", NB_LANGID_ORACLE)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    base = (
+        docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn(
+            "is_train",
+            F.when(_hf(F.col("doc_id"), 7) % 5 != 0, 1).otherwise(0),
+        )
+    )
+    train_tok = base.filter("is_train = 1").select(
+        "lang", F.explode("toks").alias("term")
+    )
+    model = train_tok.groupBy("lang", "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = model.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))
+    vocab = model.select("term").distinct()
+    vsize = vocab.agg(F.count("*").cast("long").alias("v"))
+    priors = (
+        base.filter("is_train = 1")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs_lang"))
+    )
+    ntrain = priors.agg(F.sum("n_docs_lang").cast("long").alias("n_train"))
+
+    test_tok = (
+        base.filter("is_train = 0")
+        .select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+    )
+    scored_tok = (
+        test_tok.crossJoin(F.broadcast(priors.select(F.col("lang").alias("plang"))))
+        .join(
+            F.broadcast(model.select(F.col("lang").alias("plang"), "term", "cnt")),
+            ["term", "plang"],
+            "left",
+        )
+        .join(F.broadcast(tot.select(F.col("lang").alias("plang"), "tot")), "plang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "plang",
+            F.log(
+                (F.coalesce("cnt", F.lit(0)) + 1) * 1.0 / (F.col("tot") + F.col("v"))
+            ).alias("contrib"),
+        )
+    )
+    likelihood = scored_tok.groupBy("doc_id", "plang").agg(
+        F.sum("contrib").alias("like")
+    )
+    grid = (
+        base.filter("is_train = 0")
+        .select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(priors.select(F.col("lang").alias("plang"), "n_docs_lang")))
+        .crossJoin(F.broadcast(ntrain))
+        .select(
+            "doc_id",
+            "true_lang",
+            "plang",
+            F.log(F.col("n_docs_lang") * 1.0 / F.col("n_train")).alias("prior_ln"),
+        )
+    )
+    scores = grid.join(likelihood, ["doc_id", "plang"], "left").select(
+        "doc_id",
+        "true_lang",
+        "plang",
+        F.round(F.col("prior_ln") + F.coalesce("like", F.lit(0.0)), 6).alias("score"),
+    )
+    pred = scores.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), "plang")
+        ),
+    ).filter("rk = 1")
+    return (
+        pred.groupBy("true_lang", F.col("plang").alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -144,3 +144,45 @@ def test_inverted_index_postings_sorted_and_consistent(spark):
         ids = [int(x) for x in r.postings_head.split(",")]
         assert len(ids) == min(r.df, 20)
         assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_cohens_kappa_contingency_and_formula(spark):
+    rows = _rows(spark, "stat_cohens_kappa")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_both_dup + r.n_jaccard_only + r.n_tokensort_only + r.n_neither == r.n_docs
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+    if r.kappa is not None:
+        po = (r.n_both_dup + r.n_neither) / r.n_docs
+        pe = (
+            (r.n_both_dup + r.n_jaccard_only) * (r.n_both_dup + r.n_tokensort_only)
+            + (r.n_tokensort_only + r.n_neither) * (r.n_jaccard_only + r.n_neither)
+        ) / (r.n_docs * r.n_docs)
+        assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-5
+        assert r.kappa <= 1.0
+
+
+def test_naive_bayes_covers_all_test_docs(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions.hashing import hash_family
+    from insurance_helper_spark.functions.text import tokens
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_naive_bayes_langid")
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.size(tokens(F.col("text"))) > 0
+    )
+    n_test = docs.filter(hash_family(F.col("doc_id"), 7) % 5 == 0).count()
+    assert sum(r.n_docs for r in rows) == n_test
+    train_langs = {
+        r.lang
+        for r in docs.filter(hash_family(F.col("doc_id"), 7) % 5 != 0)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.pred_lang in train_langs
+        assert r.n_docs >= 1
