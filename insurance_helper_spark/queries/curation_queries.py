@@ -1596,3 +1596,120 @@ def ops_file_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_zorder_locality_audit — measures WHY multi-dimensional
+# clustering works: quantize orders to a 256×256 (price, date) grid,
+# lay the occupied cells out in Z-order (Morton bit-interleave — the
+# same curve sources/maintenance.py's z-order writer uses), and
+# compare the average Manhattan jump between CONSECUTIVE cells
+# against the lexicographic (sort-by-price-then-date) layout. Z-order
+# keeps both dimensions local (small jumps → range scans on either
+# predicate touch contiguous files); lexicographic keeps only the
+# leading dimension local. The audit that justifies OPTIMIZE ZORDER
+# BY, as a value-hashed number instead of folklore. Exact integers
+# throughout (bit interleave = sum of 16 div/mod terms, generated
+# once per engine around the intdiv spelling — Spark `div`, DuckDB
+# `//`); the two layout windows run over the DISTINCT occupied cells,
+# bounded at 65,536 rows whatever the data size — the unpartitioned-
+# window rule holds by construction.
+# ---------------------------------------------------------------------------
+
+_ZQ = 256
+
+
+def _z_interleave(xcol: str, ycol: str, intdiv: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((({xcol}) {intdiv} {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((({ycol}) {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _z_quant(col: str, lo: str, hi: str, intdiv: str) -> str:
+    return f"least({_ZQ} - 1, ((({col}) - {lo}) * {_ZQ}) {intdiv} (({hi}) - ({lo}) + 1))"
+
+
+ZORDER_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days
+  FROM orders
+),
+bounds AS (
+  SELECT min(cents) AS clo, max(cents) AS chi,
+         min(days) AS dlo, max(days) AS dhi
+  FROM obs
+),
+cells AS (
+  SELECT DISTINCT
+         {_z_quant('cents', 'clo', 'chi', '//')} AS qx,
+         {_z_quant('days', 'dlo', 'dhi', '//')} AS qy
+  FROM obs, bounds
+),
+z AS (
+  SELECT qx, qy, {_z_interleave('qx', 'qy', '//')} AS zval FROM cells
+),
+gaps AS (
+  SELECT abs(qx - lag(qx) OVER (ORDER BY zval))
+         + abs(qy - lag(qy) OVER (ORDER BY zval)) AS gap_z,
+         abs(qx - lag(qx) OVER (ORDER BY qx, qy))
+         + abs(qy - lag(qy) OVER (ORDER BY qx, qy)) AS gap_lex
+  FROM z
+)
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_cells,
+       CAST(sum(gap_z) AS BIGINT) AS total_gap_z,
+       CAST(sum(gap_lex) AS BIGINT) AS total_gap_lex,
+       round(CAST(sum(gap_z) AS DOUBLE) / count(*), 4) AS avg_gap_z,
+       round(CAST(sum(gap_lex) AS DOUBLE) / count(*), 4) AS avg_gap_lex,
+       round(CAST(sum(gap_lex) AS DOUBLE) / sum(gap_z), 4) AS locality_gain
+FROM gaps
+WHERE gap_z IS NOT NULL
+"""
+
+
+@register("ops_zorder_locality_audit", ZORDER_ORACLE)
+def ops_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+    obs = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("days"),
+    )
+    bounds = obs.agg(
+        F.min("cents").alias("clo"),
+        F.max("cents").alias("chi"),
+        F.min("days").alias("dlo"),
+        F.max("days").alias("dhi"),
+    )
+    cells = (
+        obs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(_z_quant("cents", "clo", "chi", "div")).alias("qx"),
+            F.expr(_z_quant("days", "dlo", "dhi", "div")).alias("qy"),
+        )
+        .distinct()
+    )
+    z = cells.withColumn("zval", F.expr(_z_interleave("qx", "qy", "div")))
+    wz = Window.orderBy("zval")
+    wl = Window.orderBy("qx", "qy")
+    gaps = z.select(
+        (
+            F.abs(F.col("qx") - F.lag("qx").over(wz))
+            + F.abs(F.col("qy") - F.lag("qy").over(wz))
+        ).alias("gap_z"),
+        (
+            F.abs(F.col("qx") - F.lag("qx").over(wl))
+            + F.abs(F.col("qy") - F.lag("qy").over(wl))
+        ).alias("gap_lex"),
+    ).filter(F.col("gap_z").isNotNull())
+    return gaps.agg(
+        (F.count("*") + 1).cast("long").alias("n_cells"),
+        F.sum("gap_z").cast("long").alias("total_gap_z"),
+        F.sum("gap_lex").cast("long").alias("total_gap_lex"),
+        F.round(F.sum("gap_z").cast("double") / F.count("*"), 4).alias("avg_gap_z"),
+        F.round(F.sum("gap_lex").cast("double") / F.count("*"), 4).alias("avg_gap_lex"),
+        F.round(F.sum("gap_lex").cast("double") / F.sum("gap_z"), 4).alias(
+            "locality_gain"
+        ),
+    )

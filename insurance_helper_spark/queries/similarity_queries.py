@@ -598,3 +598,142 @@ def ml_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l")), 4).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_random_projection_jl — Johnson–Lindenstrauss sketching
+# with its guarantee MEASURED: project the 64-d embeddings onto k=16
+# deterministic ±1 directions (Achlioptas 2001 — sign projections are
+# JL-valid and multiplication-free), then compare projected vs
+# original squared distances over the consecutive-id pair sample. The
+# report pins n_pairs, the mean/extreme distortion ratios, and the
+# fraction inside [0.5, 2] — the audit that tells you whether the
+# 4× cheaper sketch is safe for the ANN candidate tier (SRP-LSH and
+# IVF above consume exactly this kind of projection). Deterministic:
+# the sign matrix comes from the portable hash family on (dim, j) —
+# no rand(), identical in DuckDB — and both engines fold the 64-term
+# dot products left-to-right (list_reduce / F.aggregate), so the
+# doubles agree bit-for-bit before the display rounding. Scale: the
+# projection is a pure per-row expression (no shuffle); pairs join on
+# adjacent ids; the audit aggregates to one row.
+# ---------------------------------------------------------------------------
+
+_JL_D = 64  # fixture embedding dimensionality (TESTDATA.md)
+_JL_K = 16
+
+from insurance_helper_spark.functions.hashing import (  # noqa: E402
+    hash_family as _jl_hf,
+    hash_family_sql as _jl_hf_sql,
+)
+
+
+def _jl_sign_sql(i_expr: str, j: int) -> str:
+    """±1.0 sign for dimension ``i_expr`` (0-based) of projection j."""
+    return (
+        f"CASE WHEN ({_jl_hf_sql(f'({i_expr}) * {_JL_K} + {j}', 0)}) % 2 = 0"
+        " THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _jl_proj_sql(vec: str, j: int) -> str:
+    """Left-fold Σ_i vec[i] * sign(i, j) (DuckDB lists are 1-based)."""
+    return (
+        f"list_reduce(list_transform(range(1, {_JL_D} + 1),"
+        f" i -> ({vec})[i] * ({_jl_sign_sql('i - 1', j)})),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+_jl_d2_orig_sql = (
+    f"list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> (va[i] - vb[i]) * (va[i] - vb[i])), (acc, x) -> acc + x)"
+)
+
+_jl_pair_cols_sql = ",\n         ".join(
+    f"({_jl_proj_sql('va', j)}) - ({_jl_proj_sql('vb', j)}) AS dp{j}"
+    for j in range(_JL_K)
+)
+_jl_d2_proj_sql = "(" + " + ".join(f"dp{j} * dp{j}" for j in range(_JL_K)) + f") / {_JL_K}.0"
+
+JL_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(a.embedding AS DOUBLE[]) AS va,
+         CAST(b.embedding AS DOUBLE[]) AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+dists AS (
+  SELECT id_a, {_jl_d2_orig_sql} AS d2_orig,
+         {_jl_pair_cols_sql}
+  FROM pairs
+),
+ratios AS (
+  SELECT id_a, d2_orig, {_jl_d2_proj_sql} AS d2_proj,
+         ({_jl_d2_proj_sql}) / d2_orig AS ratio
+  FROM dists WHERE d2_orig > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ratio), 4) AS mean_ratio,
+       round(min(ratio), 4) AS min_ratio,
+       round(max(ratio), 4) AS max_ratio,
+       round(avg(CASE WHEN ratio BETWEEN 0.5 AND 2.0 THEN 1.0 ELSE 0.0 END), 4)
+           AS frac_within_2x
+FROM ratios
+"""
+
+
+@register("embedding_random_projection_jl", JL_ORACLE)
+def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, "id_a")
+
+    def proj_diff(j: int):
+        # Same left fold as the oracle's list_reduce, 1-based range; the
+        # sign uses the Column-side hash family (bit-identical to the
+        # oracle's hash_family_sql text).
+        def term(i):
+            sign = (
+                F.when(_jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0))
+                .otherwise(F.lit(-1.0))
+            )
+            return (
+                F.element_at(F.col("va"), i.cast("int"))
+                - F.element_at(F.col("vb"), i.cast("int"))
+            ) * sign
+
+        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
+        return F.aggregate(
+            arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+        ).alias(f"dp{j}")
+
+    d2_orig = F.expr(
+        f"aggregate(transform(sequence(1, {_JL_D}),"
+        " i -> (va[i - 1] - vb[i - 1]) * (va[i - 1] - vb[i - 1])),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    ).alias("d2_orig")
+
+    dists = pairs.select("id_a", d2_orig, *[proj_diff(j) for j in range(_JL_K)])
+    d2_proj = F.expr(_jl_d2_proj_sql)
+    ratios = dists.filter("d2_orig > 0").select(
+        "id_a",
+        "d2_orig",
+        d2_proj.alias("d2_proj"),
+        (d2_proj / F.col("d2_orig")).alias("ratio"),
+    )
+    return ratios.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        F.round(
+            F.avg(F.when(F.col("ratio").between(0.5, 2.0), 1.0).otherwise(0.0)), 4
+        ).alias("frac_within_2x"),
+    )

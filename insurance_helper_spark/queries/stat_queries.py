@@ -2750,3 +2750,135 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pe", 6).alias("pe"),
         F.expr(_KAPPA_EXPR),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump_gini — train a depth-1 decision tree (the boosting
+# base learner) the way tree engines train distributed: bin the
+# feature into 32 equal-width buckets (one pass), aggregate class
+# counts per bin (one shuffle of 32 rows), then evaluate EVERY
+# candidate split from the bin prefix-sums and pick the Gini-optimal
+# one — exactly XGBoost/LightGBM's histogram split-finding, where the
+# data is touched once and the split search runs on the tiny
+# histogram. Predicts urgent-priority (1-URGENT/2-HIGH) from the
+# order total. All counts and the integer bin boundaries are exact;
+# the Gini expressions are one shared double formula from exact
+# integers, argmin on the 8-decimal rounding with a deterministic
+# bin tiebreak. Scale: histogram split-finding is THE scale answer —
+# candidate splits never touch the data again, and deeper trees just
+# repeat the same pass per node.
+# ---------------------------------------------------------------------------
+
+_STUMP_BINS = 32
+
+_GINI_L = "1.0 - (CAST(pos_l AS DOUBLE) / n_l) * (CAST(pos_l AS DOUBLE) / n_l) - (CAST(n_l - pos_l AS DOUBLE) / n_l) * (CAST(n_l - pos_l AS DOUBLE) / n_l)"
+_GINI_R = "1.0 - (CAST(pos_r AS DOUBLE) / n_r) * (CAST(pos_r AS DOUBLE) / n_r) - (CAST(n_r - pos_r AS DOUBLE) / n_r) * (CAST(n_r - pos_r AS DOUBLE) / n_r)"
+_GINI_PARENT = "1.0 - (CAST(p_all AS DOUBLE) / n_all) * (CAST(p_all AS DOUBLE) / n_all) - (CAST(n_all - p_all AS DOUBLE) / n_all) * (CAST(n_all - p_all AS DOUBLE) / n_all)"
+_GINI_SPLIT = f"(n_l * ({_GINI_L}) + n_r * ({_GINI_R})) / n_all"
+
+STUMP_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM obs),
+binned AS (
+  SELECT least({_STUMP_BINS} - 1,
+               ((cents - lo) * {_STUMP_BINS}) // (hi - lo + 1)) AS bin, y
+  FROM obs, bounds
+),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+pref AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS n_l,
+         sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pos_l,
+         sum(n) OVER () AS n_all,
+         sum(pos) OVER () AS p_all
+  FROM hist
+),
+splits AS (
+  SELECT bin AS split_bin, n_l, pos_l,
+         n_all - n_l AS n_r, p_all - pos_l AS pos_r, n_all, p_all
+  FROM pref
+  WHERE n_l > 0 AND n_all - n_l > 0
+),
+scored AS (
+  SELECT *,
+         round({_GINI_SPLIT}, 8) AS gini_split8,
+         row_number() OVER (ORDER BY round({_GINI_SPLIT}, 8), split_bin) AS rk
+  FROM splits
+)
+SELECT CAST(split_bin AS BIGINT) AS split_bin,
+       CAST(lo + ((split_bin + 1) * (hi - lo + 1)) // {_STUMP_BINS} AS BIGINT)
+           AS threshold_cents,
+       CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(pos_r AS BIGINT) AS pos_right,
+       round({_GINI_PARENT}, 6) AS gini_parent,
+       round({_GINI_SPLIT}, 6) AS gini_split,
+       round(({_GINI_PARENT}) - ({_GINI_SPLIT}), 6) AS gini_gain
+FROM scored, bounds
+WHERE rk = 1
+"""
+
+
+@register("ml_decision_stump_gini", STUMP_ORACLE)
+def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice", "o_orderpriority"])
+    obs = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bounds = obs.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = obs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_STUMP_BINS - 1),
+            F.expr(f"((cents - lo) * {_STUMP_BINS}) div (hi - lo + 1)"),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    pref = hist.select(
+        "bin",
+        F.sum("n").over(wb).alias("n_l"),
+        F.sum("pos").over(wb).alias("pos_l"),
+        F.sum("n").over(wa).alias("n_all"),
+        F.sum("pos").over(wa).alias("p_all"),
+    )
+    splits = pref.filter("n_l > 0 AND n_all - n_l > 0").select(
+        F.col("bin").alias("split_bin"),
+        "n_l",
+        "pos_l",
+        (F.col("n_all") - F.col("n_l")).alias("n_r"),
+        (F.col("p_all") - F.col("pos_l")).alias("pos_r"),
+        "n_all",
+        "p_all",
+    )
+    scored = splits.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.expr(f"round({_GINI_SPLIT}, 8)"), "split_bin")
+        ),
+    ).filter("rk = 1")
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        F.col("split_bin").cast("long").alias("split_bin"),
+        F.expr(
+            f"CAST(lo + ((split_bin + 1) * (hi - lo + 1)) div {_STUMP_BINS} AS BIGINT)"
+        ).alias("threshold_cents"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("pos_l").cast("long").alias("pos_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.col("pos_r").cast("long").alias("pos_right"),
+        F.expr(f"round({_GINI_PARENT}, 6)").alias("gini_parent"),
+        F.expr(f"round({_GINI_SPLIT}, 6)").alias("gini_split"),
+        F.expr(f"round(({_GINI_PARENT}) - ({_GINI_SPLIT}), 6)").alias("gini_gain"),
+    )

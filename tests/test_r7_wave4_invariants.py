@@ -186,3 +186,50 @@ def test_naive_bayes_covers_all_test_docs(spark):
     for r in rows:
         assert r.pred_lang in train_langs
         assert r.n_docs >= 1
+
+
+def test_decision_stump_partitions_and_gain(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_decision_stump_gini")
+    assert len(rows) == 1
+    r = rows[0]
+    orders = load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    pos = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert r.n_left + r.n_right == n
+    assert r.pos_left + r.pos_right == pos
+    assert r.n_left > 0 and r.n_right > 0
+    assert 0.0 <= r.gini_split <= r.gini_parent <= 0.5
+    assert r.gini_gain >= 0.0
+    lo = orders.agg(F.min(F.round(F.col("o_totalprice") * 100))).first()[0]
+    hi = orders.agg(F.max(F.round(F.col("o_totalprice") * 100))).first()[0]
+    assert lo < r.threshold_cents <= hi + 1
+
+
+def test_zorder_beats_lexicographic_locality(spark):
+    rows = _rows(spark, "ops_zorder_locality_audit")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 2 <= r.n_cells <= 256 * 256
+    assert r.total_gap_z > 0 and r.total_gap_lex > 0
+    # The whole point of the curve: consecutive cells stay near in BOTH
+    # dimensions, so the average jump must beat the lexicographic layout.
+    assert r.avg_gap_z < r.avg_gap_lex
+    assert r.locality_gain > 1.0
+
+
+def test_jl_projection_preserves_distances_on_average(spark):
+    rows = _rows(spark, "embedding_random_projection_jl")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pairs >= 1
+    assert r.min_ratio <= r.mean_ratio <= r.max_ratio
+    assert r.min_ratio > 0.0
+    # E[ratio] = 1 under JL; k=16 keeps the sample mean well inside.
+    assert 0.5 < r.mean_ratio < 2.0
+    assert 0.5 <= r.frac_within_2x <= 1.0
