@@ -1713,3 +1713,113 @@ def ops_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "locality_gain"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_range_partition_planner — plan RANGE partition bounds from the
+# key histogram and audit them against hash partitioning: collapse
+# orders to the distinct-custkey rollup (bounded by the customer
+# dimension, the same pre-collapse KS/PSI use), walk the cumulative
+# row count, and cut 8 contiguous key ranges at equal row mass —
+# Spark's RangePartitioner fitted exactly instead of by sampling.
+# The audit joins the planned layout against hash-mod-8 (the indexed
+# hash family) and reports per-partition row/key counts, key bounds,
+# and the row-balance skew of both layouts — the evidence for
+# choosing range vs hash on a sorted-write or a merge-join layout.
+# Integer-exact except the two rounded skew ratios. Scale: the plan
+# runs on the key ROLLUP, not rows; at 100 TB the rollup itself is
+# the one shuffle, and real deployments would sample it — the
+# planner's contract (contiguous, row-balanced) is what this pins.
+# ---------------------------------------------------------------------------
+
+_RP_N = 8
+
+RANGE_PLAN_ORACLE = f"""
+WITH keys AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+walk AS (
+  SELECT k, n,
+         sum(n) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - n AS cum_before,
+         sum(n) OVER () AS grand
+  FROM keys
+),
+assigned AS (
+  SELECT k, n, (cum_before * {_RP_N}) // grand AS part_id, grand FROM walk
+),
+range_side AS (
+  SELECT part_id,
+         CAST(sum(n) AS BIGINT) AS range_rows,
+         CAST(count(*) AS BIGINT) AS range_keys,
+         CAST(min(k) AS BIGINT) AS lo_key,
+         CAST(max(k) AS BIGINT) AS hi_key,
+         any_value(grand) AS grand
+  FROM assigned GROUP BY part_id
+),
+hash_side AS (
+  SELECT ({_hf_sql('k', 3)}) % {_RP_N} AS part_id,
+         CAST(sum(n) AS BIGINT) AS hash_rows
+  FROM keys GROUP BY 1
+)
+SELECT CAST(r.part_id AS BIGINT) AS part_id,
+       r.range_rows, r.range_keys, r.lo_key, r.hi_key,
+       CAST(coalesce(h.hash_rows, 0) AS BIGINT) AS hash_rows,
+       round(CAST(r.range_rows * {_RP_N} AS DOUBLE) / r.grand, 4) AS range_balance,
+       round(CAST(coalesce(h.hash_rows, 0) * {_RP_N} AS DOUBLE) / r.grand, 4)
+           AS hash_balance
+FROM range_side r LEFT JOIN hash_side h ON r.part_id = h.part_id
+ORDER BY part_id
+"""
+
+
+@register("ops_range_partition_planner", RANGE_PLAN_ORACLE)
+def ops_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey"])
+    keys = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    assigned = (
+        keys.withColumn("cum_before", F.sum("n").over(wk) - F.col("n"))
+        .withColumn("grand", F.sum("n").over(wa))
+        .select(
+            "k",
+            "n",
+            F.expr(f"(cum_before * {_RP_N}) div grand").alias("part_id"),
+            "grand",
+        )
+    )
+    range_side = assigned.groupBy("part_id").agg(
+        F.sum("n").cast("long").alias("range_rows"),
+        F.count("*").cast("long").alias("range_keys"),
+        F.min("k").cast("long").alias("lo_key"),
+        F.max("k").cast("long").alias("hi_key"),
+        F.any_value("grand").alias("grand"),
+    )
+    hash_side = (
+        keys.select((_hf(F.col("k"), 3) % _RP_N).alias("part_id"), "n")
+        .groupBy("part_id")
+        .agg(F.sum("n").cast("long").alias("hash_rows"))
+    )
+    return (
+        range_side.join(hash_side, "part_id", "left")
+        .select(
+            F.col("part_id").cast("long").alias("part_id"),
+            "range_rows",
+            "range_keys",
+            "lo_key",
+            "hi_key",
+            F.coalesce("hash_rows", F.lit(0)).cast("long").alias("hash_rows"),
+            F.round(
+                (F.col("range_rows") * _RP_N).cast("double") / F.col("grand"), 4
+            ).alias("range_balance"),
+            F.round(
+                (F.coalesce("hash_rows", F.lit(0)) * _RP_N).cast("double")
+                / F.col("grand"),
+                4,
+            ).alias("hash_balance"),
+        )
+        .orderBy("part_id")
+    )

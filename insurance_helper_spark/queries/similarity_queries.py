@@ -737,3 +737,142 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
             F.avg(F.when(F.col("ratio").between(0.5, 2.0), 1.0).otherwise(0.0)), 4
         ).alias("frac_within_2x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_knn_classify — k-nearest-neighbor classification over the
+# embedding table, evaluated honestly: deterministic 80/20 hash
+# split, each held-out vector voted on by its 5 nearest training
+# neighbors (cosine), confusion matrix out. This is the supervised
+# complement of similarity_cosine_topk — same exact-scoring tier, but
+# with labels and an eval. Deterministic: both engines compute the
+# cosine with the SAME left-fold expression (F.aggregate /
+# list_reduce — bit-identical doubles, like the JL audit), rank on
+# the 6-decimal rounding with a vec_id tiebreak, and break vote ties
+# on the label. Scale: the exact test×train scoring is the sanctioned
+# small-side baseline (test side broadcast); the production path is
+# the SRP-LSH / IVF candidate tier above feeding the same voter.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def _fold_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_JL_D} + 1), i -> {expr}),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+_KNN_COS_SQL = (
+    f"({_fold_sql('va[i] * vb[i]')})"
+    f" / (sqrt({_fold_sql('va[i] * va[i]')}) * sqrt({_fold_sql('vb[i] * vb[i]')}))"
+)
+
+KNN_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         CASE WHEN ({_jl_hf_sql('vec_id', 11)}) % 5 = 0 THEN 1 ELSE 0 END AS is_test
+  FROM embeddings
+),
+pairs AS (
+  SELECT t.vec_id AS test_id, t.label AS true_label,
+         r.vec_id AS train_id, r.label AS train_label,
+         t.v AS va, r.v AS vb
+  FROM vecs t JOIN vecs r ON t.is_test = 1 AND r.is_test = 0
+),
+scored AS (
+  SELECT test_id, true_label, train_id, train_label,
+         round({_KNN_COS_SQL}, 6) AS cos6
+  FROM pairs
+),
+topk AS (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+                               ORDER BY cos6 DESC, train_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT test_id, true_label, train_label, count(*) AS n_votes
+  FROM topk WHERE rk <= {_KNN_K}
+  GROUP BY test_id, true_label, train_label
+),
+pred AS (
+  SELECT test_id, true_label, train_label AS pred_label,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY n_votes DESC, train_label) AS vrk
+  FROM votes
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM pred WHERE vrk = 1
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+@register("ml_knn_classify", KNN_ORACLE)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+        F.when(_jl_hf(F.col("vec_id"), 11) % 5 == 0, 1).otherwise(0).alias("is_test"),
+    )
+    test = vecs.filter("is_test = 1").select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("va"),
+    )
+    train = vecs.filter("is_test = 0").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("label").alias("train_label"),
+        F.col("v").alias("vb"),
+    )
+
+    def fold(expr: str):
+        return F.expr(
+            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    # Spark arrays are 0-based: va[i - 1] pairs with DuckDB's va[i].
+    cos = fold("va[i - 1] * vb[i - 1]") / (
+        F.sqrt(fold("va[i - 1] * va[i - 1]")) * F.sqrt(fold("vb[i - 1] * vb[i - 1]"))
+    )
+    scored = (
+        train.crossJoin(F.broadcast(test))
+        .select(
+            "test_id",
+            "true_label",
+            "train_id",
+            "train_label",
+            F.round(cos, 6).alias("cos6"),
+        )
+    )
+    from pyspark.sql import Window  # local: module has no top-level Window import
+
+    top = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("test_id").orderBy(F.desc("cos6"), "train_id")
+        ),
+    ).filter(F.col("rk") <= _KNN_K)
+    votes = top.groupBy("test_id", "true_label", "train_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    pred = votes.withColumn(
+        "vrk",
+        F.row_number().over(
+            Window.partitionBy("test_id").orderBy(F.desc("n_votes"), "train_label")
+        ),
+    ).filter("vrk = 1")
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("train_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )

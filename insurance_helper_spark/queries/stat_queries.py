@@ -2882,3 +2882,185 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({_GINI_SPLIT}, 6)").alias("gini_split"),
         F.expr(f"round(({_GINI_PARENT}) - ({_GINI_SPLIT}), 6)").alias("gini_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_logreg_newton_step — logistic regression as it actually
+# distributes: one Newton-Raphson step from w = 0 for
+# P(urgent | k$-total, n_lines). At w = 0 every p_i = 1/2, so the
+# gradient is X'(y - 1/2) and the Hessian is X'X/4 — BOTH are the
+# same exact-integer Gram/moment sums the OLS stump above collects,
+# making the step w = 4 (X'X)^-1 X'(y - 1/2) a closed-form solve on
+# one aggregation pass (MLlib's LBFGS consumes exactly these
+# treeAggregate'd sufficient statistics per iteration). Features are
+# integerized (k$ totals, lineitem counts) so every sum is exact;
+# the 3×3 solve reuses the shared Cramer expression text, and the
+# half-integer gradient enters as (2Σ-Σ)/2 to stay exact. Scale: one
+# join + one map-side-combined aggregation per Newton iteration,
+# 9 numbers of state — iteration count is the only serial axis.
+# ---------------------------------------------------------------------------
+
+_LOGREG_D0 = _det3(("gy", "s1", "s2"), ("g1", "s11", "s12"), ("g2", "s12", "s22"))
+_LOGREG_D1 = _det3(("fn", "gy", "s2"), ("s1", "g1", "s12"), ("s2", "g2", "s22"))
+_LOGREG_D2 = _det3(("fn", "s1", "gy"), ("s1", "s11", "g1"), ("s2", "s12", "g2"))
+
+LOGREG_ORACLE = f"""
+WITH feat AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) // 100000 AS x1,
+         CAST(count(*) AS BIGINT) AS x2,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderpriority
+),
+moments AS (
+  SELECT CAST(count(*) AS DOUBLE) AS fn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(2 * sum(y) - count(*) AS DOUBLE) / 2 AS gy,
+         CAST(2 * sum(x1 * y) - sum(x1) AS DOUBLE) / 2 AS g1,
+         CAST(2 * sum(x2 * y) - sum(x2) AS DOUBLE) / 2 AS g2,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM feat
+)
+SELECT n_rows, n_pos,
+       round(4.0 * ({_LOGREG_D0}) / ({_OLS_DET}), 6) AS w0,
+       round(4.0 * ({_LOGREG_D1}) / ({_OLS_DET}), 6) AS w1_per_kusd,
+       round(4.0 * ({_LOGREG_D2}) / ({_OLS_DET}), 6) AS w2_per_line
+FROM moments
+WHERE ({_OLS_DET}) <> 0
+"""
+
+
+@register("ml_logreg_newton_step", LOGREG_ORACLE)
+def ml_logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    feat = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("x2"))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").alias("x1"),
+            "x2",
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    moments = feat.agg(
+        F.count("*").cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        (F.expr("CAST(2 * sum(y) - count(*) AS DOUBLE)") / 2).alias("gy"),
+        (F.expr("CAST(2 * sum(x1 * y) - sum(x1) AS DOUBLE)") / 2).alias("g1"),
+        (F.expr("CAST(2 * sum(x2 * y) - sum(x2) AS DOUBLE)") / 2).alias("g2"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return moments.filter(F.expr(f"({_OLS_DET}) <> 0")).select(
+        "n_rows",
+        "n_pos",
+        F.expr(f"round(4.0 * ({_LOGREG_D0}) / ({_OLS_DET}), 6)").alias("w0"),
+        F.expr(f"round(4.0 * ({_LOGREG_D1}) / ({_OLS_DET}), 6)").alias("w1_per_kusd"),
+        F.expr(f"round(4.0 * ({_LOGREG_D2}) / ({_OLS_DET}), 6)").alias("w2_per_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_two_proportion_ztest — the A/B workhorse: for each market
+# segment, test whether its urgent-order rate differs from the rest
+# of the population (two-proportion pooled z). Complements the
+# chi-square independence test above with the per-cell effect
+# direction and a magnitude in standard errors. All counts are one
+# conditional aggregation (segment vs complement from the same
+# totals — no second pass); z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) is a
+# shared double expression over exact integers; IEEE sqrt is
+# correctly rounded, so both engines agree bit-for-bit. Scale: one
+# shuffle on the join key + one on the segment key, then 5 rows.
+# ---------------------------------------------------------------------------
+
+_Z_EXPR = (
+    "(CAST(pos1 AS DOUBLE) / n1 - CAST(pos2 AS DOUBLE) / n2)"
+    " / sqrt((CAST(pos1 + pos2 AS DOUBLE) / (n1 + n2))"
+    " * (1.0 - CAST(pos1 + pos2 AS DOUBLE) / (n1 + n2))"
+    " * (1.0 / n1 + 1.0 / n2))"
+)
+
+ZTEST_ORACLE = f"""
+WITH flagged AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS pos_all
+  FROM flagged
+),
+arms AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n1, CAST(sum(y) AS BIGINT) AS pos1,
+         n_all - count(*) AS n2, pos_all - sum(y) AS pos2
+  FROM flagged, tot
+  GROUP BY segment, n_all, pos_all
+)
+SELECT segment, n1, pos1,
+       CAST(n2 AS BIGINT) AS n2, CAST(pos2 AS BIGINT) AS pos2,
+       round(CAST(pos1 AS DOUBLE) / n1, 6) AS p1,
+       round(CAST(pos2 AS DOUBLE) / n2, 6) AS p2,
+       round({_Z_EXPR}, 6) AS z_score,
+       CAST(CASE WHEN abs({_Z_EXPR}) > 1.959963984540054 THEN 1 ELSE 0 END
+            AS BIGINT) AS significant_95
+FROM arms
+ORDER BY segment
+"""
+
+
+@register("stat_two_proportion_ztest", ZTEST_ORACLE)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    flagged = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = flagged.agg(
+        F.count("*").cast("long").alias("n_all"), F.sum("y").cast("long").alias("pos_all")
+    )
+    arms = (
+        flagged.groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n1"), F.sum("y").cast("long").alias("pos1"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n1",
+            "pos1",
+            (F.col("n_all") - F.col("n1")).cast("long").alias("n2"),
+            (F.col("pos_all") - F.col("pos1")).cast("long").alias("pos2"),
+        )
+    )
+    return arms.select(
+        "segment",
+        "n1",
+        "pos1",
+        "n2",
+        "pos2",
+        F.round(F.col("pos1").cast("double") / F.col("n1"), 6).alias("p1"),
+        F.round(F.col("pos2").cast("double") / F.col("n2"), 6).alias("p2"),
+        F.expr(f"round({_Z_EXPR}, 6)").alias("z_score"),
+        F.expr(
+            f"CAST(CASE WHEN abs({_Z_EXPR}) > 1.959963984540054 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant_95"),
+    ).orderBy("segment")

@@ -233,3 +233,69 @@ def test_jl_projection_preserves_distances_on_average(spark):
     # E[ratio] = 1 under JL; k=16 keeps the sample mean well inside.
     assert 0.5 < r.mean_ratio < 2.0
     assert 0.5 <= r.frac_within_2x <= 1.0
+
+
+def test_logreg_newton_step_direction(spark):
+    """One Newton step from w=0 must move the intercept toward the
+    log-odds of the base rate (positive iff more than half positive)."""
+    rows = _rows(spark, "ml_logreg_newton_step")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_pos < r.n_rows
+    base = r.n_pos / r.n_rows
+    if base < 0.5:
+        assert r.w0 < 0.0
+    elif base > 0.5:
+        assert r.w0 > 0.0
+
+
+def test_two_proportion_ztest_directions_balance(spark):
+    rows = _rows(spark, "stat_two_proportion_ztest")
+    assert rows
+    for r in rows:
+        assert r.pos1 <= r.n1 and r.pos2 <= r.n2
+        assert (r.p1 > r.p2) == (r.z_score > 0) or r.z_score == 0
+        assert r.significant_95 in (0, 1)
+        assert r.significant_95 == (1 if abs(r.z_score) > 1.96 else 0)
+
+
+def test_range_partition_planner_contiguous_and_balanced(spark):
+    from insurance_helper_spark.queries.curation_queries import _RP_N
+
+    rows = sorted(_rows(spark, "ops_range_partition_planner"), key=lambda r: r.part_id)
+    assert 1 <= len(rows) <= _RP_N
+    grand = sum(r.range_rows for r in rows)
+    assert sum(r.hash_rows for r in rows) == grand
+    prev_hi = None
+    for r in rows:
+        assert r.lo_key <= r.hi_key
+        if prev_hi is not None:
+            assert r.lo_key > prev_hi  # contiguous, non-overlapping ranges
+        prev_hi = r.hi_key
+        # Row balance: a range cut at equal row mass can exceed the
+        # ideal share by at most one key's worth of rows.
+        assert r.range_rows <= grand // _RP_N + max(
+            rr.range_rows // rr.range_keys + 1 for rr in rows
+        )
+
+
+def test_knn_confusion_covers_test_split(spark):
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions.hashing import hash_family
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "ml_knn_classify")
+    assert rows
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_test = emb.filter(hash_family(F.col("vec_id"), 11) % 5 == 0).count()
+    assert sum(r.n_vecs for r in rows) == n_test
+    train_labels = {
+        r.label
+        for r in emb.filter(hash_family(F.col("vec_id"), 11) % 5 != 0)
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.pred_label in train_labels
