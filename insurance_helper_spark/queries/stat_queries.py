@@ -1201,13 +1201,16 @@ def stat_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-group mean of r2 is exactly (n+1) because rank sums are
 # invariant under ties, so the centered products/squares are exact
 # BIGINTs and the two engines cannot disagree until the one rounded
-# division. Scale: the low-cardinality variable's ranks come from a
-# broadcast distinct-value lookup (no sort); the near-unique variable
-# pays exactly ONE full-data sort, in which min-rank and the ties-
-# inclusive cumulative count together yield the doubled average rank
-# — one shuffle + one sort total, down from three sort windows.
-# BIGINT centered sums stay exact to ~sf1 (4n^3 < 2^63), beyond which
-# the same plan runs with DOUBLE sums.
+# division. Scale (r7 ADVICE fix): NO per-row sort anywhere — the fact
+# table is collapsed map-side to distinct (flag, x, y) triples with
+# counts (price cents has a bounded domain: part price × qty ≤ ~10M
+# distinct values, vs unbounded fact rows), BOTH doubled-average-rank
+# lookups are cumulative-count windows over the (flag, x) / (flag, y)
+# marginals of that reduced relation, and the exact integer moment
+# sums are weighted by the triple counts. One shuffle to build the
+# triples (map-side combine), marginal windows over reduced relations,
+# broadcast joins back. BIGINT centered sums stay exact to ~sf1
+# (4n^3 < 2^63), beyond which the same plan runs with DOUBLE sums.
 # ---------------------------------------------------------------------------
 
 SPEARMAN_ORACLE = """
@@ -1253,44 +1256,57 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    # x (integer quantity) has ~50 distinct values per flag: its rank
-    # lookup comes from a TINY map-side-combined groupBy + prefix
-    # window, broadcast back (no full-data sort). y (price) is
-    # near-unique, so a reduced relation would be no smaller than the
-    # data — instead ONE sorted window produces the doubled average
-    # rank directly: min-rank (ANSI rank()) + max-rank (cumulative
-    # count over the ties-inclusive RANGE frame) = 2*cum_before+cnt+1,
-    # both riding the same (flag, y) sort — one full-data sort total.
-    xv = base.groupBy("flag", "x").agg(F.count("*").alias("cnt"))
+    # ONE shuffle collapses the fact table to distinct (flag, x, y)
+    # triples with counts (map-side combine; triple count is bounded
+    # by the x×y value domains, not the row count). Both rank lookups
+    # then ride cumulative-count windows over the triple relation's
+    # marginals: doubled average rank = 2*(count below) + ties + 1.
+    # No window ever sees a per-row relation.
+    triples = base.groupBy("flag", "x", "y").agg(F.count("*").alias("c"))
     wxv = (
         Window.partitionBy("flag")
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    xlk = xv.select(
-        "flag",
-        "x",
-        (2 * F.coalesce(F.sum("cnt").over(wxv), F.lit(0)) + F.col("cnt") + 1)
-        .cast("long")
-        .alias("r2x"),
-    )
-    n_by_flag = base.groupBy("flag").agg(F.count("*").cast("long").alias("n"))
-    wy = Window.partitionBy("flag").orderBy("y")
-    wy_ties = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = (
-        base.join(F.broadcast(xlk), ["flag", "x"])
-        .join(F.broadcast(n_by_flag), "flag")
-        .withColumn(
-            "r2y",
-            (F.rank().over(wy) + F.count("*").over(wy_ties)).cast("long"),
+    xlk = (
+        triples.groupBy("flag", "x")
+        .agg(F.sum("c").alias("cnt"))
+        .select(
+            "flag",
+            "x",
+            (2 * F.coalesce(F.sum("cnt").over(wxv), F.lit(0)) + F.col("cnt") + 1)
+            .cast("long")
+            .alias("r2x"),
         )
+    )
+    wyv = (
+        Window.partitionBy("flag")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ylk = (
+        triples.groupBy("flag", "y")
+        .agg(F.sum("c").alias("cnt"))
+        .select(
+            "flag",
+            "y",
+            (2 * F.coalesce(F.sum("cnt").over(wyv), F.lit(0)) + F.col("cnt") + 1)
+            .cast("long")
+            .alias("r2y"),
+        )
+    )
+    n_by_flag = triples.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    ranked = (
+        triples.join(F.broadcast(xlk), ["flag", "x"])
+        .join(F.broadcast(ylk), ["flag", "y"])
+        .join(F.broadcast(n_by_flag), "flag")
     )
     dx, dy = F.col("r2x") - (F.col("n") + 1), F.col("r2y") - (F.col("n") + 1)
     sums = ranked.groupBy("flag").agg(
         F.any_value("n").alias("n"),
-        F.sum(dx * dy).alias("sxy"),
-        F.sum(dx * dx).alias("sxx"),
-        F.sum(dy * dy).alias("syy"),
+        F.sum(F.col("c") * dx * dy).alias("sxy"),
+        F.sum(F.col("c") * dx * dx).alias("sxx"),
+        F.sum(F.col("c") * dy * dy).alias("syy"),
     )
     rho = F.round(
         F.col("sxy").cast("double")

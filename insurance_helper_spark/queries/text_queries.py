@@ -826,15 +826,23 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text_heaps_law_fit — Heaps'-law vocabulary growth: V(N) ≈ K·N^beta,
 # fit by OLS on the ln-ln curve sampled at 10 corpus checkpoints
-# (doc-ID-ordered deciles). beta ~0.4-0.6 is natural language; beta
-# near 1 screams synthetic/ID-heavy text, near 0 screams boilerplate —
-# the third corpus-linguistics gate next to Zipf slope and type/token
-# stats. DISTRIBUTED TRICK: "vocabulary so far" needs no sequential
-# scan — each term contributes at its FIRST document (min doc_id per
-# term, one groupBy), so V(checkpoint) is a broadcast range-join count
-# of first-occurrences <= the checkpoint boundary. Scale: tokenize +
-# term groupBy (map-side combine) + a 10-row broadcast join; the
-# decile spine comes from the doc-level relation, never raw tokens.
+# (decile boundaries by doc count). beta ~0.4-0.6 is natural language;
+# beta near 1 screams synthetic/ID-heavy text, near 0 screams
+# boilerplate — the third corpus-linguistics gate next to Zipf slope
+# and type/token stats. DISTRIBUTED TRICK: "vocabulary so far" needs
+# no sequential scan — each term contributes at its FIRST document
+# (min doc_id per term, one groupBy), so V(checkpoint) is a broadcast
+# range-join count of first-occurrences <= the checkpoint boundary.
+# ENGINE PARITY (r7 driver flake): the ln-ln points are integer-scaled
+# — lx/ly = round(ln(·)·1e6) AS BIGINT — so all five OLS sums are
+# exact integers regardless of partial-aggregation order, with one
+# terminal rounded double division (the house integer-moment pattern;
+# a 1-ulp cross-libm ln() difference is ~1e-9 at this scale, far from
+# the rounding boundary). BIGINT headroom: lx ≤ ln(1e13)·1e6 ≈ 3e7 at
+# 100 TB, so m·Σlx² ≈ 9e16 « 2^63. SCALE: the checkpoint spine is a
+# cumulative window over ≤1000 pre-aggregated doc-ID-range buckets
+# (min/max-normalized), never a global per-row sort; tokenize + term
+# groupBy (map-side combine) + a ≤10-row broadcast join do the rest.
 # ---------------------------------------------------------------------------
 
 HEAPS_ORACLE = f"""
@@ -843,15 +851,35 @@ WITH doc_tok AS (
   FROM documents
   WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
 ),
-spine AS (
-  SELECT doc_id, n_tokens, ntile(10) OVER (ORDER BY doc_id) AS decile
-  FROM doc_tok
+bounds AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx, count(*) AS n FROM doc_tok
+),
+bstats AS (
+  SELECT CAST(floor((doc_id - mn) * 1000.0 / (mx - mn + 1)) AS BIGINT) AS b,
+         count(*) AS cnt, sum(n_tokens) AS toks, max(doc_id) AS max_doc
+  FROM doc_tok CROSS JOIN bounds
+  GROUP BY 1
+),
+bspine AS (
+  SELECT b, max_doc,
+         sum(cnt) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         sum(toks) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM bstats
+),
+targets AS (
+  SELECT greatest(CAST(floor(i * n / 10.0) AS BIGINT), 1) AS tgt
+  FROM (SELECT unnest(range(1, 11)) AS i) CROSS JOIN bounds
+),
+ckpt AS (
+  SELECT t.tgt, min(s.b) AS cb
+  FROM targets t JOIN bspine s ON s.cum_cnt >= t.tgt
+  GROUP BY t.tgt
 ),
 checkpoints AS (
-  SELECT decile, max(doc_id) AS boundary,
-         sum(sum(n_tokens)) OVER (ORDER BY decile
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-  FROM spine GROUP BY decile
+  SELECT DISTINCT s.max_doc AS boundary, CAST(s.cum_toks AS BIGINT) AS cum_tokens
+  FROM ckpt c JOIN bspine s ON s.b = c.cb
 ),
 first_seen AS (
   SELECT term, min(doc_id) AS first_doc
@@ -861,25 +889,37 @@ first_seen AS (
   GROUP BY term
 ),
 curve AS (
-  SELECT c.decile, CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
-         CAST(count(f.term) AS BIGINT) AS vocab
+  SELECT c.boundary, c.cum_tokens, CAST(count(f.term) AS BIGINT) AS vocab
   FROM checkpoints c LEFT JOIN first_seen f ON f.first_doc <= c.boundary
-  GROUP BY c.decile, c.cum_tokens
+  GROUP BY c.boundary, c.cum_tokens
 ),
 pts AS (
-  SELECT ln(cum_tokens * 1.0) AS lx, ln(vocab * 1.0) AS ly FROM curve
+  SELECT CAST(round(ln(cum_tokens * 1.0) * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(vocab * 1.0) * 1000000) AS BIGINT) AS ly
+  FROM curve
 ),
 fit AS (
-  SELECT count(*) AS m, sum(lx) AS sx, sum(ly) AS sy,
-         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(ly * ly) AS BIGINT) AS syy
   FROM pts
 )
-SELECT CAST(m AS BIGINT) AS n_points,
-       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS heaps_beta,
-       round(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m), 2)
-           AS heaps_k,
-       round(pow(m * sxy - sx * sy, 2)
-             / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r_squared
+SELECT m AS n_points,
+       CASE WHEN m * sxx - sx * sx <> 0 THEN
+         round(CAST(m * sxy - sx * sy AS DOUBLE)
+               / CAST(m * sxx - sx * sx AS DOUBLE), 4) END AS heaps_beta,
+       CASE WHEN m * sxx - sx * sx <> 0 THEN
+         round(exp((CAST(sy AS DOUBLE)
+                    - CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE))
+                   / CAST(m AS DOUBLE) / 1000000.0), 2) END AS heaps_k,
+       CASE WHEN m * sxx - sx * sx <> 0 AND m * syy - sy * sy <> 0 THEN
+         round(CAST(m * sxy - sx * sy AS DOUBLE) * CAST(m * sxy - sx * sy AS DOUBLE)
+               / (CAST(m * sxx - sx * sx AS DOUBLE)
+                  * CAST(m * syy - sy * sy AS DOUBLE)), 4) END AS r_squared
 FROM fit
 """
 
@@ -895,18 +935,58 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tok = ne.select(
         "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    spine = doc_tok.select(
-        "doc_id", "n_tokens", F.ntile(10).over(W.orderBy("doc_id")).alias("decile")
+    bounds = doc_tok.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.count("*").alias("n"),
     )
-    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    checkpoints = (
-        spine.groupBy("decile")
-        .agg(F.max("doc_id").alias("boundary"), F.sum("n_tokens").alias("dt"))
-        .select(
-            "decile",
-            "boundary",
-            F.sum("dt").over(wc).cast("long").alias("cum_tokens"),
+    # ≤1000 doc-ID-range buckets: the cumulative spine window runs over a
+    # bounded pre-aggregated relation, never the per-doc rows.
+    bstats = (
+        doc_tok.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.floor(
+                (F.col("doc_id") - F.col("mn"))
+                * 1000.0
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("long")
+            .alias("b")
         )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tokens").alias("toks"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bspine = bstats.select(
+        "b",
+        "max_doc",
+        F.sum("cnt").over(wb).alias("cum_cnt"),
+        F.sum("toks").over(wb).alias("cum_toks"),
+    )
+    targets = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.greatest(
+                F.floor(F.col("id") * F.col("n") / 10.0).cast("long"), F.lit(1)
+            ).alias("tgt")
+        )
+    )
+    ckpt = (
+        targets.join(F.broadcast(bspine), F.col("cum_cnt") >= F.col("tgt"))
+        .groupBy("tgt")
+        .agg(F.min("b").alias("cb"))
+    )
+    checkpoints = (
+        ckpt.join(F.broadcast(bspine), F.col("b") == F.col("cb"))
+        .select(
+            F.col("max_doc").alias("boundary"),
+            F.col("cum_toks").cast("long").alias("cum_tokens"),
+        )
+        .distinct()
     )
     first_seen = (
         ne.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
@@ -917,38 +997,50 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_seen.join(
             F.broadcast(checkpoints), F.col("first_doc") <= F.col("boundary"), "right"
         )
-        .groupBy("decile", "cum_tokens")
+        .groupBy("boundary", "cum_tokens")
         .agg(F.count("term").cast("long").alias("vocab"))
     )
     pts = curve.select(
-        F.log(F.col("cum_tokens") * 1.0).alias("lx"),
-        F.log(F.col("vocab") * 1.0).alias("ly"),
+        F.round(F.log(F.col("cum_tokens") * 1.0) * 1000000).cast("long").alias("lx"),
+        F.round(F.log(F.col("vocab") * 1.0) * 1000000).cast("long").alias("ly"),
     )
     fit = pts.agg(
-        F.count("*").alias("m"),
+        F.count("*").cast("long").alias("m"),
         F.sum("lx").alias("sx"),
         F.sum("ly").alias("sy"),
         F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
         F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
         F.sum(F.col("ly") * F.col("ly")).alias("syy"),
     )
-    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # Degenerate-variance guards (exact BIGINT zero, both engines): a
+    # saturated vocabulary (every term seen by the first checkpoint —
+    # true of the tiny-vocab fixture corpus) makes the y-variance
+    # EXACTLY 0, so r_squared is NULL, not a float-noise quotient (the
+    # r7 driver flake was precisely this 0/eps noise under double sums).
+    numl = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denl = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    denyl = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num, den, deny = numl.cast("double"), denl.cast("double"), denyl.cast("double")
     return fit.select(
-        F.col("m").cast("long").alias("n_points"),
-        F.round(slope, 4).alias("heaps_beta"),
-        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("m")), 2).alias(
-            "heaps_k"
-        ),
-        F.round(
-            F.pow(F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
-            / (
-                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.col("m").alias("n_points"),
+        F.when(denl != 0, F.round(num / den, 4)).alias("heaps_beta"),
+        F.when(
+            denl != 0,
+            F.round(
+                F.exp(
+                    (
+                        F.col("sy").cast("double")
+                        - num / den * F.col("sx").cast("double")
+                    )
+                    / F.col("m").cast("double")
+                    / 1000000.0
+                ),
+                2,
             ),
-            4,
-        ).alias("r_squared"),
+        ).alias("heaps_k"),
+        F.when((denl != 0) & (denyl != 0), F.round(num * num / (den * deny), 4)).alias(
+            "r_squared"
+        ),
     )
 
 

@@ -193,3 +193,20 @@ class TestCorpusPrepPlanShapes:
     def test_centroid_stats_broadcasts_centroids(self, spark, sf_dir):
         df = _q("embedding_centroid_stats", spark, sf_dir)
         assert audit.has_broadcast_join(df)
+
+
+def test_spearman_windows_ride_reduced_relations(spark, sf_dir):
+    # r7 ADVICE: no rank window may sort the per-row fact table — every
+    # Window's sort input must be a HashAggregate output (the distinct
+    # (flag, x) / (flag, y) marginals of the triple pre-collapse).
+    df = _q("stat_spearman_corr", spark, sf_dir)
+    lines = audit.executed_plan(df).splitlines()
+    window_idxs = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert len(window_idxs) == 2, f"expected 2 marginal windows: {window_idxs}"
+    for i in window_idxs:
+        for ln in lines[i + 1 :]:
+            if "HashAggregate" in ln:
+                break  # window input is an aggregated (reduced) relation
+            assert "FileScan" not in ln, (
+                "Window sorts the raw scan — reduced-relation guarantee broken"
+            )
