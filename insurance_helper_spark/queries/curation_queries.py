@@ -273,12 +273,17 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text_zipf_fit — corpus health diagnostic: least-squares fit of the
 # log-log rank-frequency curve (Zipf's law; natural text slopes ≈ −1,
-# boilerplate-heavy or synthetic corpora drift off). Exercises the
-# regr_* bivariate-regression aggregate family (slope/intercept/r²) the
-# plain corr/covar stats row doesn't. Scale: the term table is one
-# explode + one shuffle; the global rank window runs over the reduced
-# |vocab| relation (top-500 cap) and the regression is a single-pass
-# aggregate with map-side partials.
+# boilerplate-heavy or synthetic corpora drift off). ENGINE PARITY
+# (r7 float-sum sweep): the fit rides exact integer moments — the
+# ln-ln points are quantized to round(ln(·)·1e5) AS BIGINT, so every
+# OLS sum is order-independent and the two engines agree bit-for-bit
+# up to the one terminal rounded division (regr_* over raw doubles
+# was the same partial-aggregation-order hazard that flaked Heaps in
+# the r7 driver run). BIGINT headroom at the 1e5 scale: 500 points,
+# ly ≤ ln(1e13)·1e5 ≈ 3e6 → m·Σly² ≈ 2.2e18 < 2^63 even at 100 TB
+# counts. Scale: the term table is one explode + one shuffle; the
+# global rank window runs over the reduced |vocab| relation (top-500
+# cap) and the fit is a single-pass aggregate with map-side partials.
 # ---------------------------------------------------------------------------
 
 ZIPF_ORACLE = f"""
@@ -291,13 +296,35 @@ tok AS (SELECT unnest(toks) AS term FROM t),
 model AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
 ranked AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM model
+),
+pts AS (
+  SELECT CAST(round(ln(rnk * 1.0) * 100000) AS BIGINT) AS lx,
+         CAST(round(ln(cnt * 1.0) * 100000) AS BIGINT) AS ly
+  FROM ranked WHERE rnk <= 500
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(ly * ly) AS BIGINT) AS syy
+  FROM pts
 )
-SELECT CAST(count(*) AS BIGINT) AS n_terms,
-       round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
-       round(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept,
-       round(regr_r2(ln(cnt), ln(rnk)), 4) AS fit_r2
-FROM ranked
-WHERE rnk <= 500
+SELECT m AS n_terms,
+       CASE WHEN m * sxx - sx * sx <> 0 THEN
+         round(CAST(m * sxy - sx * sy AS DOUBLE)
+               / CAST(m * sxx - sx * sx AS DOUBLE), 4) END AS zipf_slope,
+       CASE WHEN m * sxx - sx * sx <> 0 THEN
+         round((CAST(sy AS DOUBLE)
+                - CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(m AS DOUBLE) / 100000.0, 4) END AS zipf_intercept,
+       CASE WHEN m * sxx - sx * sx <> 0 AND m * syy - sy * sy <> 0 THEN
+         round(CAST(m * sxy - sx * sy AS DOUBLE) * CAST(m * sxy - sx * sy AS DOUBLE)
+               / (CAST(m * sxx - sx * sx AS DOUBLE)
+                  * CAST(m * syy - sy * sy AS DOUBLE)), 4) END AS fit_r2
+FROM fit
 """
 
 
@@ -310,12 +337,37 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = model.select(
         "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rnk")
     ).filter(F.col("rnk") <= 500)
-    ln_cnt, ln_rnk = F.log(F.col("cnt")), F.log(F.col("rnk"))
-    return ranked.agg(
-        F.count("*").alias("n_terms"),
-        F.round(F.regr_slope(ln_cnt, ln_rnk), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(ln_cnt, ln_rnk), 4).alias("zipf_intercept"),
-        F.round(F.regr_r2(ln_cnt, ln_rnk), 4).alias("fit_r2"),
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk") * 1.0) * 100000).cast("long").alias("lx"),
+        F.round(F.log(F.col("cnt") * 1.0) * 100000).cast("long").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    numl = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denl = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    denyl = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num, den, deny = numl.cast("double"), denl.cast("double"), denyl.cast("double")
+    return fit.select(
+        F.col("m").alias("n_terms"),
+        F.when(denl != 0, F.round(num / den, 4)).alias("zipf_slope"),
+        F.when(
+            denl != 0,
+            F.round(
+                (F.col("sy").cast("double") - num / den * F.col("sx").cast("double"))
+                / F.col("m").cast("double")
+                / 100000.0,
+                4,
+            ),
+        ).alias("zipf_intercept"),
+        F.when((denl != 0) & (denyl != 0), F.round(num * num / (den * deny), 4)).alias(
+            "fit_r2"
+        ),
     )
 
 

@@ -101,18 +101,29 @@ WITH ex AS (
     FROM embeddings
   )
 ),
-cent AS (SELECT label, dim, avg(val) AS c FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
 dots AS (
-  SELECT e.label, e.vec_id, sum(e.val * c.c) AS dot,
-         sqrt(sum(e.val * e.val)) AS nv
+  SELECT e.label, e.vec_id,
+         CAST(sum(CAST(round(e.val * c.c * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot,
+         sqrt(CAST(sum(CAST(round(e.val * e.val * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12) AS nv
   FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
   GROUP BY 1, 2
 ),
-cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1)
+cn AS (
+  SELECT label,
+         sqrt(CAST(sum(CAST(round(c * c * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nc
+  FROM cent GROUP BY 1
+)
 SELECT d.label,
        CAST(count(*) AS BIGINT) AS n_vecs,
        round(any_value(cn.nc), 4) AS centroid_norm,
-       round(avg(d.dot / (d.nv * cn.nc)), 4) AS avg_cos_to_centroid,
+       round(CAST(sum(CAST(round(d.dot / (d.nv * cn.nc) * 1e8) AS BIGINT)) AS DOUBLE)
+             / 1e8 / count(*), 4) AS avg_cos_to_centroid,
        round(min(d.dot / (d.nv * cn.nc)), 4) AS min_cos_to_centroid
 FROM dots d JOIN cn USING (label)
 GROUP BY d.label
@@ -140,16 +151,41 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "val")
     )
-    cent = ex.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    # ENGINE PARITY (r7 float-sum sweep): the centroid means, the per-vector
+    # dot/norm folds, and the corpus avg-cosine fold all sum round(·1eN) AS
+    # BIGINT so no partial-aggregation order can move a bit; min() is
+    # order-safe on the resulting deterministic per-row doubles.
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("c")
+    )
     dots = (
         ex.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("label", "vec_id")
         .agg(
-            F.sum(F.col("val") * F.col("c")).alias("dot"),
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+            (
+                F.sum(
+                    F.round(F.col("val") * F.col("c") * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("dot"),
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("val") * F.col("val") * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("nv"),
         )
     )
-    cn = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    cn = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("c") * F.col("c") * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("nc")
+    )
     cos = F.col("dot") / (F.col("nv") * F.col("nc"))
     return (
         dots.join(F.broadcast(cn), "label")
@@ -157,7 +193,12 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vecs"),
             F.round(F.first("nc"), 4).alias("centroid_norm"),
-            F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+            F.round(
+                F.sum(F.round(cos * 1e8).cast("long")).cast("double")
+                / 1e8
+                / F.count("*"),
+                4,
+            ).alias("avg_cos_to_centroid"),
             F.round(F.min(cos), 4).alias("min_cos_to_centroid"),
         )
         .orderBy("label")
@@ -184,11 +225,14 @@ WITH x AS (
   FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
 ),
 dim AS (
-  SELECT i, CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s,
+         CAST(sum(CAST(round(v * v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS ss
   FROM x GROUP BY i
 ),
 cross_m AS (
-  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(round(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 AS sxy
   FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
   GROUP BY a.i, b.i
 ),
@@ -219,8 +263,20 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).toDF("vec_id", "i", "v")
     x = x.localCheckpoint(eager=True)  # feeds dim moments + both join sides
+    # ENGINE PARITY (r7 float-sum sweep): every corpus-bounded fold sums
+    # round(·1eN) AS BIGINT — critical here because the top-10 RANK orders
+    # by the unrounded |corr|, so last-bit partial-sum noise could swap
+    # near-tied pairs between engines. Exact to ~5e8 vectors (1e10-scaled
+    # squares < 2^63); beyond that, drop one scale decade.
     dim = x.groupBy("i").agg(
-        F.count("*").alias("n"), F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ss")
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("v") * 1e9).cast("long")).cast("double") / 1e9).alias(
+            "s"
+        ),
+        (
+            F.sum(F.round(F.col("v") * F.col("v") * 1e10).cast("long")).cast("double")
+            / 1e10
+        ).alias("ss"),
     )
     a = x.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
     b = x.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
@@ -228,7 +284,14 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .filter(F.col("i") < F.col("j"))
         .groupBy("i", "j")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("sxy"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("va") * F.col("vb") * 1e10).cast("long")
+                ).cast("double")
+                / 1e10
+            ).alias("sxy")
+        )
     )
     da = dim.select(F.col("i"), F.col("n"), F.col("s").alias("sa"), F.col("ss").alias("ssa"))
     db = dim.select(F.col("i").alias("j"), F.col("s").alias("sb"), F.col("ss").alias("ssb"))
@@ -304,10 +367,16 @@ SELECT m.cluster_id,
        -- the inertia needs NO further rounding (a float sum of decimal
        -- summands can tie at the rounding boundary and flip per run).
        sum(CAST(round((1 - m.cos_c) * 10000) AS BIGINT)) / 10000.0 AS inertia,
-       round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS c0,
-       round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS c1,
-       round(avg(CAST(e.embedding[3] AS DOUBLE)), 4) AS c2,
-       round(avg(CAST(e.embedding[4] AS DOUBLE)), 4) AS c3
+       -- centroid means: exact integer ninths-scale sums (r7 float-sum
+       -- sweep) so the corpus fold is partial-aggregation-order-free
+       round(CAST(sum(CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / 1e9 / count(*), 4) AS c0,
+       round(CAST(sum(CAST(round(CAST(e.embedding[2] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / 1e9 / count(*), 4) AS c1,
+       round(CAST(sum(CAST(round(CAST(e.embedding[3] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / 1e9 / count(*), 4) AS c2,
+       round(CAST(sum(CAST(round(CAST(e.embedding[4] AS DOUBLE) * 1e9) AS BIGINT))
+             AS DOUBLE) / 1e9 / count(*), 4) AS c3
 FROM member m JOIN embeddings e ON m.vec_id = e.vec_id
 GROUP BY m.cluster_id
 ORDER BY m.cluster_id
@@ -346,7 +415,14 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round((1 - F.col("cos_c")) * 10000).cast("long")) / 10000.0
             ).alias("inertia"),
             *[
-                F.round(F.avg(F.col("vec").getItem(i)), 4).alias(f"c{i}")
+                F.round(
+                    F.sum(
+                        F.round(F.col("vec").getItem(i) * 1e9).cast("long")
+                    ).cast("double")
+                    / 1e9
+                    / F.count("*"),
+                    4,
+                ).alias(f"c{i}")
                 for i in range(4)
             ],
         )
@@ -368,6 +444,13 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # directions dominate my embedding space" diagnostic that pairs with
 # embedding_covariance_pairs (correlated dims) and quantization error
 # (how much a low-rank/int8 compression would lose).
+# ENGINE PARITY (r7 float-sum sweep): EVERY distributed fold here sums
+# exact integers — the per-dim mean sums round(v·1e9) AS BIGINT, each
+# Gram cell sums round(cᵃ·cᵇ·1e10) AS BIGINT (|c|≤2 → ≤4e10/term,
+# exact to ~1e8 vectors), and each d-bounded matvec/norm fold sums
+# round(·1e12) AS BIGINT — so no partial-aggregation order can move a
+# bit; the only doubles are deterministic per-row IEEE expressions and
+# one terminal quotient per fold.
 # ---------------------------------------------------------------------------
 
 _PCA_D = 64
@@ -378,23 +461,39 @@ WITH x AS (
   SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PCA_D})) AS i) i
 ),
-mu AS (SELECT i, avg(v) AS m, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY i),
+mu AS (
+  SELECT i,
+         CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY i
+),
 c AS (
   SELECT x.vec_id, x.i, x.v - mu.m AS v FROM x JOIN mu ON x.i = mu.i
 ),
 mat AS (
-  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) / any_value(mu.n) AS m
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(round(a.v * b.v * 1e10) AS BIGINT)) AS DOUBLE)
+           / 1e10 / any_value(mu.n) AS m
   FROM c a JOIN c b ON a.vec_id = b.vec_id
   JOIN mu ON mu.i = a.i
   GROUP BY a.i, b.i
 ),
 v0 AS (SELECT i, {_PCA_V0} AS v FROM mu),
-w1 AS (SELECT mat.i, sum(mat.m * v0.v) AS w FROM mat JOIN v0 ON mat.j = v0.i GROUP BY mat.i),
-v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
-w2 AS (SELECT mat.i, sum(mat.m * v1.v) AS w FROM mat JOIN v1 ON mat.j = v1.i GROUP BY mat.i),
-v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
-w3 AS (SELECT mat.i, sum(mat.m * v2.v) AS w FROM mat JOIN v2 ON mat.j = v2.i GROUP BY mat.i),
-norm3 AS (SELECT sqrt(sum(w * w)) AS eig FROM w3),
+w1 AS (SELECT mat.i, CAST(sum(CAST(round(mat.m * v0.v * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12 AS w
+       FROM mat JOIN v0 ON mat.j = v0.i GROUP BY mat.i),
+v1 AS (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e12) AS BIGINT))
+                                  AS DOUBLE) / 1e12) FROM w1) AS v FROM w1),
+w2 AS (SELECT mat.i, CAST(sum(CAST(round(mat.m * v1.v * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12 AS w
+       FROM mat JOIN v1 ON mat.j = v1.i GROUP BY mat.i),
+v2 AS (SELECT i, w / (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e12) AS BIGINT))
+                                  AS DOUBLE) / 1e12) FROM w2) AS v FROM w2),
+w3 AS (SELECT mat.i, CAST(sum(CAST(round(mat.m * v2.v * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12 AS w
+       FROM mat JOIN v2 ON mat.j = v2.i GROUP BY mat.i),
+norm3 AS (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e12) AS BIGINT)) AS DOUBLE)
+                 / 1e12) AS eig FROM w3),
 v3 AS (SELECT i, w / (SELECT eig FROM norm3) AS v FROM w3)
 SELECT CAST(i AS INT) AS dim,
        round(v, 4) AS loading,
@@ -414,7 +513,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     x = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).toDF("vec_id", "i", "v")
-    mu = x.groupBy("i").agg(F.avg("v").alias("m"), F.count("*").cast("long").alias("n"))
+    mu = x.groupBy("i").agg(
+        (
+            F.sum(F.round(F.col("v") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("m"),
+        F.count("*").cast("long").alias("n"),
+    )
     c = x.join(F.broadcast(mu), "i").select(
         "vec_id", "i", (F.col("v") - F.col("m")).alias("v")
     )
@@ -424,9 +530,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     mat = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        .agg(
+            F.sum(F.round(F.col("va") * F.col("vb") * 1e10).cast("long")).alias("s")
+        )
         .join(F.broadcast(mu.select(F.col("i"), F.col("n"))), "i")
-        .select("i", "j", (F.col("s") / F.col("n")).alias("m"))
+        .select("i", "j", (F.col("s").cast("double") / 1e10 / F.col("n")).alias("m"))
     )
     mat = mat.localCheckpoint(eager=True)  # reused by all three iterations
     v = mu.select("i", F.lit(_PCA_V0).alias("v"))
@@ -435,9 +543,23 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         w_df = (
             mat.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
             .groupBy("i")
-            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("m") * F.col("v") * 1e12).cast("long")
+                    ).cast("double")
+                    / 1e12
+                ).alias("w")
+            )
         )
-        norm = w_df.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        norm = w_df.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).cast(
+                    "double"
+                )
+                / 1e12
+            ).alias("nrm")
+        )
         v = w_df.join(F.broadcast(norm)).select(
             "i", (F.col("w") / F.col("nrm")).alias("v")
         )
@@ -673,7 +795,8 @@ ratios AS (
   FROM dists WHERE d2_orig > 0
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(ratio), 4) AS mean_ratio,
+       round(CAST(sum(CAST(round(ratio * 1e8) AS BIGINT)) AS DOUBLE)
+             / 1e8 / count(*), 4) AS mean_ratio,
        round(min(ratio), 4) AS min_ratio,
        round(max(ratio), 4) AS max_ratio,
        round(avg(CASE WHEN ratio BETWEEN 0.5 AND 2.0 THEN 1.0 ELSE 0.0 END), 4)
@@ -728,9 +851,19 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         d2_proj.alias("d2_proj"),
         (d2_proj / F.col("d2_orig")).alias("ratio"),
     )
+    # ENGINE-PARITY (r7 float-sum sweep): mean_ratio is the one
+    # corpus-bounded double fold here — quantize each (deterministic,
+    # left-fold-derived) per-row ratio to round(·1e8) AS BIGINT so the
+    # sum is order-independent. min/max are order-safe by definition;
+    # the within-2x fraction sums exact 0/1 doubles (exact to 2^53).
     return ratios.agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(
+            F.sum(F.round(F.col("ratio") * 1e8).cast("long")).cast("double")
+            / 1e8
+            / F.count("*"),
+            4,
+        ).alias("mean_ratio"),
         F.round(F.min("ratio"), 4).alias("min_ratio"),
         F.round(F.max("ratio"), 4).alias("max_ratio"),
         F.round(

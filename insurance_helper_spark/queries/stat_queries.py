@@ -182,9 +182,14 @@ grid AS (
   LEFT JOIN src_term st ON st.source = s.source AND st.term = t.term
 )
 SELECT source,
-       round(sum(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6) AS kl_src_corpus,
-       round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
-             + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js_divergence
+       round(CAST(sum(CASE WHEN p > 0
+                 THEN CAST(round(p * ln(p / q) * 1e12) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 1e12, 6) AS kl_src_corpus,
+       round(CAST(sum(CASE WHEN p > 0
+                 THEN CAST(round(p * ln(p / ((p + q) / 2)) * 1e12) AS BIGINT)
+                 ELSE 0 END)
+             + sum(CAST(round(q * ln(q / ((p + q) / 2)) * 1e12) AS BIGINT))
+             AS DOUBLE) / 2e12, 6) AS js_divergence
 FROM grid
 GROUP BY source
 ORDER BY source
@@ -215,15 +220,29 @@ def stat_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cc") / F.col("tot_c")).alias("q"),
         )
     )
+    # ENGINE PARITY (r7 float-sum sweep): each grid term is quantized to
+    # round(·1e12) AS BIGINT before summation so the vocab-bounded fold is
+    # order-independent exact integer arithmetic with one terminal rounded
+    # division (p, q, and the per-term doubles are themselves deterministic
+    # IEEE quotients of the same integer counts on both engines). BIGINT
+    # headroom: per-term |x| ≤ ~1 → ≤1e12 scaled, safe to |vocab| ~ 1e6.
     m = (F.col("p") + F.col("q")) / 2
-    kl_pq = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("q"))).otherwise(0.0)
-    kl_pm = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
-    kl_qm = F.col("q") * F.log(F.col("q") / m)
+    kl_pq = F.when(
+        F.col("p") > 0,
+        F.round(F.col("p") * F.log(F.col("p") / F.col("q")) * 1e12).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    kl_pm = F.when(
+        F.col("p") > 0,
+        F.round(F.col("p") * F.log(F.col("p") / m) * 1e12).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    kl_qm = F.round(F.col("q") * F.log(F.col("q") / m) * 1e12).cast("long")
     return (
         grid.groupBy("source")
         .agg(
-            F.round(F.sum(kl_pq), 6).alias("kl_src_corpus"),
-            F.round(0.5 * F.sum(kl_pm) + 0.5 * F.sum(kl_qm), 6).alias("js_divergence"),
+            F.round(F.sum(kl_pq).cast("double") / 1e12, 6).alias("kl_src_corpus"),
+            F.round(
+                (F.sum(kl_pm) + F.sum(kl_qm)).cast("double") / 2e12, 6
+            ).alias("js_divergence"),
         )
         .orderBy("source")
     )
@@ -772,38 +791,61 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # stat_ols_residual_outliers — model-based outlier detection: fit
-# price ~ quantity per part brand-prefix with the closed-form OLS
-# aggregates (regr_slope/intercept — one shuffle), broadcast the tiny
-# coefficient table back, and flag lineitems whose studentized-ish
-# residual |e| / s_e exceeds 3. Two passes over the fact (fit, score)
-# — the standard distributed shape when the model is per-group
-# closed-form; residual variance uses the exact n-2 denominator.
+# price ~ quantity per part brand-prefix with closed-form OLS over
+# EXACT INTEGER moments (quantity is integral, price is whole cents:
+# Σx, Σy, Σxy, Σx² are order-independent BIGINTs — r7 float-sum sweep;
+# regr_* over raw doubles was the Heaps-flake hazard class), broadcast
+# the tiny coefficient table back, and flag lineitems whose
+# studentized-ish residual |e| / s_e exceeds 3. Residuals are
+# quantized to whole cents so the variance sum is an exact BIGINT too;
+# b0/b1/s_e are deterministic IEEE quotients of those integers. Two
+# passes over the fact (fit, score) — the standard distributed shape
+# for per-group closed-form models; the BIGINT moment products stay
+# exact to ~1e9 rows/group (n·Σxy < 2^63), beyond which the same plan
+# runs the fit arithmetic in DOUBLE. Residual variance uses the exact
+# n-2 denominator.
 # ---------------------------------------------------------------------------
 
 OLS_OUTLIER_ORACLE = """
-WITH fit AS (
+WITH base AS (
   SELECT l_partkey % 10 AS grp,
-         regr_slope(l_extendedprice, l_quantity) AS b1,
-         regr_intercept(l_extendedprice, l_quantity) AS b0,
-         count(*) AS n
-  FROM lineitem GROUP BY grp
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fit AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY grp
+),
+coefs AS (
+  SELECT grp, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
+  FROM fit
 ),
 scored AS (
-  SELECT f.grp, l.l_orderkey, l.l_linenumber,
-         l.l_extendedprice - (f.b0 + f.b1 * l.l_quantity) AS resid, f.n
-  FROM lineitem l JOIN fit f ON l.l_partkey % 10 = f.grp
+  SELECT b.grp, c.n,
+         CAST(round(b.y - (c.b0 + c.b1 * b.x)) AS BIGINT) AS rc
+  FROM base b JOIN coefs c ON b.grp = c.grp
 ),
 sigma AS (
-  SELECT grp, sqrt(sum(resid * resid) / (any_value(n) - 2)) AS s_e
+  SELECT grp, any_value(n) AS n,
+         sqrt(CAST(sum(rc * rc) AS DOUBLE) / (any_value(n) - 2)) AS s_e
   FROM scored GROUP BY grp
 )
 SELECT s.grp,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(any_value(g.s_e), 4) AS resid_stddev,
-       CAST(sum(CASE WHEN abs(s.resid) > 3 * g.s_e THEN 1 ELSE 0 END) AS BIGINT)
+       round(g.s_e / 100.0, 4) AS resid_stddev,
+       CAST(sum(CASE WHEN abs(s.rc) > 3 * g.s_e THEN 1 ELSE 0 END) AS BIGINT)
            AS n_outliers
 FROM scored s JOIN sigma g ON s.grp = g.grp
-GROUP BY s.grp
+GROUP BY s.grp, g.s_e
 ORDER BY s.grp
 """
 
@@ -812,32 +854,57 @@ ORDER BY s.grp
 def stat_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(
         spark, sf_dir, "lineitem",
-        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"],
-    ).withColumn("grp", F.col("l_partkey") % 10)
-    fit = li.groupBy("grp").agg(
-        F.regr_slope("l_extendedprice", "l_quantity").alias("b1"),
-        F.regr_intercept("l_extendedprice", "l_quantity").alias("b0"),
-        F.count("*").alias("n"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
-    scored = li.join(F.broadcast(fit), "grp").select(
+    base = li.select(
+        (F.col("l_partkey") % 10).alias("grp"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fit = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b1 = num / den
+    coefs = fit.select(
         "grp",
         "n",
+        b1.alias("b1"),
         (
-            F.col("l_extendedprice") - (F.col("b0") + F.col("b1") * F.col("l_quantity"))
-        ).alias("resid"),
-    ).localCheckpoint(eager=False)  # feeds sigma + the outlier fold
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    scored = (
+        base.join(F.broadcast(coefs), "grp")
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+            .cast("long")
+            .alias("rc"),
+        )
+        .localCheckpoint(eager=False)  # feeds sigma + the outlier fold
+    )
     sigma = scored.groupBy("grp").agg(
-        F.sqrt(F.sum(F.col("resid") * F.col("resid")) / (F.any_value("n") - 2)).alias("s_e")
+        F.sqrt(
+            F.sum(F.col("rc") * F.col("rc")).cast("double") / (F.any_value("n") - 2)
+        ).alias("s_e")
     )
     return (
         scored.join(F.broadcast(sigma), "grp")
         .groupBy("grp")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.any_value("s_e"), 4).alias("resid_stddev"),
-            F.sum(
-                F.when(F.abs("resid") > 3 * F.col("s_e"), 1).otherwise(0)
-            ).cast("long").alias("n_outliers"),
+            F.round(F.any_value("s_e") / 100.0, 4).alias("resid_stddev"),
+            F.sum(F.when(F.abs("rc") > 3 * F.col("s_e"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
         )
         .orderBy("grp")
     )
