@@ -676,13 +676,11 @@ def trending_terms_stream(
             # that already contains its own counts, so its snapshot is
             # recomputed-as-of-now rather than bit-stable; the counts
             # table stays exact either way.
-            dead = sorted(
-                k
-                for k in _folded_keys(spark_b, counts_dir)
-                if k != _COMPACTED_KEY and k not in batch_keys
-            )
+            folded, current = _read_manifest(spark_b, counts_dir)
+            dead = sorted(k for k in folded if k not in batch_keys)
             hist = (
-                hist_partials.filter(~F.col("src_key").isin(batch_keys + dead))
+                _live_filter(hist_partials, set(dead), current)
+                .filter(~F.col("src_key").isin(batch_keys))
                 .groupBy("term")
                 .agg(F.sum("cnt").alias("cnt"))
             )
@@ -741,22 +739,55 @@ def trending_terms_stream(
 
 
 _FOLDED_DIR = "_compaction"  # leading underscore: invisible to parquet reads
-_COMPACTED_KEY = "c0"
+_COMPACTED_KEY = "c0"  # legacy (pre-generational) compacted key
+_COMPACTED_RE = r"^c[0-9]+$"
 
 
-def _folded_keys(spark, counts_dir: str):
-    """Set of src_keys whose partials were folded into the compacted
-    partition (empty if never compacted). Stored under a leading-
-    underscore dir so the main partition read never sees it."""
+def _read_manifest(spark, counts_dir: str):
+    """Read the compaction manifest: returns ``(folded, current)`` where
+    ``folded`` is the set of src_keys whose counts were absorbed into
+    some compacted generation, and ``current`` is the live compacted
+    key (highest manifested generation) or None if never compacted.
+    Legacy manifests (no ``new_key`` column) map to generation c0.
+    Stored under a leading-underscore dir so the main partition read
+    never sees it."""
     import os
 
     from pyspark.errors import AnalysisException
 
     path = os.path.join(counts_dir, _FOLDED_DIR)
     try:
-        return {r[0] for r in spark.read.parquet(path).select("src_key").collect()}
+        pdf = spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException:
-        return set()
+        return set(), None
+    if "new_key" in pdf.columns:
+        rows = [
+            (r["src_key"], r["new_key"] or _COMPACTED_KEY)
+            for r in pdf.select("src_key", "new_key").collect()
+        ]
+    else:
+        rows = [(r[0], _COMPACTED_KEY) for r in pdf.select("src_key").collect()]
+    folded = {k for k, _ in rows}
+    gens = {nk for _, nk in rows}
+    current = max(gens, key=lambda k: int(k[1:])) if gens else None
+    return folded, current
+
+
+def _live_filter(df, folded, current):
+    """Keep exactly the partitions whose counts should be counted:
+    drop manifest-folded keys (their counts live inside ``current``)
+    and drop any compacted-pattern key that is NOT the manifested
+    current generation (an unmanifested c* partition can only be the
+    staging output of a compaction that crashed before its manifest
+    commit — counting it would double)."""
+    from pyspark.sql import functions as F
+
+    cond = ~F.col("src_key").rlike(_COMPACTED_RE) | (
+        F.col("src_key") == F.lit(current if current is not None else "")
+    )
+    if folded:
+        cond = cond & ~F.col("src_key").isin(sorted(folded))
+    return df.filter(cond)
 
 
 def trending_vocabulary(spark, counts_dir: str) -> DataFrame:
@@ -764,72 +795,99 @@ def trending_vocabulary(spark, counts_dir: str) -> DataFrame:
     trending_terms_stream maintains: sum over ``src_key`` partitions —
     the read half of the mergeable-partials contract. One shuffle on
     the term key. Partials listed in the compaction manifest are
-    EXCLUDED: their counts live inside the compacted partition, and a
-    live partition with a folded key can only be a post-compaction
-    replay of an already-folded input file (counting it would double)."""
+    EXCLUDED (their counts live inside the current compacted
+    generation; a live partition with a folded key can only be a
+    post-compaction replay of an already-folded input file), and so is
+    any compacted partition the manifest does not declare current (a
+    crashed compaction's staging output)."""
     from pyspark.sql import functions as F
 
-    folded = _folded_keys(spark, counts_dir)
-    df = spark.read.parquet(counts_dir)
-    if folded:
-        live = [k for k in folded if k != _COMPACTED_KEY]
-        df = df.filter(~F.col("src_key").isin(live))
+    folded, current = _read_manifest(spark, counts_dir)
+    df = _live_filter(spark.read.parquet(counts_dir), folded, current)
     return df.groupBy("term").agg(F.sum("cnt").alias("cnt"))
 
 
+def _append_manifest(spark, counts_dir: str, rows) -> None:
+    """The compaction COMMIT POINT: one single-file parquet append that
+    declares a new compacted generation and the keys folded into it.
+    Factored out so crash-window tests can fail it deliberately."""
+    import os
+
+    spark.createDataFrame(rows, "src_key string, new_key string").coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(counts_dir, _FOLDED_DIR))
+
+
+def _delete_partitions(spark, counts_dir: str, keys) -> None:
+    """Drop partition dirs via the Hadoop FS API (storage-agnostic)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k in keys:
+        p = jvm.org.apache.hadoop.fs.Path(f"{counts_dir}/src_key={k}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+
+
 def compact_term_partials(spark, counts_dir: str) -> int:
-    """Maintenance job: fold every live per-file partition (plus any
-    previous compacted partition) into ONE ``src_key=c0`` partition,
-    record the folded keys in the manifest, and delete the folded
-    partition directories. Returns the number of partitions folded.
+    """Maintenance job: fold every live per-file partition, plus the
+    current compacted generation, into ONE fresh ``src_key=c{n+1}``
+    partition; COMMIT by appending the folded keys + new generation to
+    the manifest; then delete the folded partition directories.
+    Returns the number of live partitions folded.
 
-    Replay safety is preserved: a checkpoint-loss replay of an
-    already-folded input file rewrites its (now-deleted) partition, but
-    both ``trending_vocabulary`` and the stream's history read exclude
-    manifest-listed keys, so the counts stay exact — the rewritten
-    partition is dead weight until the next compaction deletes it
-    again. At scale this is the parquet analog of a log-structured
-    merge: O(files) partials between compactions, one bounded
-    aggregation per compaction, deletes via the Hadoop FileSystem API
-    (storage-agnostic — works on object stores)."""
+    CRASH-SAFE BY CONSTRUCTION (r7 ADVICE): the merge is staged under a
+    key that is never part of the read set, and the single manifest
+    append is the only commit point —
+    - crash BEFORE the manifest: the staged c{n+1} partition is
+      unmanifested, so every reader excludes it (``_live_filter``) and
+      a re-run overwrites it from the same still-live inputs;
+    - crash AFTER the manifest: readers already see exactly the new
+      generation; the re-run finds no live keys and only sweeps the
+      now-dead directories.
+    Either way counts are exact at every intermediate state and
+    re-running converges — no read-then-overwrite cycle exists, so no
+    localCheckpoint snapshot is needed. Replay safety is unchanged: a
+    checkpoint-loss replay of an already-folded input file rewrites its
+    (deleted) partition, which stays manifest-excluded dead weight
+    until the next compaction sweeps it. At scale this is the parquet
+    analog of a log-structured merge: O(files) partials between
+    compactions, one bounded aggregation per compaction."""
     from pyspark.sql import functions as F
+    import re
 
-    folded = _folded_keys(spark, counts_dir)
+    folded, current = _read_manifest(spark, counts_dir)
     df = spark.read.parquet(counts_dir)
     keys = {r[0] for r in df.select("src_key").distinct().collect()}
-    dead = {k for k in keys if k in folded and k != _COMPACTED_KEY}
-    to_fold = sorted(k for k in keys if k not in folded)
+    comp = re.compile(_COMPACTED_RE)
+    # Crashed staging outputs + superseded generations (never counted).
+    stale = {k for k in keys if comp.match(k) and k != current}
+    # Post-compaction replays of already-folded input files.
+    dead = {k for k in keys if k in folded and not comp.match(k)}
+    live = sorted(k for k in keys if k not in folded and not comp.match(k))
+    if not live:
+        _delete_partitions(spark, counts_dir, sorted(stale | dead))
+        return 0
+    merge_keys = live + ([current] if current in keys else [])
+    new_key = f"c{int(current[1:]) + 1}" if current else _COMPACTED_KEY
     merged = (
-        df.filter(~F.col("src_key").isin(sorted(dead)))
+        df.filter(F.col("src_key").isin(merge_keys))
         .groupBy("term")
         .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("src_key", F.lit(_COMPACTED_KEY))
+        .withColumn("src_key", F.lit(new_key))
     )
-    # Snapshot before the overwrite below rewrites what it read.
-    merged = merged.localCheckpoint(eager=True)
+    # Stage the new generation (dynamic overwrite replaces any stale
+    # staging dir a crashed prior attempt left under the same key).
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("src_key")
         .parquet(counts_dir)
     )
-    new_folds = [k for k in to_fold if k != _COMPACTED_KEY]
-    if new_folds:
-        import os
-
-        spark.createDataFrame(
-            [(k,) for k in new_folds], "src_key string"
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(counts_dir, _FOLDED_DIR)
-        )
-    # Drop folded + dead partition dirs via the Hadoop FS API.
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for k in sorted(set(new_folds) | dead):
-        p = jvm.org.apache.hadoop.fs.Path(f"{counts_dir}/src_key={k}")
-        fs = p.getFileSystem(hconf)
-        fs.delete(p, True)
-    return len(new_folds)
+    _append_manifest(spark, counts_dir, [(k, new_key) for k in merge_keys])
+    _delete_partitions(
+        spark, counts_dir, sorted((set(merge_keys) | stale | dead) - {new_key})
+    )
+    return len(live)
 
 
 def scd2_maintenance_stream(

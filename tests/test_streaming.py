@@ -713,7 +713,100 @@ class TestTrendingTerms:
         counts = {r.term: r.cnt
                   for r in ops.trending_vocabulary(spark, c).collect()}
         assert counts == {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+        # Exactly one (generational) compacted partition remains.
         keys = {r[0] for r in spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert len(keys) == 1 and keys == {"c1"}
+
+    @staticmethod
+    def _seed_two_files(spark, tmp_path, tag):
+        import pandas as pd
+
+        in_dir = tmp_path / f"trend_in_{tag}"
+        in_dir.mkdir()
+        pd.DataFrame({
+            "doc_id": [1], "text": ["alpha beta gamma alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [22],
+        }).to_parquet(in_dir / "b1.parquet")
+        pd.DataFrame({
+            "doc_id": [2], "text": ["delta alpha"], "lang": ["en"],
+            "source": ["s"], "n_chars": [11],
+        }).to_parquet(in_dir / "b2.parquet")
+        c = str(tmp_path / f"c_{tag}")
+        ops.trending_terms_stream(
+            spark, str(in_dir), c, str(tmp_path / f"t_{tag}"),
+            str(tmp_path / f"k_{tag}"),
+        )
+        return c
+
+    EXPECTED = {"alpha": 3, "beta": 1, "gamma": 1, "delta": 1}
+
+    def test_crash_before_manifest_commit_stays_exact(self, spark, tmp_path,
+                                                      monkeypatch):
+        """r7 ADVICE crash window: die AFTER the staged merge partition
+        is written but BEFORE the manifest append. The unmanifested
+        staging partition must be invisible to readers, and a re-run
+        must converge to exact counts (the pre-fix code overwrote c0 in
+        place first, making the double-count permanent)."""
+        c = self._seed_two_files(spark, tmp_path, "crash1")
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before manifest commit")
+
+        monkeypatch.setattr(ops, "_append_manifest", boom)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="before manifest"):
+            ops.compact_term_partials(spark, c)
+        # Staged c0 exists on disk but is unmanifested → excluded.
+        keys = {r[0] for r in
+                spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert "c0" in keys and len(keys) == 3
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == self.EXPECTED
+        # Recovery run (manifest append restored) converges.
+        monkeypatch.undo()
+        assert ops.compact_term_partials(spark, c) == 2
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == self.EXPECTED
+        keys = {r[0] for r in
+                spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert keys == {"c0"}
+        # And the next run is a no-op.
+        assert ops.compact_term_partials(spark, c) == 0
+
+    def test_crash_after_manifest_before_sweep_stays_exact(self, spark, tmp_path,
+                                                           monkeypatch):
+        """The other crash window: manifest committed, folded partition
+        dirs not yet deleted. Readers must count the new generation
+        exactly once; the re-run sweeps the dead dirs and folds
+        nothing."""
+        c = self._seed_two_files(spark, tmp_path, "crash2")
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before sweep")
+
+        monkeypatch.setattr(ops, "_delete_partitions", boom)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="before sweep"):
+            ops.compact_term_partials(spark, c)
+        # Folded dirs still on disk next to the committed generation…
+        keys = {r[0] for r in
+                spark.read.parquet(c).select("src_key").distinct().collect()}
+        assert "c0" in keys and len(keys) == 3
+        # …but the manifest exclusion keeps the vocabulary exact.
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == self.EXPECTED
+        monkeypatch.undo()
+        assert ops.compact_term_partials(spark, c) == 0  # sweep only
+        counts = {r.term: r.cnt
+                  for r in ops.trending_vocabulary(spark, c).collect()}
+        assert counts == self.EXPECTED
+        keys = {r[0] for r in
+                spark.read.parquet(c).select("src_key").distinct().collect()}
         assert keys == {"c0"}
 
 
