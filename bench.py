@@ -266,6 +266,34 @@ def _release_blocks(spark) -> None:
     spark.catalog.clearCache()
 
 
+def _persist_round_timings(result: dict, cold: dict) -> None:
+    """Write the FULL per-query timing map to bench_results/r{N}.json
+    (committed in-repo). The driver's BENCH_r{N}.json tail only keeps
+    the last ~2 KB of stdout, which in r7 shared zero per-query keys
+    with r6 — this file is what makes cross-round per-query regression
+    diffs possible from artifacts alone. N = 1 + the highest existing
+    driver BENCH_r*.json (i.e. the round currently being built);
+    override with $SPARK_GRAFT_ROUND. Best-effort: never fails bench."""
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round is not None:
+            n = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = (max(rounds) if rounds else 0) + 1
+        out_dir = os.path.join(repo, "bench_results")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"r{n:02d}.json"), "w") as fh:
+            json.dump({**result, "cold": cold}, fh, indent=1, sort_keys=True)
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"  bench_results persist skipped: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -310,20 +338,18 @@ def main() -> None:
             if name in budgets and t > max(2.0 * budgets[name], 1.0):
                 regressions[name] = {"budget": budgets[name], "now": t}
                 print(f"  REGRESSION {name}: {t}s vs budget {budgets[name]}s", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "r1_comparable_total": comparable_total,
-                "sf": sf,
-                "regressions": regressions,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "r1_comparable_total": comparable_total,
+        "sf": sf,
+        "regressions": regressions,
+    }
+    _persist_round_timings(result, cold)
+    print(json.dumps(result))
     if abs(sf - 0.1) < 1e-9 and comparable_total > 1.5 * R1_TOTAL:
         print(
             f"SUITE REGRESSION: {comparable_total}s (r1-comparable queries) "

@@ -1333,6 +1333,20 @@ ORDER BY segment
 """
 
 
+def duplicate_payment_flags(base: DataFrame, max_gap_days: int = 7) -> DataFrame:
+    """The screen's core predicate, reusable and unit-testable on seeded
+    frames: flag rows whose previous order in the (custkey, cents)
+    partition falls within ``max_gap_days``. Input columns:
+    o_custkey, cents, o_orderdate, o_orderkey."""
+    w = Window.partitionBy("o_custkey", "cents").orderBy("o_orderdate", "o_orderkey")
+    return (
+        base.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+        .filter(F.col("gap_days") <= max_gap_days)
+    )
+
+
 @register("dq_duplicate_payment_candidates", DUP_PAYMENT_ORACLE)
 def dq_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(
@@ -1346,13 +1360,7 @@ def dq_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderdate",
         "o_orderkey",
     )
-    w = Window.partitionBy("o_custkey", "cents").orderBy("o_orderdate", "o_orderkey")
-    flagged = (
-        base.withColumn("prev_date", F.lag("o_orderdate").over(w))
-        .filter(F.col("prev_date").isNotNull())
-        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
-        .filter(F.col("gap_days") <= 7)
-    )
+    flagged = duplicate_payment_flags(base)
     return (
         flagged.join(cust, flagged.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))

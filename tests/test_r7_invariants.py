@@ -169,6 +169,44 @@ def test_duplicate_payment_gaps_bounded(spark):
         assert r.n_customers <= r.n_candidate_pairs or r.n_candidate_pairs == 0
 
 
+def test_duplicate_payment_predicate_flags_seeded_pair(spark):
+    """The fixture has zero candidate pairs, so the query-level checks
+    above are vacuous there (r7 ADVICE) — drive the screen's core
+    predicate with seeded data: a same-customer same-amount pair 3 days
+    apart MUST be flagged; the same pair 30 days apart, a different
+    amount, and a different customer must NOT."""
+    import datetime as dt
+
+    from insurance_helper_spark.queries.curation_queries import (
+        duplicate_payment_flags,
+    )
+
+    d = dt.date
+    rows = [
+        # duplicate: cust 1, 5000 cents, 3 days apart → flag order 102
+        (1, 5000, d(2024, 1, 1), 101),
+        (1, 5000, d(2024, 1, 4), 102),
+        # same key 30 days later → outside the window, no flag
+        (1, 5000, d(2024, 2, 3), 103),
+        # same customer, different amount, 1 day apart → no flag
+        (1, 6000, d(2024, 1, 2), 104),
+        # different customer, same amount/date as 101 → no flag
+        (2, 5000, d(2024, 1, 1), 105),
+        # chain: three identical within 7 days → both successors flagged
+        (3, 900, d(2024, 3, 1), 201),
+        (3, 900, d(2024, 3, 2), 202),
+        (3, 900, d(2024, 3, 5), 203),
+    ]
+    base = spark.createDataFrame(
+        rows, "o_custkey long, cents long, o_orderdate date, o_orderkey long"
+    )
+    flagged = {
+        (r.o_orderkey, r.gap_days)
+        for r in duplicate_payment_flags(base).collect()
+    }
+    assert flagged == {(102, 3), (202, 1), (203, 3)}
+
+
 def test_token_sort_fingerprint_groups_share_token_sets(spark):
     from pyspark.sql import functions as F
 
