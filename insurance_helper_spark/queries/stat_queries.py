@@ -3147,3 +3147,712 @@ def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("significant_95"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# stat_kruskal_wallis — k-group rank ANOVA (Kruskal–Wallis H, tie-
+# corrected) of extended price across return flags: does ANY flag's
+# price distribution differ, without assuming normality — the k-group
+# generalization of the Mann–Whitney/AUC pair already in the catalog.
+# DISTRIBUTED SHAPE (the Spearman/KS house pattern): the fact table
+# collapses map-side to distinct price-cent values (bounded domain),
+# global doubled average ranks come from ONE cumulative-count window
+# over that reduced relation, per-group rank sums are count-weighted
+# exact BIGINTs, and the tie census rides the same value relation. No
+# window ever sees a per-row relation. ENGINE PARITY: every data-sized
+# sum is an exact integer; the 3-row per-group Rg²/ng terms are
+# quantized to BIGINT before the final fold (exact to ~sf1; beyond
+# that the same plan runs the group terms in DOUBLE). df = k−1 = 2, so
+# the chi-square tail has the closed form p = exp(−H/2).
+# ---------------------------------------------------------------------------
+
+KRUSKAL_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fy AS (SELECT flag, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY flag, y),
+vc AS (SELECT y, CAST(sum(c) AS BIGINT) AS cnt FROM fy GROUP BY y),
+vr AS (
+  SELECT y, cnt,
+         2 * coalesce(sum(cnt) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2y
+  FROM vc
+),
+grp AS (
+  SELECT f.flag, CAST(sum(f.c) AS BIGINT) AS ng,
+         CAST(sum(f.c * v.r2y) AS BIGINT) AS r2g
+  FROM fy f JOIN vr v ON f.y = v.y
+  GROUP BY f.flag
+),
+tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                             / (4.0 * ng)) AS BIGINT)) AS BIGINT) AS s
+  FROM grp
+),
+ties AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t3 FROM vc),
+h AS (
+  SELECT n, k,
+         (12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
+          - 3.0 * (n + 1))
+         / (1.0 - CAST(t3 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)) AS hstat
+  FROM tot CROSS JOIN ties
+)
+SELECT k AS k_groups, n AS n_total,
+       round(hstat, 4) AS h_statistic,
+       round(exp(-hstat / 2), 6) AS p_value_df2
+FROM h
+"""
+
+
+@register("stat_kruskal_wallis", KRUSKAL_ORACLE)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fy = base.groupBy("flag", "y").agg(F.count("*").alias("c"))
+    vc = fy.groupBy("y").agg(F.sum("c").alias("cnt"))
+    # Unpartitioned window over the VALUE-COLLAPSED relation only
+    # (bounded price-cent domain — the KS/PSI stance).
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    vr = vc.select(
+        "y",
+        "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("r2y"),
+    )
+    grp = (
+        fy.join(vr.select("y", "r2y"), "y")
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("r2y")).cast("long").alias("r2g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2g").cast("double")
+                * F.col("r2g").cast("double")
+                / (4.0 * F.col("ng"))
+            ).cast("long")
+        ).alias("s"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    hstat = (
+        12.0 * F.col("s").cast("double") / (nd * (F.col("n") + 1))
+        - 3.0 * (F.col("n") + 1)
+    ) / (1.0 - F.col("t3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n")))
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_total"),
+            F.round(hstat, 4).alias("h_statistic"),
+            F.round(F.exp(-hstat / 2), 6).alias("p_value_df2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_anova_oneway — classical one-way ANOVA of order value (whole
+# dollars) across market segments: F = (SSB/(k−1)) / (SSW/(N−k)) plus
+# eta² effect size — the parametric sibling of Kruskal–Wallis above,
+# from ONE map-side-combined aggregation pass (n, Σv, Σv² per group;
+# the sufficient statistics every distributed ANOVA reduces to).
+# ENGINE PARITY: v is an exact integer (rounded dollars), so the group
+# sums are exact BIGINTs; the k-row Sg²/ng terms are quantized to
+# BIGINT before the final fold. BIGINT Σv² stays exact to ~1e8 rows
+# (v² ≤ 4e11); beyond that the same plan runs the moments in DOUBLE —
+# documented 100 TB fallback. No p-value: the F tail has no closed
+# form — the F/df columns are the test's complete sufficient output.
+# ---------------------------------------------------------------------------
+
+ANOVA_ORACLE = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(v) AS BIGINT) AS sg, CAST(sum(v * v) AS BIGINT) AS ssg
+  FROM base GROUP BY segment
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(ssg) AS BIGINT) AS ss,
+         CAST(sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+                       AS BIGINT)) AS BIGINT) AS sq
+  FROM g
+)
+SELECT k AS k_groups, n AS n_total,
+       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (k - 1)
+             / ((CAST(ss AS DOUBLE) - CAST(sq AS DOUBLE)) / (n - k)), 4)
+           AS f_statistic,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+           AS eta_squared
+FROM tot
+"""
+
+
+@register("stat_anova_oneway", ANOVA_ORACLE)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round("o_totalprice").cast("long").alias("v"),
+    )
+    g = base.groupBy("segment").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("ssg"),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ssg").cast("long").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg").cast("double") / F.col("ng")
+            ).cast("long")
+        ).alias("sq"),
+    )
+    sd, sqd, ssd = (
+        F.col("s").cast("double"),
+        F.col("sq").cast("double"),
+        F.col("ss").cast("double"),
+    )
+    ssb = sqd - sd * sd / F.col("n")
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.round(
+            ssb / (F.col("k") - 1) / ((ssd - sqd) / (F.col("n") - F.col("k"))), 4
+        ).alias("f_statistic"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(ssb / (ssd - sd * sd / F.col("n")), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_cramers_v — effect size for categorical association: chi-square
+# over the segment × order-priority contingency table plus Cramér's V
+# and the Bergsma bias-corrected V~ — the "is this association MEANINGFUL
+# or just significant at scale" companion to the chi2 test row (at
+# 100 TB everything is significant; V is what survives). ONE
+# contingency aggregation (map-side combine); marginals re-aggregate
+# the ≤ r×c cell table, never the data. ENGINE PARITY: cells and
+# marginals are exact BIGINTs; the per-cell (O−E)²/E terms are
+# quantized to round(·1e6) AS BIGINT before the ≤25-row fold.
+# ---------------------------------------------------------------------------
+
+CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(count(*) AS BIGINT) AS nij
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, pri
+),
+rm AS (SELECT seg, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY seg),
+cm AS (SELECT pri, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY pri),
+tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         CAST(count(DISTINCT seg) AS BIGINT) AS r,
+         CAST(count(DISTINCT pri) AS BIGINT) AS c
+  FROM cells
+),
+chi AS (
+  SELECT any_value(t.n) AS n, any_value(t.r) AS r, any_value(t.c) AS c,
+         CAST(sum(CAST(round(
+           (nij - CAST(ri AS DOUBLE) * cj / t.n)
+           * (nij - CAST(ri AS DOUBLE) * cj / t.n)
+           / (CAST(ri AS DOUBLE) * cj / t.n) * 1e6) AS BIGINT)) AS BIGINT) AS q
+  FROM cells JOIN rm USING (seg) JOIN cm USING (pri) CROSS JOIN tot t
+  GROUP BY 1=1
+)
+SELECT n AS n_total, r AS n_rows_cat, c AS n_cols_cat,
+       round(CAST(q AS DOUBLE) / 1e6, 4) AS chi_square,
+       round(sqrt(CAST(q AS DOUBLE) / 1e6
+                  / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+       round(sqrt(greatest(CAST(q AS DOUBLE) / 1e6 / n
+                           - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1), 0.0)
+                  / least(r - CAST(r - 1 AS DOUBLE) * (r - 1) / (n - 1),
+                          c - CAST(c - 1 AS DOUBLE) * (c - 1) / (n - 1))), 6)
+           AS cramers_v_corrected
+FROM chi
+"""
+
+
+@register("stat_cramers_v", CRAMERS_V_ORACLE)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+    rm = cells.groupBy("seg").agg(F.sum("nij").cast("long").alias("ri"))
+    cm = cells.groupBy("pri").agg(F.sum("nij").cast("long").alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.count_distinct("seg").cast("long").alias("r"),
+        F.count_distinct("pri").cast("long").alias("c"),
+    )
+    e = F.col("ri").cast("double") * F.col("cj") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("r").alias("r"),
+            F.any_value("c").alias("c"),
+            F.sum(
+                F.round((F.col("nij") - e) * (F.col("nij") - e) / e * 1e6).cast("long")
+            ).alias("q"),
+        )
+    )
+    chi2 = F.col("q").cast("double") / 1e6
+    nd = F.col("n").cast("double")
+    phi2c = F.greatest(
+        chi2 / F.col("n") - ((F.col("r") - 1) * (F.col("c") - 1)).cast("double") / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    rc = F.col("r") - (F.col("r") - 1).cast("double") * (F.col("r") - 1) / (F.col("n") - 1)
+    cc = F.col("c") - (F.col("c") - 1).cast("double") * (F.col("c") - 1) / (F.col("n") - 1)
+    return chi.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_rows_cat"),
+        F.col("c").alias("n_cols_cat"),
+        F.round(chi2, 4).alias("chi_square"),
+        F.round(
+            F.sqrt(chi2 / (nd * F.least(F.col("r") - 1, F.col("c") - 1))), 6
+        ).alias("cramers_v"),
+        F.round(F.sqrt(phi2c / F.least(rc, cc)), 6).alias("cramers_v_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_negbin_overdispersion — overdispersion diagnostic + negative-
+# binomial method-of-moments fit of lines-per-order: dispersion index
+# D = s²/m (Poisson says 1), and when D > 1 the NB(r, p) parameters
+# r = m²/(s² − m), p = m/s² — the model the Poisson-GOF row rejects
+# toward. Everything reduces to ONE per-order count aggregation and
+# exact BIGINT moments of tiny integers (x ≤ line cap, so Σx² stays
+# exact past 1e15 rows — no scale ceiling in practice). Deterministic:
+# one terminal quotient family from exact integers; NB parameters are
+# NULL (not garbage) when the sample is Poisson-or-under-dispersed.
+# ---------------------------------------------------------------------------
+
+NEGBIN_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_orderkey
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM per_order
+),
+stats AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mean,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var
+  FROM m
+)
+SELECT n AS n_orders,
+       round(mean, 6) AS mean_lines,
+       round(var, 6) AS var_lines,
+       round(var / mean, 6) AS dispersion_index,
+       CASE WHEN var > mean
+            THEN round(mean * mean / (var - mean), 6) END AS nb_r,
+       CASE WHEN var > mean
+            THEN round(mean / var, 6) END AS nb_p
+FROM stats
+"""
+
+
+@register("stat_negbin_overdispersion", NEGBIN_ORACLE)
+def stat_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").cast("long").alias("x"))
+    m = per_order.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round(mean, 6).alias("mean_lines"),
+        F.round(var, 6).alias("var_lines"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 6)).alias("nb_r"),
+        F.when(var > mean, F.round(mean / var, 6)).alias("nb_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_jarque_bera — normality test for order values (k$ units):
+# skewness, excess kurtosis, and JB = n·(skew²/6 + kurt²/24), whose
+# chi-square(2) tail has the closed form p = exp(−JB/2). TWO-PASS
+# CENTERED moments — the numerically sane distributed shape: pass 1
+# computes the exact mean (integer-cents sum, one quotient), pass 2
+# folds the centered powers. ENGINE PARITY: pass-2 terms are quantized
+# to round(·1e2) AS BIGINT per row so the folds are order-independent
+# (d⁴ ≤ ~1.3e13 scaled → exact to ~1e5 rows at sf0.1 and to ~1e9 rows
+# after dropping one scale decade; beyond that the same plan runs the
+# moment folds in DOUBLE — documented 100 TB fallback). The centered
+# per-row doubles are deterministic: exact integer cents minus an
+# exact-quotient mean.
+# ---------------------------------------------------------------------------
+
+JARQUE_BERA_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+p1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s FROM base),
+centered AS (
+  SELECT CAST(b.cents AS DOUBLE) / 100000.0
+         - CAST(p.s AS DOUBLE) / 100000.0 / p.n AS d,
+         p.n AS n
+  FROM base b CROSS JOIN p1 p
+),
+p2 AS (
+  SELECT any_value(n) AS n,
+         CAST(sum(CAST(round(d * d * 100) AS BIGINT)) AS BIGINT) AS m2q,
+         CAST(sum(CAST(round(d * d * d * 100) AS BIGINT)) AS BIGINT) AS m3q,
+         CAST(sum(CAST(round(d * d * d * d * 100) AS BIGINT)) AS BIGINT) AS m4q
+  FROM centered
+),
+mo AS (
+  SELECT n,
+         CAST(m2q AS DOUBLE) / 100 / n AS m2,
+         CAST(m3q AS DOUBLE) / 100 / n AS m3,
+         CAST(m4q AS DOUBLE) / 100 / n AS m4
+  FROM p2
+),
+jb AS (
+  SELECT n, m3 / pow(m2, 1.5) AS skew, m4 / (m2 * m2) - 3.0 AS kurt
+  FROM mo
+)
+SELECT n AS n_orders,
+       round(skew, 6) AS skewness,
+       round(kurt, 6) AS excess_kurtosis,
+       round(n * (skew * skew / 6 + kurt * kurt / 24), 4) AS jb_statistic,
+       round(exp(-(n * (skew * skew / 6 + kurt * kurt / 24)) / 2), 6) AS p_value
+FROM jb
+"""
+
+
+@register("stat_jarque_bera", JARQUE_BERA_ORACLE)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    p1 = base.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("s")
+    )
+    centered = base.crossJoin(F.broadcast(p1)).select(
+        (
+            F.col("cents").cast("double") / 100000.0
+            - F.col("s").cast("double") / 100000.0 / F.col("n")
+        ).alias("d"),
+        "n",
+    )
+    p2 = centered.agg(
+        F.any_value("n").alias("n"),
+        F.sum(F.round(F.col("d") * F.col("d") * 100).cast("long")).alias("m2q"),
+        F.sum(
+            F.round(F.col("d") * F.col("d") * F.col("d") * 100).cast("long")
+        ).alias("m3q"),
+        F.sum(
+            F.round(F.col("d") * F.col("d") * F.col("d") * F.col("d") * 100).cast(
+                "long"
+            )
+        ).alias("m4q"),
+    )
+    m2 = F.col("m2q").cast("double") / 100 / F.col("n")
+    m3 = F.col("m3q").cast("double") / 100 / F.col("n")
+    m4 = F.col("m4q").cast("double") / 100 / F.col("n")
+    mo = p2.select(F.col("n"), m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    jb = F.col("n") * (
+        F.col("skew") * F.col("skew") / 6 + F.col("kurt") * F.col("kurt") / 24
+    )
+    return (
+        mo.select("n", skew.alias("skew"), kurt.alias("kurt"))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(F.col("skew"), 6).alias("skewness"),
+            F.round(F.col("kurt"), 6).alias("excess_kurtosis"),
+            F.round(jb, 4).alias("jb_statistic"),
+            F.round(F.exp(-jb / 2), 6).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_ridge_shrinkage_path — closed-form ridge regression along a
+# 3-point lambda path (λ = 0 / 1e4 / 1e6), per return flag:
+# (X'X + λI')β = X'y with the intercept unpenalized — computed from
+# the SAME single-pass exact-integer moment sums as
+# stat_ols_two_regressors (λ=0 IS that OLS fit, so the shrinkage of
+# b1/b2 toward 0 as λ grows is directly readable). This is how
+# distributed ridge actually runs: sufficient statistics once, then
+# any number of λ solves for free on the k-row moment relation — the
+# model-selection loop costs zero extra passes over 100 TB. ENGINE
+# PARITY: exact BIGINT moments; the 3×3 Cramer solve reuses the shared
+# expression text on λ-adjusted aliases, so both engines execute the
+# same IEEE sequence.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = (0, 10000, 1000000)
+
+RIDGE_ORACLE = f"""
+WITH obs AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS fn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11_raw,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22_raw,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM obs GROUP BY l_returnflag
+),
+adj AS (
+  SELECT m.*, l.lam,
+         m.s11_raw + l.lam AS s11,
+         m.s22_raw + l.lam AS s22
+  FROM moments m CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in _RIDGE_LAMBDAS)}]) AS lam) l
+)
+SELECT l_returnflag, CAST(lam AS BIGINT) AS ridge_lambda, n_rows,
+       {_OLS_SOLVE[0]},
+       {_OLS_SOLVE[1]},
+       {_OLS_SOLVE[2]}
+FROM adj
+WHERE ({_OLS_DET}) <> 0
+ORDER BY l_returnflag, ridge_lambda
+"""
+
+
+@register("ml_ridge_shrinkage_path", RIDGE_ORACLE)
+def ml_ridge_shrinkage_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    obs = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    moments = obs.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11_raw"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22_raw"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    lambdas = spark.createDataFrame(
+        [(x,) for x in _RIDGE_LAMBDAS], "lam long"
+    )
+    adj = moments.crossJoin(F.broadcast(lambdas)).select(
+        "*",
+        (F.col("s11_raw") + F.col("lam")).alias("s11"),
+        (F.col("s22_raw") + F.col("lam")).alias("s22"),
+    )
+    return (
+        adj.filter(F.expr(f"({_OLS_DET}) <> 0"))
+        .select(
+            "l_returnflag",
+            F.col("lam").cast("long").alias("ridge_lambda"),
+            "n_rows",
+            F.expr(_OLS_SOLVE[0]),
+            F.expr(_OLS_SOLVE[1]),
+            F.expr(_OLS_SOLVE[2]),
+        )
+        .orderBy("l_returnflag", "ridge_lambda")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_kfold_cv_rmse — 5-fold cross-validation of the price~quantity OLS
+# model WITHOUT five training passes: per-fold exact-integer moment
+# sums are computed once, and each fold's TRAINING moments are the
+# global totals minus that fold's own (the leave-fold-out identity —
+# the trick that makes k-fold free on sufficient-statistics models at
+# any scale). Each row is then scored against its own fold's held-out
+# coefficients via a k-row broadcast; per-fold RMSE + the CV mean come
+# out of one more map-side-combined pass. Fold assignment is the
+# deterministic Knuth multiplicative hash of the order key (identical
+# text both engines). ENGINE PARITY: moments and the quantized
+# residual-square sums are exact BIGINTs (residuals quantized to whole
+# cents — the stat_ols_residual_outliers pattern); coefficients are
+# deterministic IEEE quotients of exact integers.
+# ---------------------------------------------------------------------------
+
+_CV_FOLD = f"((l_orderkey % {KEY_REDUCE}) * {KNUTH_MUL}) % {KNUTH_MOD} % 5"
+
+KFOLD_ORACLE = f"""
+WITH base AS (
+  SELECT CAST({_CV_FOLD} AS BIGINT) AS fold,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fm AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY fold
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+         CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+         CAST(sum(sxx) AS BIGINT) AS sxx
+  FROM fm
+),
+coefs AS (
+  SELECT f.fold,
+         CAST((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
+           / CAST((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE) AS b1,
+         (CAST(t.sy - f.sy AS DOUBLE)
+          - CAST((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
+            / CAST((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE)
+            * CAST(t.sx - f.sx AS DOUBLE)) / CAST(t.n - f.n AS DOUBLE) AS b0
+  FROM fm f CROSS JOIN tot t
+),
+scored AS (
+  SELECT b.fold,
+         CAST(round(b.y - (c.b0 + c.b1 * b.x)) AS BIGINT) AS rc
+  FROM base b JOIN coefs c ON b.fold = c.fold
+),
+per_fold AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+         sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)) / 100.0 AS rmse
+  FROM scored GROUP BY fold
+)
+SELECT fold, n_test, round(rmse, 4) AS fold_rmse,
+       round(CAST(sum(CAST(round(rmse * 1e6) AS BIGINT)) OVER () AS DOUBLE)
+             / 1e6 / count(*) OVER (), 4) AS cv_mean_rmse
+FROM per_fold
+ORDER BY fold
+"""
+
+
+@register("ml_kfold_cv_rmse", KFOLD_ORACLE)
+def ml_kfold_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+    base = li.select(
+        F.expr(_CV_FOLD).cast("long").alias("fold"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fm = base.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    tr_n = F.col("tn") - F.col("n")
+    tr_sx, tr_sy = F.col("tsx") - F.col("sx"), F.col("tsy") - F.col("sy")
+    tr_sxy, tr_sxx = F.col("tsxy") - F.col("sxy"), F.col("tsxx") - F.col("sxx")
+    num = (tr_n * tr_sxy - tr_sx * tr_sy).cast("double")
+    den = (tr_n * tr_sxx - tr_sx * tr_sx).cast("double")
+    b1 = num / den
+    coefs = fm.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        b1.alias("b1"),
+        (
+            (tr_sy.cast("double") - b1 * tr_sx.cast("double")) / tr_n.cast("double")
+        ).alias("b0"),
+    )
+    scored = base.join(F.broadcast(coefs), "fold").select(
+        "fold",
+        F.round(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+        .cast("long")
+        .alias("rc"),
+    )
+    per_fold = scored.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_test"),
+        (
+            F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*"))
+            / 100.0
+        ).alias("rmse"),
+    )
+    w_all = Window.partitionBy()
+    return per_fold.select(
+        "fold",
+        "n_test",
+        F.round("rmse", 4).alias("fold_rmse"),
+        F.round(
+            F.sum(F.round(F.col("rmse") * 1e6).cast("long")).over(w_all).cast("double")
+            / 1e6
+            / F.count("*").over(w_all),
+            4,
+        ).alias("cv_mean_rmse"),
+    ).orderBy("fold")
