@@ -1883,3 +1883,92 @@ def ops_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ops_join_cardinality_estimate — the CBO-literacy audit: for each
+# star-join edge, compare the textbook join-size estimate
+# |A|·|B| / max(ndv_A, ndv_B) (what a cost-based optimizer computes
+# from table stats) against the EXACT output size Σ_k cA(k)·cB(k)
+# (computed from the per-key count relations WITHOUT materializing the
+# join — the same identity ANALYZE-based planners use for equi-joins).
+# The est/exact ratio is the planning number that decides whether a
+# downstream join is broadcast-able or shuffle-bound — and how wrong
+# uniform-key assumptions are on skewed keys. Scale: each edge costs
+# two map-side-combined key-count aggregations plus a join of REDUCED
+# (key, count) relations; all arithmetic is exact BIGINTs with one
+# terminal rounded quotient.
+# ---------------------------------------------------------------------------
+
+_CARD_EDGES = [
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+]
+
+JOIN_CARD_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM {ta}) AS rows_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM {tb}) AS rows_b,
+       (SELECT CAST(count(DISTINCT {ka}) AS BIGINT) FROM {ta}) AS ndv_a,
+       (SELECT CAST(count(DISTINCT {kb}) AS BIGINT) FROM {tb}) AS ndv_b,
+       CAST(floor((SELECT count(*) FROM {ta}) * (SELECT count(*) FROM {tb})
+            / greatest((SELECT count(DISTINCT {ka}) FROM {ta}),
+                       (SELECT count(DISTINCT {kb}) FROM {tb}))) AS BIGINT) AS est_rows,
+       (SELECT CAST(sum(ca * cb) AS BIGINT)
+        FROM (SELECT {ka} AS k, count(*) AS ca FROM {ta} GROUP BY 1) a
+        JOIN (SELECT {kb} AS k, count(*) AS cb FROM {tb} GROUP BY 1) b
+          ON a.k = b.k) AS exact_rows,
+       round(CAST((SELECT count(*) FROM {ta}) * (SELECT count(*) FROM {tb})
+                  / greatest((SELECT count(DISTINCT {ka}) FROM {ta}),
+                             (SELECT count(DISTINCT {kb}) FROM {tb})) AS DOUBLE)
+             / (SELECT sum(ca * cb)
+                FROM (SELECT {ka} AS k, count(*) AS ca FROM {ta} GROUP BY 1) a
+                JOIN (SELECT {kb} AS k, count(*) AS cb FROM {tb} GROUP BY 1) b
+                  ON a.k = b.k), 4) AS est_over_exact"""
+    for (name, ta, ka, tb, kb) in _CARD_EDGES
+) + "\nORDER BY edge"
+
+
+@register("ops_join_cardinality_estimate", JOIN_CARD_ORACLE)
+def ops_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    edges = []
+    for name, ta, ka, tb, kb in _CARD_EDGES:
+        a = load_table(spark, sf_dir, ta, columns=[ka])
+        b = load_table(spark, sf_dir, tb, columns=[kb])
+        sa = a.agg(
+            F.count("*").cast("long").alias("rows_a"),
+            F.count_distinct(F.col(ka)).cast("long").alias("ndv_a"),
+        )
+        sb = b.agg(
+            F.count("*").cast("long").alias("rows_b"),
+            F.count_distinct(F.col(kb)).cast("long").alias("ndv_b"),
+        )
+        ac = a.groupBy(F.col(ka).alias("k")).agg(F.count("*").alias("ca"))
+        bc = b.groupBy(F.col(kb).alias("k")).agg(F.count("*").alias("cb"))
+        exact = ac.join(bc, "k").agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_rows")
+        )
+        est = (F.col("rows_a") * F.col("rows_b")) / F.greatest(
+            F.col("ndv_a"), F.col("ndv_b")
+        )
+        edges.append(
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(name).alias("edge"),
+                "rows_a",
+                "rows_b",
+                "ndv_a",
+                "ndv_b",
+                F.floor(est).cast("long").alias("est_rows"),
+                "exact_rows",
+                F.round(est.cast("double") / F.col("exact_rows"), 4).alias(
+                    "est_over_exact"
+                ),
+            )
+        )
+    return functools.reduce(lambda x, y: x.unionAll(y), edges).orderBy("edge")

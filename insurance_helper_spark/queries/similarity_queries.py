@@ -1009,3 +1009,322 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_srp_bit_agreement — the measured contract behind the SRP-
+# LSH tier: for consecutive vector pairs, compute 16 signed-random-
+# projection sign bits per vector (the SAME deterministic hash-family
+# sign matrix as the JL audit) and compare the measured bit-agreement
+# fraction against the Goemans–Williamson prediction 1 − θ/π. The gap
+# is the evidence that hash-bucket collision probability tracks cosine
+# — i.e. that the rows-only SRP ANN path recalls what it claims.
+# ENGINE PARITY: bit agreements are EXACT integer counts; per-pair
+# predictions are deterministic left-fold doubles quantized to
+# round(·1e8) AS BIGINT before the corpus fold. Scale: pure per-row
+# projection folds (no shuffle) + one global fold; pairs via the
+# vec_id+1 self-join like the JL audit.
+# ---------------------------------------------------------------------------
+
+def _srp_bit_sql(vec: str, j: int) -> str:
+    return f"CASE WHEN ({_jl_proj_sql(vec, j)}) >= 0 THEN 1 ELSE 0 END"
+
+
+_srp_agree_sql = " + ".join(
+    f"(CASE WHEN ({_srp_bit_sql('va', j)}) = ({_srp_bit_sql('vb', j)})"
+    " THEN 1 ELSE 0 END)"
+    for j in range(_JL_K)
+)
+
+_srp_dot_sql = (
+    f"list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> va[i] * vb[i]), (acc, x) -> acc + x)"
+)
+_srp_na_sql = (
+    f"sqrt(list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> va[i] * va[i]), (acc, x) -> acc + x))"
+)
+_srp_nb_sql = (
+    f"sqrt(list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> vb[i] * vb[i]), (acc, x) -> acc + x))"
+)
+
+SRP_AGREE_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a,
+         CAST(a.embedding AS DOUBLE[]) AS va,
+         CAST(b.embedding AS DOUBLE[]) AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+scored AS (
+  SELECT CAST({_srp_agree_sql} AS BIGINT) AS n_agree,
+         acos(least(greatest(({_srp_dot_sql})
+              / (({_srp_na_sql}) * ({_srp_nb_sql})), -1.0), 1.0)) AS theta
+  FROM pairs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(n_agree) AS DOUBLE) / ({_JL_K} * count(*)), 4)
+           AS measured_agreement,
+       round(CAST(sum(CAST(round((1.0 - theta / pi()) * 1e8) AS BIGINT)) AS DOUBLE)
+             / 1e8 / count(*), 4) AS predicted_agreement,
+       round(CAST(sum(CAST(round(abs(CAST(n_agree AS DOUBLE) / {_JL_K}
+                                     - (1.0 - theta / pi())) * 1e8) AS BIGINT))
+             AS DOUBLE) / 1e8 / count(*), 4) AS mean_abs_gap
+FROM scored
+"""
+
+
+@register("embedding_srp_bit_agreement", SRP_AGREE_ORACLE)
+def embedding_srp_bit_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, "id_a")
+
+    def proj(vec: str, j: int):
+        def term(i):
+            sign = (
+                F.when(
+                    _jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+            )
+            return F.element_at(F.col(vec), i.cast("int")) * sign
+
+        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
+        return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+    def bit(vec: str, j: int):
+        return F.when(proj(vec, j) >= 0, 1).otherwise(0)
+
+    n_agree = None
+    for j in range(_JL_K):
+        t = F.when(bit("va", j) == bit("vb", j), 1).otherwise(0)
+        n_agree = t if n_agree is None else n_agree + t
+
+    def fold(expr: str):
+        return F.expr(
+            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    dot = fold("va[i - 1] * vb[i - 1]")
+    na = F.sqrt(fold("va[i - 1] * va[i - 1]"))
+    nb = F.sqrt(fold("vb[i - 1] * vb[i - 1]"))
+    theta = F.acos(F.least(F.greatest(dot / (na * nb), F.lit(-1.0)), F.lit(1.0)))
+    scored = pairs.select(
+        n_agree.cast("long").alias("n_agree"), theta.alias("theta")
+    )
+    pred = 1.0 - F.col("theta") / F.lit(3.141592653589793)
+    meas = F.col("n_agree").cast("double") / _JL_K
+    return scored.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("n_agree").cast("double") / (_JL_K * F.count("*")), 4
+        ).alias("measured_agreement"),
+        F.round(
+            F.sum(F.round(pred * 1e8).cast("long")).cast("double") / 1e8 / F.count("*"),
+            4,
+        ).alias("predicted_agreement"),
+        F.round(
+            F.sum(F.round(F.abs(meas - pred) * 1e8).cast("long")).cast("double")
+            / 1e8
+            / F.count("*"),
+            4,
+        ).alias("mean_abs_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_distance_matrix — pairwise cosine between LABEL
+# centroids (the inter-cluster separation half of the diagnostic whose
+# intra-cluster half is embedding_centroid_stats): well-separated
+# centroids are what make IVF probing and centroid-routed semantic
+# dedup work; a pair at cosine ~1 means two labels are one cluster.
+# Scale: centroids are a labels × d relation built by ONE map-side-
+# combined aggregation (corpus volume gone after it); the pair matrix
+# is labels², never corpus-sized. ENGINE PARITY: centroid means and
+# every dot/norm fold sum round(·1eN) AS BIGINT (the r7 sweep
+# pattern); pairs rank/order only on exact keys.
+# ---------------------------------------------------------------------------
+
+CENTROID_DIST_ORACLE = """
+WITH ex AS (
+  SELECT label, i + 1 AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM (SELECT label, embedding, unnest(range(len(embedding))) AS i FROM embeddings)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+cn AS (
+  SELECT label,
+         sqrt(CAST(sum(CAST(round(c * c * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nc
+  FROM cent GROUP BY 1
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(CAST(round(a.c * b.c * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       round(d.dot / (na.nc * nb.nc), 4) AS centroid_cosine
+FROM dots d
+JOIN cn na ON d.label_a = na.label
+JOIN cn nb ON d.label_b = nb.label
+ORDER BY label_a, label_b
+"""
+
+
+@register("embedding_centroid_distance_matrix", CENTROID_DIST_ORACLE)
+def embedding_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["embedding", "label"])
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("c")
+    )
+    cent = cent.localCheckpoint(eager=True)  # feeds norms + both pair sides
+    cn = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("c") * F.col("c") * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("nc")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("ca") * F.col("cb") * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(cn.select(F.col("label").alias("label_a"), F.col("nc").alias("na"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(cn.select(F.col("label").alias("label_b"), F.col("nc").alias("nb"))),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "centroid_cosine"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_percentiles — per-label L2-norm distribution (p10 /
+# p50 / p90 + mean): the pre-flight that catches un-normalized or
+# collapsed embedding batches before cosine math silently degrades.
+# DISTRIBUTED SHAPE: norms are quantized to 1e-4 resolution and
+# VALUE-COLLAPSED per label, so percentile selection is exact integer
+# rank arithmetic (ceil(q·n/100) via (q·n+99) DIV 100) on cumulative
+# counts over the reduced relation — the KS/PSI stance; no per-row
+# sort window anywhere. ENGINE PARITY: the per-row norm fold and the
+# mean fold are quantized BIGINT sums; rank selection compares exact
+# integers only.
+# ---------------------------------------------------------------------------
+
+NORM_PCT_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         CAST(round(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x), (acc, x) -> acc + x)) * 1e4) AS BIGINT) AS nq
+  FROM embeddings
+),
+vc AS (SELECT label, nq, CAST(count(*) AS BIGINT) AS cnt FROM norms GROUP BY label, nq),
+cum AS (
+  SELECT label, nq, cnt,
+         sum(cnt) OVER (PARTITION BY label ORDER BY nq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         sum(cnt) OVER (PARTITION BY label) AS n
+  FROM vc
+)
+SELECT label,
+       CAST(any_value(n) AS BIGINT) AS n_vecs,
+       round(min(CASE WHEN cum_cnt >= (10 * n + 99) // 100 THEN nq END) / 1e4, 4) AS p10_norm,
+       round(min(CASE WHEN cum_cnt >= (50 * n + 99) // 100 THEN nq END) / 1e4, 4) AS p50_norm,
+       round(min(CASE WHEN cum_cnt >= (90 * n + 99) // 100 THEN nq END) / 1e4, 4) AS p90_norm,
+       round(CAST(sum(nq * cnt) AS DOUBLE) / 1e4 / any_value(n), 4) AS mean_norm
+FROM cum
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_norm_percentiles", NORM_PCT_ORACLE)
+def embedding_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["embedding", "label"])
+    norm_fold = F.expr(
+        "aggregate(transform(cast(embedding as array<double>), x -> x * x),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norms = emb.select(
+        "label", F.round(F.sqrt(norm_fold) * 1e4).cast("long").alias("nq")
+    )
+    vc = norms.groupBy("label", "nq").agg(F.count("*").cast("long").alias("cnt"))
+    wc = (
+        W.partitionBy("label")
+        .orderBy("nq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wl = W.partitionBy("label")
+    cum = vc.select(
+        "label",
+        "nq",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum_cnt"),
+        F.sum("cnt").over(wl).alias("n"),
+    )
+
+    def pct(q: int):
+        tgt = F.expr(f"({q} * n + 99) div 100")
+        return F.round(
+            F.min(F.when(F.col("cum_cnt") >= tgt, F.col("nq"))) / 1e4, 4
+        ).alias(f"p{q}_norm")
+
+    return (
+        cum.groupBy("label")
+        .agg(
+            F.any_value("n").cast("long").alias("n_vecs"),
+            pct(10),
+            pct(50),
+            pct(90),
+            F.round(
+                F.sum(F.col("nq") * F.col("cnt")).cast("double")
+                / 1e4
+                / F.any_value("n"),
+                4,
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

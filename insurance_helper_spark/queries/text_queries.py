@@ -1382,3 +1382,264 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_yule — vocabulary-richness diagnostics per source: hapax
+# ratio (share of terms seen exactly once — synthetic/templated text
+# collapses it) and Yule's characteristic K = 1e4·(Σc² − N)/N² (the
+# classic repetitiveness constant; higher = more repetitive). Both are
+# PURE INTEGER functions of the term-frequency table, so the engines
+# cannot disagree before the terminal rounded quotients. Scale: one
+# tokenize + one (source, term) map-side-combined shuffle; the freq
+# spectrum folds per source key. Σc² stays an exact BIGINT to ~3e9
+# occurrences of the most frequent term per source.
+# ---------------------------------------------------------------------------
+
+HAPAX_YULE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+spec AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM tf GROUP BY source
+)
+SELECT source, vocab, hapax, n_tokens,
+       round(CAST(hapax AS DOUBLE) / vocab, 4) AS hapax_ratio,
+       round(10000.0 * (CAST(sum_c2 AS DOUBLE) - n_tokens)
+             / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
+FROM spec
+ORDER BY source
+"""
+
+
+@register("text_hapax_yule", HAPAX_YULE_ORACLE)
+def text_hapax_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    ne = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    )
+    tf = (
+        ne.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return spec.select(
+        "source",
+        "vocab",
+        "hapax",
+        "n_tokens",
+        F.round(F.col("hapax").cast("double") / F.col("vocab"), 4).alias("hapax_ratio"),
+        F.round(
+            10000.0 * (F.col("sum_c2").cast("double") - F.col("n_tokens")) / (nd * nd),
+            4,
+        ).alias("yule_k"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_perplexity_holdout — held-out evaluation of the add-one
+# smoothed bigram LM: TRAIN on the deterministic 80% doc-ID hash
+# split, score perplexity on the 20% holdout — the train/test
+# discipline text_bigram_surprisal (in-sample) deliberately skips, and
+# the quality gate a corpus-prep pipeline runs to catch distribution
+# drift between crawls. P(w2|w1) = (c_train(w1,w2)+1) / (c_train(w1)+V).
+# ENGINE PARITY: per-test-bigram −ln P values are quantized to
+# round(·1e6) AS BIGINT before the corpus fold (the Heaps-class fix),
+# so the sum is exact; P itself is a deterministic quotient of exact
+# integers. Scale: two map-side-combined bigram shuffles (train
+# counts, test counts) + one bigram-key join; the unigram/vocab
+# relations are vocab-bounded and broadcast.
+# ---------------------------------------------------------------------------
+
+_PPLX_SPLIT = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 5"
+
+BIGRAM_PPLX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST({_PPLX_SPLIT} AS BIGINT) AS fold, {_TOKS} AS ts
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+big AS (
+  SELECT doc_id, fold, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks CROSS JOIN unnest(range(1, len(ts))) AS t(i)
+),
+train_big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM big WHERE fold <> 0 GROUP BY w1, w2
+),
+train_uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cu FROM train_big GROUP BY w1),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT w1 AS term FROM train_big UNION ALL SELECT w2 FROM train_big)
+),
+test_big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS tc
+  FROM big WHERE fold = 0 GROUP BY w1, w2
+),
+scored AS (
+  SELECT t.tc,
+         CAST(round(-ln((coalesce(tb.c, 0) + 1.0)
+                        / (coalesce(tu.cu, 0) + v.v)) * 1e6) AS BIGINT) AS nllq
+  FROM test_big t
+  LEFT JOIN train_big tb ON t.w1 = tb.w1 AND t.w2 = tb.w2
+  LEFT JOIN train_uni tu ON t.w1 = tu.w1
+  CROSS JOIN vocab v
+)
+SELECT CAST(sum(tc) AS BIGINT) AS n_test_bigrams,
+       (SELECT v FROM vocab) AS train_vocab,
+       round(CAST(sum(tc * nllq) AS DOUBLE) / 1e6 / sum(tc), 6) AS mean_nll,
+       round(exp(CAST(sum(tc * nllq) AS DOUBLE) / 1e6 / sum(tc)), 4) AS perplexity
+FROM scored
+"""
+
+
+@register("text_bigram_perplexity_holdout", BIGRAM_PPLX_ORACLE)
+def text_bigram_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ne = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    )
+    toks = ne.select(
+        F.expr(_PPLX_SPLIT).cast("long").alias("fold"),
+        T.tokens(F.col("text")).alias("ts"),
+    )
+    big = (
+        toks.select(
+            "fold",
+            "ts",
+            F.posexplode(F.expr("slice(ts, 1, size(ts) - 1)")).alias("i", "w1"),
+        )
+        .withColumn("w2", F.expr("ts[i + 1]"))
+        .filter(F.col("w2").isNotNull())
+        .select("fold", "w1", "w2")
+    )
+    train_big = (
+        big.filter(F.col("fold") != 0).groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    )
+    train_uni = train_big.groupBy("w1").agg(F.sum("c").alias("cu"))
+    vocab = (
+        train_big.select(F.col("w1").alias("term"))
+        .unionAll(train_big.select(F.col("w2").alias("term")))
+        .agg(F.count_distinct("term").cast("long").alias("v"))
+    )
+    test_big = (
+        big.filter(F.col("fold") == 0).groupBy("w1", "w2").agg(F.count("*").alias("tc"))
+    )
+    scored = (
+        test_big.join(train_big, ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "tc",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nllq"),
+            "v",
+        )
+    )
+    mean_nll = F.sum(F.col("tc") * F.col("nllq")).cast("double") / 1e6 / F.sum("tc")
+    return scored.agg(
+        F.sum("tc").cast("long").alias("n_test_bigrams"),
+        F.any_value("v").alias("train_vocab"),
+        F.round(mean_nll, 6).alias("mean_nll"),
+        F.round(F.exp(mean_nll), 4).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_source_vocab_overlap — pairwise vocabulary Jaccard between
+# ingest sources: |Va ∩ Vb| / |Va ∪ Vb| for every source pair — the
+# "are these two crawls the same corpus in different clothes" check
+# that decides whether sources deserve separate dedup/quality budgets.
+# All counting is exact integers. Scale: vocabularies collapse to
+# (source, term) distinct rows map-side; the pair relation is a
+# term-keyed self-join (never all-doc pairs), and |pairs| is bounded
+# by the SOURCE count squared, not the corpus.
+# ---------------------------------------------------------------------------
+
+VOCAB_OVERLAP_ORACLE = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest({_TOKS}) AS term
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+vs AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, va.vocab AS vocab_a, vb.vocab AS vocab_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE)
+             / (va.vocab + vb.vocab - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN vs va ON i.src_a = va.source
+JOIN vs vb ON i.src_b = vb.source
+ORDER BY src_a, src_b
+"""
+
+
+@register("text_source_vocab_overlap", VOCAB_OVERLAP_ORACLE)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    ne = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    )
+    st = (
+        ne.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    vs = st.groupBy("source").agg(F.count("*").cast("long").alias("vocab"))
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(vs.withColumnRenamed("source", "src_a").withColumnRenamed("vocab", "vocab_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(vs.withColumnRenamed("source", "src_b").withColumnRenamed("vocab", "vocab_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
