@@ -1,0 +1,187 @@
+"""Mathematical/structural invariants for the round-8 operator wave —
+properties that must hold for ANY input, checked on the fixture
+(complements the oracle hash check, which pins values but not meaning)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="fixture data absent"
+)
+
+
+def _rows(spark, name, sf=SF_DIR):
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf).collect()
+
+
+def test_kruskal_wallis_h_nonnegative_p_valid(spark):
+    (r,) = _rows(spark, "stat_kruskal_wallis")
+    assert r.k_groups == 3
+    assert r.h_statistic >= 0.0
+    assert 0.0 < r.p_value_df2 <= 1.0
+    # closed-form chi2(2) tail consistency with H
+    assert r.p_value_df2 == pytest.approx(
+        math.exp(-r.h_statistic / 2), abs=2e-6
+    )
+
+
+def test_anova_f_nonnegative_and_eta_in_unit(spark):
+    (r,) = _rows(spark, "stat_anova_oneway")
+    assert r.f_statistic >= 0.0
+    assert 0.0 <= r.eta_squared <= 1.0
+    assert r.df_between == r.k_groups - 1
+    assert r.df_within == r.n_total - r.k_groups
+
+
+def test_cramers_v_bounded(spark):
+    (r,) = _rows(spark, "stat_cramers_v")
+    assert r.chi_square >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0
+    # Bergsma correction only ever shrinks the estimate.
+    assert r.cramers_v_corrected <= r.cramers_v + 1e-9
+
+
+def test_negbin_moment_identity(spark):
+    (r,) = _rows(spark, "stat_negbin_overdispersion")
+    assert r.mean_lines > 0 and r.var_lines >= 0
+    assert r.dispersion_index == pytest.approx(
+        r.var_lines / r.mean_lines, rel=1e-3
+    )
+    if r.nb_r is not None:
+        # NB(r, p) mean = r(1-p)/p must reproduce the sample mean.
+        assert r.nb_p is not None and 0.0 < r.nb_p <= 1.0
+        assert r.nb_r > 0
+        assert r.nb_r * (1 - r.nb_p) / r.nb_p == pytest.approx(
+            r.mean_lines, rel=1e-2
+        )
+
+
+def test_jarque_bera_nonnegative(spark):
+    (r,) = _rows(spark, "stat_jarque_bera")
+    assert r.jb_statistic >= 0.0
+    # 6-decimal display rounding maps a decisive rejection to exactly 0.0
+    assert 0.0 <= r.p_value <= 1.0
+    # kurtosis of any real sample is >= skew^2 + 1 - 3 (Pearson bound)
+    assert r.excess_kurtosis >= r.skewness**2 - 2.0 - 1e-6
+
+
+def test_ridge_lambda_zero_matches_ols_and_shrinks(spark):
+    ridge = _rows(spark, "ml_ridge_shrinkage_path")
+    ols = {r.l_returnflag: r for r in _rows(spark, "stat_ols_two_regressors")}
+    by_flag: dict = {}
+    for r in ridge:
+        by_flag.setdefault(r.l_returnflag, {})[r.ridge_lambda] = r
+    for flag, path in by_flag.items():
+        assert set(path) == {0, 10000, 1000000}
+        # lambda = 0 IS the OLS fit
+        assert path[0].b1_cents_per_qty == pytest.approx(
+            ols[flag].b1_cents_per_qty, abs=1e-4
+        )
+        assert path[0].b2_cents_per_disc_pct == pytest.approx(
+            ols[flag].b2_cents_per_disc_pct, abs=1e-4
+        )
+        # penalized-coefficient L2 norm is non-increasing in lambda
+        norms = [
+            math.hypot(path[lam].b1_cents_per_qty, path[lam].b2_cents_per_disc_pct)
+            for lam in (0, 10000, 1000000)
+        ]
+        assert norms[0] + 1e-6 >= norms[1] >= norms[2] - 1e-6
+
+
+def test_kfold_cv_folds_complete_and_mean_consistent(spark):
+    rows = _rows(spark, "ml_kfold_cv_rmse")
+    assert {r.fold for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r.fold_rmse > 0 and r.n_test > 0
+    mean = sum(r.fold_rmse for r in rows) / len(rows)
+    assert rows[0].cv_mean_rmse == pytest.approx(mean, abs=5e-4)
+
+
+def test_hapax_yule_bounds(spark):
+    rows = _rows(spark, "text_hapax_yule")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        assert r.hapax <= r.vocab <= r.n_tokens
+        assert r.yule_k >= 0.0
+
+
+def test_perplexity_at_least_one(spark):
+    (r,) = _rows(spark, "text_bigram_perplexity_holdout")
+    assert r.mean_nll >= 0.0
+    assert r.perplexity >= 1.0
+    assert r.n_test_bigrams > 0 and r.train_vocab > 0
+    assert r.perplexity == pytest.approx(math.exp(r.mean_nll), rel=1e-3)
+
+
+def test_vocab_overlap_is_a_metric_bounded_pairset(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "text_source_vocab_overlap")
+    n_src = (
+        load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_common <= min(r.vocab_a, r.vocab_b)
+        assert r.src_a < r.src_b
+
+
+def test_srp_agreement_tracks_prediction(spark):
+    (r,) = _rows(spark, "embedding_srp_bit_agreement")
+    assert r.n_pairs > 0
+    assert 0.0 <= r.measured_agreement <= 1.0
+    assert 0.0 <= r.predicted_agreement <= 1.0
+    # 16 bits/pair is coarse, but the family must TRACK the GW curve —
+    # a broken sign matrix (the r7 hash-family bug class) pushes the
+    # mean gap toward 0.5.
+    assert r.mean_abs_gap < 0.2
+    assert abs(r.measured_agreement - r.predicted_agreement) < 0.1
+
+
+def test_centroid_distance_matrix_complete_and_bounded(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "embedding_centroid_distance_matrix")
+    n_lab = (
+        load_table(spark, SF_DIR, "embeddings").select("label").distinct().count()
+    )
+    assert len(rows) == n_lab * (n_lab - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+
+
+def test_norm_percentiles_ordered(spark):
+    rows = _rows(spark, "embedding_norm_percentiles")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p10_norm <= r.p50_norm <= r.p90_norm
+        assert r.n_vecs > 0 and r.mean_norm > 0
+
+
+def test_join_cardinality_exact_matches_real_join(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = {r.edge: r for r in _rows(spark, "ops_join_cardinality_estimate")}
+    assert set(rows) == {
+        "customer-orders", "orders-lineitem", "part-lineitem",
+        "supplier-lineitem",
+    }
+    # The sum(cA*cB) identity must equal the materialized join size.
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    actual = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert rows["customer-orders"].exact_rows == actual
+    for r in rows.values():
+        assert r.est_over_exact > 0
+        assert r.ndv_a <= r.rows_a and r.ndv_b <= r.rows_b
