@@ -169,6 +169,28 @@ HEADLINE = [
     "ml_psi_drift_detection",
     "multimodal_chunk_dedup",
     "ops_rendezvous_sharding",
+    # r8 wave
+    "stat_kruskal_wallis",
+    "stat_anova_oneway",
+    "stat_cramers_v",
+    "stat_negbin_overdispersion",
+    "stat_jarque_bera",
+    "ml_ridge_shrinkage_path",
+    "ml_kfold_cv_rmse",
+    "text_hapax_yule",
+    "text_bigram_perplexity_holdout",
+    "text_source_vocab_overlap",
+    "embedding_srp_bit_agreement",
+    "embedding_centroid_distance_matrix",
+    "embedding_norm_percentiles",
+    "ops_join_cardinality_estimate",
+    "orders_pareto_frontier",
+    "events_running_distinct_users",
+    "dq_last_digit_uniformity",
+    "dq_tukey_fences",
+    "sample_stratified_neyman",
+    "graph_pagerank_iterations",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

@@ -2563,3 +2563,113 @@ def orders_apportionment_largest_remainder(spark: SparkSession, sf_dir: str) -> 
         bonus.cast("long").alias("bonus_seat"),
         (F.col("floor_seats") + bonus).cast("long").alias("seats"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# orders_pareto_frontier — the 2-D skyline: (order date, total price)
+# points not dominated by any other point (no order both later AND at
+# least as expensive, with one strict) — "best price seen so far from
+# the end of time", the multi-objective shortlist primitive (cheapest-
+# newest supplier offers, best quality-vs-cost checkpoints, …).
+# VERIFICATION DESIGN (the IVM two-formulations pattern): the oracle
+# states the DEFINITION (NOT EXISTS a dominating point); the Spark
+# side computes the frontier ALGEBRAICALLY — collapse to per-date max
+# price (calendar-bounded relation), then one cumulative-max window
+# ordered by date DESC over that reduced spine — so the value-hash
+# match PROVES the cummax algebra implements dominance. Scale: one
+# map-side-combined (date) rollup; the window touches only the
+# O(distinct dates) spine; the raw table is never sorted.
+# ---------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+WITH pts AS (
+  SELECT o_orderdate AS day,
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS best_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderdate
+)
+SELECT day, best_cents, n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.day >= p.day AND q.best_cents >= p.best_cents
+    AND (q.day > p.day OR q.best_cents > p.best_cents)
+)
+ORDER BY day
+"""
+
+
+@register("orders_pareto_frontier", PARETO_ORACLE)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    pts = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("best_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    # Cumulative max over STRICTLY later days (date-desc order, frame
+    # excludes current row); a point survives iff it beats every later
+    # day's best. Runs on the O(distinct dates) spine only.
+    w = Window.orderBy(F.desc("day")).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        pts.withColumn("later_best", F.max("best_cents").over(w))
+        .filter(
+            F.col("later_best").isNull() | (F.col("best_cents") > F.col("later_best"))
+        )
+        .select("day", "best_cents", "n_orders")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_running_distinct_users — cumulative distinct users per event
+# type at month-end checkpoints WITHOUT any running-distinct window
+# (no engine has one): each user contributes at their FIRST event
+# (min date per (type, user) — one groupBy), so the running distinct
+# count is a broadcast range-join of first-appearances against the
+# month-end spine — the Heaps'-law checkpoint trick applied to the
+# product-analytics "cumulative reached users" curve. Scale: one
+# (type, user) map-side-combined rollup; the spine is calendar-
+# bounded; counting is an exact-integer broadcast range join.
+# ---------------------------------------------------------------------------
+
+RUNNING_DISTINCT_ORACLE = """
+WITH first_seen AS (
+  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+),
+spine AS (
+  SELECT DISTINCT event_type,
+         last_day(date_trunc('month', CAST(ts AS DATE))) AS month_end
+  FROM events
+)
+SELECT s.event_type, s.month_end,
+       CAST(count(f.user_id) AS BIGINT) AS distinct_users_to_date
+FROM spine s
+LEFT JOIN first_seen f
+  ON f.event_type = s.event_type AND f.first_day <= s.month_end
+GROUP BY s.event_type, s.month_end
+ORDER BY s.event_type, s.month_end
+"""
+
+
+@register("events_running_distinct_users", RUNNING_DISTINCT_ORACLE)
+def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    day = F.col("ts").cast("date")
+    first_seen = ev.groupBy(
+        F.col("event_type").alias("fs_type"), "user_id"
+    ).agg(F.min(day).alias("first_day"))
+    spine = ev.select(
+        "event_type", F.last_day(F.date_trunc("month", day)).alias("month_end")
+    ).distinct()
+    return (
+        first_seen.join(
+            F.broadcast(spine),
+            (F.col("fs_type") == F.col("event_type"))
+            & (F.col("first_day") <= F.col("month_end")),
+            "right",
+        )
+        .groupBy("event_type", "month_end")
+        .agg(F.count("user_id").cast("long").alias("distinct_users_to_date"))
+        .orderBy("event_type", "month_end")
+    )

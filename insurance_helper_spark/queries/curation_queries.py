@@ -1972,3 +1972,178 @@ def ops_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     return functools.reduce(lambda x, y: x.unionAll(y), edges).orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# dq_last_digit_uniformity — the rounding/fabrication screen that
+# complements Benford's first-digit law: the LAST digit of genuine
+# continuous amounts is ~uniform, so spikes at 0/5 expose hand-keyed,
+# rounded, or fabricated figures. Chi-square against uniform(10) on
+# the cents last digit of order totals, with the digit census
+# reported. All counting is exact integers; the chi-square folds over
+# exactly 10 cells. Scale: one projection + one 10-cell map-side-
+# combined groupBy — no joins, no windows, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+LAST_DIGIT_ORACLE = """
+WITH d AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS digit FROM orders
+),
+cells AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 4) AS share,
+       round(CAST(sum(CAST(round((CAST(c.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 10)
+                 * (CAST(c.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 10)
+                 / (CAST(t.total AS DOUBLE) / 10) * 1e6) AS BIGINT)) OVER ()
+             AS DOUBLE) / 1e6, 4) AS chi_square_df9
+FROM cells c CROSS JOIN tot t
+ORDER BY c.digit
+"""
+
+
+@register("dq_last_digit_uniformity", LAST_DIGIT_ORACLE)
+def dq_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    d = orders.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 10).alias("digit")
+    )
+    cells = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    e = F.col("total").cast("double") / 10
+    w_all = Window.partitionBy()
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("n").cast("double") - e)
+                        * (F.col("n").cast("double") - e)
+                        / e
+                        * 1e6
+                    ).cast("long")
+                )
+                .over(w_all)
+                .cast("double")
+                / 1e6,
+                4,
+            ).alias("chi_square_df9"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_tukey_fences — the boxplot outlier census per return flag: exact
+# quartiles by integer rank selection (ceil(q·n/4) cumulative-count
+# crossing) over the VALUE-COLLAPSED price-cents relation — never a
+# per-row sort window (the KS/PSI stance) — then Tukey fences
+# Q1 − 1.5·IQR / Q3 + 1.5·IQR broadcast back for one counting pass.
+# The robust complement of stat_ols_residual_outliers (model-based)
+# and stat_winsorized_event_values (trim-based). ENGINE PARITY: ranks,
+# quartile values, and fences are exact integer arithmetic throughout
+# (fences ×2 to stay integral: 2·fence = 2Q1 − 3·IQR).
+# ---------------------------------------------------------------------------
+
+TUKEY_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+vc AS (SELECT flag, y, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY flag, y),
+cum AS (
+  SELECT flag, y, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         sum(cnt) OVER (PARTITION BY flag) AS n
+  FROM vc
+),
+quart AS (
+  SELECT flag, CAST(any_value(n) AS BIGINT) AS n,
+         min(CASE WHEN cum_cnt >= (1 * n + 3) // 4 THEN y END) AS q1,
+         min(CASE WHEN cum_cnt >= (3 * n + 3) // 4 THEN y END) AS q3
+  FROM cum GROUP BY flag
+),
+fences AS (
+  SELECT flag, n, q1, q3,
+         2 * q1 - 3 * (q3 - q1) AS lo2,
+         2 * q3 + 3 * (q3 - q1) AS hi2
+  FROM quart
+)
+SELECT f.flag, f.n AS n_lines,
+       round(f.q1 / 100.0, 2) AS q1_price,
+       round(f.q3 / 100.0, 2) AS q3_price,
+       round((f.q3 - f.q1) / 100.0, 2) AS iqr_price,
+       CAST(sum(CASE WHEN 2 * b.y < f.lo2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(sum(CASE WHEN 2 * b.y > f.hi2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM base b JOIN fences f ON b.flag = f.flag
+GROUP BY f.flag, f.n, f.q1, f.q3
+ORDER BY f.flag
+"""
+
+
+@register("dq_tukey_fences", TUKEY_ORACLE)
+def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    vc = base.groupBy("flag", "y").agg(F.count("*").cast("long").alias("cnt"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("flag")
+    cum = vc.select(
+        "flag",
+        "y",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum_cnt"),
+        F.sum("cnt").over(wf).alias("n"),
+    )
+    quart = cum.groupBy("flag").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum_cnt") >= F.expr("(1 * n + 3) div 4"), F.col("y"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum_cnt") >= F.expr("(3 * n + 3) div 4"), F.col("y"))
+        ).alias("q3"),
+    )
+    fences = quart.select(
+        "flag",
+        "n",
+        "q1",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    return (
+        base.join(F.broadcast(fences), "flag")
+        .groupBy("flag", "n", "q1", "q3")
+        .agg(
+            F.sum(F.when(2 * F.col("y") < F.col("lo2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(2 * F.col("y") > F.col("hi2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "flag",
+            F.col("n").alias("n_lines"),
+            F.round(F.col("q1") / 100.0, 2).alias("q1_price"),
+            F.round(F.col("q3") / 100.0, 2).alias("q3_price"),
+            F.round((F.col("q3") - F.col("q1")) / 100.0, 2).alias("iqr_price"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("flag")
+    )

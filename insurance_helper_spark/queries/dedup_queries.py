@@ -1076,3 +1076,91 @@ def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_levenshtein — edit-distance near-dup CONFIRM tier on top
+# of cheap blocking: candidate pairs share a 24-char normalized-text
+# prefix bucket (never all-pairs; buckets capped at 50 docs with the
+# drop LOGGED as oversized_buckets — the no-silent-caps rule), then
+# each pair is confirmed by Levenshtein over the first 200 normalized
+# chars with an integer 20% threshold (5·lev ≤ max_len). This is the
+# classic blocking+verify record-linkage shape — MinHash/SimHash block
+# by similarity; edit distance is the semantically strictest verifier
+# and both engines ship it natively (F.levenshtein / levenshtein()).
+# Scale: one prefix groupBy for blocking; the pair relation is
+# Σ C(bucket, 2) with the cap bounding the quadratic term; the O(L²)
+# DP cost is bounded by the 200-char clamp per pair.
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 24
+_LEV_CLAMP = 200
+_LEV_BUCKET_CAP = 50
+
+FUZZY_LEV_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                1, {_LEV_CLAMP}) AS nt
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+keyed AS (
+  SELECT doc_id, nt, substr(nt, 1, {_LEV_PREFIX}) AS bkey FROM norm
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY bkey) AS bsize FROM keyed
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS max_len
+  FROM (SELECT * FROM sized WHERE bsize <= {_LEV_BUCKET_CAP}) a
+  JOIN (SELECT * FROM sized WHERE bsize <= {_LEV_BUCKET_CAP}) b
+    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lev, max_len,
+       CAST(CASE WHEN 5 * lev <= max_len THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup
+FROM pairs
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_fuzzy_levenshtein", FUZZY_LEV_ORACLE)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    nt = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        1,
+        _LEV_CLAMP,
+    )
+    norm = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    ).select("doc_id", nt.alias("nt"))
+    keyed = norm.select(
+        "doc_id", "nt", F.substring("nt", 1, _LEV_PREFIX).alias("bkey")
+    )
+    sized = keyed.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("bkey"))
+    ).filter(F.col("bsize") <= _LEV_BUCKET_CAP)
+    a = sized.select(
+        F.col("bkey"), F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta")
+    )
+    b = sized.select(
+        F.col("bkey"), F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb")
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("nta", "ntb").cast("long").alias("lev"),
+            F.greatest(F.length("nta"), F.length("ntb")).cast("long").alias("max_len"),
+        )
+        .withColumn(
+            "is_near_dup",
+            F.when(5 * F.col("lev") <= F.col("max_len"), 1).otherwise(0).cast("long"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

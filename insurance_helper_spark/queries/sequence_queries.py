@@ -1571,3 +1571,112 @@ def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_iterations — 3 unrolled PageRank iterations (d=0.85)
+# over the part co-purchase graph (same edge relation as
+# graph_degree_assortativity), in EXACT INTEGER arithmetic end-to-end:
+# ranks live as 1e12-scaled BIGINTs, every division is integer half-up
+# ((2a+b) div (2b) — the house rounding), so iteration sums are
+# order-independent and the top-10 rank order compares exact integers
+# — no float appears until the display rounding. The graph is
+# symmetric by construction (co-purchase), so there are no dangling
+# nodes and in-degree ≥ 1 everywhere. Scale: the canonical distributed
+# PageRank — one |E|-row contribution shuffle keyed on dst per
+# iteration, degrees broadcast; iteration count is the only serial
+# axis, and the edge relation is bounded by Σ C(parts-per-order, 2),
+# never all-pairs.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_BASE_NUM = 150 * 10**9  # 0.15 * 1e12
+
+
+def _pr_step_sql(prev: str) -> str:
+    """One PageRank iteration in integer arithmetic (shared shape)."""
+    return f"""
+  SELECT e.dst AS node,
+         (2 * {_PR_BASE_NUM} + nn.n) // (2 * nn.n)
+         + (2 * 17 * sum((2 * p.prq + d.d) // (2 * d.d)) + 20) // 40 AS prq
+  FROM edges e
+  JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON e.src = d.node
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+"""
+
+
+PAGERANK_ORACLE = f"""
+WITH order_parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM order_parts a JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+pr0 AS (
+  SELECT node, (2 * {_PR_SCALE} + nn.n) // (2 * nn.n) AS prq
+  FROM deg CROSS JOIN nn
+),
+pr1 AS ({_pr_step_sql("pr0")}),
+pr2 AS ({_pr_step_sql("pr1")}),
+pr3 AS ({_pr_step_sql("pr2")})
+SELECT CAST(node AS BIGINT) AS part_key,
+       round(CAST(prq AS DOUBLE) / {_PR_SCALE}, 8) AS pagerank,
+       CAST(row_number() OVER (ORDER BY prq DESC, node) AS INT) AS rank
+FROM pr3
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+@register("graph_pagerank_iterations", PAGERANK_ORACLE)
+def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = order_parts.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees + every iteration
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"(2 * {_PR_SCALE} + n) div (2 * n)").alias("prq")
+    )
+    for _ in range(3):
+        pr = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("dst", "n")
+            .agg(F.sum(F.expr("(2 * prq + d) div (2 * d)")).alias("contrib"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(2 * {_PR_BASE_NUM} + n) div (2 * n)"
+                    " + (2 * 17 * contrib + 20) div 40"
+                ).alias("prq"),
+            )
+        )
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.desc("prq"), "node")
+    return (
+        pr.select(
+            F.col("node").cast("long").alias("part_key"),
+            F.round(F.col("prq").cast("double") / _PR_SCALE, 8).alias("pagerank"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

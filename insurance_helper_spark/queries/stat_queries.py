@@ -3856,3 +3856,106 @@ def ml_kfold_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cv_mean_rmse"),
     ).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_neyman — optimal stratified-sample design: Neyman
+# allocation n_h ∝ N_h·σ_h of a 1000-row budget across return-flag
+# strata (variance-heavy strata get more budget than size alone would
+# give — the sampling-theory upgrade over proportional allocation the
+# PPS/reservoir rows already cover). Per-stratum σ from ONE exact-
+# integer moment pass; the allocation itself is LARGEST-REMAINDER in
+# pure integer arithmetic on 1e6-quantized weights (floor shares +
+# remainder-ranked top-up, deterministic flag tiebreak), so the seats
+# reconcile to the budget by construction and the engines cannot
+# disagree. Scale: one map-side-combined group pass; everything after
+# runs on k rows.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+NEYMAN_ORACLE = f"""
+WITH g AS (
+  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM lineitem GROUP BY flag
+),
+w AS (
+  SELECT flag, nh,
+         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / nh) / 100.0 AS sd,
+         CAST(round(nh * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / nh)
+                          / 100.0) * 1e6) AS BIGINT) AS wq
+  FROM g
+),
+tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
+fl AS (
+  SELECT w.flag, w.nh, w.sd, w.wq, t.tw,
+         CAST({_NEYMAN_BUDGET} * w.wq // t.tw AS BIGINT) AS floor_n,
+         {_NEYMAN_BUDGET} * w.wq - ({_NEYMAN_BUDGET} * w.wq // t.tw) * t.tw AS rem
+  FROM w CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, flag) AS rk,
+         CAST({_NEYMAN_BUDGET} - sum(floor_n) OVER () AS BIGINT) AS leftover
+  FROM fl
+)
+SELECT flag, nh AS n_stratum,
+       round(sd, 2) AS stratum_sd,
+       round(CAST(wq AS DOUBLE) / tw, 6) AS neyman_weight,
+       CAST(floor_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS allocated_n
+FROM ranked
+ORDER BY flag
+"""
+
+
+@register("sample_stratified_neyman", NEYMAN_ORACLE)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    sd = (
+        F.sqrt(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nh"))
+            / F.col("nh")
+        )
+        / 100.0
+    )
+    w = g.select(
+        "flag",
+        "nh",
+        sd.alias("sd"),
+        F.round(F.col("nh") * sd * 1e6).cast("long").alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").cast("long").alias("tw"))
+    b = _NEYMAN_BUDGET
+    fl = w.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"CAST({b} * wq div tw AS BIGINT)").alias("floor_n"),
+        F.expr(f"{b} * wq - ({b} * wq div tw) * tw").alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), "flag")
+    w_all = Window.partitionBy()
+    ranked = fl.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(b) - F.sum("floor_n").over(w_all)).cast("long").alias("leftover"),
+    )
+    return ranked.select(
+        "flag",
+        F.col("nh").alias("n_stratum"),
+        F.round("sd", 2).alias("stratum_sd"),
+        F.round(F.col("wq").cast("double") / F.col("tw"), 6).alias("neyman_weight"),
+        (
+            F.col("floor_n")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_n"),
+    ).orderBy("flag")
