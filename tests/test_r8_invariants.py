@@ -185,3 +185,96 @@ def test_join_cardinality_exact_matches_real_join(spark):
     for r in rows.values():
         assert r.est_over_exact > 0
         assert r.ndv_a <= r.rows_a and r.ndv_b <= r.rows_b
+
+
+def test_pareto_frontier_is_strictly_decreasing_staircase(spark):
+    rows = _rows(spark, "orders_pareto_frontier")
+    assert rows
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    cents = [r.best_cents for r in rows]
+    # Later day on the frontier must mean strictly lower best price —
+    # otherwise the earlier point would be dominated.
+    assert all(a > b for a, b in zip(cents, cents[1:]))
+    # The global best-price day is always on the frontier.
+    from insurance_helper_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders")
+    best = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert cents[0] == best
+
+
+def test_running_distinct_monotone_and_converges(spark):
+    from insurance_helper_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = _rows(spark, "events_running_distinct_users")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (r.month_end, r.distinct_users_to_date)
+        )
+    ev = load_table(spark, SF_DIR, "events")
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, series in by_type.items():
+        series.sort()
+        counts = [c for _, c in series]
+        assert counts == sorted(counts)  # non-decreasing
+        assert counts[-1] == truth[t]  # converges to the exact distinct
+
+
+def test_last_digit_census_complete(spark):
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _rows(spark, "dq_last_digit_uniformity")
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=0.01)
+    assert all(r.chi_square_df9 >= 0 for r in rows)
+    assert {r.digit for r in rows} <= set(range(10))
+
+
+def test_tukey_fences_sane(spark):
+    rows = _rows(spark, "dq_tukey_fences")
+    assert rows
+    for r in rows:
+        assert r.q1_price <= r.q3_price
+        assert r.iqr_price == pytest.approx(r.q3_price - r.q1_price, abs=0.02)
+        assert 0 <= r.n_low_outliers + r.n_high_outliers < r.n_lines
+
+
+def test_neyman_allocation_reconciles_to_budget(spark):
+    rows = _rows(spark, "sample_stratified_neyman")
+    assert sum(r.allocated_n for r in rows) == 1000
+    assert sum(r.neyman_weight for r in rows) == pytest.approx(1.0, abs=0.01)
+    for r in rows:
+        # Largest remainder can only top up the floor share by one.
+        assert r.allocated_n >= int(1000 * r.neyman_weight) - 1
+        assert r.stratum_sd >= 0
+
+
+def test_pagerank_top10_ordered_and_positive(spark):
+    rows = _rows(spark, "graph_pagerank_iterations")
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prs = [r.pagerank for r in rows]
+    assert all(a >= b for a, b in zip(prs, prs[1:]))
+    for r in rows:
+        assert 0.0 < r.pagerank < 1.0
+
+
+def test_fuzzy_levenshtein_flags_and_bounds(spark):
+    rows = _rows(spark, "dedup_fuzzy_levenshtein")
+    assert rows  # blocking must surface candidates on the dup-seeded fixture
+    assert any(r.is_near_dup == 1 for r in rows)
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.lev <= r.max_len
+        assert r.is_near_dup == (1 if 5 * r.lev <= r.max_len else 0)
