@@ -191,6 +191,11 @@ HEADLINE = [
     "sample_stratified_neyman",
     "graph_pagerank_iterations",
     "dedup_fuzzy_levenshtein",
+    "ml_pr_curve_thresholds",
+    "part_xyz_demand_classes",
+    "events_cohort_retention",
+    "text_ngram_novelty_rate",
+    "dedup_cluster_connected_components",
 ]
 
 

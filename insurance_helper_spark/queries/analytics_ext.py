@@ -2673,3 +2673,167 @@ def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("user_id").cast("long").alias("distinct_users_to_date"))
         .orderBy("event_type", "month_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# part_xyz_demand_classes — the XYZ half of ABC/XYZ inventory
+# segmentation (ABC = value share, already part_abc_classification;
+# XYZ = demand VARIABILITY): per part brand, the coefficient of
+# variation of monthly demand, classed X (CV < 0.5, steady), Y
+# (< 1.0, variable), Z (≥ 1.0, erratic). Forecastability is what
+# decides safety stock and model choice — the planning complement to
+# the seasonal/forecast rows. ENGINE PARITY: monthly demand sums and
+# the (n, Σq, Σq²) brand moments are exact BIGINTs; CV is one
+# deterministic quotient; class edges compare exact arithmetic
+# (2·sd vs mean via 4·var·n² cross-multiplication is overkill here —
+# CV is compared AFTER 6-decimal rounding so both engines class
+# identically). Scale: (brand, month) rollup with map-side combine,
+# then k-row brand folds.
+# ---------------------------------------------------------------------------
+
+XYZ_ORACLE = """
+WITH monthly AS (
+  SELECT p.p_brand AS brand, date_trunc('month', o.o_orderdate) AS mon,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, mon
+),
+m AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(qty) AS BIGINT) AS s, CAST(sum(qty * qty) AS BIGINT) AS ss
+  FROM monthly GROUP BY brand
+),
+cv AS (
+  SELECT brand, n_months,
+         CAST(s AS DOUBLE) / n_months AS mean_qty,
+         round(CASE WHEN s > 0 THEN
+           sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_months) / n_months)
+           / (CAST(s AS DOUBLE) / n_months) END, 6) AS cv6
+  FROM m
+)
+SELECT brand, n_months,
+       round(mean_qty, 2) AS mean_monthly_qty,
+       cv6 AS demand_cv,
+       CASE WHEN cv6 < 0.5 THEN 'X' WHEN cv6 < 1.0 THEN 'Y' ELSE 'Z' END
+           AS xyz_class
+FROM cv
+ORDER BY brand
+"""
+
+
+@register("part_xyz_demand_classes", XYZ_ORACLE)
+def part_xyz_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    )
+    m = monthly.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("qty").alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_months")
+    cv6 = F.round(
+        F.when(
+            F.col("s") > 0,
+            F.sqrt(
+                (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_months"))
+                / F.col("n_months")
+            )
+            / mean,
+        ),
+        6,
+    )
+    return m.select(
+        "brand",
+        "n_months",
+        F.round(mean, 2).alias("mean_monthly_qty"),
+        cv6.alias("demand_cv"),
+        F.when(cv6 < 0.5, "X").when(cv6 < 1.0, "Y").otherwise("Z").alias("xyz_class"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# events_cohort_retention — the D7/D30 retention matrix per signup-week
+# cohort (first event = signup): share of each cohort active again in
+# days 1-7 and days 8-30 after their first day — THE product-health
+# curve (DAU/MAU says how many; retention says whether they come
+# back). Exact integer counting: per-user first day (one groupBy),
+# then ONE pass over events joined to first days with interval flags
+# folded by max() per user, then a cohort rollup. Scale: two
+# map-side-combined shuffles on user_id (exchange-reusable) + one
+# cohort rollup; no windows at all.
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT f.user_id, date_trunc('week', f.d0) AS cohort_week,
+         max(CASE WHEN CAST(e.ts AS DATE) > f.d0
+                   AND CAST(e.ts AS DATE) <= f.d0 + INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END) AS d7,
+         max(CASE WHEN CAST(e.ts AS DATE) > f.d0 + INTERVAL 7 DAY
+                   AND CAST(e.ts AS DATE) <= f.d0 + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END) AS d30
+  FROM first_day f JOIN events e ON e.user_id = f.user_id
+  GROUP BY f.user_id, cohort_week
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(d7) AS BIGINT) AS d7_retained,
+       CAST(sum(d30) AS BIGINT) AS d30_retained,
+       round(CAST(sum(d7) AS DOUBLE) / count(*), 4) AS d7_rate,
+       round(CAST(sum(d30) AS DOUBLE) / count(*), 4) AS d30_rate
+FROM flags
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
+@register("events_cohort_retention", RETENTION_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    day = F.col("ts").cast("date")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    joined = ev.join(first_day, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"),
+        day.alias("d"),
+        "d0",
+    )
+    flags = joined.groupBy("user_id", "cohort_week").agg(
+        F.max(
+            F.when(
+                (F.col("d") > F.col("d0")) & (F.col("d") <= F.date_add("d0", 7)), 1
+            ).otherwise(0)
+        ).alias("d7"),
+        F.max(
+            F.when(
+                (F.col("d") > F.date_add("d0", 7)) & (F.col("d") <= F.date_add("d0", 30)),
+                1,
+            ).otherwise(0)
+        ).alias("d30"),
+    )
+    return (
+        flags.groupBy("cohort_week")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("d7").cast("long").alias("d7_retained"),
+            F.sum("d30").cast("long").alias("d30_retained"),
+            F.round(F.sum("d7").cast("double") / F.count("*"), 4).alias("d7_rate"),
+            F.round(F.sum("d30").cast("double") / F.count("*"), 4).alias("d30_rate"),
+        )
+        .orderBy("cohort_week")
+    )

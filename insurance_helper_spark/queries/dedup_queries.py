@@ -1164,3 +1164,100 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_connected_components — near-dup PAIRS become dedup
+# GROUPS: connected components over the Levenshtein-confirmed edge set
+# (dedup_fuzzy_levenshtein), via 5 unrolled min-label-propagation
+# iterations — the iterative-graph-algorithm pattern (like the
+# PageRank row) applied to the canonical dedup clustering step that
+# decides which docs share one canonical survivor. EXACT INTEGER
+# end-to-end: labels are doc ids, every step is min() over neighbor
+# labels, so the engines cannot diverge and 5 rounds cover any
+# component of diameter ≤ 5 (document the bound; production iterates
+# to fixpoint with the same step). Scale: each iteration is one
+# |E|-row join + min-combine groupBy — the standard distributed
+# label-prop; the near-dup edge relation is blocking-bounded, never
+# all-pairs.
+# ---------------------------------------------------------------------------
+
+def _cc_step_sql(prev: str) -> str:
+    return f"""
+  SELECT p.node, least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+  FROM {prev} p
+  LEFT JOIN cc_edges e ON e.src = p.node
+  LEFT JOIN {prev} q ON q.node = e.dst
+  GROUP BY p.node, p.lbl
+"""
+
+
+CC_ORACLE = f"""
+WITH pairs AS ({FUZZY_LEV_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+dup_pairs AS (SELECT doc_a, doc_b FROM pairs WHERE is_near_dup = 1),
+cc_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM cc_edges),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+l1 AS ({_cc_step_sql("l0")}),
+l2 AS ({_cc_step_sql("l1")}),
+l3 AS ({_cc_step_sql("l2")}),
+l4 AS ({_cc_step_sql("l3")}),
+l5 AS ({_cc_step_sql("l4")})
+SELECT CAST(lbl AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM l5
+GROUP BY lbl
+HAVING count(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_cluster_connected_components", CC_ORACLE)
+def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).filter(F.col("is_near_dup") == 1)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)  # reused by all 5 iterations
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(5):
+        labels = (
+            labels.join(edges, labels.node == edges.src, "left")
+            .join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lbl").alias("nbr_lbl")
+                ),
+                F.col("dst") == F.col("nbr"),
+                "left",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.min("nbr_lbl").alias("min_nbr"))
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("min_nbr"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("cluster_id").cast("long"), "n_docs", "members")
+        .orderBy("cluster_id")
+    )

@@ -3959,3 +3959,113 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_n"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# ml_pr_curve_thresholds — the precision/recall curve the AUC row
+# (stat_auc_mann_whitney) summarizes away: confusion counts, precision,
+# recall, and F1 at the 9 inner equi-depth decile cuts of the score
+# (order value) against the urgent-priority label — the
+# threshold-picking artifact every deployed binary classifier ships
+# with. DISTRIBUTED SHAPE: the score is VALUE-COLLAPSED to (cents, n,
+# pos) once; decile edges come from exact integer rank selection over
+# that reduced relation, and every confusion cell is a suffix
+# cumulative count evaluated AT an edge value (equi-join, no per-row
+# scan per threshold). Everything before the three terminal quotients
+# is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+PR_CURVE_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+vc AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY cents
+),
+cum AS (
+  SELECT cents, n, pos,
+         sum(n) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n) OVER (ORDER BY cents
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_n,
+         sum(pos) OVER (ORDER BY cents
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_pos,
+         sum(n) OVER () AS nn, sum(pos) OVER () AS pp
+  FROM vc
+),
+edges AS (
+  SELECT d AS decile,
+         min(CASE WHEN cum_n >= (d * nn + 9) // 10 THEN cents END) AS threshold
+  FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS d)
+  GROUP BY d
+)
+SELECT e.decile, e.threshold AS threshold_cents,
+       CAST(c.suf_pos AS BIGINT) AS tp,
+       CAST(c.suf_n - c.suf_pos AS BIGINT) AS fp,
+       CAST(c.pp - c.suf_pos AS BIGINT) AS fn,
+       round(CAST(c.suf_pos AS DOUBLE) / c.suf_n, 4) AS precision_at,
+       round(CAST(c.suf_pos AS DOUBLE) / c.pp, 4) AS recall_at,
+       round(2.0 * c.suf_pos / (c.suf_n + c.pp), 4) AS f1_at
+FROM edges e JOIN cum c ON e.threshold = c.cents
+ORDER BY e.decile
+"""
+
+
+@register("ml_pr_curve_thresholds", PR_CURVE_ORACLE)
+def ml_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_totalprice", "o_orderpriority"]
+    )
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    vc = base.groupBy("cents").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    w_up = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_dn = Window.orderBy("cents").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "cents",
+        F.sum("n").over(w_up).alias("cum_n"),
+        F.sum("n").over(w_dn).alias("suf_n"),
+        F.sum("pos").over(w_dn).alias("suf_pos"),
+        F.sum("n").over(w_all).alias("nn"),
+        F.sum("pos").over(w_all).alias("pp"),
+    )
+    cum = cum.localCheckpoint(eager=False)  # edges + confusion join
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    edges = (
+        F.broadcast(deciles)
+        .crossJoin(cum)
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n") >= F.expr("(decile * nn + 9) div 10"),
+                    F.col("cents"),
+                )
+            ).alias("threshold")
+        )
+    )
+    joined = edges.join(cum, edges.threshold == cum.cents)
+    return joined.select(
+        "decile",
+        F.col("threshold").alias("threshold_cents"),
+        F.col("suf_pos").cast("long").alias("tp"),
+        (F.col("suf_n") - F.col("suf_pos")).cast("long").alias("fp"),
+        (F.col("pp") - F.col("suf_pos")).cast("long").alias("fn"),
+        F.round(F.col("suf_pos").cast("double") / F.col("suf_n"), 4).alias(
+            "precision_at"
+        ),
+        F.round(F.col("suf_pos").cast("double") / F.col("pp"), 4).alias("recall_at"),
+        F.round(2.0 * F.col("suf_pos") / (F.col("suf_n") + F.col("pp")), 4).alias(
+            "f1_at"
+        ),
+    ).orderBy("decile")

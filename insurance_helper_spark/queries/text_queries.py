@@ -1643,3 +1643,87 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty_rate — the memorization/novelty audit for a
+# train/eval split: what fraction of held-out bigram OCCURRENCES (and
+# distinct bigram TYPES) never appear in the training 80%? Near-zero
+# novelty means the eval set is effectively memorized (contaminated /
+# over-deduplicated split); very high novelty means the split is
+# distribution-shifted. Uses the SAME deterministic Knuth doc-ID split
+# as text_bigram_perplexity_holdout, so the two queries describe one
+# experiment. All counting is exact integers (anti-join + sums).
+# Scale: two map-side-combined bigram rollups + one bigram-key
+# left join; no windows.
+# ---------------------------------------------------------------------------
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST({_PPLX_SPLIT} AS BIGINT) AS fold, {_TOKS} AS ts
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+big AS (
+  SELECT fold, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks CROSS JOIN unnest(range(1, len(ts))) AS t(i)
+),
+train_big AS (SELECT DISTINCT w1, w2 FROM big WHERE fold <> 0),
+test_big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS tc
+  FROM big WHERE fold = 0 GROUP BY w1, w2
+),
+flagged AS (
+  SELECT t.tc, CASE WHEN tr.w1 IS NULL THEN 1 ELSE 0 END AS novel
+  FROM test_big t
+  LEFT JOIN train_big tr ON t.w1 = tr.w1 AND t.w2 = tr.w2
+)
+SELECT CAST(sum(tc) AS BIGINT) AS n_test_occurrences,
+       CAST(count(*) AS BIGINT) AS n_test_types,
+       CAST(sum(novel * tc) AS BIGINT) AS novel_occurrences,
+       CAST(sum(novel) AS BIGINT) AS novel_types,
+       round(CAST(sum(novel * tc) AS DOUBLE) / sum(tc), 4) AS novel_occurrence_rate,
+       round(CAST(sum(novel) AS DOUBLE) / count(*), 4) AS novel_type_rate
+FROM flagged
+"""
+
+
+@register("text_ngram_novelty_rate", NGRAM_NOVELTY_ORACLE)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    ne = docs.filter(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+    )
+    toks = ne.select(
+        F.expr(_PPLX_SPLIT).cast("long").alias("fold"),
+        T.tokens(F.col("text")).alias("ts"),
+    )
+    big = (
+        toks.select(
+            "fold",
+            "ts",
+            F.posexplode(F.expr("slice(ts, 1, size(ts) - 1)")).alias("i", "w1"),
+        )
+        .withColumn("w2", F.expr("ts[i + 1]"))
+        .filter(F.col("w2").isNotNull())
+        .select("fold", "w1", "w2")
+    )
+    train_big = big.filter(F.col("fold") != 0).select("w1", "w2").distinct()
+    test_big = (
+        big.filter(F.col("fold") == 0).groupBy("w1", "w2").agg(F.count("*").alias("tc"))
+    )
+    flagged = test_big.join(
+        train_big.withColumn("seen", F.lit(1)), ["w1", "w2"], "left"
+    ).select("tc", F.when(F.col("seen").isNull(), 1).otherwise(0).alias("novel"))
+    return flagged.agg(
+        F.sum("tc").cast("long").alias("n_test_occurrences"),
+        F.count("*").cast("long").alias("n_test_types"),
+        F.sum(F.col("novel") * F.col("tc")).cast("long").alias("novel_occurrences"),
+        F.sum("novel").cast("long").alias("novel_types"),
+        F.round(
+            F.sum(F.col("novel") * F.col("tc")).cast("double") / F.sum("tc"), 4
+        ).alias("novel_occurrence_rate"),
+        F.round(F.sum("novel").cast("double") / F.count("*"), 4).alias(
+            "novel_type_rate"
+        ),
+    )
