@@ -278,3 +278,72 @@ def test_fuzzy_levenshtein_flags_and_bounds(spark):
         assert r.doc_a < r.doc_b
         assert 0 <= r.lev <= r.max_len
         assert r.is_near_dup == (1 if 5 * r.lev <= r.max_len else 0)
+
+
+def test_pr_curve_monotone_tradeoff(spark):
+    rows = _rows(spark, "ml_pr_curve_thresholds")
+    assert rows
+    rows.sort(key=lambda r: r.decile)
+    # Raising the threshold can only shrink the predicted-positive set:
+    # recall is non-increasing, fp non-increasing, fn non-decreasing.
+    for a, b in zip(rows, rows[1:]):
+        assert a.recall_at >= b.recall_at - 1e-9
+        assert a.fp >= b.fp
+        assert a.fn <= b.fn
+    for r in rows:
+        assert 0.0 <= r.precision_at <= 1.0 and 0.0 <= r.recall_at <= 1.0
+        # F1 is the harmonic mean: between 0 and min(2p, 2r)
+        assert r.f1_at <= 2 * min(r.precision_at, r.recall_at) + 1e-9
+
+
+def test_xyz_classes_match_cv_edges(spark):
+    rows = _rows(spark, "part_xyz_demand_classes")
+    assert rows
+    for r in rows:
+        assert r.mean_monthly_qty > 0 and r.n_months > 0
+        if r.demand_cv is not None:
+            expected = "X" if r.demand_cv < 0.5 else ("Y" if r.demand_cv < 1.0 else "Z")
+            assert r.xyz_class == expected
+
+
+def test_retention_rates_bounded(spark):
+    rows = _rows(spark, "events_cohort_retention")
+    assert rows
+    for r in rows:
+        assert 0 <= r.d7_retained <= r.n_users
+        assert 0 <= r.d30_retained <= r.n_users
+        assert 0.0 <= r.d7_rate <= 1.0 and 0.0 <= r.d30_rate <= 1.0
+
+
+def test_ngram_novelty_consistent(spark):
+    (r,) = _rows(spark, "text_ngram_novelty_rate")
+    assert 0 <= r.novel_occurrences <= r.n_test_occurrences
+    assert 0 <= r.novel_types <= r.n_test_types
+    assert r.novel_occurrence_rate == pytest.approx(
+        r.novel_occurrences / r.n_test_occurrences, abs=1e-3
+    )
+    # A novel TYPE is at most as frequent as an average seen type, so
+    # occurrence-novelty cannot exceed type-novelty by much — but the
+    # hard invariant is just both being valid rates.
+    assert r.novel_type_rate == pytest.approx(
+        r.novel_types / r.n_test_types, abs=1e-3
+    )
+
+
+def test_connected_components_contain_all_dup_pairs(spark):
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _rows(spark, "dedup_fuzzy_levenshtein")
+        if r.is_near_dup == 1
+    ]
+    clusters = _rows(spark, "dedup_cluster_connected_components")
+    member_of = {}
+    for c in clusters:
+        members = [int(x) for x in c.members.split(",")]
+        assert len(members) == c.n_docs >= 2
+        assert c.cluster_id == min(members)  # min-label convention
+        for m in members:
+            member_of[m] = c.cluster_id
+    # Every confirmed near-dup pair must land in the SAME cluster.
+    for a, b in pairs:
+        assert member_of.get(a) is not None and member_of[a] == member_of[b]
