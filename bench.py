@@ -196,6 +196,10 @@ HEADLINE = [
     "events_cohort_retention",
     "text_ngram_novelty_rate",
     "dedup_cluster_connected_components",
+    "stat_runs_test",
+    "ml_learning_curve",
+    "text_char_entropy",
+    "stat_ljung_box",
 ]
 
 

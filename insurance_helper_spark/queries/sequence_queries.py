@@ -1680,3 +1680,93 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_ljung_box — the portmanteau whiteness test that SUMMARIZES the
+# ACF row: Q = n(n+2) Σ_{k=1..7} r_k²/(n−k) on the daily event-count
+# series, rejecting "white noise" at the chi²(7) 95% critical value
+# (14.067, a constant — no tail function needed). This is the formal
+# gate in front of fitting any AR-family model; the ACF row shows the
+# shape, Ljung–Box decides. Same exact-arithmetic skeleton as
+# events_acf_lags: n-scaled integer centering (z = n·cnt − S), lag
+# alignment by date EQUI-JOIN (never an unpartitioned per-row window),
+# exact BIGINT numerators/denominator, and the 7-term Q fold quantized
+# to round(·1e9) AS BIGINT. Scale: one daily rollup + 7 calendar-
+# bounded self-joins.
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY day
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s FROM daily
+),
+z AS (SELECT day, n * cnt - s AS z, n FROM daily CROSS JOIN tot),
+denom AS (SELECT CAST(sum(z * z) AS BIGINT) AS ss FROM z),
+num AS (
+  SELECT l.lag_k, CAST(sum(a.z * b.z) AS BIGINT) AS num
+  FROM z a JOIN (SELECT unnest(range(1, 8)) AS lag_k) l ON true
+  JOIN z b ON b.day = a.day - l.lag_k * INTERVAL 1 DAY
+  GROUP BY l.lag_k
+),
+terms AS (
+  SELECT n.lag_k,
+         CAST(round((CAST(n.num AS DOUBLE) / d.ss)
+                    * (CAST(n.num AS DOUBLE) / d.ss)
+                    / (t.n - n.lag_k) * 1e9) AS BIGINT) AS tq,
+         t.n AS n
+  FROM num n CROSS JOIN denom d CROSS JOIN tot t
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS df,
+       round(CAST(any_value(n) AS DOUBLE) * (any_value(n) + 2)
+             * CAST(sum(tq) AS DOUBLE) / 1e9, 4) AS q_statistic,
+       CAST(CASE WHEN CAST(any_value(n) AS DOUBLE) * (any_value(n) + 2)
+                      * CAST(sum(tq) AS DOUBLE) / 1e9 > 14.067140449340169
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_white_noise_95
+FROM terms
+"""
+
+
+@register("stat_ljung_box", LJUNG_BOX_ORACLE)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cnt").cast("long").alias("s")
+    )
+    z = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("cnt") - F.col("s")).alias("z"), "n"
+    )
+    z = z.localCheckpoint(eager=True)  # both sides of 7 lag joins + denom
+    denom = z.agg(F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_k"))
+    a = z.select(F.col("day"), F.col("z").alias("za"), "n")
+    b = z.select(F.col("day").alias("bday"), F.col("z").alias("zb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.date_sub(F.col("day"), F.col("lag_k").cast("int")))
+        .groupBy("lag_k")
+        .agg(F.sum(F.col("za") * F.col("zb")).cast("long").alias("num"), F.any_value("n").alias("n"))
+    )
+    r = F.col("num").cast("double") / F.col("ss")
+    terms = num.crossJoin(F.broadcast(denom)).select(
+        "lag_k",
+        "n",
+        F.round(r * r / (F.col("n") - F.col("lag_k")) * 1e9).cast("long").alias("tq"),
+    )
+    nd = F.any_value("n").cast("double")
+    q = nd * (F.any_value("n") + 2) * F.sum("tq").cast("double") / 1e9
+    return terms.agg(
+        F.any_value("n").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("df"),
+        F.round(q, 4).alias("q_statistic"),
+        F.when(q > 14.067140449340169, 1).otherwise(0).cast("long").alias(
+            "reject_white_noise_95"
+        ),
+    )

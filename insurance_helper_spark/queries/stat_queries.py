@@ -4069,3 +4069,230 @@ def ml_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_at"
         ),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# stat_runs_test — Wald–Wolfowitz runs test for randomness of the
+# daily revenue direction (up/down vs the previous day): too FEW runs
+# means momentum/trend, too MANY means mean-reversion/oscillation —
+# the quick "is this series i.i.d. enough for the simple models"
+# screen in front of the ACF/Ljung-Box machinery. Directions come from
+# exact integer cents comparisons over the calendar-bounded daily
+# rollup (zero-change days dropped, standard practice); runs, n_up,
+# n_down are exact integers; E[R] and Var[R] are the closed forms, so
+# z is one deterministic expression. |z| > 1.96 flags non-randomness.
+# Scale: one map-side-combined daily rollup; the lag window rides the
+# O(days) series only.
+# ---------------------------------------------------------------------------
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY day
+),
+dirs AS (
+  SELECT day,
+         CASE WHEN cents > lag(cents) OVER (ORDER BY day) THEN 1
+              WHEN cents < lag(cents) OVER (ORDER BY day) THEN -1 END AS dir
+  FROM daily
+),
+seq AS (
+  SELECT dir, lag(dir) OVER (ORDER BY day) AS prev_dir
+  FROM (SELECT day, dir FROM dirs WHERE dir IS NOT NULL)
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN prev_dir IS NOT NULL AND dir <> prev_dir
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM seq
+)
+SELECT n1 AS n_up, n2 AS n_down, runs AS n_runs,
+       round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+       round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))), 4)
+           AS z_score,
+       CAST(CASE WHEN abs((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))))
+             > 1.959963984540054 THEN 1 ELSE 0 END AS BIGINT) AS nonrandom_95
+FROM s
+"""
+
+
+@register("stat_runs_test", RUNS_TEST_ORACLE)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")  # O(days) calendar-bounded series
+    dirs = daily.select(
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .alias("dir"),
+    ).filter(F.col("dir").isNotNull())
+    seq = dirs.select("dir", F.lag("dir").over(Window.orderBy("day")).alias("prev_dir"))
+    s = seq.agg(
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_dir").isNotNull()
+                    & (F.col("dir") != F.col("prev_dir")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    z = (runs - er) / F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        n1.alias("n_up"),
+        n2.alias("n_down"),
+        runs.alias("n_runs"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).cast("long").alias(
+            "nonrandom_95"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_learning_curve — RMSE vs training-set size for the price~quantity
+# OLS model: train on the first 2/4/6/8 Knuth-hash tenths, always
+# evaluate on the held-out tenth 9 — the "is more data still buying
+# accuracy" curve that decides whether to scale data or model. ZERO
+# extra training passes at any size: per-tenth exact-integer moment
+# sums are computed ONCE and each curve point's training moments are a
+# prefix sum over fold ids (the k-fold leave-out identity, composed);
+# the single test tenth is scored against the 4-row broadcast
+# coefficient table in one pass with cent-quantized residuals.
+# ---------------------------------------------------------------------------
+
+LEARNING_CURVE_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(((l_orderkey % {KEY_REDUCE}) * {KNUTH_MUL}) % {KNUTH_MOD} % 10 AS BIGINT)
+             AS fold,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fm AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY fold
+),
+pts AS (
+  SELECT k.k,
+         CAST(sum(f.n) AS BIGINT) AS n, CAST(sum(f.sx) AS BIGINT) AS sx,
+         CAST(sum(f.sy) AS BIGINT) AS sy, CAST(sum(f.sxy) AS BIGINT) AS sxy,
+         CAST(sum(f.sxx) AS BIGINT) AS sxx
+  FROM fm f JOIN (SELECT unnest([2, 4, 6, 8]) AS k) k ON f.fold < k.k
+  GROUP BY k.k
+),
+coefs AS (
+  SELECT k, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
+  FROM pts
+),
+scored AS (
+  SELECT c.k, c.n,
+         CAST(round(b.y - (c.b0 + c.b1 * b.x)) AS BIGINT) AS rc
+  FROM (SELECT * FROM base WHERE fold = 9) b CROSS JOIN coefs c
+)
+SELECT k AS train_tenths, any_value(n) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)) / 100.0, 4) AS test_rmse
+FROM scored
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register("ml_learning_curve", LEARNING_CURVE_ORACLE)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+    base = li.select(
+        F.expr(
+            f"CAST(((l_orderkey % {KEY_REDUCE}) * {KNUTH_MUL}) % {KNUTH_MOD} % 10"
+            " AS BIGINT)"
+        ).alias("fold"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fm = base.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ks = spark.createDataFrame([(2,), (4,), (6,), (8,)], "k long")
+    pts = (
+        fm.join(F.broadcast(ks), fm.fold < ks.k)
+        .groupBy("k")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxx").alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b1 = num / den
+    coefs = pts.select(
+        "k",
+        "n",
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    scored = (
+        base.filter(F.col("fold") == 9)
+        .crossJoin(F.broadcast(coefs))
+        .select(
+            "k",
+            "n",
+            F.round(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+            .cast("long")
+            .alias("rc"),
+        )
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.any_value("n").alias("n_train"),
+            F.count("*").cast("long").alias("n_test"),
+            F.round(
+                F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*"))
+                / 100.0,
+                4,
+            ).alias("test_rmse"),
+        )
+        .select(F.col("k").alias("train_tenths"), "n_train", "n_test", "test_rmse")
+        .orderBy("train_tenths")
+    )

@@ -8,6 +8,8 @@ pinned, not just the row counts.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1726,4 +1728,77 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("novel").cast("double") / F.count("*"), 4).alias(
             "novel_type_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy — per-source character-distribution Shannon
+# entropy over the normalized [a-z0-9 ] alphabet: gibberish/encoding-
+# garbage detection at the layer BELOW tokens (natural English sits
+# near ~4.1 bits/char on this alphabet; base64 blobs push toward the
+# ln(37) ceiling, template spam collapses low) — the char-level
+# sibling of the token-level entropy/diversity rows. Scale: the char
+# explode is linear CPU but shuffles only (source, char) cells — an
+# alphabet-bounded relation (≤37 cells/source) — via map-side combine;
+# the entropy fold is exact: integer counts, per-cell terms quantized
+# to round(·1e12) AS BIGINT (the r7 sweep pattern).
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_ORACLE = """
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+chars AS (
+  SELECT source, substr(nt, i.i, 1) AS ch
+  FROM norm CROSS JOIN unnest(range(1, 100000)) AS i(i)
+  WHERE i.i <= length(nt)
+),
+cells AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY source, ch),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source)
+SELECT c.source,
+       CAST(any_value(t.n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS alphabet_size,
+       round(CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
+                                 * ln(CAST(c.c AS DOUBLE) / t.n) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12 / ln(2), 4) AS entropy_bits,
+       round(ln(CAST(count(*) AS DOUBLE)) / ln(2), 4) AS max_entropy_bits
+FROM cells c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+@register("text_char_entropy", CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    norm = docs.select("source", nt.alias("nt")).filter(F.col("nt") != "")
+    chars = norm.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(nt)), i -> substr(nt, i, 1))")
+        ).alias("ch"),
+    )
+    cells = chars.groupBy("source", "ch").agg(F.count("*").cast("long").alias("c"))
+    tot = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cells.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("alphabet_size"),
+            F.round(
+                F.sum(F.round(-p * F.log(p) * 1e12).cast("long")).cast("double")
+                / 1e12
+                / math.log(2),
+                4,
+            ).alias("entropy_bits"),
+            F.round(
+                F.log(F.count("*").cast("double")) / math.log(2), 4
+            ).alias("max_entropy_bits"),
+        )
+        .orderBy("source")
     )

@@ -347,3 +347,42 @@ def test_connected_components_contain_all_dup_pairs(spark):
     # Every confirmed near-dup pair must land in the SAME cluster.
     for a, b in pairs:
         assert member_of.get(a) is not None and member_of[a] == member_of[b]
+
+
+def test_runs_test_bookkeeping(spark):
+    (r,) = _rows(spark, "stat_runs_test")
+    assert r.n_up + r.n_down >= r.n_runs >= 1
+    # Expected runs formula sanity: between 1 and n+1.
+    assert 1.0 <= r.expected_runs <= r.n_up + r.n_down + 1
+    assert r.nonrandom_95 in (0, 1)
+
+
+def test_learning_curve_points_complete(spark):
+    rows = _rows(spark, "ml_learning_curve")
+    assert [r.train_tenths for r in rows] == [2, 4, 6, 8]
+    # Training size strictly grows along the curve; test set is fixed.
+    sizes = [r.n_train for r in rows]
+    assert all(a < b for a, b in zip(sizes, sizes[1:]))
+    assert len({r.n_test for r in rows}) == 1
+    assert all(r.test_rmse > 0 for r in rows)
+
+
+def test_char_entropy_below_alphabet_ceiling(spark):
+    rows = _rows(spark, "text_char_entropy")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= r.max_entropy_bits + 1e-6
+        assert r.alphabet_size <= 37  # [a-z0-9 ] after normalization
+        assert r.n_chars > 0
+
+
+def test_ljung_box_consistent_with_acf(spark):
+    (r,) = _rows(spark, "stat_ljung_box")
+    assert r.df == 7
+    assert r.q_statistic >= 0.0
+    # Recompute Q from the registered ACF row — the two queries must
+    # describe the same series.
+    acf = _rows(spark, "events_acf_lags")
+    n = r.n_days
+    q = n * (n + 2) * sum(a.acf**2 / (n - a.lag_k) for a in acf)
+    assert r.q_statistic == pytest.approx(q, rel=5e-3)
