@@ -200,6 +200,9 @@ HEADLINE = [
     "ml_learning_curve",
     "text_char_entropy",
     "stat_ljung_box",
+    "stat_did_promo_uplift",
+    "dedup_survivorship_report",
+    "orders_yoy_growth",
 ]
 
 

@@ -2837,3 +2837,69 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_yoy_growth — year-over-year monthly revenue growth per order
+# priority: each month matched to the SAME month one year earlier by a
+# calendar equi-join on add_months (never a lag window with a fragile
+# fixed offset — months can be missing, and the equi-join is
+# skip-safe). Completes the growth family: compound_growth is MoM +
+# index, this is the seasonality-free YoY view. Exact integer cents
+# revenue on both sides of one deterministic quotient. Scale: one
+# (priority, month) map-side-combined rollup, then a self-join of the
+# calendar-bounded series with the prior-year side broadcast.
+# ---------------------------------------------------------------------------
+
+YOY_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY priority, mon
+)
+SELECT cur.priority, cur.mon,
+       round(cur.cents / 100.0, 2) AS revenue,
+       round(prev.cents / 100.0, 2) AS revenue_prior_year,
+       round((CAST(cur.cents AS DOUBLE) - prev.cents) / prev.cents, 4) AS yoy_growth
+FROM monthly cur
+JOIN monthly prev
+  ON cur.priority = prev.priority AND prev.mon = cur.mon - INTERVAL 12 MONTH
+ORDER BY cur.priority, cur.mon
+"""
+
+
+@register("orders_yoy_growth", YOY_ORACLE)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    cur = monthly
+    prev = monthly.select(
+        F.col("priority").alias("p2"),
+        F.add_months(F.col("mon"), 12).alias("mon2"),
+        F.col("cents").alias("prev_cents"),
+    )
+    return (
+        cur.join(
+            F.broadcast(prev),
+            (F.col("priority") == F.col("p2")) & (F.col("mon") == F.col("mon2")),
+        )
+        .select(
+            "priority",
+            "mon",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("prev_cents") / 100.0, 2).alias("revenue_prior_year"),
+            F.round(
+                (F.col("cents").cast("double") - F.col("prev_cents"))
+                / F.col("prev_cents"),
+                4,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("priority", "mon")
+    )

@@ -1261,3 +1261,81 @@ def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> Data
         .select(F.col("cluster_id").cast("long"), "n_docs", "members")
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivorship_report — the last step of the dedup story: pick
+# ONE canonical survivor per connected component (longest normalized
+# text, doc-id tiebreak — "keep the most complete record", the
+# standard survivorship rule) and report the corpus-level yield:
+# docs in, clusters, docs removed, survivor rate. Composes the
+# registered components query (pairs → clusters → survivors), so its
+# numbers reconcile with that row by construction. Scale: the cluster
+# relation is near-dup-bounded (tiny vs corpus); survivor election is
+# one max_by per cluster; corpus totals are one count.
+# ---------------------------------------------------------------------------
+
+SURVIVOR_ORACLE = f"""
+WITH clusters AS ({CC_ORACLE.replace("ORDER BY cluster_id", "")}),
+members AS (
+  SELECT cluster_id, CAST(unnest(string_split(members, ',')) AS BIGINT) AS doc_id
+  FROM clusters
+),
+sized AS (
+  SELECT m.cluster_id, m.doc_id,
+         length(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS nlen
+  FROM members m JOIN documents d ON m.doc_id = d.doc_id
+),
+winners AS (
+  SELECT cluster_id, doc_id AS canonical_doc
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY nlen DESC, doc_id) AS rn
+        FROM sized)
+  WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT t.n_docs,
+       CAST(count(w.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(c.n_docs - 1) AS BIGINT) AS n_removed,
+       round(1.0 - CAST(sum(c.n_docs - 1) AS DOUBLE) / t.n_docs, 6) AS survivor_rate
+FROM winners w
+JOIN clusters c ON w.cluster_id = c.cluster_id
+CROSS JOIN tot t
+GROUP BY t.n_docs
+"""
+
+
+@register("dedup_survivorship_report", SURVIVOR_ORACLE)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_cluster_connected_components(spark, sf_dir)
+    members = clusters.select(
+        "cluster_id", F.explode(F.split("members", ",")).alias("doc_str")
+    ).select("cluster_id", F.col("doc_str").cast("long").alias("doc_id"))
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sized = members.join(docs, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        F.length(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("nlen"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("nlen"), "doc_id")
+    winners = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc"))
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        winners.join(clusters.select("cluster_id", "n_docs").withColumnRenamed("n_docs", "csize"), "cluster_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_docs")
+        .agg(
+            F.count("cluster_id").cast("long").alias("n_clusters"),
+            F.sum(F.col("csize") - 1).cast("long").alias("n_removed"),
+            F.round(
+                1.0 - F.sum(F.col("csize") - 1).cast("double") / F.col("n_docs"), 6
+            ).alias("survivor_rate"),
+        )
+        .select("n_docs", "n_clusters", "n_removed", "survivor_rate")
+    )

@@ -4296,3 +4296,103 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("train_tenths"), "n_train", "n_test", "test_rmse")
         .orderBy("train_tenths")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_did_promo_uplift — difference-in-differences: the causal-
+# inference workhorse the A/B rows (paired effect, two-proportion z)
+# don't cover. Treatment = promo-class parts, control = the rest;
+# periods split at the timeline midpoint (deterministic integer epoch
+# midpoint of order dates). DiD = (T_post − T_pre) − (C_post − C_pre)
+# on mean unit revenue, cancelling both group-level and period-level
+# confounds. ONE aggregation pass collects all four cells' exact
+# integer (n, Σcents) sufficient statistics; the estimate is four
+# deterministic quotients and three subtractions. Scale: one
+# broadcast part join + one 4-cell map-side-combined groupBy.
+# ---------------------------------------------------------------------------
+
+DID_ORACLE = """
+WITH bounds AS (
+  SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+obs AS (
+  SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN datediff('day', b.lo, o.o_orderdate)
+                   >= datediff('day', b.lo, b.hi) // 2 THEN 1 ELSE 0 END AS post,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  CROSS JOIN bounds b
+),
+cells AS (
+  SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM obs GROUP BY treated, post
+),
+wide AS (
+  SELECT
+    sum(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    sum(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    sum(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+    sum(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+    CAST(sum(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT n_total,
+       round(t_pre / 100, 2) AS treated_pre_mean,
+       round(t_post / 100, 2) AS treated_post_mean,
+       round(c_pre / 100, 2) AS control_pre_mean,
+       round(c_post / 100, 2) AS control_post_mean,
+       round(((t_post - t_pre) - (c_post - c_pre)) / 100, 4) AS did_estimate
+FROM wide
+"""
+
+
+@register("stat_did_promo_uplift", DID_ORACLE)
+def stat_did_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_extendedprice"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("treated"),
+            F.when(
+                F.datediff("o_orderdate", "lo")
+                >= F.expr("datediff(hi, lo) div 2"),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = obs.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    wide = cells.agg(
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round(F.col("t_pre") / 100, 2).alias("treated_pre_mean"),
+        F.round(F.col("t_post") / 100, 2).alias("treated_post_mean"),
+        F.round(F.col("c_pre") / 100, 2).alias("control_pre_mean"),
+        F.round(F.col("c_post") / 100, 2).alias("control_post_mean"),
+        F.round(
+            ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+            / 100,
+            4,
+        ).alias("did_estimate"),
+    )

@@ -386,3 +386,29 @@ def test_ljung_box_consistent_with_acf(spark):
     n = r.n_days
     q = n * (n + 2) * sum(a.acf**2 / (n - a.lag_k) for a in acf)
     assert r.q_statistic == pytest.approx(q, rel=5e-3)
+
+
+def test_did_cells_reconcile(spark):
+    (r,) = _rows(spark, "stat_did_promo_uplift")
+    assert r.n_total > 0
+    did = (r.treated_post_mean - r.treated_pre_mean) - (
+        r.control_post_mean - r.control_pre_mean
+    )
+    assert r.did_estimate == pytest.approx(did, abs=0.02)
+
+
+def test_survivorship_reconciles_with_components(spark):
+    (r,) = _rows(spark, "dedup_survivorship_report")
+    clusters = _rows(spark, "dedup_cluster_connected_components")
+    assert r.n_clusters == len(clusters)
+    assert r.n_removed == sum(c.n_docs - 1 for c in clusters)
+    assert r.survivor_rate == pytest.approx(1 - r.n_removed / r.n_docs, abs=1e-4)
+
+
+def test_yoy_growth_consistent(spark):
+    rows = _rows(spark, "orders_yoy_growth")
+    for r in rows:
+        assert r.revenue_prior_year > 0
+        assert r.yoy_growth == pytest.approx(
+            (r.revenue - r.revenue_prior_year) / r.revenue_prior_year, abs=2e-3
+        )
