@@ -203,6 +203,13 @@ HEADLINE = [
     "stat_did_promo_uplift",
     "dedup_survivorship_report",
     "orders_yoy_growth",
+    "stat_wasserstein_hi_lo",
+    "stat_hellinger_segments",
+    "stat_levene_brown_forsythe",
+    "stat_durbin_watson_daily",
+    "stat_grubbs_daily_outlier",
+    "ml_mcc_threshold_eval",
+    "ml_brier_calibration",
 ]
 
 

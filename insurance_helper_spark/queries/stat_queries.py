@@ -4396,3 +4396,793 @@ def stat_did_promo_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_wasserstein_hi_lo — 1-D earth-mover (Wasserstein-1) distance
+# between urgent/high vs normal order-value distributions: the
+# INTEGRAL of |F_hi − F_lo| over the value axis, complementing the KS
+# row's supremum with the mass-transport view (KS sees the worst
+# point; W1 sees the total shift). Same value-collapsed machinery as
+# stat_ks_two_sample: cross-multiplied integer ECDF gaps times the
+# exact integer spacing to the next distinct value, summed as BIGINTs
+# with ONE terminal division. BIGINT headroom: Σ|Δ|·gap ≤
+# n_hi·n_lo·range ≈ 3e17 at sf0.1; beyond ~sf3 drop to 64-bit-safe
+# per-segment partials. Scale: map-side value collapse, then the
+# ordered walk rides DISTINCT VALUES only (two-phase prefix scan at
+# 100 TB, as the KS row documents).
+# ---------------------------------------------------------------------------
+
+W1_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+tot AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS n_hi,
+         CAST(sum(1 - hi) AS BIGINT) AS n_lo,
+         CAST(max(cents) - min(cents) AS BIGINT) AS value_range
+  FROM arms
+),
+by_val AS (
+  SELECT cents, CAST(sum(hi) AS BIGINT) AS h, CAST(sum(1 - hi) AS BIGINT) AS l
+  FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(h) OVER w AS c_hi,
+         sum(l) OVER w AS c_lo,
+         lead(cents) OVER (ORDER BY cents) AS next_cents
+  FROM by_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+acc AS (
+  SELECT CAST(sum(abs(c_hi * t.n_lo - c_lo * t.n_hi) * (next_cents - cents))
+              AS BIGINT) AS num,
+         any_value(t.n_hi) AS n_hi, any_value(t.n_lo) AS n_lo,
+         any_value(t.value_range) AS value_range
+  FROM walked CROSS JOIN tot t
+  WHERE next_cents IS NOT NULL
+)
+SELECT n_hi, n_lo,
+       round(CAST(num AS DOUBLE) / (n_hi * n_lo) / 100, 4) AS w1_dollars,
+       round(CAST(num AS DOUBLE) / (n_hi * n_lo) / value_range, 6)
+           AS w1_normalized
+FROM acc
+"""
+
+
+@register("stat_wasserstein_hi_lo", W1_ORACLE)
+def stat_wasserstein_hi_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    tot = arms.agg(
+        F.sum("hi").cast("long").alias("n_hi"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n_lo"),
+        (F.max("cents") - F.min("cents")).cast("long").alias("value_range"),
+    )
+    by_val = arms.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("h"),
+        F.sum(1 - F.col("hi")).cast("long").alias("l"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.orderBy("cents")
+    walked = by_val.select(
+        "cents",
+        F.sum("h").over(w).alias("c_hi"),
+        F.sum("l").over(w).alias("c_lo"),
+        F.lead("cents").over(wl).alias("next_cents"),
+    )
+    acc = (
+        walked.where(F.col("next_cents").isNotNull())
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(F.col("c_hi") * F.col("n_lo") - F.col("c_lo") * F.col("n_hi"))
+                * (F.col("next_cents") - F.col("cents"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.any_value("n_hi").alias("n_hi"),
+            F.any_value("n_lo").alias("n_lo"),
+            F.any_value("value_range").alias("value_range"),
+        )
+    )
+    return acc.select(
+        "n_hi",
+        "n_lo",
+        F.round(
+            F.col("num").cast("double") / (F.col("n_hi") * F.col("n_lo")) / 100, 4
+        ).alias("w1_dollars"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n_hi") * F.col("n_lo"))
+            / F.col("value_range"),
+            6,
+        ).alias("w1_normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_hellinger_segments — Hellinger distance + Bhattacharyya
+# coefficient between the order-priority mix of two market segments:
+# the bounded [0,1] distribution-distance pair that the KL/JS row
+# can't provide (KL is unbounded and asymmetric). Each of the ≤5
+# cells' √(p·q) contribution is quantized to an exact BIGINT
+# (sqrt is IEEE-correctly-rounded on both engines, unlike ln/exp)
+# before the tiny fold, so the sum is order-independent; H and the
+# Bhattacharyya distance are terminal single-scalar expressions.
+# Scale: one broadcast-dim join + one 5-cell contingency aggregation.
+# ---------------------------------------------------------------------------
+
+HELLINGER_ORACLE = """
+WITH cells AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY priority
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb
+  FROM cells
+),
+q AS (
+  SELECT CAST(sum(CAST(round(1e12 * sqrt(CAST(n_a * n_b AS DOUBLE)
+                                         / (t.na * t.nb))) AS BIGINT))
+              AS BIGINT) AS bc_q,
+         any_value(t.na) AS n_a_total, any_value(t.nb) AS n_b_total
+  FROM cells CROSS JOIN tot t
+)
+SELECT n_a_total, n_b_total,
+       round(bc_q / 1e12, 6) AS bc_coefficient,
+       round(sqrt(1 - bc_q / 1e12), 6) AS hellinger,
+       round(-ln(bc_q / 1e12), 6) AS bhattacharyya_distance
+FROM q
+"""
+
+
+@register("stat_hellinger_segments", HELLINGER_ORACLE)
+def stat_hellinger_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_a").cast("long").alias("na"), F.sum("n_b").cast("long").alias("nb")
+    )
+    q = cells.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1e12)
+                * F.sqrt(
+                    (F.col("n_a") * F.col("n_b")).cast("double")
+                    / (F.col("na") * F.col("nb"))
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bc_q"),
+        F.any_value("na").alias("n_a_total"),
+        F.any_value("nb").alias("n_b_total"),
+    )
+    return q.select(
+        "n_a_total",
+        "n_b_total",
+        F.round(F.col("bc_q") / 1e12, 6).alias("bc_coefficient"),
+        F.round(F.sqrt(1 - F.col("bc_q") / 1e12), 6).alias("hellinger"),
+        F.round(-F.log(F.col("bc_q") / 1e12), 6).alias("bhattacharyya_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_levene_brown_forsythe — Brown–Forsythe test (Levene with group
+# MEDIANS) for variance homogeneity of line-item quantity across the
+# three return flags: the gate in front of ANOVA, whose F assumes the
+# variances this test checks. Quantity has a bounded integer domain
+# (1..50), so EVERYTHING is exact: medians by integer rank selection
+# over the (flag, qty, count) collapse, |x − med| deviations are
+# integers, and the between/within sums of squares come from integer
+# moments quantized to micro-units before the 3-row fold. Scale: one
+# (flag, qty) map-side collapse — ≤150 cells regardless of table
+# size; no per-row windows anywhere.
+# ---------------------------------------------------------------------------
+
+LEVENE_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY flag, qty
+),
+spine AS (
+  SELECT flag, qty, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY qty
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY flag) AS n_g
+  FROM vals
+),
+med AS (
+  SELECT flag, min(qty) AS med
+  FROM spine WHERE cum >= (n_g + 1) // 2
+  GROUP BY flag
+),
+g AS (
+  SELECT v.flag,
+         CAST(sum(v.cnt) AS BIGINT) AS n_g,
+         CAST(sum(abs(v.qty - m.med) * v.cnt) AS BIGINT) AS s_g,
+         CAST(sum(abs(v.qty - m.med) * abs(v.qty - m.med) * v.cnt) AS BIGINT) AS q_g,
+         any_value(m.med) AS med
+  FROM vals v JOIN med m ON v.flag = m.flag
+  GROUP BY v.flag
+),
+folded AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         CAST(sum(CAST(round(1e6 * (CAST(s_g * s_g AS DOUBLE) / n_g)) AS BIGINT))
+              AS BIGINT) AS t_micro,
+         max(CASE WHEN flag = 'A' THEN med END) AS med_a,
+         max(CASE WHEN flag = 'N' THEN med END) AS med_n,
+         max(CASE WHEN flag = 'R' THEN med END) AS med_r
+  FROM g
+)
+SELECT n AS n_total, med_a, med_n, med_r,
+       CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+       round(((n - 3) / 2.0)
+             * ((t_micro - CAST(round(1e6 * (CAST(s * s AS DOUBLE) / n)) AS BIGINT))
+                / CAST(1000000 * q - t_micro AS DOUBLE)), 6) AS w_statistic
+FROM folded
+"""
+
+
+@register("stat_levene_brown_forsythe", LEVENE_ORACLE)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    spine = vals.select(
+        "flag",
+        "qty",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_g"),
+    )
+    med = (
+        spine.where(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("flag")
+        .agg(F.min("qty").alias("med"))
+    )
+    z = F.abs(F.col("qty") - F.col("med"))
+    g = (
+        vals.join(F.broadcast(med), "flag")
+        .groupBy("flag")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(z * F.col("cnt")).cast("long").alias("s_g"),
+            F.sum(z * z * F.col("cnt")).cast("long").alias("q_g"),
+            F.any_value("med").alias("med"),
+        )
+    )
+    folded = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(
+            F.round(
+                F.lit(1e6) * ((F.col("s_g") * F.col("s_g")).cast("double") / F.col("n_g"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("t_micro"),
+        F.max(F.when(F.col("flag") == "A", F.col("med"))).alias("med_a"),
+        F.max(F.when(F.col("flag") == "N", F.col("med"))).alias("med_n"),
+        F.max(F.when(F.col("flag") == "R", F.col("med"))).alias("med_r"),
+    )
+    return folded.select(
+        F.col("n").alias("n_total"),
+        "med_a",
+        "med_n",
+        "med_r",
+        F.lit(2).cast("long").alias("df1"),
+        (F.col("n") - 3).alias("df2"),
+        F.round(
+            ((F.col("n") - 3) / F.lit(2.0))
+            * (
+                (
+                    F.col("t_micro")
+                    - F.round(
+                        F.lit(1e6) * ((F.col("s") * F.col("s")).cast("double") / F.col("n"))
+                    ).cast("long")
+                )
+                / (F.lit(1000000) * F.col("q") - F.col("t_micro")).cast("double")
+            ),
+            6,
+        ).alias("w_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_durbin_watson_daily — Durbin–Watson autocorrelation test on the
+# residuals of the daily-revenue linear trend: the regression-
+# diagnostics companion to Ljung–Box (which tests the raw series) —
+# DW ≈ 2(1−ρ) of the DETRENDED series, the standard "are my OLS
+# errors independent" gate. The trend fits by exact integer moments;
+# the slope/intercept are pinned to integer MICRO-dollars, so every
+# residual is an exact BIGINT (offset-shifted floor division keeps
+# the deci-dollar quantization engine-identical for negatives), and
+# both DW sums fold exact integers with one terminal quotient.
+# Scale: calendar-bounded daily rollup (map-side combine); the lag
+# window rides O(days).
+# ---------------------------------------------------------------------------
+
+DW_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS y
+  FROM orders GROUP BY day
+),
+lo AS (SELECT min(day) AS d0 FROM daily),
+xy AS (
+  SELECT CAST(datediff('day', lo.d0, day) AS BIGINT) AS x, y, day
+  FROM daily CROSS JOIN lo
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM xy
+),
+coef AS (
+  SELECT n, sx, sy,
+         CAST(round(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx))) AS BIGINT) AS b_micro
+  FROM m
+),
+coef2 AS (
+  SELECT b_micro,
+         CAST(round(CAST(1000000 * sy - b_micro * sx AS DOUBLE) / n) AS BIGINT)
+             AS a_micro
+  FROM coef
+),
+resid AS (
+  SELECT day,
+         ((1000000 * y - a_micro - b_micro * x) + 1000000000000000) // 100000
+             - 10000000000 AS e_deci
+  FROM xy CROSS JOIN coef2
+),
+d AS (
+  SELECT e_deci, lag(e_deci) OVER (ORDER BY day) AS e_prev FROM resid
+),
+s AS (
+  SELECT CAST(sum(e_deci * e_deci) AS BIGINT) AS sse,
+         CAST(sum(CASE WHEN e_prev IS NOT NULL
+                       THEN (e_deci - e_prev) * (e_deci - e_prev) END)
+              AS BIGINT) AS ssd,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM d
+)
+SELECT n_days,
+       round(CAST(ssd AS DOUBLE) / sse, 6) AS dw_statistic,
+       round(1 - CAST(ssd AS DOUBLE) / sse / 2, 6) AS rho_lag1
+FROM s
+"""
+
+
+@register("stat_durbin_watson_daily", DW_ORACLE)
+def stat_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("y")
+    )
+    lo = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(lo)).select(
+        F.datediff(F.to_date("day"), F.to_date("d0")).cast("long").alias("x"),
+        "y",
+        "day",
+    )
+    m = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    coef = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(
+            F.lit(1e6)
+            * (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            )
+        )
+        .cast("long")
+        .alias("b_micro"),
+    )
+    coef2 = coef.select(
+        "b_micro",
+        F.round(
+            (F.lit(1000000) * F.col("sy") - F.col("b_micro") * F.col("sx")).cast("double")
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("a_micro"),
+    )
+    resid = xy.crossJoin(F.broadcast(coef2)).select(
+        "day",
+        F.expr(
+            "((1000000 * y - a_micro - b_micro * x) + 1000000000000000) div 100000"
+            " - 10000000000"
+        ).alias("e_deci"),
+    )
+    wd = Window.orderBy("day")
+    d = resid.select("e_deci", F.lag("e_deci").over(wd).alias("e_prev"))
+    s = d.agg(
+        F.sum(F.col("e_deci") * F.col("e_deci")).cast("long").alias("sse"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e_deci") - F.col("e_prev")) * (F.col("e_deci") - F.col("e_prev")),
+            )
+        )
+        .cast("long")
+        .alias("ssd"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    return s.select(
+        "n_days",
+        F.round(F.col("ssd").cast("double") / F.col("sse"), 6).alias("dw_statistic"),
+        F.round(1 - F.col("ssd").cast("double") / F.col("sse") / 2, 6).alias("rho_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_grubbs_daily_outlier — Grubbs' extreme-studentized-deviate
+# statistic on daily revenue: WHICH day deviates most from the series
+# mean, and by how many (n−1-denominator) standard deviations — the
+# single-outlier test complementing the MAD/Hampel and Tukey rows
+# (those census ALL outliers; Grubbs names the worst one with a test
+# statistic). The argmax runs on |n·y − S| — an exact BIGINT — so the
+# chosen day is engine-identical (earliest-date tiebreak); G is one
+# terminal expression over exact integer moments. Scale: map-side
+# daily rollup; argmax + moments in one pass over O(days).
+# ---------------------------------------------------------------------------
+
+GRUBBS_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS y
+  FROM orders GROUP BY day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS q
+  FROM daily
+),
+dev AS (
+  SELECT d.day, d.y, abs(m.n * d.y - m.s) AS num, m.n, m.s, m.q
+  FROM daily d CROSS JOIN m
+),
+mx AS (SELECT max(num) AS max_num FROM dev),
+one AS (
+  SELECT d.* FROM dev d JOIN mx ON d.num = mx.max_num
+  ORDER BY d.day LIMIT 1
+)
+SELECT n AS n_days, day AS outlier_day, y AS outlier_dollars,
+       round((CAST(num AS DOUBLE) / n)
+             / sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS g_statistic
+FROM one
+"""
+
+
+@register("stat_grubbs_daily_outlier", GRUBBS_ORACLE)
+def stat_grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("y")
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "y",
+        F.abs(F.col("n") * F.col("y") - F.col("s")).alias("num"),
+        "n",
+        "s",
+        "q",
+    )
+    mx = dev.agg(F.max("num").alias("max_num"))
+    one = (
+        dev.join(F.broadcast(mx), dev.num == F.col("max_num"))
+        .orderBy("day")
+        .limit(1)
+    )
+    return one.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("outlier_day"),
+        F.col("y").alias("outlier_dollars"),
+        F.round(
+            (F.col("num").cast("double") / F.col("n"))
+            / F.sqrt(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("g_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_mcc_threshold_eval — full confusion-matrix evaluation (accuracy,
+# precision, recall, F1, Matthews correlation) of the simplest
+# decision rule — "order value above the global median ⇒ predict
+# urgent" — closing the eval loop the PR-curve row opens: MCC is the
+# single balanced scalar the kappa/F1 rows don't give (it uses all
+# four cells symmetrically). The threshold is the exact integer
+# lower-median by rank selection over the value-collapsed relation;
+# all four cells are exact BIGINT counts; MCC's denominator
+# multiplies the four √marginals (IEEE sqrt, engine-identical).
+# Scale: value collapse + one conditional aggregation; no per-row
+# window anywhere.
+# ---------------------------------------------------------------------------
+
+MCC_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+by_val AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM by_val
+),
+thr AS (SELECT min(cents) AS med FROM walked WHERE cum >= (n + 1) // 2),
+conf AS (
+  SELECT CAST(sum(CASE WHEN cents > t.med AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN cents > t.med AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN cents <= t.med AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN cents <= t.med AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM arms CROSS JOIN thr t
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_pos,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_pos,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       round(CAST(tp * tn - fp * fn AS DOUBLE)
+             / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+                * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))),
+             6) AS mcc
+FROM conf
+"""
+
+
+@register("ml_mcc_threshold_eval", MCC_ORACLE)
+def ml_mcc_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    walked = by_val.select(
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    thr = walked.where(F.col("cum") >= F.expr("(n + 1) div 2")).agg(
+        F.min("cents").alias("med")
+    )
+    conf = arms.crossJoin(F.broadcast(thr)).agg(
+        F.sum(F.when((F.col("cents") > F.col("med")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("cents") > F.col("med")) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("cents") <= F.col("med")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("cents") <= F.col("med")) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tot = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((F.col("tp") + F.col("tn")).cast("double") / tot, 6).alias("accuracy"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_pos"
+        ),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_pos"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+            / (
+                F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+                * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+                * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+                * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_calibration — Brier score + 10-bin reliability diagram for
+# a rank-based pseudo-probability ("ECDF percentile of order value
+# predicts urgency"): the CALIBRATION half of classifier eval that
+# AUC/MCC (pure discrimination) can't see — a model can rank
+# perfectly and still be miscalibrated. The score is an exact integer
+# micro-probability from the value-collapsed ECDF (floor division,
+# engine-identical); the Brier sum folds exact BIGINT squared errors
+# (headroom ~sf5, then shard the fold); per-bin means are terminal
+# divisions. Scale: value collapse + one rank-lookup equi-join + a
+# 10-cell groupBy.
+# ---------------------------------------------------------------------------
+
+BRIER_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+by_val AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+             AS below,
+         sum(cnt) OVER () AS n
+  FROM by_val
+),
+scored AS (
+  SELECT a.y, (w.below * 1000000) // (w.n - 1) AS s_micro
+  FROM arms a JOIN walked w ON a.cents = w.cents
+),
+binned AS (
+  SELECT CAST(CASE WHEN s_micro >= 1000000 THEN 9
+              ELSE s_micro // 100000 END AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_bin,
+         CAST(sum(s_micro) AS BIGINT) AS s_sum,
+         CAST(sum(y) AS BIGINT) AS y_sum,
+         CAST(sum((s_micro - y * 1000000) * (s_micro - y * 1000000)) AS BIGINT)
+             AS b_sum
+  FROM scored GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(b_sum) AS BIGINT) AS b_all, CAST(sum(n_bin) AS BIGINT) AS n_all
+  FROM binned
+)
+SELECT bin, n_bin,
+       round(CAST(s_sum AS DOUBLE) / n_bin / 1000000, 6) AS mean_predicted,
+       round(CAST(y_sum AS DOUBLE) / n_bin, 6) AS observed_rate,
+       round(CAST(t.b_all AS DOUBLE) / t.n_all / 1e12, 6) AS brier_score
+FROM binned CROSS JOIN tot t
+"""
+
+
+@register("ml_brier_calibration", BRIER_ORACLE)
+def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    walked = by_val.select(
+        "cents",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    scored = arms.join(walked, "cents").select(
+        "y", F.expr("(below * 1000000) div (n - 1)").alias("s_micro")
+    )
+    binned = scored.groupBy(
+        F.when(F.col("s_micro") >= 1000000, F.lit(9).cast("long"))
+        .otherwise(F.expr("s_micro div 100000"))
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_bin"),
+        F.sum("s_micro").cast("long").alias("s_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
+        F.sum(
+            (F.col("s_micro") - F.col("y") * 1000000)
+            * (F.col("s_micro") - F.col("y") * 1000000)
+        )
+        .cast("long")
+        .alias("b_sum"),
+    )
+    tot = binned.agg(
+        F.sum("b_sum").cast("long").alias("b_all"),
+        F.sum("n_bin").cast("long").alias("n_all"),
+    )
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_bin",
+        F.round(F.col("s_sum").cast("double") / F.col("n_bin") / 1000000, 6).alias(
+            "mean_predicted"
+        ),
+        F.round(F.col("y_sum").cast("double") / F.col("n_bin"), 6).alias("observed_rate"),
+        F.round(F.col("b_all").cast("double") / F.col("n_all") / 1e12, 6).alias(
+            "brier_score"
+        ),
+    )

@@ -412,3 +412,68 @@ def test_yoy_growth_consistent(spark):
         assert r.yoy_growth == pytest.approx(
             (r.revenue - r.revenue_prior_year) / r.revenue_prior_year, abs=2e-3
         )
+
+
+def test_wasserstein_nonnegative_and_bounded(spark):
+    (r,) = _rows(spark, "stat_wasserstein_hi_lo")
+    assert r.n_hi > 0 and r.n_lo > 0
+    assert r.w1_dollars >= 0.0
+    # W1 normalized by the value range is bounded by sup|F_hi-F_lo| <= 1.
+    assert 0.0 <= r.w1_normalized <= 1.0
+
+
+def test_hellinger_bounds_and_bc_identity(spark):
+    (r,) = _rows(spark, "stat_hellinger_segments")
+    assert 0.0 <= r.bc_coefficient <= 1.0
+    assert 0.0 <= r.hellinger <= 1.0
+    # H = sqrt(1 - BC) by definition.
+    assert r.hellinger == pytest.approx(math.sqrt(1 - r.bc_coefficient), abs=1e-5)
+    assert r.bhattacharyya_distance >= 0.0
+
+
+def test_levene_w_nonnegative_and_medians_in_domain(spark):
+    (r,) = _rows(spark, "stat_levene_brown_forsythe")
+    assert r.w_statistic >= 0.0
+    for med in (r.med_a, r.med_n, r.med_r):
+        assert 1 <= med <= 50
+    assert r.df1 == 2 and r.df2 == r.n_total - 3
+
+
+def test_durbin_watson_range(spark):
+    (r,) = _rows(spark, "stat_durbin_watson_daily")
+    # DW lives in [0, 4]; rho = 1 - DW/2 in [-1, 1].
+    assert 0.0 <= r.dw_statistic <= 4.0
+    assert -1.0 <= r.rho_lag1 <= 1.0
+    assert r.rho_lag1 == pytest.approx(1 - r.dw_statistic / 2, abs=1e-5)
+
+
+def test_grubbs_bound(spark):
+    (r,) = _rows(spark, "stat_grubbs_daily_outlier")
+    n = r.n_days
+    # G <= (n-1)/sqrt(n) is a hard algebraic bound for any sample.
+    assert 0.0 <= r.g_statistic <= (n - 1) / math.sqrt(n) + 1e-9
+    assert r.outlier_dollars > 0
+
+
+def test_mcc_confusion_consistency(spark):
+    (r,) = _rows(spark, "ml_mcc_threshold_eval")
+    n = r.tp + r.fp + r.fn + r.tn
+    assert n > 0
+    assert r.accuracy == pytest.approx((r.tp + r.tn) / n, abs=1e-5)
+    assert -1.0 <= r.mcc <= 1.0
+    f1 = 2 * r.tp / (2 * r.tp + r.fp + r.fn)
+    assert r.f1 == pytest.approx(f1, abs=1e-5)
+
+
+def test_brier_calibration_decomposition(spark):
+    rows = _rows(spark, "ml_brier_calibration")
+    assert 1 <= len(rows) <= 10
+    briers = {r.brier_score for r in rows}
+    assert len(briers) == 1
+    b = briers.pop()
+    assert 0.0 <= b <= 1.0
+    for r in rows:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+        # bin b covers predicted scores [b/10, (b+1)/10).
+        assert r.bin / 10 - 1e-6 <= r.mean_predicted <= (r.bin + 1) / 10 + 1e-6
