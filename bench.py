@@ -210,6 +210,10 @@ HEADLINE = [
     "stat_grubbs_daily_outlier",
     "ml_mcc_threshold_eval",
     "ml_brier_calibration",
+    "corpus_dsir_importance",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -2147,3 +2147,363 @@ def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_importance — DSIR-style importance weighting (Xie et
+# al. 2023's "Data Selection with Importance Resampling", public
+# arXiv:2302.03169): score every document by the log-likelihood ratio
+# of a TARGET-domain unigram LM vs the full-corpus LM (add-one
+# smoothed), then report the per-source mean log-ratio and how many
+# of each source's docs land in the selected top-20% — the standard
+# "pick pretraining data that looks like the target domain" step.
+# Per-TERM log-ratios are quantized to BIGINT nano-units once
+# (broadcastable model relation), so per-doc scores are exact integer
+# dot products and the 20% cut is exact integer rank selection over
+# the value-collapsed score relation. Scale: two term-key shuffles
+# (model build, score join) — the TF-IDF key pattern; no per-row
+# global window.
+# ---------------------------------------------------------------------------
+
+DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+docterm AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, term
+),
+model_all AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ca FROM tok GROUP BY term
+),
+model_tgt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ct FROM tok
+  WHERE source = 'src0' GROUP BY term
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM model_all) AS BIGINT) AS v,
+         CAST((SELECT sum(ca) FROM model_all) AS BIGINT) AS na,
+         CAST((SELECT coalesce(sum(ct), 0) FROM model_tgt) AS BIGINT) AS nt
+),
+ratio AS (
+  SELECT a.term,
+         CAST(round(1e9 * ln(CAST((coalesce(g.ct, 0) + 1) * (k.na + k.v) AS DOUBLE)
+                             / ((a.ca + 1) * (k.nt + k.v)))) AS BIGINT) AS lr_q
+  FROM model_all a
+  LEFT JOIN model_tgt g ON a.term = g.term
+  CROSS JOIN consts k
+),
+scored AS (
+  SELECT d.doc_id, CAST(sum(d.c * r.lr_q) AS BIGINT) AS w_q
+  FROM docterm d JOIN ratio r ON d.term = r.term
+  GROUP BY d.doc_id
+),
+everydoc AS (
+  SELECT doc.doc_id, doc.source, coalesce(s.w_q, 0) AS w_q
+  FROM (SELECT doc_id, source FROM documents) doc
+  LEFT JOIN scored s ON doc.doc_id = s.doc_id
+),
+byw AS (SELECT w_q, CAST(count(*) AS BIGINT) AS cnt FROM everydoc GROUP BY w_q),
+walked AS (
+  SELECT w_q,
+         sum(cnt) OVER (ORDER BY w_q DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM byw
+),
+thr AS (SELECT max(w_q) AS cut FROM walked WHERE cum >= (n + 4) // 5)
+SELECT e.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(e.w_q) AS DOUBLE) / count(*) / 1e9, 6) AS mean_logratio,
+       CAST(sum(CASE WHEN e.w_q >= t.cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected
+FROM everydoc e CROSS JOIN thr t
+GROUP BY e.source
+ORDER BY e.source
+"""
+
+
+@register("corpus_dsir_importance", DSIR_ORACLE)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    docterm = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("c"))
+    model_all = tok.groupBy("term").agg(F.count("*").cast("long").alias("ca"))
+    model_tgt = (
+        tok.where(F.col("source") == "src0")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    consts = model_all.agg(
+        F.count("*").cast("long").alias("v"), F.sum("ca").cast("long").alias("na")
+    ).crossJoin(
+        model_tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+    )
+    ratio = (
+        model_all.join(model_tgt, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            F.round(
+                F.lit(1e9)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("na") + F.col("v"))
+                    ).cast("double")
+                    / ((F.col("ca") + 1) * (F.col("nt") + F.col("v")))
+                )
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+    )
+    scored = (
+        docterm.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr_q")).cast("long").alias("w_q"))
+    )
+    everydoc = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce(F.col("w_q"), F.lit(0)).alias("w_q"))
+    )
+    byw = everydoc.groupBy("w_q").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = (
+        Window.orderBy(F.col("w_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    walked = byw.select(
+        "w_q",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    thr = walked.where(F.col("cum") >= F.expr("(n + 4) div 5")).agg(
+        F.max("w_q").alias("cut")
+    )
+    return (
+        everydoc.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("w_q").cast("double") / F.count("*") / 1e9, 6).alias(
+                "mean_logratio"
+            ),
+            F.sum(F.when(F.col("w_q") >= F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_l_diversity — l-diversity audit over the same quasi-identifier
+# groups as the k-anonymity row (nation × segment × order-year), with
+# order PRIORITY as the sensitive attribute: a group can be k-anon
+# yet leak the sensitive value when everyone in it shares one
+# priority (the homogeneity attack k-anonymity misses — Machanavajjhala
+# et al. 2007). Reports the distinct-l census: min l, groups at l=1
+# and l=2, and the row mass in groups below l=3. All exact integer
+# counts. Scale: one (QI, sensitive) map-side collapse, then the
+# distinct count folds ≤5 cells per group.
+# ---------------------------------------------------------------------------
+
+LDIV_ORACLE = """
+WITH g AS (
+  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(count(*) FILTER (l = 1) AS BIGINT) AS n_groups_l1,
+       CAST(count(*) FILTER (l = 2) AS BIGINT) AS n_groups_l2,
+       CAST(count(*) FILTER (l < 3) AS BIGINT) AS n_groups_lt3,
+       CAST(coalesce(sum(sz) FILTER (l < 3), 0) AS BIGINT) AS n_rows_at_risk,
+       round(coalesce(sum(sz) FILTER (l < 3), 0) * 1.0 / sum(sz), 6)
+           AS frac_rows_at_risk
+FROM g
+"""
+
+
+@register("dq_l_diversity", LDIV_ORACLE)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l"),
+            F.count("*").cast("long").alias("sz"),
+        )
+    )
+    low = F.col("l") < 3
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum((F.col("l") == 1).cast("long")).cast("long").alias("n_groups_l1"),
+        F.sum((F.col("l") == 2).cast("long")).cast("long").alias("n_groups_l2"),
+        F.sum(low.cast("long")).cast("long").alias("n_groups_lt3"),
+        F.coalesce(F.sum(F.when(low, F.col("sz"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.coalesce(F.sum(F.when(low, F.col("sz"))), F.lit(0)) * 1.0 / F.sum("sz"),
+            6,
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_t_closeness — t-closeness audit (Li et al. 2007): even an
+# l-diverse group leaks when its sensitive-value DISTRIBUTION sits
+# far from the table-wide one; t-closeness bounds the Earth-Mover
+# distance between them. Priority is ordinal (its 5 labels sort
+# '1-URGENT'..'5-LOW'), so the ordinal EMD is the mean absolute
+# prefix-CDF gap — computed on a DENSE group × priority grid with
+# cross-multiplied integer cumulative counts (|cum_g·N − cum_all·n_g|
+# is exact), one terminal division per group. Scale: one contingency
+# collapse; the windows ride the ≤5-cells-per-group grid relation.
+# ---------------------------------------------------------------------------
+
+TCLOSE_ORACLE = """
+WITH joined AS (
+  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+         o.o_orderpriority AS pr
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT nation, segment, pr, CAST(count(*) AS BIGINT) AS cnt
+  FROM joined GROUP BY 1, 2, 3
+),
+grp AS (
+  SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS n_g
+  FROM cells GROUP BY 1, 2
+),
+overall AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS g_cnt FROM cells GROUP BY pr),
+tot AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS n FROM overall),
+grid AS (
+  SELECT g.nation, g.segment, g.n_g, p.pr, p.g_cnt, coalesce(c.cnt, 0) AS cnt
+  FROM grp g
+  CROSS JOIN overall p
+  LEFT JOIN cells c
+    ON c.nation = g.nation AND c.segment = g.segment AND c.pr = p.pr
+),
+walked AS (
+  SELECT nation, segment, n_g, pr,
+         sum(cnt) OVER w AS cum_g,
+         sum(g_cnt) OVER w AS cum_all,
+         row_number() OVER (PARTITION BY nation, segment ORDER BY pr) AS rnk
+  FROM grid
+  WINDOW w AS (PARTITION BY nation, segment ORDER BY pr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+emd AS (
+  SELECT nation, segment, any_value(n_g) AS n_g,
+         CAST(sum(abs(cum_g * t.n - cum_all * n_g)) AS BIGINT) AS num,
+         any_value(t.n) AS n
+  FROM walked CROSS JOIN tot t
+  WHERE rnk < 5
+  GROUP BY nation, segment
+)
+SELECT nation, segment, n_g,
+       round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n_g * 4), 6)
+           AS t_closeness,
+       CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n_g * 4) > 0.05
+           AS violates_t05
+FROM emd
+ORDER BY nation, segment
+"""
+
+
+@register("dq_t_closeness", TCLOSE_ORACLE)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grp = cells.groupBy("nation", "segment").agg(F.sum("cnt").cast("long").alias("n_g"))
+    glob = cells.groupBy("pr").agg(F.sum("cnt").cast("long").alias("g_cnt"))
+    tot = glob.agg(F.sum("g_cnt").cast("long").alias("n"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cells, ["nation", "segment", "pr"], "left")
+        .select(
+            "nation",
+            "segment",
+            "n_g",
+            "pr",
+            "g_cnt",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("pr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("nation", "segment").orderBy("pr")
+    walked = grid.select(
+        "nation",
+        "segment",
+        "n_g",
+        "pr",
+        F.sum("cnt").over(w_cum).alias("cum_g"),
+        F.sum("g_cnt").over(w_cum).alias("cum_all"),
+        F.row_number().over(w_rn).alias("rnk"),
+    )
+    emd = (
+        walked.where(F.col("rnk") < 5)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment")
+        .agg(
+            F.any_value("n_g").alias("n_g"),
+            F.sum(F.abs(F.col("cum_g") * F.col("n") - F.col("cum_all") * F.col("n_g")))
+            .cast("long")
+            .alias("num"),
+            F.any_value("n").alias("n"),
+        )
+    )
+    t_val = F.col("num").cast("double") / (
+        F.col("n").cast("double") * F.col("n_g") * 4
+    )
+    return emd.select(
+        "nation",
+        "segment",
+        "n_g",
+        F.round(t_val, 6).alias("t_closeness"),
+        (t_val > 0.05).alias("violates_t05"),
+    ).orderBy("nation", "segment")

@@ -1339,3 +1339,97 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_docs", "n_clusters", "n_removed", "survivor_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — dedup POLICY sweep: how many near-dup pairs
+# and how many flagged documents at Jaccard thresholds 0.3/0.5/0.7/
+# 0.9, in ONE pass over the shingle-join pair relation — the number a
+# curation team needs before picking a threshold (the PR-curve idea
+# applied to dedup yield). Threshold tests are EXACT integer
+# cross-multiplications (10·common ≥ τ₁₀·union), never float Jaccard
+# comparisons, so the census is engine-identical; "flagged" = appears
+# as the larger id of a passing pair (the keep-first policy's removal
+# upper bound). Scale: the pair relation comes from the same
+# shingle equi-join as dedup_ngram_jaccard (never all-pairs; capped/
+# prefix variants are the 100 TB configuration); the sweep itself is
+# a 4× multiply of the PAIR relation, not the corpus.
+# ---------------------------------------------------------------------------
+
+SWEEP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT p.common, sa.sh_size AS size_a, sb.sh_size AS size_b, p.id_b
+  FROM pairs p
+  JOIN sizes sa ON p.id_a = sa.doc_id
+  JOIN sizes sb ON p.id_b = sb.doc_id
+),
+taus AS (SELECT CAST(unnest([3, 5, 7, 9]) AS BIGINT) AS tau_tenths),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+hits AS (
+  SELECT t.tau_tenths, s.id_b
+  FROM sized s JOIN taus t
+    ON 10 * s.common >= t.tau_tenths * (s.size_a + s.size_b - s.common)
+),
+hagg AS (
+  SELECT tau_tenths, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id_b) AS BIGINT) AS n_flagged
+  FROM hits GROUP BY tau_tenths
+)
+SELECT t.tau_tenths,
+       CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(h.n_flagged, 0) AS BIGINT) AS n_docs_flagged,
+       d.n_docs,
+       round(coalesce(h.n_flagged, 0) * 1.0 / d.n_docs, 6) AS frac_flagged
+FROM taus t
+LEFT JOIN hagg h ON t.tau_tenths = h.tau_tenths
+CROSS JOIN nd d
+ORDER BY t.tau_tenths
+"""
+
+
+@register("dedup_threshold_sweep", SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0)
+    taus = spark.createDataFrame([(3,), (5,), (7,), (9,)], "tau_tenths long")
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    hits = pairs.crossJoin(F.broadcast(taus)).where(
+        10 * F.col("common")
+        >= F.col("tau_tenths") * (F.col("size_a") + F.col("size_b") - F.col("common"))
+    )
+    hagg = hits.groupBy("tau_tenths").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_flagged"),
+    )
+    return (
+        taus.join(hagg, "tau_tenths", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tau_tenths",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_docs_flagged"),
+            "n_docs",
+            F.round(
+                F.coalesce(F.col("n_flagged"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("frac_flagged"),
+        )
+        .orderBy("tau_tenths")
+    )

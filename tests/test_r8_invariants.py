@@ -477,3 +477,48 @@ def test_brier_calibration_decomposition(spark):
         assert 0.0 <= r.observed_rate <= 1.0
         # bin b covers predicted scores [b/10, (b+1)/10).
         assert r.bin / 10 - 1e-6 <= r.mean_predicted <= (r.bin + 1) / 10 + 1e-6
+
+
+def test_dsir_target_source_scores_highest(spark):
+    rows = _rows(spark, "corpus_dsir_importance")
+    by_src = {r.source: r for r in rows}
+    # The target domain must (a) appear and (b) have the max mean
+    # log-ratio under its own LM — the defining property of DSIR.
+    assert "src0" in by_src
+    best = max(rows, key=lambda r: r.mean_logratio)
+    assert best.source == "src0"
+    # Selection budget: ceil(20%) of all docs, allowing value ties.
+    n_total = sum(r.n_docs for r in rows)
+    n_sel = sum(r.n_selected for r in rows)
+    assert n_sel >= (n_total + 4) // 5
+    assert n_sel <= n_total
+
+
+def test_l_diversity_census_consistent(spark):
+    (r,) = _rows(spark, "dq_l_diversity")
+    assert 1 <= r.min_l <= 5
+    assert r.n_groups_l1 + r.n_groups_l2 == r.n_groups_lt3 or r.min_l >= 3
+    assert 0.0 <= r.frac_rows_at_risk <= 1.0
+    assert r.n_rows_at_risk <= r.n_rows
+
+
+def test_t_closeness_bounds(spark):
+    rows = _rows(spark, "dq_t_closeness")
+    assert len(rows) > 0
+    for r in rows:
+        # Ordinal EMD normalized by (k-1) lives in [0, 1].
+        assert 0.0 <= r.t_closeness <= 1.0
+        assert r.violates_t05 == (r.t_closeness > 0.05) or abs(
+            r.t_closeness - 0.05
+        ) < 1e-5
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = sorted(_rows(spark, "dedup_threshold_sweep"), key=lambda r: r.tau_tenths)
+    assert [r.tau_tenths for r in rows] == [3, 5, 7, 9]
+    # Tightening the threshold can only shrink the pair and doc census.
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+    for r in rows:
+        assert r.n_docs_flagged <= r.n_pairs or r.n_pairs == 0
