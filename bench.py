@@ -214,6 +214,12 @@ HEADLINE = [
     "dq_l_diversity",
     "dq_t_closeness",
     "dedup_threshold_sweep",
+    "graph_adamic_adar",
+    "graph_kcore_peel",
+    "events_periodogram_calendar",
+    "stat_nelson_aalen_hazard",
+    "part_price_elasticity",
+    "customer_new_vs_returning",
 ]
 
 

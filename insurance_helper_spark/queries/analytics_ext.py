@@ -2903,3 +2903,148 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# part_price_elasticity — log-log price elasticity of demand per
+# brand: the slope of ln(quantity) on ln(unit price) across line
+# items, the textbook constant-elasticity regression (and the pricing
+# team's first number). Rides the house integer-moment OLS: both log
+# coordinates are quantized to BIGINT micro-units and CENTERED by
+# fixed constants (7.0 for ln-price, 2.5 for ln-qty — affine shifts
+# leave the slope unchanged but buy ~100× of BIGINT headroom for the
+# squared sums), so all five moments fold exactly; the slope is one
+# terminal double expression per brand. Scale: one broadcast part
+# join + one map-side-combined groupBy on ~25 brands.
+# ---------------------------------------------------------------------------
+
+ELASTICITY_ORACLE = """
+WITH pts AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(1e6 * ln(l.l_extendedprice / l.l_quantity)) AS BIGINT)
+             - 7000000 AS lx,
+         CAST(round(1e6 * ln(l.l_quantity)) AS BIGINT) - 2500000 AS ly
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy
+  FROM pts GROUP BY brand
+)
+SELECT brand, n AS n_lines,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+           AS elasticity,
+       round((7000000 + CAST(sx AS DOUBLE) / n) / 1e6, 4) AS mean_ln_price
+FROM m
+ORDER BY brand
+"""
+
+
+@register("part_price_elasticity", ELASTICITY_ORACLE)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        (
+            F.round(F.lit(1e6) * F.log(F.col("l_extendedprice") / F.col("l_quantity")))
+            .cast("long")
+            - 7000000
+        ).alias("lx"),
+        (F.round(F.lit(1e6) * F.log(F.col("l_quantity"))).cast("long") - 2500000).alias(
+            "ly"
+        ),
+    )
+    m = pts.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")),
+            4,
+        ).alias("elasticity"),
+        F.round((F.lit(7000000) + F.col("sx").cast("double") / F.col("n")) / 1e6, 4).alias(
+            "mean_ln_price"
+        ),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# customer_new_vs_returning — monthly revenue split by NEW (order
+# falls in the customer's first month) vs RETURNING customers: the
+# growth-accounting complement to cohort retention/LTV — "is this
+# month's revenue acquisition or repeat business". First month per
+# customer is one key rollup; classification is an equi-join on the
+# customer key; all revenue folds are exact integer cents. Scale: two
+# customer-key shuffles, calendar-bounded output.
+# ---------------------------------------------------------------------------
+
+NEWRET_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+firstm AS (SELECT o_custkey, min(month) AS m0 FROM o GROUP BY o_custkey)
+SELECT CAST(o.month AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o.month = f.m0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_cust_orders,
+       round(CAST(sum(CASE WHEN o.month = f.m0 THEN cents ELSE 0 END) AS BIGINT)
+             / 100.0, 2) AS revenue_new,
+       round(CAST(sum(CASE WHEN o.month <> f.m0 THEN cents ELSE 0 END) AS BIGINT)
+             / 100.0, 2) AS revenue_returning
+FROM o JOIN firstm f ON o.o_custkey = f.o_custkey
+GROUP BY o.month
+ORDER BY month
+"""
+
+
+@register("customer_new_vs_returning", NEWRET_ORACLE)
+def customer_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    o = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firstm = o.groupBy("o_custkey").agg(F.min("month").alias("m0"))
+    is_new = F.col("month") == F.col("m0")
+    return (
+        o.join(firstm, "o_custkey")
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new_cust_orders"),
+            F.round(
+                F.sum(F.when(is_new, F.col("cents")).otherwise(0)).cast("long") / 100.0, 2
+            ).alias("revenue_new"),
+            F.round(
+                F.sum(F.when(~is_new, F.col("cents")).otherwise(0)).cast("long") / 100.0,
+                2,
+            ).alias("revenue_returning"),
+        )
+        .select(
+            F.to_date("month").alias("month"),
+            "n_orders",
+            "n_new_cust_orders",
+            "revenue_new",
+            "revenue_returning",
+        )
+        .orderBy("month")
+    )

@@ -1770,3 +1770,311 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_white_noise_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — Adamic–Adar link prediction over the STRONG-TIE
+# co-purchase graph (part pairs co-purchased in ≥2 orders — the
+# support floor that keeps the graph sparse where the raw co-purchase
+# graph is near-complete): for every two-hop non-edge pair, AA =
+# Σ_z 1/ln(deg z) over common neighbors — the classic "which parts
+# will be bought together next" score. Per-neighbor weights are
+# quantized to BIGINT nano-units once on the degree relation (a
+# common neighbor has deg ≥ 2 by construction, so ln never hits 0),
+# making the pair score an exact integer sum; top-20 by (score, pair)
+# is engine-identical. Scale: the support-≥2 floor IS the hot-node
+# guard — candidate volume is Σ deg(z)² over the pruned graph (~1e4
+# at fixture scale vs ~3e7 raw); at 100 TB raise the support floor /
+# cap deg(z), the same skew dial as the hot-shingle cap.
+# ---------------------------------------------------------------------------
+
+ADAMIC_ADAR_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+wq AS (
+  SELECT node, CAST(round(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w_q
+  FROM deg
+),
+cand AS (
+  SELECT e1.src AS id_a, e2.dst AS id_b, e1.dst AS z
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+),
+nonedge AS (
+  SELECT c.id_a, c.id_b, c.z
+  FROM cand c
+  LEFT JOIN e ON e.src = c.id_a AND e.dst = c.id_b
+  WHERE e.src IS NULL
+),
+scored AS (
+  SELECT n.id_a, n.id_b,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(w.w_q) AS BIGINT) AS aa_q
+  FROM nonedge n JOIN wq w ON n.z = w.node
+  GROUP BY n.id_a, n.id_b
+)
+SELECT id_a, id_b, common_neighbors, round(aa_q / 1e9, 6) AS aa_score
+FROM scored
+ORDER BY aa_q DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@register("graph_adamic_adar", ADAMIC_ADAR_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # reused by degrees + both hop sides
+    )
+    wq = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("d"))
+        # A common neighbor is adjacent to both endpoints, so deg >= 2
+        # always holds for joined rows — the filter exists so ln(1)=0
+        # never reaches the division under ANSI mode (driver default).
+        .where(F.col("d") >= 2)
+        .select(
+            "node",
+            F.round(F.lit(1e9) / F.log(F.col("d").cast("double"))).cast("long").alias("w_q"),
+        )
+    )
+    e1 = e.select(F.col("src").alias("id_a"), F.col("dst").alias("z"))
+    e2 = e.select(F.col("src").alias("z"), F.col("dst").alias("id_b"))
+    cand = e1.join(e2, "z").where(F.col("id_a") < F.col("id_b"))
+    nonedge = cand.join(
+        e,
+        (cand.id_a == e.src) & (cand.id_b == e.dst),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(F.broadcast(wq), nonedge.z == wq.node)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w_q").cast("long").alias("aa_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("aa_q").desc(), "id_a", "id_b")
+        .limit(20)
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.round(F.col("aa_q") / 1e9, 6).alias("aa_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel — 2-core decomposition census by iterative peeling
+# (3 unrolled rounds) of the strong-tie co-purchase graph: drop all
+# degree-<2 nodes, recompute degrees, repeat — the standard
+# "dense-subgraph backbone" reduction (and the fixed-iteration form
+# every distributed k-core implementation runs). Reports per-round
+# node/edge counts and the surviving min degree — all exact integer
+# censuses. Scale: each round is one degree groupBy + two semi-joins
+# on the shrinking edge relation; the iteration count is the only
+# serial axis (a full decomposition loops until fixpoint; 3 rounds is
+# the documented budget, same stance as the PageRank/label-prop rows).
+# ---------------------------------------------------------------------------
+
+KCORE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e0 AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+k1 AS (SELECT src FROM d0 WHERE deg >= 2),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src
+),
+d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e1 GROUP BY src),
+k2 AS (SELECT src FROM d1 WHERE deg >= 2),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src
+),
+d2 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY src),
+k3 AS (SELECT src FROM d2 WHERE deg >= 2),
+e3 AS (
+  SELECT e.src, e.dst FROM e2 e
+  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src
+),
+d3 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY src),
+census AS (
+  SELECT CAST(0 AS BIGINT) AS iteration, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(deg), 0) AS BIGINT) AS n_edges,
+         CAST(coalesce(min(deg), 0) AS BIGINT) AS min_degree FROM d0
+  UNION ALL
+  SELECT 1, CAST(count(*) AS BIGINT), CAST(coalesce(sum(deg), 0) AS BIGINT),
+         CAST(coalesce(min(deg), 0) AS BIGINT) FROM d1
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT), CAST(coalesce(sum(deg), 0) AS BIGINT),
+         CAST(coalesce(min(deg), 0) AS BIGINT) FROM d2
+  UNION ALL
+  SELECT 3, CAST(count(*) AS BIGINT), CAST(coalesce(sum(deg), 0) AS BIGINT),
+         CAST(coalesce(min(deg), 0) AS BIGINT) FROM d3
+)
+SELECT iteration, n_nodes, n_edges, min_degree FROM census ORDER BY iteration
+"""
+
+
+@register("graph_kcore_peel", KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for it in range(4):
+        deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+        census = deg.agg(
+            F.lit(it).cast("long").alias("iteration"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce(F.min("deg"), F.lit(0)).cast("long").alias("min_degree"),
+        )
+        rows.append(census)
+        if it < 3:
+            keep = deg.where(F.col("deg") >= 2).select("src")
+            e = (
+                e.join(keep, "src")
+                .join(keep.withColumnRenamed("src", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)  # each round reuses the peeled relation
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iteration")
+
+
+# ---------------------------------------------------------------------------
+# events_periodogram_calendar — discrete-Fourier power at the three
+# CALENDAR frequencies (7/14/30-day periods) of the daily event-count
+# series: the spectral "is there weekly seasonality" answer the
+# hourly-seasonality matrix (time-of-day profile) and the ACF row
+# (all lags mixed) don't give directly. Classic single-frequency
+# Goertzel-style correlation: mean-centering rides exact N·x−S
+# integers, the trig factors are quantized to BIGINT micro-units per
+# (t mod p) — cos/sin differ across engines only in the last ulp, 10
+# orders below the quantum — so both Fourier sums fold exact BIGINTs;
+# R² and amplitude are terminal expressions. Scale: map-side daily
+# rollup, then 3× the O(days) relation; no global windows at all.
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+),
+lo AS (SELECT min(day) AS d0 FROM daily),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+periods AS (SELECT CAST(unnest([7, 14, 30]) AS BIGINT) AS p),
+pts AS (
+  SELECT p.p, m.n,
+         CAST(datediff('day', lo.d0, d.day) AS BIGINT) % p.p AS mm,
+         m.n * d.x - m.s AS v
+  FROM daily d CROSS JOIN lo CROSS JOIN m CROSS JOIN periods p
+),
+trig AS (
+  SELECT p, n, v,
+         CAST(round(1e6 * cos(6.283185307179586 * mm / p)) AS BIGINT) AS cq,
+         CAST(round(1e6 * sin(6.283185307179586 * mm / p)) AS BIGINT) AS sq
+  FROM pts
+),
+acc AS (
+  SELECT p, any_value(n) AS n,
+         CAST(sum(v * cq) AS BIGINT) AS c,
+         CAST(sum(v * sq) AS BIGINT) AS s2,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM trig GROUP BY p
+)
+SELECT p AS period_days, n AS n_days,
+       round(2 * (CAST(c AS DOUBLE) * c + CAST(s2 AS DOUBLE) * s2)
+             / (CAST(n AS DOUBLE) * ss * 1e12), 6) AS r2_fraction,
+       round(2 * sqrt(CAST(c AS DOUBLE) * c + CAST(s2 AS DOUBLE) * s2)
+             / (CAST(n AS DOUBLE) * n * 1e6), 4) AS amplitude_events
+FROM acc ORDER BY p
+"""
+
+
+@register("events_periodogram_calendar", PERIODOGRAM_ORACLE)
+def events_periodogram_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    lo = daily.agg(F.min("day").alias("d0"))
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    periods = spark.createDataFrame([(7,), (14,), (30,)], "p long")
+    pts = (
+        daily.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(periods))
+        .select(
+            "p",
+            "n",
+            (F.datediff("day", "d0").cast("long") % F.col("p")).alias("mm"),
+            (F.col("n") * F.col("x") - F.col("s")).alias("v"),
+        )
+    )
+    theta = F.lit(6.283185307179586) * F.col("mm") / F.col("p")
+    trig = pts.select(
+        "p",
+        "n",
+        "v",
+        F.round(F.lit(1e6) * F.cos(theta)).cast("long").alias("cq"),
+        F.round(F.lit(1e6) * F.sin(theta)).cast("long").alias("sq"),
+    )
+    acc = trig.groupBy("p").agg(
+        F.any_value("n").alias("n"),
+        F.sum(F.col("v") * F.col("cq")).cast("long").alias("c"),
+        F.sum(F.col("v") * F.col("sq")).cast("long").alias("s2"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    power = F.col("c").cast("double") * F.col("c") + F.col("s2").cast("double") * F.col(
+        "s2"
+    )
+    return acc.select(
+        F.col("p").alias("period_days"),
+        F.col("n").alias("n_days"),
+        F.round(
+            2 * power / (F.col("n").cast("double") * F.col("ss") * 1e12), 6
+        ).alias("r2_fraction"),
+        F.round(
+            2 * F.sqrt(power) / (F.col("n").cast("double") * F.col("n") * 1e6), 4
+        ).alias("amplitude_events"),
+    ).orderBy("period_days")

@@ -5186,3 +5186,118 @@ def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_nelson_aalen_hazard — Nelson–Aalen cumulative-hazard estimator
+# over the same customer-retention data as the Kaplan–Meier row: H(t)
+# = Σ_{d≤t} events_d / risk_d, the additive companion KM's product-
+# limit form (NA is what you difference to get hazard RATES, and its
+# exp(−H) survival is the Fleming–Harrington estimate). Each
+# duration's hazard increment is quantized to an exact BIGINT
+# nano-unit, so the cumulative sum is an INTEGER window fold — even
+# stronger ordering-safety than KM's ordered ln-sum — with exp only
+# in the terminal display column. Scale: identical shape to KM — one
+# per-customer rollup, windows over the O(distinct durations)
+# relation.
+# ---------------------------------------------------------------------------
+
+NA_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                              CAST(max(o_orderdate) AS DATE)) / 7.0) AS BIGINT)
+             AS duration,
+         CAST(max(o_orderdate) AS DATE) AS last_day
+  FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT max(last_day) AS obs_end, count(*) AS n_total FROM per_cust),
+flagged AS (
+  SELECT p.duration,
+         CASE WHEN p.last_day < h.obs_end - INTERVAL 90 DAY THEN 1 ELSE 0 END AS churned,
+         h.n_total
+  FROM per_cust p CROSS JOIN horizon h
+),
+per_dur AS (
+  SELECT duration, n_total,
+         CAST(count(*) AS BIGINT) AS n_leaving,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM flagged GROUP BY duration, n_total
+),
+risk AS (
+  SELECT duration, n_leaving, n_events,
+         n_total - CAST(coalesce(sum(n_leaving) OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_risk
+  FROM per_dur
+),
+na AS (
+  SELECT duration, n_risk, n_events,
+         CAST(sum(CAST(round(1e9 * n_events / n_risk) AS BIGINT))
+              OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS h_q
+  FROM risk
+)
+SELECT duration AS duration_weeks, n_risk, n_events,
+       round(h_q / 1e9, 6) AS cum_hazard,
+       round(exp(-(h_q / 1e9)), 6) AS na_survival
+FROM na
+WHERE n_events > 0
+ORDER BY duration_weeks
+"""
+
+
+@register("stat_nelson_aalen_hazard", NA_ORACLE)
+def stat_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.datediff(F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate")))
+            / 7.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.to_date(F.max("o_orderdate")).alias("last_day"),
+    )
+    horizon = per_cust.agg(
+        F.max("last_day").alias("obs_end"), F.count("*").alias("n_total")
+    )
+    flagged = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "duration",
+        F.when(F.col("last_day") < F.date_sub("obs_end", 90), 1)
+        .otherwise(0)
+        .alias("churned"),
+        "n_total",
+    )
+    per_dur = flagged.groupBy("duration", "n_total").agg(
+        F.count("*").cast("long").alias("n_leaving"),
+        F.sum("churned").cast("long").alias("n_events"),
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_dur.withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0)),
+    )
+    na = risk.withColumn(
+        "h_q",
+        F.sum(
+            F.round(F.lit(1e9) * F.col("n_events") / F.col("n_risk")).cast("long")
+        )
+        .over(w_cum)
+        .cast("long"),
+    )
+    return (
+        na.filter(F.col("n_events") > 0)
+        .select(
+            F.col("duration").alias("duration_weeks"),
+            "n_risk",
+            "n_events",
+            F.round(F.col("h_q") / 1e9, 6).alias("cum_hazard"),
+            F.round(F.exp(-(F.col("h_q") / 1e9)), 6).alias("na_survival"),
+        )
+        .orderBy("duration_weeks")
+    )

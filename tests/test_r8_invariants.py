@@ -522,3 +522,70 @@ def test_threshold_sweep_monotone(spark):
         assert a.n_docs_flagged >= b.n_docs_flagged
     for r in rows:
         assert r.n_docs_flagged <= r.n_pairs or r.n_pairs == 0
+
+
+def test_adamic_adar_candidates_are_nonedges(spark):
+    rows = _rows(spark, "graph_adamic_adar")
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.common_neighbors >= 1
+        # AA with every common neighbor at the min degree 2 bounds the
+        # score from above by cn/ln(2).
+        assert r.aa_score <= r.common_neighbors / math.log(2) + 1e-6
+    scores = [r.aa_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kcore_peel_monotone(spark):
+    rows = sorted(_rows(spark, "graph_kcore_peel"), key=lambda r: r.iteration)
+    assert [r.iteration for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+    last = rows[-1]
+    # After peeling, any surviving node has degree >= 2 unless the
+    # core emptied out entirely.
+    assert last.n_nodes == 0 or last.min_degree >= 1
+
+
+def test_periodogram_bounds(spark):
+    rows = _rows(spark, "events_periodogram_calendar")
+    assert [r.period_days for r in rows] == [7, 14, 30]
+    for r in rows:
+        assert r.r2_fraction >= 0.0
+        assert r.amplitude_events >= 0.0
+        assert r.n_days > 0
+
+
+def test_nelson_aalen_vs_km(spark):
+    na = {r.duration_weeks: r for r in _rows(spark, "stat_nelson_aalen_hazard")}
+    km = {r.duration_weeks: r for r in _rows(spark, "stat_kaplan_meier_retention")}
+    assert set(na) == set(km)
+    prev_h = 0.0
+    for d in sorted(na):
+        r = na[d]
+        assert r.cum_hazard >= prev_h - 1e-9  # hazard only accumulates
+        prev_h = r.cum_hazard
+        # NA survival upper-bounds KM: exp(-Σh) >= Π(1-h) pointwise.
+        assert r.na_survival >= km[d].survival - 1e-4
+
+
+def test_elasticity_all_brands_present(spark):
+    rows = _rows(spark, "part_price_elasticity")
+    assert len(rows) == 25
+    for r in rows:
+        assert r.n_lines > 0
+        assert r.mean_ln_price > 0
+
+
+def test_new_vs_returning_reconciles_with_totals(spark):
+    rows = _rows(spark, "customer_new_vs_returning")
+    assert len(rows) > 0
+    # First month is 100% new by definition.
+    first = min(rows, key=lambda r: r.month)
+    assert first.revenue_returning == 0.0
+    assert first.n_new_cust_orders == first.n_orders
+    for r in rows:
+        assert r.n_new_cust_orders <= r.n_orders
+        assert r.revenue_new >= 0 and r.revenue_returning >= 0
