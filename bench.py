@@ -220,6 +220,10 @@ HEADLINE = [
     "stat_nelson_aalen_hazard",
     "part_price_elasticity",
     "customer_new_vs_returning",
+    "stat_kendall_tau_ordinal",
+    "agg_kmv_set_intersection",
+    "orders_concurrency_census",
+    "incremental_agg_retract",
 ]
 
 

@@ -158,3 +158,37 @@ def merge_aggregate_partials(state: DataFrame, batch: DataFrame, keys: list[str]
             F.max("p_max").alias("p_max"),
         )
     )
+
+
+def retract_aggregate_partials(
+    state: DataFrame, deletes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply a DELETE batch to maintained (count, sum) partials —
+    retractable incremental view maintenance for the commutative-GROUP
+    aggregates (count/sum/avg invert; that is why retractable IVM
+    engines maintain exactly these). ``deletes`` is the
+    ``aggregate_partials`` of the rows being removed. Keys whose count
+    reaches zero DROP from the view, mirroring a grouped aggregate
+    over the shrunken base. min/max are intentionally ABSENT from the
+    output: they are not retractable from partials (deleting the
+    current extremum requires the surviving rows), so callers needing
+    them re-derive on the remaining base — the monoid-vs-group
+    distinction, surfaced in the schema rather than silently wrong.
+
+    Scale: one co-partitioned key join of two partial relations;
+    independent of raw-data volume, same as the insert-side merge.
+    """
+    d = deletes.select(
+        *keys,
+        F.col("p_count").alias("d_count"),
+        F.col("p_sum").alias("d_sum"),
+    )
+    return (
+        state.join(d, keys, "left")
+        .select(
+            *keys,
+            (F.col("p_count") - F.coalesce(F.col("d_count"), F.lit(0))).alias("p_count"),
+            (F.col("p_sum") - F.coalesce(F.col("d_sum"), F.lit(0))).alias("p_sum"),
+        )
+        .where(F.col("p_count") > 0)
+    )

@@ -3048,3 +3048,96 @@ def customer_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_concurrency_census — peak concurrent OPEN orders per year by
+# the classic interval +1/−1 boundary sweep: an order is open from
+# its order date until its last ship date; emit +1 at start, −1 the
+# day after end, prefix-sum over the date-collapsed boundary relation
+# — the O(distinct days) algorithm every "max simultaneous sessions /
+# beds / connections" question uses (vs the naive per-day × per-order
+# range join). All deltas and running counts are exact integers; the
+# peak day per year is the earliest argmax. Scale: one order-key
+# rollup for spans + a calendar-bounded running window (the
+# interval-merge row's stance).
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+         CAST(max(l.l_shipdate) AS DATE) AS end_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+bounds AS (
+  SELECT start_day AS day, CAST(count(*) AS BIGINT) AS delta
+  FROM spans GROUP BY start_day
+  UNION ALL
+  SELECT end_day + 1 AS day, CAST(-count(*) AS BIGINT) AS delta
+  FROM spans GROUP BY end_day + 1
+),
+folded AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM bounds GROUP BY day),
+run AS (
+  SELECT day,
+         CAST(sum(delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+  FROM folded
+),
+yearly AS (
+  SELECT CAST(year(day) AS BIGINT) AS yr, max(open_orders) AS mx
+  FROM run GROUP BY 1
+)
+SELECT y.yr AS year, CAST(y.mx AS BIGINT) AS max_open_orders,
+       min(r.day) AS peak_day
+FROM yearly y
+JOIN run r ON CAST(year(r.day) AS BIGINT) = y.yr AND r.open_orders = y.mx
+GROUP BY y.yr, y.mx
+ORDER BY year
+"""
+
+
+@register("orders_concurrency_census", CONCURRENCY_ORACLE)
+def orders_concurrency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.to_date(F.max("l_shipdate")).alias("end_day"))
+        .select(F.to_date("o_orderdate").alias("start_day"), "end_day")
+    )
+    starts = spans.groupBy(F.col("start_day").alias("day")).agg(
+        F.count("*").cast("long").alias("delta")
+    )
+    ends = spans.groupBy(F.date_add("end_day", 1).alias("day")).agg(
+        (-F.count("*")).cast("long").alias("delta")
+    )
+    folded = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = folded.select(
+        "day", F.sum("delta").over(w_run).cast("long").alias("open_orders")
+    )
+    yearly = run.groupBy(F.year("day").cast("long").alias("yr")).agg(
+        F.max("open_orders").alias("mx")
+    )
+    return (
+        yearly.join(
+            run,
+            (F.year(run.day).cast("long") == yearly.yr)
+            & (run.open_orders == yearly.mx),
+        )
+        .groupBy("yr", "mx")
+        .agg(F.min("day").alias("peak_day"))
+        .select(
+            F.col("yr").alias("year"),
+            F.col("mx").cast("long").alias("max_open_orders"),
+            "peak_day",
+        )
+        .orderBy("year")
+    )

@@ -2507,3 +2507,56 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_val, 6).alias("t_closeness"),
         (t_val > 0.05).alias("violates_t05"),
     ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_retract — retractable incremental view maintenance:
+# the maintained per-customer (count, sum) aggregate absorbs a DELETE
+# batch (all 1995 orders) by SUBTRACTING the delete batch's partials,
+# with zero-count keys dropping from the view — the group-inverse
+# side of IVM that the insert-only merge row can't express, and the
+# reason retraction-capable engines maintain exactly the invertible
+# aggregates (min/max are deliberately absent: they need the
+# surviving rows — see operators/incremental.py::
+# retract_aggregate_partials). The oracle recomputes the view
+# directly on the shrunken base, so the hash match proves
+# merge-then-retract == recompute to the bit (integer cents
+# partials). Scale: partials are O(keys); the retraction is one
+# co-partitioned key join, independent of history size.
+# ---------------------------------------------------------------------------
+
+RETRACT_ORACLE = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_spend,
+       ((2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         + count(*)) // (2 * count(*))) / 100.0 AS avg_spend
+FROM orders
+WHERE year(o_orderdate) <> 1995
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("incremental_agg_retract", RETRACT_ORACLE)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.operators.incremental import (
+        aggregate_partials,
+        retract_aggregate_partials,
+    )
+
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    state = aggregate_partials(orders, ["o_custkey"], "cents")
+    deletes = aggregate_partials(
+        orders.filter(F.year("o_orderdate") == 1995), ["o_custkey"], "cents"
+    )
+    view = retract_aggregate_partials(state, deletes, ["o_custkey"])
+    return view.select(
+        "o_custkey",
+        F.col("p_count").cast("long").alias("n_orders"),
+        F.round(F.col("p_sum").cast("long") / 100.0, 2).alias("total_spend"),
+        (F.expr("(2 * p_sum + p_count) div (2 * p_count)") / 100.0).alias("avg_spend"),
+    ).orderBy("o_custkey")

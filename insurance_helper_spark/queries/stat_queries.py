@@ -5301,3 +5301,283 @@ def stat_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_kendall_tau_ordinal — Kendall's tau-b between order PRIORITY
+# (ordinal 1..5) and order-value QUINTILE: the rank-correlation
+# complement to Spearman that counts pair concordance — robust to any
+# monotone transform and the standard choice for ordinal×ordinal
+# association. Both variables are bucketed to a ≤5×5 contingency
+# (priority from its digit; quintile by exact integer ECDF division),
+# so concordant/discordant pair counts are exact BIGINT sums over a
+# 25×25 cell cross join — NEVER per-observation pairs — and the tie
+# corrections come from exact marginals; tau-b is one terminal
+# expression. Scale: value collapse + one 25-cell contingency; the
+# pair census cost is cells², independent of table size.
+# ---------------------------------------------------------------------------
+
+KENDALL_ORACLE = """
+WITH arms AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+by_val AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM arms GROUP BY cents),
+walked AS (
+  SELECT cents,
+         sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+             AS below,
+         sum(cnt) OVER () AS n
+  FROM by_val
+),
+cells AS (
+  SELECT a.pr AS i, (w.below * 5) // w.n AS j, CAST(count(*) AS BIGINT) AS nij
+  FROM arms a JOIN walked w ON a.cents = w.cents
+  GROUP BY 1, 2
+),
+paircnt AS (
+  SELECT
+    CAST(sum(CASE WHEN b.i > a.i AND b.j > a.j THEN a.nij * b.nij ELSE 0 END)
+         AS BIGINT) AS conc,
+    CAST(sum(CASE WHEN b.i > a.i AND b.j < a.j THEN a.nij * b.nij ELSE 0 END)
+         AS BIGINT) AS disc
+  FROM cells a CROSS JOIN cells b
+),
+marg AS (
+  SELECT (SELECT CAST(sum(nij) AS BIGINT) FROM cells) AS n,
+         (SELECT CAST(sum(t * (t - 1)) AS BIGINT) // 2
+          FROM (SELECT CAST(sum(nij) AS BIGINT) AS t FROM cells GROUP BY i)) AS n1,
+         (SELECT CAST(sum(t * (t - 1)) AS BIGINT) // 2
+          FROM (SELECT CAST(sum(nij) AS BIGINT) AS t FROM cells GROUP BY j)) AS n2
+)
+SELECT n, conc AS concordant, disc AS discordant,
+       round((conc - disc)
+             / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b
+FROM paircnt CROSS JOIN marg
+"""
+
+
+@register("stat_kendall_tau_ordinal", KENDALL_ORACLE)
+def stat_kendall_tau_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    walked = by_val.select(
+        "cents",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cells = (
+        arms.join(walked, "cents")
+        .groupBy(
+            F.col("pr").alias("i"), F.expr("(below * 5) div n").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+    a = cells.select(
+        F.col("i").alias("ai"), F.col("j").alias("aj"), F.col("nij").alias("an")
+    )
+    b = cells.select(
+        F.col("i").alias("bi"), F.col("j").alias("bj"), F.col("nij").alias("bn")
+    )
+    paircnt = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when((F.col("bi") > F.col("ai")) & (F.col("bj") > F.col("aj")),
+                   F.col("an") * F.col("bn")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when((F.col("bi") > F.col("ai")) & (F.col("bj") < F.col("aj")),
+                   F.col("an") * F.col("bn")).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    marg_n = cells.agg(F.sum("nij").cast("long").alias("n"))
+    marg_i = (
+        cells.groupBy("i")
+        .agg(F.sum("nij").cast("long").alias("t"))
+        .agg(F.expr("CAST(sum(t * (t - 1)) AS BIGINT) div 2").alias("n1"))
+    )
+    marg_j = (
+        cells.groupBy("j")
+        .agg(F.sum("nij").cast("long").alias("t"))
+        .agg(F.expr("CAST(sum(t * (t - 1)) AS BIGINT) div 2").alias("n2"))
+    )
+    out = (
+        paircnt.crossJoin(F.broadcast(marg_n))
+        .crossJoin(F.broadcast(marg_i))
+        .crossJoin(F.broadcast(marg_j))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return out.select(
+        "n",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / (
+                F.sqrt((n0 - F.col("n1")).cast("double"))
+                * F.sqrt((n0 - F.col("n2")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_set_intersection — KMV sketch SET-INTERSECTION estimate
+# (Beyer et al. 2007): customers with urgent/high orders (A) vs
+# customers with returned lines (B). Each side keeps its k=64
+# smallest portable sha-48 key hashes; the union sketch is the k
+# smallest of K(A) ∪ K(B); the Jaccard estimator is the fraction of
+# union-sketch members present in BOTH single-side sketches, and
+# |A∩B| ≈ ρ · est(A∪B) — the set-operation algebra KMV buys that
+# HLL's union-only merge cannot. Every sketch step is an integer
+# order statistic on exact hashes, so the driver value-hashes the
+# estimator itself; exact counts ride along for the error column.
+# Scale: two key-rollup shuffles; every sketch is 64 ints, merged
+# without touching the driver; at 100 TB swap the rank window for a
+# per-scope top-k aggregate (same stance as the union row).
+# ---------------------------------------------------------------------------
+
+KMV_INTERSECT_ORACLE = f"""
+WITH flags AS (
+  SELECT o.o_custkey AS ck,
+         CAST(max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+         CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS in_b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+),
+h AS (
+  SELECT ck, in_a, in_b, {_sha48_sql("CAST(ck AS VARCHAR)")} AS hv FROM flags
+),
+ka AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h WHERE in_a = 1
+  ) WHERE rn <= {_KMV_K}
+),
+kb AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h WHERE in_b = 1
+  ) WHERE rn <= {_KMV_K}
+),
+ku AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ) WHERE rn <= {_KMV_K}
+),
+stats AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM h WHERE in_a = 1) AS n_a,
+    (SELECT CAST(count(*) AS BIGINT) FROM h WHERE in_b = 1) AS n_b,
+    (SELECT CAST(count(*) AS BIGINT) FROM h WHERE in_a = 1 AND in_b = 1)
+        AS n_inter,
+    (SELECT max(hv) FROM ka) AS hk_a,
+    (SELECT max(hv) FROM kb) AS hk_b,
+    (SELECT max(hv) FROM ku) AS hk_u,
+    (SELECT CAST(count(*) AS BIGINT) FROM ku
+     WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)) AS rho_num
+)
+SELECT n_a AS n_a_exact, n_b AS n_b_exact, n_inter AS n_inter_exact,
+       round(({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk_a, 2) AS est_a,
+       round(({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk_b, 2) AS est_b,
+       round(({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk_u, 2) AS est_union,
+       rho_num,
+       round(rho_num * (({_KMV_K} - 1) * {float(_KMV_DOMAIN)} / hk_u)
+             / {_KMV_K}, 2) AS est_intersection
+FROM stats
+"""
+
+
+@register("agg_kmv_set_intersection", KMV_INTERSECT_ORACLE)
+def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    flags = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("in_a"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("in_b"),
+        )
+    )
+    h = flags.select(
+        "ck", "in_a", "in_b", _sha48(F.col("ck").cast("string")).alias("hv")
+    ).localCheckpoint(eager=True)  # reused by both sketches + exact counts
+
+    def sketch(side):
+        w = Window.orderBy("hv")
+        return (
+            h.where(F.col(side) == 1)
+            .select("hv")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+            .select("hv")
+        )
+
+    ka, kb = sketch("in_a"), sketch("in_b")
+    ku = (
+        ka.union(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .where(F.col("rn") <= _KMV_K)
+        .select("hv")
+    )
+    exact = h.agg(
+        F.sum(F.col("in_a")).cast("long").alias("n_a"),
+        F.sum(F.col("in_b")).cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+    )
+    hk_a = ka.agg(F.max("hv").alias("hk_a"))
+    hk_b = kb.agg(F.max("hv").alias("hk_b"))
+    hk_u = ku.agg(F.max("hv").alias("hk_u"))
+    rho = (
+        ku.join(ka.withColumnRenamed("hv", "hv_a"), ku.hv == F.col("hv_a"))
+        .join(kb.withColumnRenamed("hv", "hv_b"), F.col("hv") == F.col("hv_b"))
+        .agg(F.count("*").cast("long").alias("rho_num"))
+    )
+    out = (
+        exact.crossJoin(F.broadcast(hk_a))
+        .crossJoin(F.broadcast(hk_b))
+        .crossJoin(F.broadcast(hk_u))
+        .crossJoin(F.broadcast(rho))
+    )
+    est = lambda c: F.round(F.lit(_KMV_K - 1) * F.lit(float(_KMV_DOMAIN)) / F.col(c), 2)
+    return out.select(
+        F.col("n_a").alias("n_a_exact"),
+        F.col("n_b").alias("n_b_exact"),
+        F.col("n_inter").alias("n_inter_exact"),
+        est("hk_a").alias("est_a"),
+        est("hk_b").alias("est_b"),
+        est("hk_u").alias("est_union"),
+        "rho_num",
+        F.round(
+            F.col("rho_num")
+            * (F.lit(_KMV_K - 1) * F.lit(float(_KMV_DOMAIN)) / F.col("hk_u"))
+            / F.lit(_KMV_K),
+            2,
+        ).alias("est_intersection"),
+    )

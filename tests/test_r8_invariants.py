@@ -589,3 +589,48 @@ def test_new_vs_returning_reconciles_with_totals(spark):
     for r in rows:
         assert r.n_new_cust_orders <= r.n_orders
         assert r.revenue_new >= 0 and r.revenue_returning >= 0
+
+
+def test_kendall_tau_bounds_and_pair_census(spark):
+    (r,) = _rows(spark, "stat_kendall_tau_ordinal")
+    assert -1.0 <= r.tau_b <= 1.0
+    # Concordant + discordant can never exceed total pairs.
+    assert r.concordant + r.discordant <= r.n * (r.n - 1) // 2
+    assert r.concordant >= 0 and r.discordant >= 0
+
+
+def test_kmv_intersection_consistency(spark):
+    (r,) = _rows(spark, "agg_kmv_set_intersection")
+    assert r.n_inter_exact <= min(r.n_a_exact, r.n_b_exact)
+    assert 0 <= r.rho_num <= 64
+    # Union estimate should be at least as large as either side's.
+    assert r.est_union >= max(r.est_a, r.est_b) * 0.5
+    # With populations >> k the estimator should land within 50%.
+    if r.n_inter_exact >= 64:
+        assert abs(r.est_intersection - r.n_inter_exact) / r.n_inter_exact < 0.5
+
+
+def test_concurrency_census_bounds(spark):
+    rows = _rows(spark, "orders_concurrency_census")
+    assert len(rows) > 0
+    for r in rows:
+        assert r.max_open_orders >= 0
+        assert r.peak_day.year == r.year
+
+
+def test_retract_matches_filtered_recompute(spark):
+    rows = _rows(spark, "incremental_agg_retract")
+    assert len(rows) > 0
+    from insurance_helper_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders", columns=["o_custkey", "o_orderdate"])
+    direct = (
+        orders.filter(F.year("o_orderdate") != 1995)
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    direct_map = {r.o_custkey: r["count"] for r in direct}
+    got = {r.o_custkey: r.n_orders for r in rows}
+    assert got == direct_map  # keys with all orders deleted must drop
