@@ -224,6 +224,10 @@ HEADLINE = [
     "agg_kmv_set_intersection",
     "orders_concurrency_census",
     "incremental_agg_retract",
+    "orders_holt_winters",
+    "stat_theil_inequality",
+    "stat_effect_sizes_urgency",
+    "orders_backlog_aging",
 ]
 
 

@@ -3141,3 +3141,95 @@ def orders_concurrency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_backlog_aging — point-in-time backlog aging report: orders
+# OPEN at the timeline-midpoint snapshot (ordered on or before it,
+# last line shipping strictly after it), bucketed by age — the
+# operations-desk "how stale is the open book" view, and the
+# point-in-time query pattern (reconstructing state AS OF a date from
+# an event log) that complements the SCD2/snapshot-diff rows. The
+# snapshot day derives from exact integer date arithmetic; ages and
+# buckets are integer; value folds are exact cents. Scale: one
+# order-key rollup for spans + a broadcast snapshot scalar; the
+# filter prunes to the open book before any aggregation.
+# ---------------------------------------------------------------------------
+
+BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+         CAST(max(l.l_shipdate) AS DATE) AS end_day,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+),
+snap AS (
+  SELECT min(start_day)
+         + CAST(datediff('day', min(start_day), max(start_day)) // 2 AS INTEGER)
+             AS snap_day
+  FROM spans
+),
+open_book AS (
+  SELECT s.o_orderkey, s.cents,
+         CAST(datediff('day', s.start_day, p.snap_day) AS BIGINT) AS age
+  FROM spans s CROSS JOIN snap p
+  WHERE s.start_day <= p.snap_day AND s.end_day > p.snap_day
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS open_value,
+       CAST(max(age) AS BIGINT) AS oldest_age_days
+FROM open_book
+GROUP BY age_bucket
+ORDER BY age_bucket
+"""
+
+
+@register("orders_backlog_aging", BACKLOG_ORACLE)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.to_date(F.max("l_shipdate")).alias("end_day"))
+        .select(
+            F.to_date("o_orderdate").alias("start_day"),
+            "end_day",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    snap = spans.agg(
+        F.date_add(
+            F.min("start_day"),
+            (F.datediff(F.max("start_day"), F.min("start_day")) / 2).cast("int"),
+        ).alias("snap_day")
+    )
+    open_book = (
+        spans.crossJoin(F.broadcast(snap))
+        .where((F.col("start_day") <= F.col("snap_day")) & (F.col("end_day") > F.col("snap_day")))
+        .select(
+            "cents", F.datediff("snap_day", "start_day").cast("long").alias("age")
+        )
+    )
+    return (
+        open_book.groupBy(
+            F.when(F.col("age") <= 30, "0-30")
+            .when(F.col("age") <= 60, "31-60")
+            .when(F.col("age") <= 90, "61-90")
+            .otherwise("90+")
+            .alias("age_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("cents").cast("long") / 100.0, 2).alias("open_value"),
+            F.max("age").cast("long").alias("oldest_age_days"),
+        )
+        .orderBy("age_bucket")
+    )

@@ -2078,3 +2078,131 @@ def events_periodogram_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.sqrt(power) / (F.col("n").cast("double") * F.col("n") * 1e6), 4
         ).alias("amplitude_events"),
     ).orderBy("period_days")
+
+
+# ---------------------------------------------------------------------------
+# orders_holt_winters — Holt–Winters ADDITIVE-SEASONAL (triple)
+# exponential smoothing over the daily revenue series per priority,
+# completing the smoothing ladder EWMA → Holt linear → Holt-Winters:
+#   level_t = α(y_t − s_{t−7}) + (1−α)(level_{t−1} + trend_{t−1})
+#   trend_t = β(level_t − level_{t−1}) + (1−β)trend_{t−1}
+#   s_t     = γ(y_t − level_t) + (1−γ)s_{t−7}
+# (α=0.5, β=0.3, γ=0.2, weekly season s=7, seasonals start at 0 so
+# the first cycle learns them). The recurrence carries a 7-slot
+# seasonal ring in addition to (level, trend), so like Holt it runs
+# on the applyInPandas tier — one Arrow batch per priority over the
+# calendar-bounded daily rollup — while the DuckDB oracle replays the
+# identical recurrence with a RECURSIVE CTE carrying the ring as a
+# LIST column. Engine parity: both recurrences execute the SAME IEEE
+# operation order (expressions written identically), daily revenue is
+# exact cents. Scale: scan input is the (priority, day) rollup; state
+# is 9 numbers; series parallelize across executors.
+# ---------------------------------------------------------------------------
+
+HOLT_WINTERS_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+  FROM orders GROUP BY 1, 2
+),
+d AS (
+  SELECT priority, day, revenue,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily
+),
+walk AS (
+  SELECT priority, day, rn, revenue,
+         revenue AS level, CAST(0.0 AS DOUBLE) AS trend,
+         CAST(0.0 AS DOUBLE) AS seasonal,
+         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS seas
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.priority, d.day, d.rn, d.revenue,
+         0.5 * (d.revenue - w.seas[1]) + 0.5 * (w.level + w.trend) AS level,
+         0.3 * ((0.5 * (d.revenue - w.seas[1]) + 0.5 * (w.level + w.trend))
+                - w.level) + 0.7 * w.trend AS trend,
+         0.2 * (d.revenue - (0.5 * (d.revenue - w.seas[1])
+                             + 0.5 * (w.level + w.trend))) + 0.8 * w.seas[1]
+             AS seasonal,
+         list_concat(w.seas[2:],
+           [0.2 * (d.revenue - (0.5 * (d.revenue - w.seas[1])
+                                + 0.5 * (w.level + w.trend)))
+            + 0.8 * w.seas[1]]) AS seas
+  FROM walk w JOIN d ON d.priority = w.priority AND d.rn = w.rn + 1
+)
+SELECT priority, day, round(revenue, 2) AS revenue, round(level, 4) AS level,
+       round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+       round(level + trend + seas[1], 4) AS forecast_next
+FROM walk
+ORDER BY priority, day
+"""
+
+
+@register("orders_holt_winters", HOLT_WINTERS_ORACLE)
+def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("revenue")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        levels, trends, seasonals, fnext = [], [], [], []
+        level, trend = 0.0, 0.0
+        seas = [0.0] * 7
+        for i, y in enumerate(pdf["revenue"]):
+            y = float(y)
+            if i == 0:
+                level, trend, s_new = y, 0.0, 0.0
+            else:
+                sp = seas[0]
+                prev_level, prev_trend = level, trend
+                level = 0.5 * (y - sp) + 0.5 * (prev_level + prev_trend)
+                trend = 0.3 * (level - prev_level) + 0.7 * prev_trend
+                s_new = 0.2 * (y - level) + 0.8 * sp
+                seas = seas[1:] + [s_new]
+            levels.append(level)
+            trends.append(trend)
+            seasonals.append(s_new)
+            fnext.append(level + trend + seas[0])
+        return pd.DataFrame(
+            {
+                "priority": pdf["priority"],
+                "day": pdf["day"],
+                "revenue": pdf["revenue"],
+                "level": pd.Series(levels, dtype="float64"),
+                "trend": pd.Series(trends, dtype="float64"),
+                "seasonal": pd.Series(seasonals, dtype="float64"),
+                "fnext": pd.Series(fnext, dtype="float64"),
+            }
+        )
+
+    return (
+        daily.groupBy("priority")
+        .applyInPandas(
+            scan,
+            "priority string, day timestamp_ntz, revenue double, level double,"
+            " trend double, seasonal double, fnext double",
+        )
+        .select(
+            "priority",
+            "day",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("level", 4).alias("level"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("fnext", 4).alias("forecast_next"),
+        )
+        .orderBy("priority", "day")
+    )

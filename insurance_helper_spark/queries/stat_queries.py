@@ -5581,3 +5581,179 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_inequality — Theil T and Theil L (mean-log-deviation)
+# inequality indices of order values: the information-theoretic
+# complement to the Gini row — Theil decomposes additively across
+# subgroups (Gini does not), and T vs L weight the top vs bottom of
+# the distribution differently. Both need Σ x·ln x and Σ ln x, which
+# ride the value-collapsed relation with per-distinct-value ln
+# quantized to BIGINT ten-thousandths — sums fold exactly (headroom
+# to ~sf10, then shard the fold); ln(mean) is one terminal scalar.
+# Scale: one value collapse, no windows at all.
+# ---------------------------------------------------------------------------
+
+THEIL_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT v, cnt, CAST(round(1e4 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS lq
+  FROM vals
+),
+m AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(v * cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * v * lq) AS BIGINT) AS sxlx,
+         CAST(sum(cnt * lq) AS BIGINT) AS slx
+  FROM q
+)
+SELECT n, round(CAST(s AS DOUBLE) / n, 2) AS mean_value,
+       round(CAST(sxlx AS DOUBLE) / (CAST(s AS DOUBLE) * 1e4)
+             - ln(CAST(s AS DOUBLE) / n), 6) AS theil_t,
+       round(ln(CAST(s AS DOUBLE) / n)
+             - CAST(slx AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4), 6) AS theil_l
+FROM m
+"""
+
+
+@register("stat_theil_inequality", THEIL_ORACLE)
+def stat_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    vals = orders.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    q = vals.select(
+        "v",
+        "cnt",
+        F.round(F.lit(1e4) * F.log(F.col("v").cast("double"))).cast("long").alias("lq"),
+    )
+    m = q.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("v") * F.col("lq")).cast("long").alias("sxlx"),
+        F.sum(F.col("cnt") * F.col("lq")).cast("long").alias("slx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return m.select(
+        "n",
+        F.round(mean, 2).alias("mean_value"),
+        F.round(
+            F.col("sxlx").cast("double") / (F.col("s").cast("double") * 1e4)
+            - F.log(mean),
+            6,
+        ).alias("theil_t"),
+        F.round(
+            F.log(mean) - F.col("slx").cast("double") / (F.col("n").cast("double") * 1e4),
+            6,
+        ).alias("theil_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_effect_sizes_urgency — standardized effect sizes (Cohen's d,
+# Hedges' g, Glass's Δ) for the urgent-vs-normal order-value
+# difference: the MAGNITUDE companion to the Welch-t row — a
+# trillion-row table makes any difference "significant", so the
+# curation decision rides the effect size, not the p-value. All three
+# derive from the same exact integer (n, Σ, Σ²) moments per arm in
+# ONE conditional aggregation; the pooled/control SDs and the
+# small-sample correction are terminal expressions. Scale: one
+# map-side-combined aggregation, nothing else.
+# ---------------------------------------------------------------------------
+
+EFFECT_ORACLE = """
+WITH arms AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN hi = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN hi = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(1 - hi) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN hi = 0 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN hi = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+  FROM arms
+),
+d AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+         (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+  FROM m
+)
+SELECT n1 AS n_urgent, n2 AS n_normal,
+       round((m1 - m2) / 100, 2) AS mean_diff_dollars,
+       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+           AS cohens_d,
+       round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)))
+             * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+       round((m1 - m2) / sqrt(v2), 6) AS glass_delta
+FROM d
+"""
+
+
+@register("stat_effect_sizes_urgency", EFFECT_ORACLE)
+def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = arms.agg(
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(F.when(F.col("hi") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("hi") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("hi") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("hi") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    d = m.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    cohens = (F.col("m1") - F.col("m2")) / pooled_sd
+    return d.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_normal"),
+        F.round((F.col("m1") - F.col("m2")) / 100, 2).alias("mean_diff_dollars"),
+        F.round(cohens, 6).alias("cohens_d"),
+        F.round(
+            cohens * (1 - F.lit(3.0) / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(F.col("v2")), 6).alias(
+            "glass_delta"
+        ),
+    )

@@ -634,3 +634,50 @@ def test_retract_matches_filtered_recompute(spark):
     direct_map = {r.o_custkey: r["count"] for r in direct}
     got = {r.o_custkey: r.n_orders for r in rows}
     assert got == direct_map  # keys with all orders deleted must drop
+
+
+def test_holt_winters_seasonal_ring_bounded(spark):
+    rows = _rows(spark, "orders_holt_winters")
+    assert len(rows) > 0
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.priority, []).append(r)
+    for p, series in by_p.items():
+        series.sort(key=lambda r: r.day)
+        # First observation initializes level to the observation.
+        assert series[0].level == pytest.approx(series[0].revenue, abs=0.01)
+        assert series[0].trend == 0.0
+        for r in series:
+            assert math.isfinite(r.forecast_next)
+
+
+def test_theil_nonnegative_and_ordering(spark):
+    (r,) = _rows(spark, "stat_theil_inequality")
+    # Jensen: both Theil indices are >= 0 (up to ln-quantization).
+    assert r.theil_t >= -1e-3
+    assert r.theil_l >= -1e-3
+    assert r.mean_value > 0
+
+
+def test_effect_sizes_consistent(spark):
+    (r,) = _rows(spark, "stat_effect_sizes_urgency")
+    # Hedges g is a shrunk Cohen's d: same sign, smaller magnitude.
+    assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-9
+    assert (r.hedges_g >= 0) == (r.cohens_d >= 0)
+    assert (r.mean_diff_dollars >= 0) == (r.cohens_d >= 0)
+
+
+def test_backlog_aging_buckets(spark):
+    rows = _rows(spark, "orders_backlog_aging")
+    assert len(rows) >= 1
+    seen = set()
+    for r in rows:
+        assert r.age_bucket in {"0-30", "31-60", "61-90", "90+"}
+        assert r.age_bucket not in seen
+        seen.add(r.age_bucket)
+        assert r.n_orders > 0
+        assert r.open_value > 0
+        if r.age_bucket == "0-30":
+            assert r.oldest_age_days <= 30
+        if r.age_bucket == "31-60":
+            assert 31 <= r.oldest_age_days <= 60
