@@ -228,6 +228,7 @@ HEADLINE = [
     "stat_theil_inequality",
     "stat_effect_sizes_urgency",
     "orders_backlog_aging",
+    "similarity_ann_recall_eval",
 ]
 
 

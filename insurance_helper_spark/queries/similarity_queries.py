@@ -1328,3 +1328,193 @@ def embedding_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_ann_recall_eval — measured recall@10 of the banded-SRP
+# ANN tier against the exact cosine top-10, ORACLE-BACKED: the 16 SRP
+# sign bits (same deterministic hash-family sign matrix as the JL/
+# bit-agreement rows) split into 4 bands of 4 bits; a corpus vector
+# is a candidate iff it shares ≥1 band with the query. This turns
+# the rows-only LSH tier's recall claim into a value-hashed number —
+# the eval harness a 100 TB ANN deployment runs on a sample before
+# trusting the index. Sampling (vec_id % 20), signatures, band keys,
+# and the (cos6, id) ranking are all deterministic on both engines.
+# Scale: candidates come from 4 UNIONed band EQUI-joins (the
+# production plan — never the OR-join a naive formulation implies);
+# the exact side is query-sample × corpus with the sample broadcast,
+# the sanctioned brute-force baseline being audited.
+# ---------------------------------------------------------------------------
+
+_ANN_Q_MOD = 20
+_ANN_TOPK = 10
+
+_ann_band_sql = {
+    f"b{t}": " + ".join(
+        f"(CASE WHEN p{4 * t + j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+    )
+    for t in range(4)
+}
+
+_ann_cos_sql = (
+    f"round((list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> va[i] * vb[i]), (acc, x) -> acc + x))"
+    f" / (sqrt(list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> va[i] * va[i]), (acc, x) -> acc + x))"
+    f" * sqrt(list_reduce(list_transform(range(1, {_JL_D} + 1),"
+    " i -> vb[i] * vb[i]), (acc, x) -> acc + x))), 6)"
+)
+
+ANN_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+proj AS (
+  SELECT vec_id, vv,
+         {", ".join(f"({_jl_proj_sql('vv', j)}) AS p{j}" for j in range(_JL_K))}
+  FROM v
+),
+sig AS (
+  SELECT vec_id, vv,
+         {", ".join(f"({expr}) AS {name}" for name, expr in _ann_band_sql.items())}
+  FROM proj
+),
+q AS (SELECT * FROM sig WHERE vec_id % {_ANN_Q_MOD} = 0),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, s.vec_id AS cid
+  FROM q JOIN sig s ON s.vec_id <> q.vec_id
+   AND (q.b0 = s.b0 OR q.b1 = s.b1 OR q.b2 = s.b2 OR q.b3 = s.b3)
+),
+exact_scored AS (
+  SELECT qid, cid, {_ann_cos_sql} AS cos6 FROM (
+    SELECT q.vec_id AS qid, s.vec_id AS cid, q.vv AS va, s.vv AS vb
+    FROM q JOIN sig s ON s.vec_id <> q.vec_id
+  )
+),
+exact_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rk
+    FROM exact_scored
+  ) WHERE rk <= {_ANN_TOPK}
+),
+lsh_scored AS (
+  SELECT qid, cid, {_ann_cos_sql} AS cos6 FROM (
+    SELECT c.qid, c.cid, a.vv AS va, b.vv AS vb
+    FROM cand c JOIN v a ON c.qid = a.vec_id JOIN v b ON c.cid = b.vec_id
+  )
+),
+lsh_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cid) AS rk
+    FROM lsh_scored
+  ) WHERE rk <= {_ANN_TOPK}
+),
+hits AS (
+  SELECT e.qid, e.cid FROM exact_top e JOIN lsh_top l
+    ON e.qid = l.qid AND e.cid = l.cid
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact_top) AS total_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS total_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM exact_top), 6) AS recall_at_10,
+       round((SELECT count(*) FROM cand) * 1.0
+             / (SELECT count(*) FROM q), 2) AS avg_candidates
+"""
+
+
+@register("similarity_ann_recall_eval", ANN_RECALL_ORACLE)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+
+    def proj(j: int):
+        def term(i):
+            sign = F.when(
+                _jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            return F.element_at(F.col("vv"), i.cast("int")) * sign
+
+        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
+        return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+    bands = []
+    for t in range(4):
+        b = None
+        for j in range(4):
+            bit = F.when(proj(4 * t + j) >= 0, F.lit(1 << j)).otherwise(0)
+            b = bit if b is None else b + bit
+        bands.append(b.alias(f"b{t}"))
+    # 16 projections per vector computed ONCE, reused by every band
+    # join and both scoring sides.
+    sig = vecs.select("vec_id", "vv", *bands).localCheckpoint(eager=True)
+    q = sig.where(F.col("vec_id") % _ANN_Q_MOD == 0)
+
+    # Production plan: one equi-join per band, unioned, distinct —
+    # never the OR-join (which degenerates to a nested loop).
+    cand = None
+    for t in range(4):
+        qt = q.select(F.col("vec_id").alias("qid"), F.col(f"b{t}").alias("bk"))
+        st = sig.select(F.col("vec_id").alias("cid"), F.col(f"b{t}").alias("bk"))
+        part = qt.join(st, "bk").where(F.col("qid") != F.col("cid")).select("qid", "cid")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+
+    def fold(expr: str):
+        return F.expr(
+            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    cos6 = F.round(
+        fold("va[i - 1] * vb[i - 1]")
+        / (F.sqrt(fold("va[i - 1] * va[i - 1]")) * F.sqrt(fold("vb[i - 1] * vb[i - 1]"))),
+        6,
+    )
+    qv = q.select(F.col("vec_id").alias("qid"), F.col("vv").alias("va"))
+    cv = sig.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
+    from pyspark.sql import Window  # local: module has no top-level import
+
+    def topk(scored):
+        w = Window.partitionBy("qid").orderBy(F.desc("cos6"), "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _ANN_TOPK)
+            .select("qid", "cid")
+        )
+
+    exact_scored = (
+        cv.crossJoin(F.broadcast(qv))
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cos6.alias("cos6"))
+    )
+    exact_top = topk(exact_scored)
+    lsh_scored = (
+        cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", cos6.alias("cos6"))
+    )
+    lsh_top = topk(lsh_scored)
+    hits = exact_top.join(lsh_top, ["qid", "cid"])
+    nq = q.agg(F.count("*").cast("long").alias("n_queries"))
+    ne = exact_top.agg(F.count("*").cast("long").alias("total_exact"))
+    nh = hits.agg(F.count("*").cast("long").alias("total_hits"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    return (
+        nq.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_queries",
+            "total_exact",
+            "total_hits",
+            F.round(F.col("total_hits") * 1.0 / F.col("total_exact"), 6).alias(
+                "recall_at_10"
+            ),
+            F.round(F.col("n_cand") * 1.0 / F.col("n_queries"), 2).alias(
+                "avg_candidates"
+            ),
+        )
+    )

@@ -681,3 +681,16 @@ def test_backlog_aging_buckets(spark):
             assert r.oldest_age_days <= 30
         if r.age_bucket == "31-60":
             assert 31 <= r.oldest_age_days <= 60
+
+
+def test_ann_recall_sane(spark):
+    (r,) = _rows(spark, "similarity_ann_recall_eval")
+    assert r.n_queries > 0
+    assert r.total_exact == r.n_queries * 10
+    assert 0.0 <= r.recall_at_10 <= 1.0
+    assert r.total_hits <= r.total_exact
+    # Banded SRP on 64-dim random-ish vectors should beat blind
+    # guessing by a wide margin: candidates per query is far below
+    # corpus size, yet recall should be well above the candidate
+    # fraction (that is the whole point of LSH).
+    assert r.recall_at_10 > 0.3
