@@ -229,6 +229,7 @@ HEADLINE = [
     "stat_effect_sizes_urgency",
     "orders_backlog_aging",
     "similarity_ann_recall_eval",
+    "stat_power_sample_size",
 ]
 
 

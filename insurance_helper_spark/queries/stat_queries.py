@@ -5757,3 +5757,104 @@ def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "glass_delta"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_power_sample_size — experiment-design power analysis: for every
+# market-segment pair, the per-arm sample size needed to detect the
+# OBSERVED urgent-rate difference at α=0.05 (two-sided) with 80% and
+# 90% power — n = (z_{α/2}+z_β)²(p₁q₁+p₂q₂)/(p₁−p₂)², the planning
+# number a data team computes BEFORE the two-proportion z-test row
+# can be trusted. Rates come from exact integer counts; equal-rate
+# pairs are excluded by an integer cross-multiplication (no float
+# equality); z constants are fixed literals; ceil of the shared
+# double expression is engine-identical. Scale: one segment rollup;
+# the pair grid is segments², never rows.
+# ---------------------------------------------------------------------------
+
+_Z_A2 = 1.959963984540054   # Phi^-1(0.975)
+_Z_80 = 0.8416212335729143  # Phi^-1(0.80)
+_Z_90 = 1.2815515655446004  # Phi^-1(0.90)
+
+POWER_ORACLE = f"""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.segment AS seg_a, b.segment AS seg_b,
+         a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+  FROM seg a JOIN seg b ON a.segment < b.segment
+  WHERE a.s * b.n <> b.s * a.n
+),
+rates AS (
+  SELECT seg_a, seg_b,
+         CAST(sa AS DOUBLE) / na AS pa, CAST(sb AS DOUBLE) / nb AS pb
+  FROM pairs
+)
+SELECT seg_a, seg_b,
+       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       CAST(ceiling(({_Z_A2} + {_Z_80}) * ({_Z_A2} + {_Z_80})
+            * (pa * (1 - pa) + pb * (1 - pb)) / ((pa - pb) * (pa - pb)))
+           AS BIGINT) AS n80_per_arm,
+       CAST(ceiling(({_Z_A2} + {_Z_90}) * ({_Z_A2} + {_Z_90})
+            * (pa * (1 - pa) + pb * (1 - pb)) / ((pa - pb) * (pa - pb)))
+           AS BIGINT) AS n90_per_arm
+FROM rates
+ORDER BY seg_a, seg_b
+"""
+
+
+@register("stat_power_sample_size", POWER_ORACLE)
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    a = seg.select(
+        F.col("segment").alias("seg_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = seg.select(
+        F.col("segment").alias("seg_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .where(F.col("sa") * F.col("nb") != F.col("sb") * F.col("na"))
+    )
+    pa = F.col("sa").cast("double") / F.col("na")
+    pb = F.col("sb").cast("double") / F.col("nb")
+    rates = pairs.select("seg_a", "seg_b", pa.alias("pa"), pb.alias("pb"))
+
+    def n_arm(z2: float):
+        return F.ceil(
+            (F.lit(_Z_A2) + F.lit(z2))
+            * (F.lit(_Z_A2) + F.lit(z2))
+            * (F.col("pa") * (1 - F.col("pa")) + F.col("pb") * (1 - F.col("pb")))
+            / ((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb")))
+        ).cast("long")
+
+    return rates.select(
+        "seg_a",
+        "seg_b",
+        F.round("pa", 6).alias("rate_a"),
+        F.round("pb", 6).alias("rate_b"),
+        n_arm(_Z_80).alias("n80_per_arm"),
+        n_arm(_Z_90).alias("n90_per_arm"),
+    ).orderBy("seg_a", "seg_b")

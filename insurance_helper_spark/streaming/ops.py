@@ -1061,3 +1061,93 @@ def user_topk_state(
             timeMode="none",
         )
     )
+
+
+def event_type_topk_spacesaving(
+    events: DataFrame, capacity: int = 8, shards: int = 4
+) -> DataFrame:
+    """Streaming heavy hitters via the SpaceSaving algorithm (Metwally
+    et al. 2005) as a custom stateful operator: each shard (user_id %
+    shards — a partitioning key, so counter state is distributed, not
+    a single hot task) maintains at most ``capacity`` (item, count,
+    err) counters; an unseen item evicts the minimum counter and
+    inherits its count as its error bound. Emits the full counter
+    snapshot per shard per micro-batch; a downstream batch merge sums
+    counts and errs per item (SpaceSaving counters are mergeable with
+    additive error). Guarantees: est_count >= true_count and
+    est_count - err <= true_count — pinned by tests; with capacity >=
+    distinct items the sketch is exact. The constant-size-state
+    alternative to the exact streaming rollup when the item domain is
+    unbounded; the batch CMS heavy-hitters row carries the
+    oracle-backed twin of this guarantee tier.
+
+    Scale: state is O(shards * capacity) regardless of stream volume;
+    each micro-batch folds rows in (ts, event_id) order so replays
+    are deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("err", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            items, counts, errs = state.get
+            items, counts, errs = list(items), list(counts), list(errs)
+        else:
+            items, counts, errs = [], [], []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(merged):
+            for row in merged.sort_values(["ts", "event_id"]).itertuples(index=False):
+                it = str(row.event_type)
+                if it in items:
+                    counts[items.index(it)] += 1
+                elif len(items) < capacity:
+                    items.append(it)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    # Evict the minimum counter (ties: first slot —
+                    # deterministic given the fold order).
+                    j = min(range(len(counts)), key=lambda k: (counts[k], k))
+                    errs[j] = counts[j]
+                    counts[j] = counts[j] + 1
+                    items[j] = it
+        state.update((items, counts, errs))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "item": items,
+                "est_count": pd.array(counts, dtype="int64"),
+                "err": pd.array(errs, dtype="int64"),
+            }
+        )
+
+    return (
+        events.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

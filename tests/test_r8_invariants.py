@@ -694,3 +694,13 @@ def test_ann_recall_sane(spark):
     # corpus size, yet recall should be well above the candidate
     # fraction (that is the whole point of LSH).
     assert r.recall_at_10 > 0.3
+
+
+def test_power_sample_size_consistency(spark):
+    rows = _rows(spark, "stat_power_sample_size")
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r.rate_a < 1.0 and 0.0 < r.rate_b < 1.0
+        assert r.rate_a != r.rate_b
+        # Higher power always needs at least as many samples.
+        assert r.n90_per_arm >= r.n80_per_arm >= 1

@@ -1001,3 +1001,84 @@ class TestTransformWithState:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class TestSpaceSavingTopK:
+    def _events(self, d, n_types=6, per_type=None):
+        per_type = per_type or {}
+        rows, eid = [], 0
+        for t in range(n_types):
+            for _ in range(per_type.get(f"type{t}", t + 1)):
+                rows.append(
+                    {"event_id": eid, "ts": f"2024-01-01T00:{eid % 60:02d}:00",
+                     "user_id": eid % 3, "event_type": f"type{t}", "value": 1.0}
+                )
+                eid += 1
+        write_events_file(d / "b1.json", rows)
+        return rows
+
+    def test_exact_when_capacity_sufficient(self, spark, tmp_path):
+        d = tmp_path / "ss_exact"
+        d.mkdir()
+        rows = self._events(d, n_types=4)
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA)
+        out = ops.event_type_topk_spacesaving(stream, capacity=8, shards=2)
+        ops.run_to_memory(out, "ss_exact_sink", output_mode="update")
+        got = spark.table("ss_exact_sink").collect()
+        # Merge shards: counts are additive, errs are additive.
+        merged: dict[str, list[int]] = {}
+        for r in got:
+            m = merged.setdefault(r.item, [0, 0])
+            m[0] += r.est_count
+            m[1] += r.err
+        true = {}
+        for r in rows:
+            true[r["event_type"]] = true.get(r["event_type"], 0) + 1
+        # Capacity >= distinct types per shard: sketch must be exact.
+        assert {k: v[0] for k, v in merged.items()} == true
+        assert all(v[1] == 0 for v in merged.values())
+
+    def test_overestimate_bound_when_capacity_small(self, spark, tmp_path):
+        d = tmp_path / "ss_bound"
+        d.mkdir()
+        rows = self._events(
+            d, n_types=6,
+            per_type={f"type{t}": c for t, c in enumerate([1, 2, 3, 4, 20, 30])},
+        )
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA)
+        out = ops.event_type_topk_spacesaving(stream, capacity=3, shards=1)
+        ops.run_to_memory(out, "ss_bound_sink", output_mode="update")
+        got = spark.table("ss_bound_sink").collect()
+        assert 0 < len(got) <= 3  # state never exceeds capacity
+        true = {}
+        for r in rows:
+            true[r["event_type"]] = true.get(r["event_type"], 0) + 1
+        for r in got:
+            t = true.get(r.item, 0)
+            # SpaceSaving guarantee: true <= est, and est - err <= true.
+            assert r.est_count >= t
+            assert r.est_count - r.err <= t
+        # The two genuine heavy hitters must survive in the sketch.
+        kept = {r.item for r in got}
+        assert {"type4", "type5"} <= kept
+
+    def test_state_folds_across_microbatches(self, spark, tmp_path):
+        d = tmp_path / "ss_fold"
+        d.mkdir()
+        write_events_file(d / "b1.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+             "event_type": "alpha", "value": 1.0}])
+        write_events_file(d / "b2.json", [
+            {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 1,
+             "event_type": "alpha", "value": 1.0}])
+        stream = ops.read_event_stream(spark, str(d), EVENT_SCHEMA,
+                                       max_files_per_trigger=1)
+        out = ops.event_type_topk_spacesaving(stream, capacity=4, shards=1)
+        ops.run_to_memory(out, "ss_fold_sink", output_mode="update")
+        got = sorted(
+            [r for r in spark.table("ss_fold_sink").collect() if r.item == "alpha"],
+            key=lambda r: r.est_count,
+        )
+        # Second micro-batch emission must carry count folded from the
+        # first batch's persisted state.
+        assert [r.est_count for r in got] == [1, 2]
