@@ -230,6 +230,9 @@ HEADLINE = [
     "orders_backlog_aging",
     "similarity_ann_recall_eval",
     "stat_power_sample_size",
+    "graph_clustering_coefficient",
+    "stat_bayesian_ab_urgency",
+    "text_textrank_keywords",
 ]
 
 

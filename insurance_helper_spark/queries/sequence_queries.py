@@ -2206,3 +2206,123 @@ def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — local clustering census of the
+# strong-tie co-purchase graph: per-node triangle counts over
+# neighbor pairs (the wedge→closure join), averaged as Watts–Strogatz
+# mean local clustering, plus the global transitivity ratio
+# 3·triangles/wedges — the "is this graph clumpy or stringy"
+# diagnostic that degree assortativity (who links to whom) and the
+# global triangle count (one number) don't localize. Per-node
+# coefficients are quantized to BIGINT nano-units before the mean, so
+# every fold is exact; wedges and triangles are integer censuses.
+# Scale: wedge volume is Σ deg² over the support-pruned graph (the
+# same skew dial as Adamic–Adar); closure check is one edge
+# equi-join.
+# ---------------------------------------------------------------------------
+
+CLUSTERING_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+wedge AS (
+  SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+  SELECT w.v, CAST(count(*) AS BIGINT) AS t
+  FROM wedge w JOIN e ON e.src = w.a AND e.dst = w.b
+  GROUP BY w.v
+),
+pernode AS (
+  SELECT d.node, d.d, coalesce(t.t, 0) AS t,
+         CAST(round(1e9 * (2.0 * coalesce(t.t, 0)) / (d.d * (d.d - 1)))
+              AS BIGINT) AS cq
+  FROM deg d LEFT JOIN tri t ON d.node = t.v
+  WHERE d.d >= 2
+),
+agg AS (
+  SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_nodes_deg2,
+         CAST(sum(t) AS BIGINT) AS sum_tri,
+         CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS wedges,
+         CAST(sum(cq) AS BIGINT) AS sum_cq,
+         CAST(max(t) AS BIGINT) AS max_node_triangles
+  FROM pernode
+)
+SELECT n_nodes, n_nodes_deg2,
+       round(CAST(sum_cq AS DOUBLE) / n_nodes_deg2 / 1e9, 6) AS avg_clustering,
+       round(CAST(sum_tri AS DOUBLE) / wedges, 6) AS global_transitivity,
+       max_node_triangles
+FROM agg
+"""
+
+
+@register("graph_clustering_coefficient", CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").cast("long").alias("d"))
+    e1 = e.select(F.col("src").alias("v"), F.col("dst").alias("wa"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("wb"))
+    wedge = e1.join(e2, "v").where(F.col("wa") < F.col("wb"))
+    tri = (
+        wedge.join(e, (wedge.wa == e.src) & (wedge.wb == e.dst))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    pernode = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, deg.node == tri.v, "left")
+        .select(
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .select(
+            "d",
+            "t",
+            F.round(
+                F.lit(1e9) * (F.lit(2.0) * F.col("t")) / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    n_all = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    agg = pernode.agg(
+        F.count("*").cast("long").alias("n_nodes_deg2"),
+        F.sum("t").cast("long").alias("sum_tri"),
+        F.expr("CAST(sum(d * (d - 1)) AS BIGINT) div 2").alias("wedges"),
+        F.sum("cq").cast("long").alias("sum_cq"),
+        F.max("t").cast("long").alias("max_node_triangles"),
+    )
+    return agg.crossJoin(F.broadcast(n_all)).select(
+        "n_nodes",
+        "n_nodes_deg2",
+        F.round(F.col("sum_cq").cast("double") / F.col("n_nodes_deg2") / 1e9, 6).alias(
+            "avg_clustering"
+        ),
+        F.round(F.col("sum_tri").cast("double") / F.col("wedges"), 6).alias(
+            "global_transitivity"
+        ),
+        "max_node_triangles",
+    )

@@ -5858,3 +5858,140 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm(_Z_80).alias("n80_per_arm"),
         n_arm(_Z_90).alias("n90_per_arm"),
     ).orderBy("seg_a", "seg_b")
+
+
+# ---------------------------------------------------------------------------
+# stat_bayesian_ab_urgency — Bayesian A/B readout for every segment
+# pair: with Beta(1,1) priors on urgent rates, P(rate_A > rate_B)
+# under the normal approximation of the Beta posteriors — the
+# decision-ready probability a frequentist z-test (significant
+# yes/no) never gives. Posterior moments are exact-integer-derived
+# doubles; Φ comes from the Abramowitz–Stegun 7.1.26 erfc polynomial
+# as ONE SHARED EXPRESSION TEXT evaluated by both engines (the Cramer
+# shared-text pattern), so the sole libm call (exp) is a terminal
+# per-pair scalar under round(6). Scale: one segment rollup; the
+# pair grid is segments², never rows.
+# ---------------------------------------------------------------------------
+
+# Phi(d) via A&S 7.1.26 on x = |d|/sqrt(2); shared text, column `d`.
+_PHI_SHARED = (
+    "CASE WHEN d >= 0 THEN 1.0 - 0.5 * ({e}) ELSE 0.5 * ({e}) END".format(
+        e=(
+            "(0.254829592 * tt - 0.284496736 * tt * tt"
+            " + 1.421413741 * tt * tt * tt"
+            " - 1.453152027 * tt * tt * tt * tt"
+            " + 1.061405429 * tt * tt * tt * tt * tt)"
+            " * exp(-(abs(d) / 1.4142135623730951)"
+            " * (abs(d) / 1.4142135623730951))"
+        ).replace("tt", "(1.0 / (1.0 + 0.3275911 * (abs(d) / 1.4142135623730951)))")
+    )
+)
+
+BAYES_AB_ORACLE = f"""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.segment AS seg_a, b.segment AS seg_b,
+         a.s + 1 AS aa, a.n - a.s + 1 AS ab,
+         b.s + 1 AS ba, b.n - b.s + 1 AS bb
+  FROM seg a JOIN seg b ON a.segment < b.segment
+),
+moments AS (
+  SELECT seg_a, seg_b,
+         CAST(aa AS DOUBLE) / (aa + ab) AS ma,
+         CAST(ba AS DOUBLE) / (ba + bb) AS mb,
+         CAST(aa AS DOUBLE) * ab
+             / ((CAST(aa + ab AS DOUBLE)) * (aa + ab) * (aa + ab + 1)) AS va,
+         CAST(ba AS DOUBLE) * bb
+             / ((CAST(ba + bb AS DOUBLE)) * (ba + bb) * (ba + bb + 1)) AS vb
+  FROM pairs
+),
+scored AS (
+  SELECT seg_a, seg_b, ma, mb,
+         (ma - mb) / sqrt(va + vb) AS d
+  FROM moments
+)
+SELECT seg_a, seg_b,
+       round(ma, 6) AS posterior_mean_a,
+       round(mb, 6) AS posterior_mean_b,
+       round(d, 4) AS z_distance,
+       round({_PHI_SHARED}, 6) AS prob_a_beats_b
+FROM scored
+ORDER BY seg_a, seg_b
+"""
+
+
+@register("stat_bayesian_ab_urgency", BAYES_AB_ORACLE)
+def stat_bayesian_ab_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    a = seg.select(
+        F.col("segment").alias("seg_a"),
+        (F.col("s") + 1).alias("aa"),
+        (F.col("n") - F.col("s") + 1).alias("ab"),
+    )
+    b = seg.select(
+        F.col("segment").alias("seg_b"),
+        (F.col("s") + 1).alias("ba"),
+        (F.col("n") - F.col("s") + 1).alias("bb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("seg_a") < F.col("seg_b"))
+    moments = pairs.select(
+        "seg_a",
+        "seg_b",
+        (F.col("aa").cast("double") / (F.col("aa") + F.col("ab"))).alias("ma"),
+        (F.col("ba").cast("double") / (F.col("ba") + F.col("bb"))).alias("mb"),
+        (
+            F.col("aa").cast("double")
+            * F.col("ab")
+            / (
+                (F.col("aa") + F.col("ab")).cast("double")
+                * (F.col("aa") + F.col("ab"))
+                * (F.col("aa") + F.col("ab") + 1)
+            )
+        ).alias("va"),
+        (
+            F.col("ba").cast("double")
+            * F.col("bb")
+            / (
+                (F.col("ba") + F.col("bb")).cast("double")
+                * (F.col("ba") + F.col("bb"))
+                * (F.col("ba") + F.col("bb") + 1)
+            )
+        ).alias("vb"),
+    )
+    scored = moments.select(
+        "seg_a",
+        "seg_b",
+        "ma",
+        "mb",
+        ((F.col("ma") - F.col("mb")) / F.sqrt(F.col("va") + F.col("vb"))).alias("d"),
+    )
+    return scored.select(
+        "seg_a",
+        "seg_b",
+        F.round("ma", 6).alias("posterior_mean_a"),
+        F.round("mb", 6).alias("posterior_mean_b"),
+        F.round("d", 4).alias("z_distance"),
+        F.round(F.expr(_PHI_SHARED), 6).alias("prob_a_beats_b"),
+    ).orderBy("seg_a", "seg_b")

@@ -1802,3 +1802,139 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_textrank_keywords — TextRank keyword extraction (Mihalcea &
+# Tarau 2004): run PageRank over the TERM CO-OCCURRENCE graph (terms
+# sharing a document, document-frequency band 5..500 to drop both
+# hapax noise and stopword hubs, co-occurrence support ≥ 2) — the
+# graph-centrality answer to "which terms matter" that TF-IDF
+# (frequency) and PMI (pairwise association) don't give: a term is
+# important if important terms co-occur with it. Reuses the exact-
+# INTEGER PageRank arithmetic of graph_pagerank_iterations (1e12-
+# scaled BIGINT ranks, half-up integer divisions), so three unrolled
+# iterations are order-independent and the top-20 is an exact-integer
+# ranking. Scale: the df band is the skew dial (hub terms would make
+# the per-doc pair blowup quadratic); per iteration one |E|-row
+# contribution shuffle keyed on the term, degrees broadcast.
+# ---------------------------------------------------------------------------
+
+_TR_SCALE = 10**12
+_TR_BASE = 150 * 10**9
+
+
+def _tr_step_sql(prev: str) -> str:
+    return f"""
+  SELECT e.dst AS node,
+         (2 * {_TR_BASE} + nn.n) // (2 * nn.n)
+         + (2 * 17 * sum((2 * p.prq + d.d) // (2 * d.d)) + 20) // 40 AS prq
+  FROM edges e
+  JOIN {prev} p ON e.src = p.node
+  JOIN deg d ON e.src = d.node
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+"""
+
+
+TEXTRANK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM dt GROUP BY term
+  ) WHERE df BETWEEN 5 AND 500
+),
+dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab v ON dt.term = v.term),
+copairs AS (
+  SELECT a.term AS src, b.term AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term <> b.term
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM copairs WHERE sup >= 2),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+pr0 AS (
+  SELECT node, (2 * {_TR_SCALE} + nn.n) // (2 * nn.n) AS prq
+  FROM deg CROSS JOIN nn
+),
+pr1 AS ({_tr_step_sql("pr0")}),
+pr2 AS ({_tr_step_sql("pr1")}),
+pr3 AS ({_tr_step_sql("pr2")})
+SELECT p.node AS term,
+       d.d AS degree,
+       round(CAST(p.prq AS DOUBLE) / {_TR_SCALE}, 8) AS textrank,
+       CAST(row_number() OVER (ORDER BY p.prq DESC, p.node) AS INT) AS rank
+FROM pr3 p JOIN deg d ON p.node = d.node
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register("text_textrank_keywords", TEXTRANK_ORACLE)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    dt = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(5, 500))
+        .select("term")
+    )
+    dtv = dt.join(vocab, "term")
+    a = dtv.select(F.col("doc_id").alias("k"), F.col("term").alias("src"))
+    b = dtv.select(F.col("doc_id").alias("k"), F.col("term").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # reused by degrees + every iteration
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"(2 * {_TR_SCALE} + n) div (2 * n)").alias("prq")
+    )
+    for _ in range(3):
+        pr = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("dst", "n")
+            .agg(F.sum(F.expr("(2 * prq + d) div (2 * d)")).alias("contrib"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(2 * {_TR_BASE} + n) div (2 * n)"
+                    " + (2 * 17 * contrib + 20) div 40"
+                ).alias("prq"),
+            )
+        )
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.desc("prq"), "node")
+    return (
+        pr.join(deg, "node")
+        .select(
+            F.col("node").alias("term"),
+            F.col("d").alias("degree"),
+            F.round(F.col("prq").cast("double") / _TR_SCALE, 8).alias("textrank"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

@@ -704,3 +704,37 @@ def test_power_sample_size_consistency(spark):
         assert r.rate_a != r.rate_b
         # Higher power always needs at least as many samples.
         assert r.n90_per_arm >= r.n80_per_arm >= 1
+
+
+def test_clustering_coefficient_bounds(spark):
+    (r,) = _rows(spark, "graph_clustering_coefficient")
+    assert 0.0 <= r.avg_clustering <= 1.0
+    assert 0.0 <= r.global_transitivity <= 1.0
+    assert r.n_nodes_deg2 <= r.n_nodes
+    assert r.max_node_triangles >= 0
+
+
+def test_bayesian_ab_probability_coherent(spark):
+    rows = _rows(spark, "stat_bayesian_ab_urgency")
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.prob_a_beats_b <= 1.0
+        # Direction must match the posterior means.
+        if r.posterior_mean_a > r.posterior_mean_b:
+            assert r.prob_a_beats_b >= 0.5
+        else:
+            assert r.prob_a_beats_b <= 0.5
+        # And z-distance sign agrees.
+        assert (r.z_distance >= 0) == (r.posterior_mean_a >= r.posterior_mean_b)
+
+
+def test_textrank_ranked_and_within_band(spark):
+    rows = _rows(spark, "text_textrank_keywords")
+    assert 0 < len(rows) <= 20
+    ranks = [r.rank for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r.textrank for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.degree >= 1
+        assert r.textrank > 0
