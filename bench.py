@@ -233,6 +233,9 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",
     "text_textrank_keywords",
+    "stat_qlr_structural_break",
+    "stat_lorenz_curve_deciles",
+    "corpus_shard_manifest",
 ]
 
 

@@ -834,3 +834,79 @@ def corpus_weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("es_key", 8).alias("es_key"),
         F.row_number().over(wr).cast("int").alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# corpus_shard_manifest — WebDataset-style training-shard manifest:
+# assign documents (doc_id order) to ~16 KiB shards by cumulative
+# byte position (shard = bytes_before ÷ budget — streaming sequential
+# packing: a document starting inside a shard belongs to it, so a
+# shard can overshoot by at most one document, the standard tar-shard
+# contract), then report the per-shard census a dataloader needs:
+# doc range, byte fill, fill fraction. The file-level sibling of the
+# token-level corpus_pack_sequences row — context windows pack
+# tokens, dataloaders pack FILES. All arithmetic is exact integers
+# (running byte sums, floor division). Scale: one running-sum window
+# over the (doc, bytes) projection — at 100 TB this becomes the
+# two-phase range-partitioned prefix sum, same stance as the ES/
+# reservoir rows; blob BYTES never shuffle, only their sizes do.
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 16384
+
+SHARD_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes
+  FROM documents
+),
+walked AS (
+  SELECT doc_id, bytes,
+         CAST(sum(bytes) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - bytes AS bytes_before
+  FROM sized
+),
+assigned AS (
+  SELECT doc_id, bytes, bytes_before // {_SHARD_BUDGET} AS shard_id
+  FROM walked
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+       round(CAST(sum(bytes) AS DOUBLE) / {_SHARD_BUDGET}, 4) AS fill_fraction
+FROM assigned
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register("corpus_shard_manifest", SHARD_ORACLE)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    sized = docs.select("doc_id", F.col("n_chars").cast("long").alias("bytes"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = sized.select(
+        "doc_id",
+        "bytes",
+        (F.sum("bytes").over(w).cast("long") - F.col("bytes")).alias("bytes_before"),
+    )
+    assigned = walked.select(
+        "doc_id", "bytes", F.expr(f"bytes_before div {_SHARD_BUDGET}").alias("shard_id")
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.sum("bytes").cast("long").alias("shard_bytes"),
+            F.round(F.sum("bytes").cast("double") / _SHARD_BUDGET, 4).alias(
+                "fill_fraction"
+            ),
+        )
+        .orderBy("shard_id")
+    )

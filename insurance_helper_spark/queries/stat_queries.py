@@ -5995,3 +5995,288 @@ def stat_bayesian_ab_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 4).alias("z_distance"),
         F.round(F.expr(_PHI_SHARED), 6).alias("prob_a_beats_b"),
     ).orderBy("seg_a", "seg_b")
+
+
+# ---------------------------------------------------------------------------
+# stat_qlr_structural_break — Quandt likelihood-ratio (sup-F) test:
+# the BEST single structural-break day of the daily-revenue linear
+# trend, scanning every candidate split in the central 70% and taking
+# the split whose two-regime fit most beats the pooled fit — the
+# formal "did the process change, and WHEN" answer that CUSUM (drift
+# alarm) and the runs test (randomness) don't localize. Every
+# segment's SSE comes in closed form from PREFIX MOMENTS (one
+# cumulative window over the daily rollup gives all 2·n candidate
+# regressions — no per-split scans); prefix sums are exact BIGINTs,
+# so each split's F is the same IEEE double on both engines and the
+# argmax (earliest-day tiebreak) is engine-identical. Scale: one
+# calendar-bounded window pass; the split scan is O(days), not
+# O(days·rows).
+# ---------------------------------------------------------------------------
+
+QLR_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+  FROM orders GROUP BY day
+),
+lo AS (SELECT min(day) AS d0 FROM daily),
+xy AS (
+  SELECT day, CAST(datediff('day', lo.d0, day) AS BIGINT) AS x, y,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM daily CROSS JOIN lo
+),
+pre AS (
+  SELECT day, rn, x, y,
+         CAST(sum(x) OVER w AS BIGINT) AS cx, CAST(sum(y) OVER w AS BIGINT) AS cy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS cxx,
+         CAST(sum(x * y) OVER w AS BIGINT) AS cxy,
+         CAST(sum(y * y) OVER w AS BIGINT) AS cyy
+  FROM xy
+  WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(max(rn) AS BIGINT) AS n, max(cx) AS tx, max(cy) AS ty,
+         max(cxx) AS txx, max(cxy) AS txy, max(cyy) AS tyy
+  FROM pre
+),
+splits AS (
+  SELECT p.day, p.rn, t.n,
+         (p.cyy - CAST(p.cy AS DOUBLE) * p.cy / p.rn
+          - (p.cxy - CAST(p.cx AS DOUBLE) * p.cy / p.rn)
+            * (p.cxy - CAST(p.cx AS DOUBLE) * p.cy / p.rn)
+            / (p.cxx - CAST(p.cx AS DOUBLE) * p.cx / p.rn)) AS sse1,
+         ((t.tyy - p.cyy)
+          - CAST(t.ty - p.cy AS DOUBLE) * (t.ty - p.cy) / (t.n - p.rn)
+          - ((t.txy - p.cxy)
+             - CAST(t.tx - p.cx AS DOUBLE) * (t.ty - p.cy) / (t.n - p.rn))
+            * ((t.txy - p.cxy)
+               - CAST(t.tx - p.cx AS DOUBLE) * (t.ty - p.cy) / (t.n - p.rn))
+            / ((t.txx - p.cxx)
+               - CAST(t.tx - p.cx AS DOUBLE) * (t.tx - p.cx) / (t.n - p.rn))) AS sse2,
+         (t.tyy - CAST(t.ty AS DOUBLE) * t.ty / t.n
+          - (t.txy - CAST(t.tx AS DOUBLE) * t.ty / t.n)
+            * (t.txy - CAST(t.tx AS DOUBLE) * t.ty / t.n)
+            / (t.txx - CAST(t.tx AS DOUBLE) * t.tx / t.n)) AS ssep,
+         (CAST(p.rn * p.cxy - p.cx * p.cy AS DOUBLE)
+          / (p.rn * p.cxx - p.cx * p.cx)) AS slope1,
+         (CAST((t.n - p.rn) * (t.txy - p.cxy)
+               - (t.tx - p.cx) * (t.ty - p.cy) AS DOUBLE)
+          / ((t.n - p.rn) * (t.txx - p.cxx)
+             - (t.tx - p.cx) * (t.tx - p.cx))) AS slope2
+  FROM pre p CROSS JOIN tot t
+  WHERE p.rn >= CAST(ceil(0.15 * t.n) AS BIGINT)
+    AND p.rn <= t.n - CAST(ceil(0.15 * t.n) AS BIGINT)
+),
+f AS (
+  SELECT day, n, slope1, slope2,
+         ((ssep - sse1 - sse2) / 2) / ((sse1 + sse2) / (n - 4)) AS f_stat
+  FROM splits
+),
+best AS (SELECT max(f_stat) AS mf FROM f)
+SELECT f.day AS break_day, f.n AS n_days, round(f.f_stat, 4) AS qlr_f,
+       round(f.slope1, 6) AS slope_before, round(f.slope2, 6) AS slope_after
+FROM f JOIN best ON f.f_stat = best.mf
+ORDER BY f.day LIMIT 1
+"""
+
+
+@register("stat_qlr_structural_break", QLR_ORACLE)
+def stat_qlr_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("y")
+    )
+    lo = daily.agg(F.min("day").alias("d0"))
+    w_rn = Window.orderBy("day")
+    xy = daily.crossJoin(F.broadcast(lo)).select(
+        "day",
+        F.datediff(F.to_date("day"), F.to_date("d0")).cast("long").alias("x"),
+        "y",
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    w_cum = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = xy.select(
+        "day",
+        "rn",
+        F.sum("x").over(w_cum).cast("long").alias("cx"),
+        F.sum("y").over(w_cum).cast("long").alias("cy"),
+        F.sum(F.col("x") * F.col("x")).over(w_cum).cast("long").alias("cxx"),
+        F.sum(F.col("x") * F.col("y")).over(w_cum).cast("long").alias("cxy"),
+        F.sum(F.col("y") * F.col("y")).over(w_cum).cast("long").alias("cyy"),
+    ).localCheckpoint(eager=True)  # feeds both the totals and the split scan
+    tot = pre.agg(
+        F.max("rn").cast("long").alias("n"),
+        F.max("cx").alias("tx"),
+        F.max("cy").alias("ty"),
+        F.max("cxx").alias("txx"),
+        F.max("cxy").alias("txy"),
+        F.max("cyy").alias("tyy"),
+    )
+
+    def sse(n, sx, sy, sxx, sxy, syy):
+        sxy_c = sxy - sx.cast("double") * sy / n
+        return (
+            syy
+            - sy.cast("double") * sy / n
+            - sxy_c * sxy_c / (sxx - sx.cast("double") * sx / n)
+        )
+
+    p, c = F.col, lambda a, b: F.col(a) - F.col(b)
+    splits = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(
+            (p("rn") >= F.ceil(F.lit(0.15) * p("n")).cast("long"))
+            & (p("rn") <= p("n") - F.ceil(F.lit(0.15) * p("n")).cast("long"))
+        )
+        .select(
+            "day",
+            "n",
+            sse(p("rn"), p("cx"), p("cy"), p("cxx"), p("cxy"), p("cyy")).alias("sse1"),
+            sse(
+                p("n") - p("rn"),
+                c("tx", "cx"),
+                c("ty", "cy"),
+                c("txx", "cxx"),
+                c("txy", "cxy"),
+                c("tyy", "cyy"),
+            ).alias("sse2"),
+            sse(p("n"), p("tx"), p("ty"), p("txx"), p("txy"), p("tyy")).alias("ssep"),
+            (
+                (p("rn") * p("cxy") - p("cx") * p("cy")).cast("double")
+                / (p("rn") * p("cxx") - p("cx") * p("cx"))
+            ).alias("slope1"),
+            (
+                (
+                    (p("n") - p("rn")) * c("txy", "cxy")
+                    - c("tx", "cx") * c("ty", "cy")
+                ).cast("double")
+                / (
+                    (p("n") - p("rn")) * c("txx", "cxx")
+                    - c("tx", "cx") * c("tx", "cx")
+                )
+            ).alias("slope2"),
+        )
+    )
+    f = splits.select(
+        "day",
+        "n",
+        "slope1",
+        "slope2",
+        (
+            ((p("ssep") - p("sse1") - p("sse2")) / 2)
+            / ((p("sse1") + p("sse2")) / (p("n") - 4))
+        ).alias("f_stat"),
+        # Materialized before the argmax self-join: constraint
+        # inference would otherwise push the `f_stat = mf` predicate
+        # BELOW the trim filter, evaluating the segment-SSE division
+        # on rn=1 (zero x-variance) — an ANSI-mode crash on the
+        # driver's vanilla session. O(days) rows, trivially cheap.
+    ).localCheckpoint(eager=True)
+    best = f.agg(F.max("f_stat").alias("mf"))
+    return (
+        f.join(F.broadcast(best), f.f_stat == F.col("mf"))
+        .orderBy("day")
+        .limit(1)
+        .select(
+            F.col("day").alias("break_day"),
+            F.col("n").alias("n_days"),
+            F.round("f_stat", 4).alias("qlr_f"),
+            F.round("slope1", 6).alias("slope_before"),
+            F.round("slope2", 6).alias("slope_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_lorenz_curve_deciles — the Lorenz curve behind the Gini row:
+# cumulative income share at each population decile, with EXACT
+# within-tie interpolation (rank cuts are integer divisions; the
+# partial block at a cut contributes (r_k − cum_before)·v integer
+# cents), so every curve point is a ratio of exact BIGINTs. The
+# curve is what the Gini scalar integrates — needed to SEE where
+# inequality lives (top-decile dominance vs broad spread). Scale:
+# value collapse + one ordered walk over distinct values; 10 output
+# rows.
+# ---------------------------------------------------------------------------
+
+LORENZ_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY v
+),
+walked AS (
+  SELECT v, cnt,
+         CAST(sum(cnt) OVER w AS BIGINT) - cnt AS cnt_before,
+         CAST(sum(v * cnt) OVER w AS BIGINT) - v * cnt AS sum_before
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(v * cnt) AS BIGINT) AS s
+  FROM vals
+),
+deciles AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9,10]) AS BIGINT) AS k),
+cuts AS (SELECT k, (t.n * k) // 10 AS rk, t.n, t.s FROM deciles CROSS JOIN tot t),
+pts AS (
+  SELECT c.k, c.rk, c.n, c.s,
+         max_by(w.sum_before + (c.rk - w.cnt_before) * w.v, w.v) AS cum_at_cut
+  FROM cuts c JOIN walked w
+    ON w.cnt_before < c.rk AND c.rk <= w.cnt_before + w.cnt
+  GROUP BY c.k, c.rk, c.n, c.s
+)
+SELECT k AS decile, round(k / 10.0, 1) AS pop_share,
+       round(CAST(cum_at_cut AS DOUBLE) / s, 6) AS income_share,
+       round(k / 10.0 - CAST(cum_at_cut AS DOUBLE) / s, 6) AS lorenz_gap
+FROM pts
+ORDER BY decile
+"""
+
+
+@register("stat_lorenz_curve_deciles", LORENZ_ORACLE)
+def stat_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    vals = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = vals.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w).cast("long") - F.col("cnt")).alias("cnt_before"),
+        (F.sum(F.col("v") * F.col("cnt")).over(w).cast("long") - F.col("v") * F.col("cnt")).alias(
+            "sum_before"
+        ),
+    )
+    tot = vals.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("s"),
+    )
+    deciles = spark.createDataFrame([(k,) for k in range(1, 11)], "k long")
+    cuts = deciles.crossJoin(F.broadcast(tot)).select(
+        "k", F.expr("(n * k) div 10").alias("rk"), "n", "s"
+    )
+    pts = (
+        cuts.join(
+            walked,
+            (walked.cnt_before < cuts.rk)
+            & (cuts.rk <= walked.cnt_before + walked.cnt),
+        )
+        .groupBy("k", "rk", "n", "s")
+        .agg(
+            F.max_by(
+                F.col("sum_before") + (F.col("rk") - F.col("cnt_before")) * F.col("v"),
+                F.col("v"),
+            ).alias("cum_at_cut")
+        )
+    )
+    return pts.select(
+        F.col("k").alias("decile"),
+        F.round(F.col("k") / 10.0, 1).alias("pop_share"),
+        F.round(F.col("cum_at_cut").cast("double") / F.col("s"), 6).alias("income_share"),
+        F.round(
+            F.col("k") / 10.0 - F.col("cum_at_cut").cast("double") / F.col("s"), 6
+        ).alias("lorenz_gap"),
+    ).orderBy("decile")

@@ -738,3 +738,40 @@ def test_textrank_ranked_and_within_band(spark):
     for r in rows:
         assert r.degree >= 1
         assert r.textrank > 0
+
+
+def test_qlr_break_inside_trim(spark):
+    (r,) = _rows(spark, "stat_qlr_structural_break")
+    assert r.qlr_f >= 0.0
+    assert r.n_days > 0
+    assert math.isfinite(r.slope_before) and math.isfinite(r.slope_after)
+
+
+def test_lorenz_curve_convex_and_terminal(spark):
+    rows = sorted(_rows(spark, "stat_lorenz_curve_deciles"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.income_share for r in rows]
+    # Monotone, below the diagonal, and exactly 1 at the 100% point.
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    for r in rows:
+        assert r.income_share <= r.pop_share + 1e-6
+        assert r.lorenz_gap >= -1e-6
+    assert shares[-1] == pytest.approx(1.0, abs=1e-6)
+    # Increments must grow (convexity of the Lorenz curve).
+    inc = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(b >= a - 1e-6 for a, b in zip(inc, inc[1:]))
+
+
+def test_shard_manifest_reconciles(spark):
+    rows = sorted(_rows(spark, "corpus_shard_manifest"), key=lambda r: r.shard_id)
+    assert len(rows) >= 2
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    # Doc ranges partition the id space in order with no overlap.
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    total = sum(r.shard_bytes for r in rows)
+    from insurance_helper_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents", columns=["n_chars"])
+    assert total == docs.agg(F.sum("n_chars")).collect()[0][0]
