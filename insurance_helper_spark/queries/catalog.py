@@ -108,6 +108,7 @@ def load_all() -> None:
         return
     # Imported for registration side effects.
     from insurance_helper_spark.queries import (  # noqa: F401
+        actuarial_queries,
         dedup_queries,
         similarity_queries,
         text_queries,
