@@ -2326,3 +2326,192 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "max_node_triangles",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_hubs_authorities — 3 unrolled HITS iterations on the
+# strong-tie co-purchase graph (support >= 2, the same pruned edge
+# relation as Adamic-Adar / k-core): authority <- sum of neighbor hub
+# scores, hub <- sum of neighbor authority scores, with an EXACT
+# integer max-normalization after every half-step (score * 1e6 div
+# max — BIGINT division, no floats anywhere until the final /1e6
+# display), so partial-aggregation order can never move a bit. Scale:
+# each half-step is one |E|-row join + groupBy; the support floor is
+# the hot-node guard, identical stance to the PageRank rows.
+# ---------------------------------------------------------------------------
+
+HITS_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+a1r AS (SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+        FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+a1 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM a1r) AS s FROM a1r),
+h1r AS (SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+        FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+h1 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM h1r) AS s FROM h1r),
+a2r AS (SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+        FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+a2 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM a2r) AS s FROM a2r),
+h2r AS (SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+        FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+h2 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM h2r) AS s FROM h2r),
+a3r AS (SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+        FROM e JOIN h2 h ON h.node = e.src GROUP BY e.dst),
+a3 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM a3r) AS s FROM a3r),
+h3r AS (SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+        FROM e JOIN a3 a ON a.node = e.dst GROUP BY e.src),
+h3 AS (SELECT node, s * 1000000 // (SELECT max(s) FROM h3r) AS s FROM h3r)
+SELECT h3.node AS part_id,
+       round(h3.s / 1e6, 6) AS hub_score,
+       round(a3.s / 1e6, 6) AS auth_score
+FROM h3 JOIN a3 ON a3.node = h3.node
+ORDER BY h3.s DESC, part_id
+LIMIT 20
+"""
+
+
+def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support->=2 co-purchase edge relation (both orientations),
+    checkpointed because callers feed it into iterated joins."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _hits_normalize(scored: DataFrame) -> DataFrame:
+    mx = scored.agg(F.max("s").alias("mx"))
+    return scored.crossJoin(F.broadcast(mx)).select(
+        "node", F.expr("s * 1000000 div mx").alias("s")
+    )
+
+
+@register("graph_hits_hubs_authorities", HITS_ORACLE)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _strong_tie_edges(spark, sf_dir)
+    h = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("s", F.lit(1000000).cast("long"))
+    )
+    a = None
+    for _ in range(3):
+        a = _hits_normalize(
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").cast("long").alias("s"))
+        ).localCheckpoint(eager=False)
+        h = _hits_normalize(
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").cast("long").alias("s"))
+        ).localCheckpoint(eager=False)
+    return (
+        h.join(a.withColumnRenamed("s", "sa"), "node")
+        .orderBy(F.col("s").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("s") / 1e6, 6).alias("hub_score"),
+            F.round(F.col("sa") / 1e6, 6).alias("auth_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — 3 synchronous label-propagation rounds on
+# the strong-tie co-purchase graph: every node starts as its own
+# community; each round it adopts the most frequent label among its
+# neighbors, ties broken by the SMALLEST label (row_number over
+# (count DESC, label ASC) — fully deterministic, engine-identical).
+# Output: the 20 largest communities after round 3. Scale: each round
+# is one |E|-row join + one count groupBy + one per-node window on
+# the (node, label) candidate relation — the standard distributed
+# LPA; iteration count is the only serial axis (documented budget,
+# same stance as the PageRank / k-core rows).
+# ---------------------------------------------------------------------------
+
+LPA_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+c1 AS (SELECT e.src AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+       FROM e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.lab),
+l1 AS (SELECT v AS node, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                ORDER BY c DESC, lab ASC) AS rn FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.src AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+       FROM e JOIN l1 l ON l.node = e.dst GROUP BY e.src, l.lab),
+l2 AS (SELECT v AS node, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                ORDER BY c DESC, lab ASC) AS rn FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.src AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+       FROM e JOIN l2 l ON l.node = e.dst GROUP BY e.src, l.lab),
+l3 AS (SELECT v AS node, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                ORDER BY c DESC, lab ASC) AS rn FROM c3) WHERE rn = 1)
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS size,
+       CAST(min(node) AS BIGINT) AS min_member
+FROM l3 GROUP BY lab
+ORDER BY size DESC, community
+LIMIT 20
+"""
+
+
+@register("graph_label_propagation", LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _strong_tie_edges(spark, sf_dir)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        cnts = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "lab")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        labels = (
+            cnts.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab").asc())
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "lab")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

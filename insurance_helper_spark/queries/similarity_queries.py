@@ -1518,3 +1518,338 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality index family (simplified silhouette, Davies-Bouldin,
+# Calinski-Harabasz) over the labeled embedding corpus — the three
+# standard "are these clusters real" diagnostics a curation team runs
+# after k-means / SemDeDup assignment. All three share one geometry:
+# per-label centroids (exact quantized-component means) and per-point
+# squared distances to EVERY centroid, computed as one explode +
+# broadcast-centroid join whose partial aggregation reduces each task
+# to n_points x k cells. No pairwise point-point distances anywhere —
+# that is what makes these indices usable at corpus scale while full
+# silhouette is O(n^2).
+# ---------------------------------------------------------------------------
+
+_GEOM_SQL = """
+x AS (
+  SELECT vec_id, label, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / count(*) AS c
+  FROM x GROUP BY clabel, dim
+),
+d2 AS (
+  SELECT x.vec_id, x.label, c.clabel,
+         CAST(sum(CAST(round((x.val - c.c) * (x.val - c.c) * 1e12) AS BIGINT))
+              AS DOUBLE) / 1e12 AS d2
+  FROM x JOIN cent c ON c.dim = x.dim
+  GROUP BY x.vec_id, x.label, c.clabel
+)
+"""
+
+
+def _label_centroid_geometry(spark: SparkSession, sf_dir: str):
+    """(x, cent, d2) for the cluster-index family: exploded components,
+    per-label centroids, and per-(point, centroid) squared distances.
+    Every float product is quantized to BIGINT per row before its
+    distributed sum (house parity pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    cent = x.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("c")
+    )
+    diff = F.col("val") - F.col("c")
+    d2 = (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(F.round(diff * diff * F.lit(1e12)).cast("long")).cast("double")
+                / 1e12
+            ).alias("d2")
+        )
+    )
+    return x, cent, d2
+
+
+# ---------------------------------------------------------------------------
+# ml_silhouette_simplified — the centroid-based (a.k.a. "simplified")
+# silhouette: a(i) = distance to own centroid, b(i) = distance to the
+# nearest OTHER centroid, s(i) = (b-a)/max(a,b). Per-label mean and
+# min. min() is order-safe on the deterministic per-point doubles;
+# the mean quantizes s(i) to 1e8 BIGINTs first.
+# ---------------------------------------------------------------------------
+
+SILHOUETTE_ORACLE = f"""
+WITH {_GEOM_SQL},
+ab AS (
+  SELECT vec_id, label,
+         sqrt(max(CASE WHEN clabel = label THEN d2 END)) AS da,
+         sqrt(min(CASE WHEN clabel <> label THEN d2 END)) AS db
+  FROM d2 GROUP BY vec_id, label
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(da, db) > 0
+              THEN (db - da) / greatest(da, db) ELSE 0.0 END AS sil
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(round(sil * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+             / count(*), 4) AS avg_silhouette,
+       round(min(sil), 4) AS min_silhouette
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@register("ml_silhouette_simplified", SILHOUETTE_ORACLE)
+def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, d2 = _label_centroid_geometry(spark, sf_dir)
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2")))).alias("da"),
+        F.sqrt(F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))).alias("db"),
+    )
+    sil = F.when(
+        F.greatest("da", "db") > 0,
+        (F.col("db") - F.col("da")) / F.greatest("da", "db"),
+    ).otherwise(F.lit(0.0))
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.round(F.col("sil") * 1e8).cast("long")).cast("double")
+                / 1e8
+                / F.count("*"),
+                4,
+            ).alias("avg_silhouette"),
+            F.round(F.min("sil"), 4).alias("min_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_davies_bouldin — Davies-Bouldin index: per cluster, the worst
+# (S_i + S_j) / M_ij ratio against any other cluster (S = mean
+# point-to-centroid distance, M = centroid separation); the index is
+# the mean of those worst ratios — lower is better. The argmax
+# neighbor is picked by a row_number over (ratio DESC, j ASC) so ties
+# are engine-identical. Scale: everything after the shared geometry
+# runs on k and k^2-row relations.
+# ---------------------------------------------------------------------------
+
+DAVIES_BOULDIN_ORACLE = f"""
+WITH {_GEOM_SQL},
+own AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sqrt(d2) * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+             / count(*) AS s_i
+  FROM d2 WHERE clabel = label GROUP BY label
+),
+cd AS (
+  SELECT a.clabel AS i, b.clabel AS j,
+         sqrt(CAST(sum(CAST(round((a.c - b.c) * (a.c - b.c) * 1e12) AS BIGINT))
+              AS DOUBLE) / 1e12) AS m
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.clabel <> b.clabel
+  GROUP BY a.clabel, b.clabel
+),
+r AS (
+  SELECT oa.label, cd.j, oa.n, oa.s_i, (oa.s_i + ob.s_i) / cd.m AS r_ij,
+         row_number() OVER (PARTITION BY oa.label
+                            ORDER BY (oa.s_i + ob.s_i) / cd.m DESC, cd.j ASC)
+             AS rn
+  FROM own oa JOIN cd ON cd.i = oa.label JOIN own ob ON ob.label = cd.j
+),
+w AS (SELECT label, j, n, s_i, r_ij FROM r WHERE rn = 1),
+db AS (
+  SELECT CAST(sum(CAST(round(r_ij * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+             / count(*) AS db_index
+  FROM w
+)
+SELECT w.label, w.n AS n_vecs, round(w.s_i, 4) AS dispersion,
+       w.j AS worst_neighbor, round(w.r_ij, 4) AS worst_ratio,
+       round(db.db_index, 4) AS db_index
+FROM w CROSS JOIN db
+ORDER BY w.label
+"""
+
+
+@register("ml_davies_bouldin", DAVIES_BOULDIN_ORACLE)
+def ml_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    _, cent, d2 = _label_centroid_geometry(spark, sf_dir)
+    own = (
+        d2.where(F.col("clabel") == F.col("label"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.sum(F.round(F.sqrt("d2") * 1e8).cast("long")).cast("double")
+                / 1e8
+                / F.count("*")
+            ).alias("s_i"),
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cdiff = F.col("a.c") - F.col("b.c")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.clabel") != F.col("b.clabel")),
+        )
+        .groupBy(F.col("a.clabel").alias("i"), F.col("b.clabel").alias("j"))
+        .agg(
+            F.sqrt(
+                F.sum(F.round(cdiff * cdiff * F.lit(1e12)).cast("long")).cast("double")
+                / 1e12
+            ).alias("m")
+        )
+    )
+    oa = own.alias("oa")
+    ob = own.select(
+        F.col("label").alias("j_label"), F.col("s_i").alias("s_j")
+    )
+    r_ij = (F.col("s_i") + F.col("s_j")) / F.col("m")
+    r = (
+        oa.join(F.broadcast(cd), F.col("oa.label") == F.col("i"))
+        .join(F.broadcast(ob), F.col("j") == F.col("j_label"))
+        .select("label", "j", "n", "s_i", r_ij.alias("r_ij"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("label").orderBy(F.col("r_ij").desc(), F.col("j").asc())
+            ),
+        )
+    )
+    w = r.where(F.col("rn") == 1).drop("rn")
+    db = w.agg(
+        (
+            F.sum(F.round(F.col("r_ij") * 1e8).cast("long")).cast("double")
+            / 1e8
+            / F.count("*")
+        ).alias("db_index")
+    )
+    return (
+        w.crossJoin(F.broadcast(db))
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round("s_i", 4).alias("dispersion"),
+            F.col("j").alias("worst_neighbor"),
+            F.round("r_ij", 4).alias("worst_ratio"),
+            F.round("db_index", 4).alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_calinski_harabasz — the variance-ratio criterion: CH =
+# [B/(k-1)] / [W/(n-k)] with B = sum_i n_i ||c_i - g||^2 (between-
+# cluster dispersion vs the global centroid) and W = sum of squared
+# point-to-own-centroid distances. One scalar row; both dispersions
+# fold as quantized BIGINT sums.
+# ---------------------------------------------------------------------------
+
+CALINSKI_ORACLE = f"""
+WITH {_GEOM_SQL},
+g AS (
+  SELECT dim,
+         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / count(*) AS gc
+  FROM x GROUP BY dim
+),
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_i FROM embeddings GROUP BY label),
+bet AS (
+  SELECT c.clabel,
+         CAST(sum(CAST(round((c.c - g.gc) * (c.c - g.gc) * 1e12) AS BIGINT))
+              AS DOUBLE) / 1e12 AS b2
+  FROM cent c JOIN g ON g.dim = c.dim GROUP BY c.clabel
+),
+bsum AS (
+  SELECT CAST(sum(CAST(round(s.n_i * b.b2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS b,
+         CAST(count(*) AS BIGINT) AS k
+  FROM bet b JOIN sizes s ON s.label = b.clabel
+),
+wsum AS (
+  SELECT CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d2 WHERE clabel = label
+)
+SELECT b.k AS k_clusters, w.n AS n_vecs,
+       round(b.b, 4) AS between_ss, round(w.w, 4) AS within_ss,
+       round((b.b / (b.k - 1)) / (w.w / (w.n - b.k)), 4) AS ch_index
+FROM bsum b CROSS JOIN wsum w
+"""
+
+
+@register("ml_calinski_harabasz", CALINSKI_ORACLE)
+def ml_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, cent, d2 = _label_centroid_geometry(spark, sf_dir)
+    g = x.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("gc")
+    )
+    emb_sizes = (
+        d2.where(F.col("clabel") == F.col("label"))
+        .groupBy(F.col("label"))
+        .agg(F.count("*").cast("long").alias("n_i"))
+    )
+    gdiff = F.col("c") - F.col("gc")
+    bet = (
+        cent.join(F.broadcast(g), "dim")
+        .groupBy("clabel")
+        .agg(
+            (
+                F.sum(F.round(gdiff * gdiff * F.lit(1e12)).cast("long")).cast("double")
+                / 1e12
+            ).alias("b2")
+        )
+    )
+    bsum = bet.join(
+        F.broadcast(emb_sizes), bet.clabel == emb_sizes.label
+    ).agg(
+        (
+            F.sum(F.round(F.col("n_i") * F.col("b2") * 1e6).cast("long")).cast("double")
+            / 1e6
+        ).alias("b"),
+        F.count("*").cast("long").alias("k"),
+    )
+    wsum = d2.where(F.col("clabel") == F.col("label")).agg(
+        (F.sum(F.round(F.col("d2") * 1e6).cast("long")).cast("double") / 1e6).alias("w"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        bsum.crossJoin(F.broadcast(wsum))
+        .select(
+            F.col("k").alias("k_clusters"),
+            F.col("n").alias("n_vecs"),
+            F.round("b", 4).alias("between_ss"),
+            F.round("w", 4).alias("within_ss"),
+            F.round(
+                (F.col("b") / (F.col("k") - 1)) / (F.col("w") / (F.col("n") - F.col("k"))),
+                4,
+            ).alias("ch_index"),
+        )
+    )
