@@ -3233,3 +3233,304 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# finance_bollinger_breakout — Bollinger-band breakout census over the
+# daily revenue series: 20-day rolling mean +/- 2 population sigma;
+# a day is a breakout when |z| > 2 against the PRECEDING-window
+# stats. Daily revenue is folded to exact integer dollars (cents div
+# 100 — the BIGINT-headroom dial: squared daily sums stay exact
+# through ~sf10); the rolling moments are exact BIGINT window sums,
+# so mean/sigma/z are deterministic IEEE expressions per row. Scale:
+# the unpartitioned window rides the calendar-bounded daily relation
+# (the EWMA/OHLC stance); full 20-row windows only.
+# ---------------------------------------------------------------------------
+
+BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS d
+  FROM orders GROUP BY day
+),
+w AS (
+  SELECT day, d,
+         CAST(count(*) OVER w20 AS BIGINT) AS n,
+         CAST(sum(d) OVER w20 AS BIGINT) AS s,
+         CAST(sum(d * d) OVER w20 AS BIGINT) AS sx2
+  FROM daily
+  WINDOW w20 AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT day, d, s,
+         (d - CAST(s AS DOUBLE) / n)
+             / sqrt((n * CAST(sx2 AS DOUBLE) - CAST(s AS DOUBLE) * s) / (n * n))
+             AS zscore
+  FROM w
+  WHERE n = 20 AND n * CAST(sx2 AS DOUBLE) - CAST(s AS DOUBLE) * s > 0
+)
+SELECT day, CAST(d AS BIGINT) AS revenue,
+       round(CAST(s AS DOUBLE) / 20, 2) AS ma20,
+       round(zscore, 4) AS z,
+       CASE WHEN zscore > 0 THEN 'up' ELSE 'down' END AS direction
+FROM z
+WHERE abs(zscore) > 2
+ORDER BY day
+"""
+
+
+@register("finance_bollinger_breakout", BOLLINGER_ORACLE)
+def finance_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("d")
+    )
+    w20 = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    w = daily.select(
+        "day",
+        "d",
+        F.count("*").over(w20).cast("long").alias("n"),
+        F.sum("d").over(w20).cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).over(w20).cast("long").alias("sx2"),
+    )
+    var_num = F.col("n") * F.col("sx2").cast("double") - F.col("s").cast("double") * F.col("s")
+    zscore = (F.col("d") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") * F.col("n"))
+    )
+    z = (
+        w.where((F.col("n") == 20) & (var_num > 0))
+        .select("day", "d", "s", zscore.alias("zscore"))
+    )
+    return (
+        z.where(F.abs("zscore") > 2)
+        .select(
+            "day",
+            F.col("d").cast("long").alias("revenue"),
+            F.round(F.col("s").cast("double") / 20, 2).alias("ma20"),
+            F.round("zscore", 4).alias("z"),
+            F.when(F.col("zscore") > 0, "up").otherwise("down").alias("direction"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# finance_beta_sharpe — per-brand market beta and annualized Sharpe
+# from monthly ln-returns: brand revenue vs the whole-market series.
+# Returns ride the house quantized-ln pattern (1e6 micro-units per
+# row) over CONSECUTIVE observed months only (month index = prev + 1
+# via lag), so every moment is an exact BIGINT sum; beta, correlation
+# and Sharpe are terminal closed-form doubles. Scale: one fact rollup
+# to (brand, month) cells; the lag windows ride brand-partitioned
+# calendar-bounded relations; market series broadcast.
+# ---------------------------------------------------------------------------
+
+BETA_SHARPE_ORACLE = """
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS m,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, m
+),
+mkt AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM lineitem GROUP BY m
+),
+bret AS (
+  SELECT brand, m,
+         CAST(round(1e6 * ln(CAST(cents AS DOUBLE)
+              / lag(cents) OVER (PARTITION BY brand ORDER BY m))) AS BIGINT)
+             AS rb
+  FROM bm
+  QUALIFY lag(m) OVER (PARTITION BY brand ORDER BY m) = m - 1
+),
+mret AS (
+  SELECT m,
+         CAST(round(1e6 * ln(CAST(cents AS DOUBLE)
+              / lag(cents) OVER (ORDER BY m))) AS BIGINT) AS rm
+  FROM mkt
+  QUALIFY lag(m) OVER (ORDER BY m) = m - 1
+),
+j AS (SELECT b.brand, b.rb, r.rm FROM bret b JOIN mret r ON r.m = b.m),
+mo AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rb) AS BIGINT) AS sb, CAST(sum(rm) AS BIGINT) AS sm,
+         CAST(sum(rb * rb) AS BIGINT) AS sbb,
+         CAST(sum(rm * rm) AS BIGINT) AS smm,
+         CAST(sum(rb * rm) AS BIGINT) AS sbm
+  FROM j GROUP BY brand
+)
+SELECT brand, n AS n_months,
+       round((n * CAST(sbm AS DOUBLE) - CAST(sb AS DOUBLE) * sm)
+             / (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm), 4) AS beta,
+       round((n * CAST(sbm AS DOUBLE) - CAST(sb AS DOUBLE) * sm)
+             / sqrt((n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)
+                    * (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm)), 4)
+           AS corr_mkt,
+       round(CAST(sb AS DOUBLE)
+             / sqrt(n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)
+             * sqrt(12.0), 4) AS sharpe_ann
+FROM mo
+WHERE n >= 12
+  AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb > 0
+  AND n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm > 0
+ORDER BY brand
+"""
+
+
+@register("finance_beta_sharpe", BETA_SHARPE_ORACLE)
+def finance_beta_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice"]
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    mcol = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m")
+    cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
+    bm = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), mcol)
+        .agg(cents.alias("cents"))
+    )
+    mkt = li.groupBy(mcol).agg(cents.alias("cents"))
+    wb = Window.partitionBy("brand").orderBy("m")
+    wm = Window.orderBy("m")
+    bret = (
+        bm.select(
+            "brand",
+            "m",
+            F.lag("m").over(wb).alias("pm"),
+            F.round(
+                F.lit(1e6)
+                * F.log(F.col("cents").cast("double") / F.lag("cents").over(wb))
+            )
+            .cast("long")
+            .alias("rb"),
+        )
+        .where(F.col("pm") == F.col("m") - 1)
+    )
+    mret = (
+        mkt.select(
+            "m",
+            F.lag("m").over(wm).alias("pm"),
+            F.round(
+                F.lit(1e6)
+                * F.log(F.col("cents").cast("double") / F.lag("cents").over(wm))
+            )
+            .cast("long")
+            .alias("rm"),
+        )
+        .where(F.col("pm") == F.col("m") - 1)
+        .select("m", "rm")
+    )
+    j = bret.join(F.broadcast(mret), "m")
+    mo = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rb").cast("long").alias("sb"),
+        F.sum("rm").cast("long").alias("sm"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        F.sum(F.col("rm") * F.col("rm")).cast("long").alias("smm"),
+        F.sum(F.col("rb") * F.col("rm")).cast("long").alias("sbm"),
+    )
+    nd = F.col("n").cast("double")
+    cov_num = nd * F.col("sbm") - F.col("sb").cast("double") * F.col("sm")
+    varb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    varm = nd * F.col("smm") - F.col("sm").cast("double") * F.col("sm")
+    return (
+        mo.where((F.col("n") >= 12) & (varb > 0) & (varm > 0))
+        .select(
+            "brand",
+            F.col("n").alias("n_months"),
+            F.round(cov_num / varm, 4).alias("beta"),
+            F.round(cov_num / F.sqrt(varb * varm), 4).alias("corr_mkt"),
+            F.round(
+                F.col("sb").cast("double") / F.sqrt(varb) * F.sqrt(F.lit(12.0)), 4
+            ).alias("sharpe_ann"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# finance_vwap_monthly — volume-weighted average unit price per brand
+# per month vs the naive mean unit price: VWAP = sum(extendedprice) /
+# sum(quantity) — BOTH sums exact integers (the extendedprice IS
+# price x volume, so no per-row multiplication is even needed) —
+# against the equal-weighted mean of per-row unit prices (quantized
+# 1e4 per row). The spread between the two is the volume-skew signal
+# trading desks monitor. Scale: one map-side-combined rollup to
+# (brand, month); no windows, no joins besides the broadcast dim.
+# ---------------------------------------------------------------------------
+
+VWAP_ORACLE = """
+WITH rows_ AS (
+  SELECT p.p_brand AS brand,
+         year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS m,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice / l.l_quantity * 1e4) AS BIGINT) AS up_q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT brand, m, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(cents) AS BIGINT) AS s_cents,
+         CAST(sum(qty) AS BIGINT) AS s_qty,
+         CAST(sum(up_q) AS BIGINT) AS s_up
+  FROM rows_ GROUP BY brand, m
+)
+SELECT brand,
+       CAST(m // 12 AS BIGINT) AS yr, CAST(m % 12 + 1 AS BIGINT) AS mon,
+       n_lines, s_qty AS volume,
+       ((2 * s_cents * 100 + s_qty) // (2 * s_qty)) / 1e4 AS vwap,
+       ((2 * s_up + n_lines) // (2 * n_lines)) / 1e4 AS mean_price,
+       ((2 * s_cents * 100 + s_qty) // (2 * s_qty)
+        - (2 * s_up + n_lines) // (2 * n_lines)) / 1e4 AS vwap_premium
+FROM agg
+ORDER BY brand, yr, mon
+"""
+
+
+@register("finance_vwap_monthly", VWAP_ORACLE)
+def finance_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    rows_ = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 1e4)
+        .cast("long")
+        .alias("up_q"),
+    )
+    agg = rows_.groupBy("brand", "m").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("s_cents"),
+        F.sum("qty").cast("long").alias("s_qty"),
+        F.sum("up_q").cast("long").alias("s_up"),
+    )
+    # Exact half-up integer rounding ((2a+b) div 2b) so the 4-dp grid
+    # values can never sit on an engine-dependent half boundary.
+    vq = F.expr("(2 * s_cents * 100 + s_qty) div (2 * s_qty)")
+    mq = F.expr("(2 * s_up + n_lines) div (2 * n_lines)")
+    return agg.select(
+        "brand",
+        F.expr("m div 12").cast("long").alias("yr"),
+        (F.col("m") % 12 + 1).cast("long").alias("mon"),
+        "n_lines",
+        F.col("s_qty").alias("volume"),
+        (vq / 1e4).alias("vwap"),
+        (mq / 1e4).alias("mean_price"),
+        ((vq - mq) / 1e4).alias("vwap_premium"),
+    ).orderBy("brand", "yr", "mon")

@@ -2515,3 +2515,115 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_position — position-based (U-shaped, 40/20/40)
+# multi-touch attribution, completing the attribution family
+# (last-touch / linear / time-decay): within each purchase's 7-day
+# touch window the FIRST touch earns 40%, the LAST 40%, and the
+# middle touches split the remaining 20% evenly (1 touch -> 100%,
+# 2 -> 50/50). Touch order is (ts, event_id) so ties are engine-
+# identical; per-touch credit is quantized to 1e4 BIGINTs before the
+# fold. Scale: same time-bounded user join as the siblings; the
+# rank window partitions by purchase.
+# ---------------------------------------------------------------------------
+
+POSITION_ATTR_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.event_id AS purchase_id, p.value, t.event_type AS touch_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts, t.event_id) AS rn,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.ts <= p.ts
+   AND t.ts > p.ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT purchase_id, touch_type, rn, n_touches,
+         CAST(round(value * 1e4 *
+           CASE WHEN n_touches = 1 THEN 1.0
+                WHEN rn = 1 OR rn = n_touches THEN
+                     CASE WHEN n_touches = 2 THEN 0.5 ELSE 0.4 END
+                ELSE 0.2 / (n_touches - 2) END) AS BIGINT) AS credit_q
+  FROM joined
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited_touches,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn = n_touches THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       round(CAST(sum(credit_q) AS BIGINT) / 1e4, 4) AS total_credit
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@register("events_attribution_position", POSITION_ATTR_ORACLE)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(
+        spark, sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("touch_ts") > F.col("purchase_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "purchase_id",
+        "value",
+        "touch_type",
+        F.row_number()
+        .over(W.partitionBy("purchase_id").orderBy("touch_ts", "t_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    n = F.col("n_touches")
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == n),
+            F.when(n == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = joined.select(
+        "touch_type",
+        "rn",
+        "n_touches",
+        F.round(F.col("value") * 1e4 * weight).cast("long").alias("credit_q"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_credited_touches"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_first"),
+            F.sum(F.when(F.col("rn") == F.col("n_touches"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+            F.round(F.sum("credit_q").cast("long") / 1e4, 4).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )

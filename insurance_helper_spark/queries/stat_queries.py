@@ -6280,3 +6280,155 @@ def stat_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") / 10.0 - F.col("cum_at_cut").cast("double") / F.col("s"), 6
         ).alias("lorenz_gap"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# stat_mcnemar_paired — McNemar's test for paired binary outcomes on
+# the SAME unit: per order, flag A = "any line was returned"
+# (l_returnflag = 'R') vs flag B = "order fully shipped" (status 'F').
+# The test uses only the discordant cells b (A and not B) and c (B and
+# not A): chi2 = (b-c)^2/(b+c), plus the Edwards continuity-corrected
+# variant — the standard before/after marginal-homogeneity check. All
+# four cells are exact integer counts; the statistics are terminal
+# divisions. Scale: one orderkey rollup + broadcast-joined flags, one
+# global fold to a single row.
+# ---------------------------------------------------------------------------
+
+MCNEMAR_ORACLE = """
+WITH a AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fa
+  FROM lineitem GROUP BY l_orderkey
+),
+pairs AS (
+  SELECT a.fa, CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS fb
+  FROM a JOIN orders o ON o.o_orderkey = a.l_orderkey
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fa * (1 - fb)) AS BIGINT) AS b,
+         CAST(sum((1 - fa) * fb) AS BIGINT) AS c
+  FROM pairs
+)
+SELECT n AS n_pairs, b AS discordant_b, c AS discordant_c,
+       round(pow(CAST(b - c AS DOUBLE), 2) / (b + c), 4) AS mcnemar_chi2,
+       round(pow(abs(CAST(b - c AS DOUBLE)) - 1, 2) / (b + c), 4)
+           AS mcnemar_corrected
+FROM cells
+WHERE b + c > 0
+"""
+
+
+@register("stat_mcnemar_paired", MCNEMAR_ORACLE)
+def stat_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    a = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("fa")
+    )
+    pairs = a.join(orders, a.l_orderkey == orders.o_orderkey).select(
+        "fa", F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fb")
+    )
+    cells = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("fa") * (1 - F.col("fb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("fa")) * F.col("fb")).cast("long").alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = (F.col("b") - F.col("c")).cast("double")
+    return cells.where(bc > 0).select(
+        F.col("n").alias("n_pairs"),
+        F.col("b").alias("discordant_b"),
+        F.col("c").alias("discordant_c"),
+        F.round(F.pow(diff, 2) / bc, 4).alias("mcnemar_chi2"),
+        F.round(F.pow(F.abs(diff) - 1, 2) / bc, 4).alias("mcnemar_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_cuped_adjustment — CUPED variance reduction for the events
+# experiment surface: per user, X = pre-period spend (days 1-15 of
+# the observation month), Y = post-period spend; theta = cov(X,Y) /
+# var(X); the adjusted metric Y - theta*(X - Xbar) has variance
+# var(Y)*(1 - rho^2) — the % of A/B-test variance the pre-period
+# covariate removes. Values quantized to integer cents per row; all
+# five moments exact BIGINT sums; rho/theta terminal doubles. Scale:
+# one user-key rollup, one scalar fold.
+# ---------------------------------------------------------------------------
+
+CUPED_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day(ts) <= 15
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN day(ts) > 15
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n AS n_users,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+       round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy, 2)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+           AS rho_squared,
+       round((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n) / 1e4, 4) AS var_y,
+       round((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n) / 1e4
+             * (1 - pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy, 2)
+                    / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))), 4)
+           AS var_y_adjusted
+FROM m
+WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+  AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+"""
+
+
+@register("stat_cuped_adjustment", CUPED_ORACLE)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho2 = F.pow(cov, 2) / (vx * vy)
+    return m.where((vx > 0) & (vy > 0)).select(
+        F.col("n").alias("n_users"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho_squared"),
+        F.round(vy / (nd * F.col("n")) / 1e4, 4).alias("var_y"),
+        F.round(vy / (nd * F.col("n")) / 1e4 * (1 - rho2), 4).alias("var_y_adjusted"),
+    )
