@@ -3534,3 +3534,94 @@ def finance_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mq / 1e4).alias("mean_price"),
         ((vq - mq) / 1e4).alias("vwap_premium"),
     ).orderBy("brand", "yr", "mon")
+
+
+# ---------------------------------------------------------------------------
+# stat_gumbel_block_maxima — extreme-value analysis by the block-
+# maxima method: monthly maxima of daily revenue (exact integer
+# dollars), Gumbel parameters by the method of moments (beta =
+# s*sqrt(6)/pi, mu = xbar - gamma*beta with Euler-Mascheroni gamma),
+# and the one-month probability of exceeding the historical maximum,
+# 1 - exp(-exp(-(x-mu)/beta)) — the tail-risk number a capacity /
+# reinsurance review wants. Moments fold as exact BIGINT sums over
+# the ~tens-of-blocks relation; everything after is terminal scalar
+# arithmetic on one row. Complements stat_hill_tail_index (POT view).
+# ---------------------------------------------------------------------------
+
+GUMBEL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS d
+  FROM orders GROUP BY day
+),
+blocks AS (
+  SELECT date_trunc('month', day) AS mth, CAST(max(d) AS BIGINT) AS mx
+  FROM daily GROUP BY mth
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(mx * mx) AS BIGINT) AS ss,
+         CAST(max(mx) AS BIGINT) AS historic_max
+  FROM blocks
+),
+fit AS (
+  SELECT n, historic_max,
+         CAST(s AS DOUBLE) / n AS xbar,
+         sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+              / (CAST(n AS DOUBLE) * (n - 1))) * sqrt(6.0) / pi() AS beta
+  FROM m WHERE n >= 12
+)
+SELECT n AS n_blocks, historic_max,
+       round(xbar - 0.5772156649015329 * beta, 2) AS gumbel_mu,
+       round(beta, 2) AS gumbel_beta,
+       round(1 - exp(-exp(-(historic_max
+                            - (xbar - 0.5772156649015329 * beta)) / beta)), 6)
+           AS p_exceed_historic
+FROM fit
+"""
+
+
+@register("stat_gumbel_block_maxima", GUMBEL_ORACLE)
+def stat_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("d")
+    )
+    blocks = daily.groupBy(F.date_trunc("month", "day").alias("mth")).agg(
+        F.max("d").cast("long").alias("mx")
+    )
+    m = blocks.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("ss"),
+        F.max("mx").cast("long").alias("historic_max"),
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("s").cast("double") / F.col("n")
+    beta = (
+        F.sqrt(
+            (F.col("n") * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+            / (nd * (F.col("n") - 1))
+        )
+        * F.sqrt(F.lit(6.0))
+        / F.lit(math.pi)
+    )
+    fit = m.where(F.col("n") >= 12).select(
+        "n", "historic_max", xbar.alias("xbar"), beta.alias("beta")
+    )
+    mu = F.col("xbar") - F.lit(0.5772156649015329) * F.col("beta")
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        "historic_max",
+        F.round(mu, 2).alias("gumbel_mu"),
+        F.round(F.col("beta"), 2).alias("gumbel_beta"),
+        F.round(
+            1 - F.exp(-F.exp(-(F.col("historic_max") - mu) / F.col("beta"))), 6
+        ).alias("p_exceed_historic"),
+    )

@@ -1433,3 +1433,282 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau_tenths")
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-linkage evaluation pair: Fellegi-Sunter field weights and a
+# blocking-quality audit. The "truth-ish" match set M is the shingle-
+# blocked Jaccard >= 0.5 near-dup pair relation (the house candidate
+# generator) — the same bootstrap every production linkage pipeline
+# uses before hand labels exist.
+# ---------------------------------------------------------------------------
+
+_LINKAGE_PAIRS_SQL = """
+t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+m_pairs AS (
+  SELECT p.id_a, p.id_b
+  FROM p0 p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE 2 * p.common >= sa.sh_size + sb.sh_size - p.common
+),
+d AS (SELECT doc_id, lang, source, n_chars // 500 AS len_bin FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# linkage_fellegi_sunter_weights — the F-S decision-theory weight
+# table: for each comparison field (lang / source / length bin),
+# m = P(agree | match) estimated on the near-dup match set, u =
+# P(agree | random pair) computed EXACTLY from the field's marginal
+# counts (sum n_v(n_v-1) / N(N-1) — no sampling), and the log2
+# agree/disagree weights ln(m/u), ln((1-m)/(1-u)). Degenerate fields
+# (m = 0 or 1) yield NULL on the undefined side, identically in both
+# engines. Scale: the match set rides the capped shingle join; the
+# u-probabilities are one groupBy per field on the dimension counts.
+# ---------------------------------------------------------------------------
+
+FS_WEIGHTS_ORACLE = f"""
+WITH {_LINKAGE_PAIRS_SQL},
+ma AS (
+  SELECT CAST(count(*) AS BIGINT) AS nm,
+         CAST(sum(CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END) AS BIGINT) AS a_lang,
+         CAST(sum(CASE WHEN da.source = db.source THEN 1 ELSE 0 END) AS BIGINT) AS a_source,
+         CAST(sum(CASE WHEN da.len_bin = db.len_bin THEN 1 ELSE 0 END) AS BIGINT) AS a_len
+  FROM m_pairs p JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+u_lang AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+           FROM (SELECT count(*) AS c FROM d GROUP BY lang)),
+u_source AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+             FROM (SELECT count(*) AS c FROM d GROUP BY source)),
+u_len AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+          FROM (SELECT count(*) AS c FROM d GROUP BY len_bin)),
+rows_ AS (
+  SELECT 'lang' AS field, ma.nm, ma.a_lang AS am,
+         CAST(u_lang.agree AS DOUBLE) / (n.n * (n.n - 1)) AS u
+  FROM ma, u_lang, n_tot n
+  UNION ALL
+  SELECT 'source', ma.nm, ma.a_source,
+         CAST(u_source.agree AS DOUBLE) / (n.n * (n.n - 1))
+  FROM ma, u_source, n_tot n
+  UNION ALL
+  SELECT 'len_bin', ma.nm, ma.a_len,
+         CAST(u_len.agree AS DOUBLE) / (n.n * (n.n - 1))
+  FROM ma, u_len, n_tot n
+)
+SELECT field, nm AS n_match_pairs,
+       round(CAST(am AS DOUBLE) / nm, 6) AS m_prob,
+       round(u, 6) AS u_prob,
+       CASE WHEN am > 0
+            THEN round(ln(CAST(am AS DOUBLE) / nm / u) / ln(2), 4) END
+           AS agree_weight,
+       CASE WHEN am < nm
+            THEN round(ln((1 - CAST(am AS DOUBLE) / nm) / (1 - u)) / ln(2), 4) END
+           AS disagree_weight
+FROM rows_
+ORDER BY field
+"""
+
+
+@register("linkage_fellegi_sunter_weights", FS_WEIGHTS_ORACLE)
+def linkage_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    m_pairs = dedup.ngram_jaccard_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    d = docs.select(
+        "doc_id", "lang", "source", F.expr("n_chars div 500").alias("len_bin")
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("len_bin").alias("len_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("len_bin").alias("len_b"),
+    )
+    ma = (
+        m_pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .agg(
+            F.count("*").cast("long").alias("nm"),
+            F.sum(F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("a_lang"),
+            F.sum(F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("a_source"),
+            F.sum(F.when(F.col("len_a") == F.col("len_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("a_len"),
+        )
+    )
+    n_tot = d.agg(F.count("*").cast("long").alias("n"))
+
+    def _u(field):
+        return (
+            d.groupBy(field)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias(f"agree_{field}"))
+        )
+
+    one = (
+        ma.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(_u("lang")))
+        .crossJoin(F.broadcast(_u("source")))
+        .crossJoin(F.broadcast(_u("len_bin")))
+    )
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double")
+    rows_ = one.select(
+        "nm",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("field"),
+                    F.col("a_lang").alias("am"),
+                    (F.col("agree_lang").cast("double") / denom).alias("u"),
+                ),
+                F.struct(
+                    F.lit("source").alias("field"),
+                    F.col("a_source").alias("am"),
+                    (F.col("agree_source").cast("double") / denom).alias("u"),
+                ),
+                F.struct(
+                    F.lit("len_bin").alias("field"),
+                    F.col("a_len").alias("am"),
+                    (F.col("agree_len_bin").cast("double") / denom).alias("u"),
+                ),
+            )
+        ).alias("f"),
+    ).select("nm", "f.field", "f.am", "f.u")
+    m = F.col("am").cast("double") / F.col("nm")
+    ln2 = F.log(F.lit(2.0))
+    return rows_.select(
+        "field",
+        F.col("nm").alias("n_match_pairs"),
+        F.round(m, 6).alias("m_prob"),
+        F.round("u", 6).alias("u_prob"),
+        F.when(F.col("am") > 0, F.round(F.log(m / F.col("u")) / ln2, 4)).alias(
+            "agree_weight"
+        ),
+        F.when(
+            F.col("am") < F.col("nm"),
+            F.round(F.log((1 - m) / (1 - F.col("u"))) / ln2, 4),
+        ).alias("disagree_weight"),
+    ).orderBy("field")
+
+
+# ---------------------------------------------------------------------------
+# linkage_blocking_quality — the two numbers that judge any blocking
+# scheme: reduction ratio (1 - candidate pairs / all pairs) and pairs
+# completeness (fraction of true matches whose members share a
+# block), here for the (lang, length-bin) key against the near-dup
+# match set. Both are exact integer ratios. Scale: candidate volume
+# is sum b(b-1)/2 over block sizes — one groupBy; completeness is a
+# broadcast feature join on the bounded match set.
+# ---------------------------------------------------------------------------
+
+BLOCKING_ORACLE = f"""
+WITH {_LINKAGE_PAIRS_SQL},
+blocks AS (SELECT lang, len_bin, CAST(count(*) AS BIGINT) AS b
+           FROM d GROUP BY lang, len_bin),
+cand AS (SELECT CAST(sum(b * (b - 1)) AS BIGINT) // 2 AS cand_pairs,
+                CAST(count(*) AS BIGINT) AS n_blocks
+         FROM blocks),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN da.lang = db.lang AND da.len_bin = db.len_bin
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM m_pairs p JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b
+)
+SELECT n.n AS n_docs, c.n_blocks, c.cand_pairs,
+       round(1 - CAST(c.cand_pairs AS DOUBLE) / (n.n * (n.n - 1) / 2), 6)
+           AS reduction_ratio,
+       t.n_true AS n_true_pairs,
+       round(CAST(t.hits AS DOUBLE) / t.n_true, 6) AS pairs_completeness
+FROM cand c, n_tot n, truth t
+WHERE t.n_true > 0
+"""
+
+
+@register("linkage_blocking_quality", BLOCKING_ORACLE)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    m_pairs = dedup.ngram_jaccard_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    d = docs.select("doc_id", "lang", F.expr("n_chars div 500").alias("len_bin"))
+    blocks = d.groupBy("lang", "len_bin").agg(F.count("*").cast("long").alias("b"))
+    cand = blocks.agg(
+        F.expr("CAST(sum(b * (b - 1)) AS BIGINT) div 2").alias("cand_pairs"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    n_tot = d.agg(F.count("*").cast("long").alias("n"))
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("len_bin").alias("len_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bin").alias("len_b"),
+    )
+    truth = (
+        m_pairs.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("lang_a") == F.col("lang_b"))
+                    & (F.col("len_a") == F.col("len_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(truth))
+        .where(F.col("n_true") > 0)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_blocks",
+            "cand_pairs",
+            F.round(
+                1 - F.col("cand_pairs").cast("double") / (F.col("n") * (F.col("n") - 1) / 2),
+                6,
+            ).alias("reduction_ratio"),
+            F.col("n_true").alias("n_true_pairs"),
+            F.round(F.col("hits").cast("double") / F.col("n_true"), 6).alias(
+                "pairs_completeness"
+            ),
+        )
+    )

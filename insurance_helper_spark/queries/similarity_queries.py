@@ -1853,3 +1853,223 @@ def ml_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ch_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_mmr_rerank — Maximal Marginal Relevance: the diversified
+# top-10 rerank every retrieval stack runs between ANN recall and the
+# consumer. Relevance = cosine to the corpus centroid; the greedy
+# selection (10 unrolled steps, lambda = 0.7) maximizes
+#   7*rel_q - 3*max_sim_to_selected  (x10 integer-scaled, EXACT)
+# over the top-50 candidate buffer, ties broken by vec_id — fully
+# deterministic in both engines because relevance and pairwise
+# similarities are quantized to 1e8 BIGINTs before any comparison.
+# Scale: candidate generation is the distributed part (one corpus
+# pass); the rerank then touches only the O(k^2) candidate buffer —
+# the same bounded-buffer contract as production MMR. The greedy
+# steps are lazy DataFrame ops over <=50-row relations (checkpointed
+# per step to cut lineage), no driver-side data loop.
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle() -> str:
+    base = """
+WITH x AS (
+  SELECT vec_id, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+g AS (
+  SELECT dim,
+         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / count(*) AS gc
+  FROM x GROUP BY dim
+),
+nc AS (
+  SELECT sqrt(CAST(sum(CAST(round(gc * gc * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS nc
+  FROM g
+),
+dots AS (
+  SELECT x.vec_id,
+         CAST(sum(CAST(round(x.val * g.gc * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot,
+         sqrt(CAST(sum(CAST(round(x.val * x.val * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12) AS nv
+  FROM x JOIN g ON g.dim = x.dim GROUP BY x.vec_id
+),
+rel AS (
+  SELECT d.vec_id,
+         CAST(round(d.dot / (d.nv * n.nc) * 1e8) AS BIGINT) AS rel_q
+  FROM dots d CROSS JOIN nc n
+),
+cand AS MATERIALIZED (SELECT vec_id, rel_q FROM rel ORDER BY rel_q DESC, vec_id LIMIT 50),
+xc AS (SELECT x.* FROM x JOIN cand c ON c.vec_id = x.vec_id),
+nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12) AS nv
+  FROM xc GROUP BY vec_id
+),
+pd AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(sum(CAST(round(a.val * b.val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM xc a JOIN xc b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sims AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CAST(round(p.dot / (na.nv * nb.nv) * 1e8) AS BIGINT) AS sim_q
+  FROM pd p JOIN nrm na ON na.vec_id = p.a JOIN nrm nb ON nb.vec_id = p.b
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel_q, CAST(NULL AS BIGINT) AS msim, CAST(1 AS BIGINT) AS pos
+  FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1
+)"""
+    parts = [base]
+    for t in range(2, 11):
+        parts.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel_q, max(s.sim_q) AS msim, CAST({t} AS BIGINT) AS pos
+  FROM cand c JOIN sims s ON s.a = c.vec_id
+   AND s.b IN (SELECT vec_id FROM sel{t - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY c.vec_id, c.rel_q
+  ORDER BY 7 * c.rel_q - 3 * max(s.sim_q) DESC, c.vec_id
+  LIMIT 1
+),
+sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    parts.append(
+        """
+SELECT pos, vec_id, rel_q / 1e8 AS relevance,
+       msim / 1e8 AS max_sim_to_selected
+FROM sel10 ORDER BY pos"""
+    )
+    return "".join(parts)
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@register("similarity_mmr_rerank", MMR_ORACLE)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    g = x.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("gc")
+    )
+    nc = g.agg(
+        F.sqrt(
+            F.sum(F.round(F.col("gc") * F.col("gc") * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("nc")
+    )
+    dots = (
+        x.join(F.broadcast(g), "dim")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * F.col("gc") * 1e12).cast("long")).cast(
+                    "double"
+                )
+                / 1e12
+            ).alias("dot"),
+            F.sqrt(
+                F.sum(F.round(F.col("val") * F.col("val") * 1e12).cast("long")).cast(
+                    "double"
+                )
+                / 1e12
+            ).alias("nv"),
+        )
+    )
+    rel = dots.crossJoin(F.broadcast(nc)).select(
+        "vec_id",
+        F.round(F.col("dot") / (F.col("nv") * F.col("nc")) * 1e8)
+        .cast("long")
+        .alias("rel_q"),
+    )
+    cand = (
+        rel.orderBy(F.col("rel_q").desc(), "vec_id").limit(50).localCheckpoint(eager=True)
+    )
+    xc = x.join(F.broadcast(cand.select("vec_id")), "vec_id")
+    nrm = xc.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("val") * F.col("val") * 1e12).cast("long")).cast("double")
+            / 1e12
+        ).alias("nv")
+    )
+    xa, xb = xc.alias("xa"), xc.alias("xb")
+    pd_ = (
+        xa.join(
+            xb,
+            (F.col("xa.dim") == F.col("xb.dim"))
+            & (F.col("xa.vec_id") != F.col("xb.vec_id")),
+        )
+        .groupBy(F.col("xa.vec_id").alias("a"), F.col("xb.vec_id").alias("b"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("xa.val") * F.col("xb.val") * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("dot")
+        )
+    )
+    na = nrm.select(F.col("vec_id").alias("a"), F.col("nv").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("b"), F.col("nv").alias("nb"))
+    sims = (
+        pd_.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")) * 1e8)
+            .cast("long")
+            .alias("sim_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.orderBy(F.col("rel_q").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel_q",
+            F.lit(None).cast("long").alias("msim"),
+            F.lit(1).cast("long").alias("pos"),
+        )
+    )
+    for t in range(2, 11):
+        sel_ids = sel.select("vec_id")
+        msim = (
+            sims.join(
+                F.broadcast(sel_ids.select(F.col("vec_id").alias("b"))), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim_q").alias("msim"))
+        )
+        st = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(msim, F.col("vec_id") == F.col("a"))
+            .orderBy(
+                (7 * F.col("rel_q") - 3 * F.col("msim")).desc(), "vec_id"
+            )
+            .limit(1)
+            .select(
+                "vec_id", "rel_q", "msim", F.lit(t).cast("long").alias("pos")
+            )
+        )
+        sel = sel.unionByName(st).localCheckpoint(eager=True)
+    return sel.select(
+        "pos",
+        "vec_id",
+        (F.col("rel_q") / 1e8).alias("relevance"),
+        (F.col("msim") / 1e8).alias("max_sim_to_selected"),
+    ).orderBy("pos")

@@ -6432,3 +6432,94 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vy / (nd * F.col("n")) / 1e4, 4).alias("var_y"),
         F.round(vy / (nd * F.col("n")) / 1e4 * (1 - rho2), 4).alias("var_y_adjusted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_cochran_armitage_trend — the Cochran-Armitage test for a LINEAR
+# trend in a binary outcome across ORDERED groups: does the return
+# rate trend with order priority (scores 1..5 from the priority
+# prefix)? T = sum w_i r_i with null expectation (R/N) sum w_i n_i and
+# variance pbar(1-pbar)(sum w_i^2 n_i - (sum w_i n_i)^2 / N); chi2 =
+# (T-E)^2/Var. Every sum is an exact BIGINT (scores are integers);
+# the statistic is one terminal expression. The ordered complement to
+# stat_chi2_priority_status, which ignores group order. Scale: one
+# orderkey rollup + a 5-row fold.
+# ---------------------------------------------------------------------------
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH flags AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+  FROM lineitem GROUP BY l_orderkey
+),
+g AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(f.ev) AS BIGINT) AS r_i
+  FROM orders o JOIN flags f ON f.l_orderkey = o.o_orderkey
+  GROUP BY w
+),
+s AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(r_i) AS BIGINT) AS r,
+         CAST(sum(w * r_i) AS BIGINT) AS t,
+         CAST(sum(w * n_i) AS BIGINT) AS wn,
+         CAST(sum(w * w * n_i) AS BIGINT) AS wwn
+  FROM g
+)
+SELECT n AS n_orders, r AS n_events,
+       round((CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * wn / n), 4) AS trend_t,
+       round(pow(CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * wn / n, 2)
+             / ((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)
+                * (CAST(wwn AS DOUBLE) - CAST(wn AS DOUBLE) * wn / n)), 4)
+           AS chi2_trend,
+       CASE WHEN CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * wn / n > 0
+            THEN 'increasing'
+            WHEN CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * wn / n < 0
+            THEN 'decreasing' ELSE 'flat' END AS direction
+FROM s
+WHERE r > 0 AND r < n
+"""
+
+
+@register("stat_cochran_armitage_trend", COCHRAN_ARMITAGE_ORACLE)
+def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    )
+    flags = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ev")
+    )
+    g = (
+        orders.join(flags, orders.o_orderkey == flags.l_orderkey)
+        .groupBy(F.substring("o_orderpriority", 1, 1).cast("long").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum("ev").cast("long").alias("r_i"),
+        )
+    )
+    s = g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("t"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).cast("long").alias("wwn"),
+    )
+    td = F.col("t").cast("double")
+    rd = F.col("r").cast("double")
+    nd = F.col("n").cast("double")
+    dev = td - rd * F.col("wn") / F.col("n")
+    pbar = rd / F.col("n")
+    var0 = pbar * (1 - pbar) * (
+        F.col("wwn").cast("double") - F.col("wn").cast("double") * F.col("wn") / F.col("n")
+    )
+    return s.where((F.col("r") > 0) & (F.col("r") < F.col("n"))).select(
+        F.col("n").alias("n_orders"),
+        F.col("r").alias("n_events"),
+        F.round(dev, 4).alias("trend_t"),
+        F.round(F.pow(dev, 2) / var0, 4).alias("chi2_trend"),
+        F.when(dev > 0, "increasing")
+        .when(dev < 0, "decreasing")
+        .otherwise("flat")
+        .alias("direction"),
+    )
