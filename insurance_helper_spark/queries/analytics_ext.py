@@ -3625,3 +3625,98 @@ def stat_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.exp(-F.exp(-(F.col("historic_max") - mu) / F.col("beta"))), 6
         ).alias("p_exceed_historic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_clv_heuristic — the classic margin x frequency x lifespan
+# CLV heuristic per segment: average order value (exact cents ratio)
+# x orders per customer per active year x expected lifetime in years
+# (1 / churn rate, churn = customers whose last order predates the
+# observation horizon by 90+ days — the KM framing's event flag).
+# Every input is an exact integer count/sum; the CLV is one terminal
+# product of ratios. Scale: one customer rollup + broadcast horizon +
+# 5-row fold.
+# ---------------------------------------------------------------------------
+
+CLV_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_o,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(max(o_orderdate) AS DATE) AS last_day
+  FROM orders GROUP BY o_custkey
+),
+horizon AS (
+  SELECT max(last_day) AS obs_end,
+         CAST(count(DISTINCT year(last_day)) AS BIGINT) AS n_years
+  FROM per_cust
+),
+g AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(p.n_o) AS BIGINT) AS n_orders,
+         CAST(sum(p.cents) AS BIGINT) AS s_cents,
+         CAST(sum(CASE WHEN p.last_day < h.obs_end - INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+         CAST(max(h.n_years) AS BIGINT) AS n_years
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey
+  CROSS JOIN horizon h
+  GROUP BY segment
+)
+SELECT segment, n_cust, n_orders,
+       round(CAST(s_cents AS DOUBLE) / n_orders / 100, 2) AS aov,
+       round(CAST(n_orders AS DOUBLE) / n_cust / n_years, 4)
+           AS orders_per_cust_year,
+       round(CAST(churned AS DOUBLE) / n_cust, 6) AS churn_rate,
+       round(CAST(s_cents AS DOUBLE) / n_orders / 100
+             * (CAST(n_orders AS DOUBLE) / n_cust / n_years)
+             / (CAST(churned AS DOUBLE) / n_cust), 2) AS clv_estimate
+FROM g
+WHERE churned > 0
+ORDER BY segment
+"""
+
+
+@register("customer_clv_heuristic", CLV_ORACLE)
+def customer_clv_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_o"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+        F.to_date(F.max("o_orderdate")).alias("last_day"),
+    )
+    horizon = per_cust.agg(
+        F.max("last_day").alias("obs_end"),
+        F.countDistinct(F.year("last_day")).cast("long").alias("n_years"),
+    )
+    g = (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("n_o").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("s_cents"),
+            F.sum(
+                F.when(F.col("last_day") < F.date_sub("obs_end", 90), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("churned"),
+            F.max("n_years").cast("long").alias("n_years"),
+        )
+    )
+    aov = F.col("s_cents").cast("double") / F.col("n_orders") / 100
+    freq = F.col("n_orders").cast("double") / F.col("n_cust") / F.col("n_years")
+    churn = F.col("churned").cast("double") / F.col("n_cust")
+    return g.where(F.col("churned") > 0).select(
+        "segment",
+        "n_cust",
+        "n_orders",
+        F.round(aov, 2).alias("aov"),
+        F.round(freq, 4).alias("orders_per_cust_year"),
+        F.round(churn, 6).alias("churn_rate"),
+        F.round(aov * freq / churn, 2).alias("clv_estimate"),
+    ).orderBy("segment")

@@ -910,3 +910,122 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_perplexity_buckets — the CCNet head/middle/tail split: score
+# every document by its unigram-LM surprisal (per-token -ln p
+# quantized to 1e6 BIGINTs BEFORE the per-doc fold, so the doc score
+# is an exact integer mean via div), cut the corpus into thirds at
+# exact count boundaries derived from a distinct-score cumulative
+# walk (no global ntile over the raw docs — ties share a bucket, the
+# documented semantics), and report the per-(lang, bucket) census a
+# pretraining mix review reads. Scale: the model join is the standard
+# explode + broadcast term-stats pass; the boundary walk runs on the
+# distinct-score relation and classification is a shuffle-free
+# broadcast comparison (coarsen the 1e6 quantization to bound the
+# score domain at extreme corpus sizes).
+# ---------------------------------------------------------------------------
+
+PPLX_BUCKETS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+             AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM t),
+model AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM model),
+scored AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(-ln(model.cnt * 1.0 / total.n) * 1e6) AS BIGINT))
+              AS BIGINT) // count(*) AS score
+  FROM tok JOIN model USING (term), total
+  GROUP BY tok.doc_id, tok.lang
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+dv AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY score),
+walk AS (
+  SELECT score, CAST(sum(c) OVER (ORDER BY score
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dv
+),
+bounds AS (
+  SELECT min(CASE WHEN 3 * w.cum >= n.n THEN w.score END) AS b1,
+         min(CASE WHEN 3 * w.cum >= 2 * n.n THEN w.score END) AS b2
+  FROM walk w CROSS JOIN n_tot n
+)
+SELECT s.lang,
+       CASE WHEN s.score <= b.b1 THEN 'head'
+            WHEN s.score <= b.b2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(s.n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens,
+       round(CAST(sum(s.score) AS DOUBLE) / count(*) / 1e6, 4) AS avg_surprisal
+FROM scored s CROSS JOIN bounds b
+GROUP BY s.lang, bucket
+ORDER BY s.lang, bucket
+"""
+
+
+@register("corpus_perplexity_buckets", PPLX_BUCKETS_ORACLE)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    model = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("long").alias("n"))
+    sq = F.round(-F.log(F.col("cnt") * 1.0 / F.col("n")) * 1e6).cast("long")
+    scored = (
+        tok.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(sq).cast("long").alias("ssq"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("ssq div n_tokens").alias("score"),
+        )
+    )
+    n_tot = scored.agg(F.count("*").cast("long").alias("n"))
+    dv = scored.groupBy("score").agg(F.count("*").cast("long").alias("c"))
+    walk = dv.select(
+        "score",
+        F.sum("c")
+        .over(W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    bounds = walk.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("score"))).alias("b1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("score"))).alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("b1"), "head")
+        .when(F.col("score") <= F.col("b2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("*"), 2).alias(
+                "avg_tokens"
+            ),
+            F.round(F.sum("score").cast("double") / F.count("*") / 1e6, 4).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("lang", "bucket")
+    )

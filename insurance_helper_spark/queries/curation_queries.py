@@ -2560,3 +2560,78 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_sum").cast("long") / 100.0, 2).alias("total_spend"),
         (F.expr("(2 * p_sum + p_count) div (2 * p_count)") / 100.0).alias("avg_spend"),
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# ops_shuffle_balance_audit — would this key skew a 32-way shuffle?
+# Buckets every order by portable_hash(o_custkey) % 32 (the same
+# engine-portable hash family behind CMS/MinHash/HRW) and reports the
+# bucket-size distribution: max/mean imbalance factor, coefficient of
+# variation, and the exact integer Gini of bucket sizes — the triage
+# numbers that decide between rebalancing, salting, or AQE skew-join.
+# Scale: ONE map-side-combined groupBy on 32 buckets; the audit
+# relation is constant-size regardless of fact volume.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BALANCE_ORACLE = f"""
+WITH b AS (
+  SELECT {_hf_sql("o_custkey", 1)} % 32 AS bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM orders GROUP BY bucket
+),
+ranked AS (
+  SELECT sz, row_number() OVER (ORDER BY sz, bucket) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS nb
+  FROM b
+),
+g AS (
+  SELECT nb, CAST(sum(sz) AS BIGINT) AS tot,
+         CAST(sum((2 * i - nb - 1) * sz) AS BIGINT) AS gnum,
+         CAST(max(sz) AS BIGINT) AS mx,
+         CAST(sum(sz * sz) AS BIGINT) AS ssq
+  FROM ranked GROUP BY nb
+)
+SELECT tot AS n_rows, nb AS n_buckets, mx AS max_bucket,
+       round(CAST(tot AS DOUBLE) / nb, 2) AS mean_bucket,
+       round(mx * CAST(nb AS DOUBLE) / tot, 4) AS imbalance_factor,
+       round(sqrt(nb * CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) - 1), 6)
+           AS cv,
+       round(CAST(gnum AS DOUBLE) / (CAST(nb AS DOUBLE) * tot), 6) AS gini
+FROM g
+"""
+
+
+@register("ops_shuffle_balance_audit", SHUFFLE_BALANCE_ORACLE)
+def ops_shuffle_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey"])
+    b = orders.groupBy((_hf(F.col("o_custkey"), 1) % 32).alias("bucket")).agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    ranked = b.select(
+        "sz",
+        F.row_number().over(W.orderBy("sz", "bucket")).alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("nb"),
+    )
+    g = ranked.groupBy("nb").agg(
+        F.sum("sz").cast("long").alias("tot"),
+        F.sum((2 * F.col("i") - F.col("nb") - 1) * F.col("sz"))
+        .cast("long")
+        .alias("gnum"),
+        F.max("sz").cast("long").alias("mx"),
+        F.sum(F.col("sz") * F.col("sz")).cast("long").alias("ssq"),
+    )
+    totd = F.col("tot").cast("double")
+    nbd = F.col("nb").cast("double")
+    return g.select(
+        F.col("tot").alias("n_rows"),
+        F.col("nb").alias("n_buckets"),
+        F.col("mx").alias("max_bucket"),
+        F.round(totd / F.col("nb"), 2).alias("mean_bucket"),
+        F.round(F.col("mx") * nbd / F.col("tot"), 4).alias("imbalance_factor"),
+        F.round(
+            F.sqrt(F.col("nb") * F.col("ssq").cast("double") / (totd * totd) - 1), 6
+        ).alias("cv"),
+        F.round(F.col("gnum").cast("double") / (nbd * F.col("tot")), 6).alias("gini"),
+    )

@@ -6523,3 +6523,193 @@ def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_friedman_test — Friedman's rank test for k related treatments
+# over n blocks: do the 5 market segments rank consistently across
+# order years? Cells are the Buhlmann (segment, year) average-order
+# values quantized to integer cents; within each balanced block the
+# k treatments are ranked by (value, segment) row_number — cents
+# quantization makes value ties virtually impossible and the segment
+# tiebreak makes any residual tie engine-identical. chi2_F =
+# 12/(nk(k+1)) * sum R_j^2 - 3n(k+1), all from exact BIGINT rank
+# sums. Scale: one fact rollup to k x years cells.
+# ---------------------------------------------------------------------------
+
+FRIEDMAN_ORACLE = """
+WITH cells0 AS (
+  SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS yr,
+         CAST(round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / count(*)) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, yr
+),
+k AS (SELECT CAST(count(DISTINCT segment) AS BIGINT) AS k FROM cells0),
+balanced AS (
+  SELECT yr FROM cells0 CROSS JOIN k
+  GROUP BY yr, k.k HAVING count(*) = any_value(k.k)
+),
+ranked AS (
+  SELECT c.segment, c.yr,
+         CAST(row_number() OVER (PARTITION BY c.yr ORDER BY c.x, c.segment)
+              AS BIGINT) AS r
+  FROM cells0 c JOIN balanced b ON b.yr = c.yr
+),
+rs AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS rank_sum
+  FROM ranked GROUP BY segment
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS kk, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(rank_sum * rank_sum) AS BIGINT) AS srr
+  FROM rs
+)
+SELECT rs.segment, tot.n AS n_blocks, rs.rank_sum,
+       round(CAST(rs.rank_sum AS DOUBLE) / tot.n, 4) AS mean_rank,
+       round(12.0 / (tot.n * tot.kk * (tot.kk + 1)) * tot.srr
+             - 3.0 * tot.n * (tot.kk + 1), 4) AS friedman_chi2
+FROM rs CROSS JOIN tot
+ORDER BY rs.segment
+"""
+
+
+@register("stat_friedman_test", FRIEDMAN_ORACLE)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cells0 = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    k = cells0.agg(F.countDistinct("segment").cast("long").alias("k"))
+    balanced = (
+        cells0.crossJoin(F.broadcast(k))
+        .groupBy("yr", "k")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == F.col("k"))
+        .select("yr")
+    )
+    ranked = (
+        cells0.join(F.broadcast(balanced), "yr")
+        .select(
+            "segment",
+            "yr",
+            F.row_number()
+            .over(Window.partitionBy("yr").orderBy("x", "segment"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    rs = ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("rank_sum"),
+    )
+    tot = rs.agg(
+        F.count("*").cast("long").alias("kk"),
+        F.max("n").cast("long").alias("n_b"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).cast("long").alias("srr"),
+    )
+    return (
+        rs.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("n_b").alias("n_blocks"),
+            "rank_sum",
+            F.round(F.col("rank_sum").cast("double") / F.col("n_b"), 4).alias(
+                "mean_rank"
+            ),
+            F.round(
+                F.lit(12.0)
+                / (F.col("n_b") * F.col("kk") * (F.col("kk") + 1))
+                * F.col("srr")
+                - 3.0 * F.col("n_b") * (F.col("kk") + 1),
+                4,
+            ).alias("friedman_chi2"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_wilson_ci — Wilson score 95% confidence interval for the
+# per-segment return rate: the interval that behaves at small n and
+# extreme p where the Wald interval collapses (the house standard for
+# reporting rates off integer counts). Inputs are exact integer
+# (events, trials); the interval is one closed-form expression with
+# z = 1.96 pinned. Scale: one orderkey rollup + broadcast segment
+# join + 5-row fold.
+# ---------------------------------------------------------------------------
+
+WILSON_ORACLE = """
+WITH flags AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+  FROM lineitem GROUP BY l_orderkey
+),
+g AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(f.ev) AS BIGINT) AS x
+  FROM flags f
+  JOIN orders o ON o.o_orderkey = f.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY segment
+)
+SELECT segment, n AS n_orders, x AS n_returned,
+       round(CAST(x AS DOUBLE) / n, 6) AS p_hat,
+       round((CAST(x AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+             / (1 + 3.8416 / n), 6) AS wilson_low,
+       round((CAST(x AS DOUBLE) / n + 1.9208 / n
+              + 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+             / (1 + 3.8416 / n), 6) AS wilson_high
+FROM g
+WHERE n > 0
+ORDER BY segment
+"""
+
+
+@register("stat_wilson_ci", WILSON_ORACLE)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    flags = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ev")
+    )
+    g = (
+        flags.join(orders, flags.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ev").cast("long").alias("x"),
+        )
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    nd = F.col("n").cast("double")
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (nd * F.col("n")))
+    denom = 1 + 3.8416 / F.col("n")
+    return g.where(F.col("n") > 0).select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.col("x").alias("n_returned"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / F.col("n") - half) / denom, 6).alias("wilson_low"),
+        F.round((p + 1.9208 / F.col("n") + half) / denom, 6).alias("wilson_high"),
+    ).orderBy("segment")
