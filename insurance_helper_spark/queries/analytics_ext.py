@@ -3720,3 +3720,205 @@ def customer_clv_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(churn, 6).alias("churn_rate"),
         F.round(aov * freq / churn, 2).alias("clv_estimate"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# orders_abc_migration — ABC class MIGRATION matrix between the two
+# most recent complete ship years: which parts moved between the
+# A/B/C revenue tiers (same integer cross-multiplied 80/95 cuts as
+# part_abc_classification) year-over-year, including 'N' for parts
+# absent in one of the years. The churn-of-importance census an
+# assortment review reads next to the static ABC split. Scale: two
+# year-filtered part rollups; the class windows ride per-year part
+# relations ordered by exact cents (rev DESC, partkey ties).
+# ---------------------------------------------------------------------------
+
+ABC_MIGRATION_ORACLE = """
+WITH yy AS (SELECT max(year(l_shipdate)) - 2 AS y1, max(year(l_shipdate)) - 1 AS y2
+            FROM lineitem),
+pp AS (
+  SELECT year(l.l_shipdate) AS yr, l.l_partkey AS partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l CROSS JOIN yy
+  WHERE year(l.l_shipdate) IN (yy.y1, yy.y2)
+  GROUP BY yr, partkey
+),
+classed AS (
+  SELECT yr, partkey, rev_cents,
+         CASE WHEN sum(rev_cents) OVER (PARTITION BY yr
+                    ORDER BY rev_cents DESC, partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                   <= sum(rev_cents) OVER (PARTITION BY yr) * 80 THEN 'A'
+              WHEN sum(rev_cents) OVER (PARTITION BY yr
+                    ORDER BY rev_cents DESC, partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                   <= sum(rev_cents) OVER (PARTITION BY yr) * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM pp
+),
+c1 AS (SELECT partkey, abc_class, rev_cents FROM classed, yy WHERE yr = yy.y1),
+c2 AS (SELECT partkey, abc_class, rev_cents FROM classed, yy WHERE yr = yy.y2),
+m AS (
+  SELECT coalesce(c1.abc_class, 'N') AS class_from,
+         coalesce(c2.abc_class, 'N') AS class_to,
+         coalesce(c2.rev_cents, 0) AS rev2
+  FROM c1 FULL OUTER JOIN c2 ON c1.partkey = c2.partkey
+)
+SELECT class_from, class_to,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(rev2) / 100.0, 2) AS to_year_revenue
+FROM m
+GROUP BY class_from, class_to
+ORDER BY class_from, class_to
+"""
+
+
+@register("orders_abc_migration", ABC_MIGRATION_ORACLE)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    yy = li.agg(
+        (F.max(F.year("l_shipdate")) - 2).alias("y1"),
+        (F.max(F.year("l_shipdate")) - 1).alias("y2"),
+    )
+    pp = (
+        li.select(
+            F.year("l_shipdate").alias("yr"),
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(yy))
+        .where(F.col("yr").isin(F.col("y1"), F.col("y2")))
+        .groupBy("yr", "partkey")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("yr")
+        .orderBy(F.col("rev_cents").desc(), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("yr")
+    classed = pp.select(
+        "yr",
+        "partkey",
+        "rev_cents",
+        F.when(
+            F.sum("rev_cents").over(w_cum) * 100 <= F.sum("rev_cents").over(w_tot) * 80,
+            "A",
+        )
+        .when(
+            F.sum("rev_cents").over(w_cum) * 100 <= F.sum("rev_cents").over(w_tot) * 95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    ).crossJoin(F.broadcast(yy))
+    c1 = classed.where(F.col("yr") == F.col("y1")).select(
+        "partkey", F.col("abc_class").alias("cls1")
+    )
+    c2 = classed.where(F.col("yr") == F.col("y2")).select(
+        F.col("partkey").alias("pk2"),
+        F.col("abc_class").alias("cls2"),
+        F.col("rev_cents").alias("rev2"),
+    )
+    m = c1.join(c2, c1.partkey == c2.pk2, "full_outer").select(
+        F.coalesce("cls1", F.lit("N")).alias("class_from"),
+        F.coalesce("cls2", F.lit("N")).alias("class_to"),
+        F.coalesce("rev2", F.lit(0)).alias("rev2"),
+    )
+    return (
+        m.groupBy("class_from", "class_to")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.sum("rev2") / 100.0, 2).alias("to_year_revenue"),
+        )
+        .orderBy("class_from", "class_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_poisson_rate_test — two-sample Poisson rate comparison: did the
+# daily order arrival rate change between the first and second half
+# of the calendar (split at the midpoint date, exact day counts)?
+# Conditional binomial form: given N = n1 + n2 events, under H0
+# E[n1] = N * t1/(t1+t2); z = (n1 - N*p0) / sqrt(N*p0*(1-p0)) — every
+# input an exact integer, one terminal expression. Scale: one
+# calendar rollup to two cells.
+# ---------------------------------------------------------------------------
+
+POISSON_RATE_ORACLE = """
+WITH span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+mid AS (
+  SELECT d0, d1, d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS dm
+  FROM span
+),
+cells AS (
+  SELECT CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) <= m.dm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) > m.dm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(date_diff('day', m.d0, m.dm) + 1 AS BIGINT) AS t1,
+         CAST(date_diff('day', m.dm, m.d1) AS BIGINT) AS t2
+  FROM orders o CROSS JOIN mid m
+  GROUP BY t1, t2
+)
+SELECT n1 AS events_first_half, n2 AS events_second_half,
+       t1 AS days_first_half, t2 AS days_second_half,
+       round(CAST(n1 AS DOUBLE) / t1, 4) AS rate1,
+       round(CAST(n2 AS DOUBLE) / t2, 4) AS rate2,
+       round((n1 - (n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))
+             / sqrt((n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2))
+                    * (1 - CAST(t1 AS DOUBLE) / (t1 + t2))), 4) AS z_score
+FROM cells
+WHERE n1 + n2 > 0
+"""
+
+
+@register("stat_poisson_rate_test", POISSON_RATE_ORACLE)
+def stat_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate"])
+    d = orders.select(F.to_date("o_orderdate").alias("day"))
+    span = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    mid = span.select(
+        "d0",
+        "d1",
+        F.expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))").alias("dm"),
+    )
+    cells = (
+        d.crossJoin(F.broadcast(mid))
+        .groupBy(
+            (F.datediff("dm", "d0") + 1).cast("long").alias("t1"),
+            F.datediff("d1", "dm").cast("long").alias("t2"),
+        )
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("dm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("day") > F.col("dm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    ntot = F.col("n1") + F.col("n2")
+    p0 = F.col("t1").cast("double") / (F.col("t1") + F.col("t2"))
+    return cells.where(ntot > 0).select(
+        F.col("n1").alias("events_first_half"),
+        F.col("n2").alias("events_second_half"),
+        F.col("t1").alias("days_first_half"),
+        F.col("t2").alias("days_second_half"),
+        F.round(F.col("n1").cast("double") / F.col("t1"), 4).alias("rate1"),
+        F.round(F.col("n2").cast("double") / F.col("t2"), 4).alias("rate2"),
+        F.round((F.col("n1") - ntot * p0) / F.sqrt(ntot * p0 * (1 - p0)), 4).alias(
+            "z_score"
+        ),
+    )

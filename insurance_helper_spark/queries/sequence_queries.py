@@ -2627,3 +2627,94 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_link_prediction — neighbor-set Jaccard link scores
+# over the strong-tie graph's two-hop non-edges: J(u,v) =
+# |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the normalized complement to
+# Adamic-Adar (which weights rare neighbors; Jaccard penalizes hub
+# endpoints). Common counts and degrees are exact integers; top-20
+# ordered by the cross-multiplied EXACT rational (common * other
+# union vs) — no float comparisons anywhere in the ranking. Scale:
+# identical candidate volume to graph_adamic_adar (support floor =
+# hot-node guard).
+# ---------------------------------------------------------------------------
+
+JACCARD_LINK_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst FROM pairs WHERE sup >= 2),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+cand AS (
+  SELECT e1.src AS id_a, e2.dst AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.id_a, c.id_b, c.common
+  FROM cand c LEFT JOIN e ON e.src = c.id_a AND e.dst = c.id_b
+  WHERE e.src IS NULL
+),
+scored AS (
+  SELECT n.id_a, n.id_b, n.common,
+         da.d + db.d - n.common AS un
+  FROM nonedge n
+  JOIN deg da ON da.node = n.id_a
+  JOIN deg db ON db.node = n.id_b
+)
+SELECT id_a, id_b, common AS common_neighbors, un AS union_size,
+       round(CAST(common AS DOUBLE) / un, 6) AS jaccard
+FROM scored
+ORDER BY common * 1000000 // un DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@register("graph_jaccard_link_prediction", JACCARD_LINK_ORACLE)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _strong_tie_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    e1 = e.select(F.col("src").alias("id_a"), F.col("dst").alias("z"))
+    e2 = e.select(F.col("src").alias("z"), F.col("dst").alias("id_b"))
+    cand = (
+        e1.join(e2, "z")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    nonedge = cand.join(
+        e, (cand.id_a == e.src) & (cand.id_b == e.dst), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("id_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("id_b"), F.col("d").alias("d_b"))
+    scored = (
+        nonedge.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (F.col("d_a") + F.col("d_b") - F.col("common")).alias("un"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.expr("common * 1000000 div un").desc(), "id_a", "id_b"
+        )
+        .limit(20)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").alias("common_neighbors"),
+            F.col("un").alias("union_size"),
+            F.round(F.col("common").cast("double") / F.col("un"), 6).alias("jaccard"),
+        )
+    )

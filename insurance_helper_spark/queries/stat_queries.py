@@ -6713,3 +6713,124 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / F.col("n") - half) / denom, 6).alias("wilson_low"),
         F.round((p + 1.9208 / F.col("n") + half) / denom, 6).alias("wilson_high"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# ml_lift_gains_table — the cumulative gains / lift table every
+# targeting-model review reads: rank orders by a score (order value,
+# the spend-propensity proxy) descending, cut into 10 exact-count
+# deciles, and report per-decile event rate (returned orders),
+# cumulative capture and cumulative lift vs the base rate. Deciles
+# are assigned on the DISTINCT-score cumulative walk with ceil cuts
+# (a tie block lands wholly in one decile — documented semantics, no
+# raw-row ntile); every rate is a ratio of exact BIGINTs. Scale: the
+# walk rides the distinct-cents relation; the final table is 10 rows.
+# ---------------------------------------------------------------------------
+
+LIFT_GAINS_ORACLE = """
+WITH flags AS (
+  SELECT l_orderkey, max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+  FROM lineitem GROUP BY l_orderkey
+),
+scored AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents, f.ev
+  FROM orders o JOIN flags f ON f.l_orderkey = o.o_orderkey
+),
+dv AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS c, CAST(sum(ev) AS BIGINT) AS e
+  FROM scored GROUP BY cents
+),
+walk AS (
+  SELECT cents, c, e,
+         CAST(sum(c) OVER (ORDER BY cents DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(e) OVER () AS BIGINT) AS etot
+  FROM dv
+),
+decs AS (
+  SELECT (cum * 10 + n - 1) // n AS decile, c, e, n, etot
+  FROM walk
+),
+g AS (
+  SELECT decile, CAST(max(n) AS BIGINT) AS n, CAST(max(etot) AS BIGINT) AS etot,
+         CAST(sum(c) AS BIGINT) AS n_orders, CAST(sum(e) AS BIGINT) AS n_events
+  FROM decs GROUP BY decile
+),
+cumg AS (
+  SELECT decile, n, etot, n_orders, n_events,
+         CAST(sum(n_orders) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(sum(n_events) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_e
+  FROM g
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_orders, n_events,
+       round(CAST(n_events AS DOUBLE) / n_orders, 6) AS event_rate,
+       round(CAST(cum_e AS DOUBLE) / etot, 6) AS cum_capture,
+       round((CAST(cum_e AS DOUBLE) / cum_n) / (CAST(etot AS DOUBLE) / n), 4)
+           AS cum_lift
+FROM cumg
+ORDER BY decile
+"""
+
+
+@register("ml_lift_gains_table", LIFT_GAINS_ORACLE)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    flags = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ev")
+    )
+    scored = orders.join(flags, orders.o_orderkey == flags.l_orderkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"), "ev"
+    )
+    dv = scored.groupBy("cents").agg(
+        F.count("*").cast("long").alias("c"), F.sum("ev").cast("long").alias("e")
+    )
+    w_cum = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    walk = dv.select(
+        "c",
+        "e",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum("e").over(w_all).cast("long").alias("etot"),
+    )
+    decs = walk.select(
+        F.expr("(cum * 10 + n - 1) div n").alias("decile"), "c", "e", "n", "etot"
+    )
+    g = decs.groupBy("decile").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("etot").cast("long").alias("etot"),
+        F.sum("c").cast("long").alias("n_orders"),
+        F.sum("e").cast("long").alias("n_events"),
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumg = g.select(
+        "decile",
+        "n",
+        "etot",
+        "n_orders",
+        "n_events",
+        F.sum("n_orders").over(w_dec).cast("long").alias("cum_n"),
+        F.sum("n_events").over(w_dec).cast("long").alias("cum_e"),
+    )
+    return cumg.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_orders",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("n_orders"), 6).alias(
+            "event_rate"
+        ),
+        F.round(F.col("cum_e").cast("double") / F.col("etot"), 6).alias("cum_capture"),
+        F.round(
+            (F.col("cum_e").cast("double") / F.col("cum_n"))
+            / (F.col("etot").cast("double") / F.col("n")),
+            4,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -1938,3 +1938,70 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility — tokenizer fertility per language: the
+# BPE-ish token count (the [a-z]+|digit|punct regex tier) over the
+# whitespace word count — the "how many subwords per word" number
+# that decides per-language token budgets in a pretraining mix (high
+# fertility = the tokenizer fragments that language). Both counts are
+# exact integers per document; the per-doc fertility is quantized to
+# 1e6 BEFORE the language mean. Scale: two regex projections + one
+# map-side-combined groupBy on the language key.
+# ---------------------------------------------------------------------------
+
+FERTILITY_ORACLE = rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+              AS BIGINT) AS n_bpe,
+         CAST(len(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                       THEN [] ELSE {_TOKS} END) AS BIGINT) AS n_ws
+  FROM documents
+),
+q AS (
+  SELECT lang, n_bpe, n_ws,
+         CAST(round(n_bpe * 1e6 / n_ws) AS BIGINT) AS fert_q
+  FROM t WHERE n_ws > 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS corpus_fertility,
+       round(CAST(sum(fert_q) AS BIGINT) / 1e6 / count(*), 4) AS mean_doc_fertility
+FROM q
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_tokenizer_fertility", FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    n_bpe = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)")
+    ).cast("long")
+    n_ws = F.size(T.tokens(F.col("text"))).cast("long")
+    t = docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    q = t.where(F.col("n_ws") > 0).select(
+        "lang",
+        "n_bpe",
+        "n_ws",
+        F.round(F.col("n_bpe") * 1e6 / F.col("n_ws")).cast("long").alias("fert_q"),
+    )
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).alias(
+                "corpus_fertility"
+            ),
+            F.round(
+                F.sum("fert_q").cast("long") / 1e6 / F.count("*"), 4
+            ).alias("mean_doc_fertility"),
+        )
+        .orderBy("lang")
+    )
