@@ -236,6 +236,39 @@ HEADLINE = [
     "stat_qlr_structural_break",
     "stat_lorenz_curve_deciles",
     "corpus_shard_manifest",
+    # round-8 second-session waves (actuarial, cluster quality, graph,
+    # finance, linkage, corpus, ops)
+    "actuarial_chain_ladder",
+    "actuarial_bf_reserve",
+    "actuarial_freq_severity",
+    "actuarial_buhlmann_credibility",
+    "actuarial_logrank_test",
+    "ml_silhouette_simplified",
+    "ml_davies_bouldin",
+    "ml_calinski_harabasz",
+    "graph_hits_hubs_authorities",
+    "graph_label_propagation",
+    "finance_bollinger_breakout",
+    "finance_beta_sharpe",
+    "finance_vwap_monthly",
+    "stat_mcnemar_paired",
+    "stat_cuped_adjustment",
+    "events_attribution_position",
+    "linkage_fellegi_sunter_weights",
+    "linkage_blocking_quality",
+    "stat_gumbel_block_maxima",
+    "stat_cochran_armitage_trend",
+    "similarity_mmr_rerank",
+    "ops_shuffle_balance_audit",
+    "stat_friedman_test",
+    "stat_wilson_ci",
+    "corpus_perplexity_buckets",
+    "customer_clv_heuristic",
+    "orders_abc_migration",
+    "stat_poisson_rate_test",
+    "graph_jaccard_link_prediction",
+    "text_tokenizer_fertility",
+    "ml_lift_gains_table",
 ]
 
 
