@@ -2635,3 +2635,78 @@ def ops_shuffle_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cv"),
         F.round(F.col("gnum").cast("double") / (nbd * F.col("tot")), 6).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_primary_key_audit — primary-key uniqueness across every fixture
+# table (single-column keys plus lineitem's composite (orderkey,
+# linenumber)): n_rows vs n_distinct keys and the duplicate surplus.
+# The PK-side complement to dq_referential_integrity (which audits
+# the FK edges). Scale: one count-distinct rollup per table, unioned;
+# each is a map-side-combined aggregate.
+# ---------------------------------------------------------------------------
+
+PK_AUDIT_ORACLE = """
+SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys,
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+FROM customer
+UNION ALL
+SELECT 'documents', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'embeddings', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT vec_id) AS BIGINT),
+       CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT event_id) AS BIGINT),
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'part', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT p_partkey) AS BIGINT),
+       CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT) FROM part
+UNION ALL
+SELECT 'supplier', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT s_suppkey) AS BIGINT),
+       CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+ORDER BY table_name
+"""
+
+
+@register("dq_primary_key_audit", PK_AUDIT_ORACLE)
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    specs = [
+        ("customer", ["c_custkey"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+        ("events", ["event_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("orders", ["o_orderkey"]),
+        ("part", ["p_partkey"]),
+        ("supplier", ["s_suppkey"]),
+    ]
+    out = None
+    for name, keys in specs:
+        t = load_table(spark, sf_dir, name, columns=keys)
+        row = t.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(*keys).cast("long").alias("n_distinct_keys"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_distinct_keys",
+            (F.col("n_rows") - F.col("n_distinct_keys")).cast("long").alias("n_dup_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")

@@ -2718,3 +2718,223 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("common").cast("double") / F.col("un"), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_memory — the Goh-Barabasi point-process pair per
+# event type: burstiness B = (sigma - mu)/(sigma + mu) of inter-event
+# times (B<0 regular, ~0 Poisson, >0 bursty) and the memory
+# coefficient (Pearson correlation of consecutive gaps). Gaps are
+# EXACT integer seconds from per-type ordered timestamps (epoch
+# difference); all moments fold as BIGINT sums, both statistics are
+# terminal expressions. Scale: one lag window partitioned by
+# event_type (the sessionize key stance) + a per-type fold.
+# ---------------------------------------------------------------------------
+
+BURSTINESS_ORACLE = """
+WITH e AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pts,
+         lag(ts, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ppts
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         CAST(date_diff('second', pts, ts) AS BIGINT) AS g,
+         CAST(date_diff('second', ppts, pts) AS BIGINT) AS gp
+  FROM e WHERE pts IS NOT NULL
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss,
+         CAST(count(gp) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN g END) AS BIGINT) AS sx,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN gp END) AS BIGINT) AS sy,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN g * g END) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN gp * gp END) AS BIGINT) AS syy,
+         CAST(sum(g * gp) AS BIGINT) AS sxy
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       round(CAST(s AS DOUBLE) / n, 2) AS mean_gap_s,
+       round((sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * n)) - CAST(s AS DOUBLE) / n)
+             / (sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * n)) + CAST(s AS DOUBLE) / n), 6)
+           AS burstiness,
+       round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+           AS memory_coeff
+FROM m
+WHERE n > 2 AND np > 2
+  AND np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+  AND np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+ORDER BY event_type
+"""
+
+
+@register("events_burstiness_memory", BURSTINESS_ORACLE)
+def events_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    e = events.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("pts"),
+        F.lag("ts", 2).over(w).alias("ppts"),
+    )
+    # NTZ-safe exact integer seconds: both timestamps share the same
+    # (naive) frame, so the unix difference is frame-independent.
+    gaps = e.where(F.col("pts").isNotNull()).select(
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("pts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("g"),
+        (
+            F.unix_timestamp(F.col("pts").cast("timestamp"))
+            - F.unix_timestamp(F.col("ppts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("gp"),
+    )
+    has_p = F.col("gp").isNotNull()
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ss"),
+        F.count("gp").cast("long").alias("np"),
+        F.sum(F.when(has_p, F.col("g"))).cast("long").alias("sx"),
+        F.sum(F.when(has_p, F.col("gp"))).cast("long").alias("sy"),
+        F.sum(F.when(has_p, F.col("g") * F.col("g"))).cast("long").alias("sxx"),
+        F.sum(F.when(has_p, F.col("gp") * F.col("gp"))).cast("long").alias("syy"),
+        F.sum(F.col("g") * F.col("gp")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("n") * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nd * F.col("n"))
+    )
+    npd = F.col("np").cast("double")
+    covn = npd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = npd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = npd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return (
+        m.where((F.col("n") > 2) & (F.col("np") > 2) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.round(mu, 2).alias("mean_gap_s"),
+            F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+            F.round(covn / F.sqrt(vx * vy), 6).alias("memory_coeff"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_time_to_convert — latency percentiles between funnel
+# stages: for each user's FIRST signup -> FIRST purchase pair, the
+# conversion delay in exact integer seconds; p50/p90 via the exact
+# ceil-rank cut on the ordered distinct-delay walk (the house
+# percentile shape — no raw-row ntile) plus conversion coverage. The
+# time dimension the step-count funnel (events_funnel_conversion)
+# deliberately ignores. Scale: one user rollup; the walk rides the
+# distinct-delay relation.
+# ---------------------------------------------------------------------------
+
+FUNNEL_TIME_ORACLE = """
+WITH su AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id,
+         CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS delay_s
+  FROM su s JOIN pu p ON p.user_id = s.user_id AND p.t1 >= s.t0
+),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM su),
+dv AS (SELECT delay_s, CAST(count(*) AS BIGINT) AS c FROM conv GROUP BY delay_s),
+walk AS (
+  SELECT delay_s,
+         CAST(sum(c) OVER (ORDER BY delay_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM dv
+)
+SELECT b.n_signup,
+       w.n AS n_converted,
+       round(CAST(w.n AS DOUBLE) / b.n_signup, 6) AS conversion_rate,
+       min(CASE WHEN 2 * w.cum >= w.n THEN w.delay_s END) AS p50_delay_s,
+       min(CASE WHEN 10 * w.cum >= 9 * w.n THEN w.delay_s END) AS p90_delay_s
+FROM walk w CROSS JOIN base b
+GROUP BY b.n_signup, w.n
+"""
+
+
+@register("events_funnel_time_to_convert", FUNNEL_TIME_ORACLE)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    su = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = su.join(
+        pu, (su.user_id == pu.p_user) & (pu.t1 >= su.t0)
+    ).select(
+        (
+            F.unix_timestamp(F.col("t1").cast("timestamp"))
+            - F.unix_timestamp(F.col("t0").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("delay_s")
+    )
+    base = su.agg(F.count("*").cast("long").alias("n_signup"))
+    dv = conv.groupBy("delay_s").agg(F.count("*").cast("long").alias("c"))
+    walk = dv.select(
+        "delay_s",
+        F.sum("c")
+        .over(W.orderBy("delay_s").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    return (
+        walk.crossJoin(F.broadcast(base))
+        .groupBy("n_signup", "n")
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("delay_s"))).alias(
+                "p50_delay_s"
+            ),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("delay_s"))
+            ).alias("p90_delay_s"),
+        )
+        .select(
+            "n_signup",
+            F.col("n").alias("n_converted"),
+            F.round(F.col("n").cast("double") / F.col("n_signup"), 6).alias(
+                "conversion_rate"
+            ),
+            "p50_delay_s",
+            "p90_delay_s",
+        )
+    )

@@ -6834,3 +6834,105 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# stat_meta_analysis_fixed_effect — inverse-variance fixed-effect
+# meta-analysis over the per-segment urgency effects (the Welch-arm
+# mean differences): pooled effect = sum(w_i d_i)/sum(w_i) with w =
+# 1/se^2, 95% CI, Cochran's Q heterogeneity and I^2. Per-segment
+# (w, w*d, w*d^2) are quantized to BIGINT micro-units BEFORE the
+# cross-segment fold, so the pooled numbers are order-independent.
+# The "do the segments agree" roll-up on top of
+# stat_welch_ttest_segments. Scale: one segment rollup + a 5-row fold.
+# ---------------------------------------------------------------------------
+
+META_FIXED_ORACLE = """
+WITH arms AS (
+  SELECT c.c_mktsegment AS segment,
+         count(*) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS n_hi,
+         avg(o.o_totalprice) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS m_hi,
+         var_samp(o.o_totalprice) FILTER (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS v_hi,
+         count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS n_lo,
+         avg(o.o_totalprice) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS m_lo,
+         var_samp(o.o_totalprice) FILTER (o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS v_lo
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment
+),
+q AS (
+  SELECT segment,
+         CAST(round(1e9 / (v_hi / n_hi + v_lo / n_lo)) AS BIGINT) AS w_q,
+         CAST(round((m_hi - m_lo) * 1e2) AS BIGINT) AS d_q
+  FROM arms WHERE n_hi > 1 AND n_lo > 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(w_q) AS BIGINT) AS sw,
+         CAST(sum(w_q * d_q) AS BIGINT) AS swd,
+         CAST(sum(w_q * d_q * d_q) AS BIGINT) AS swdd
+  FROM q
+)
+SELECT k AS n_studies,
+       round(CAST(swd AS DOUBLE) / sw / 1e2, 4) AS pooled_effect,
+       round(CAST(swd AS DOUBLE) / sw / 1e2
+             - 1.96 / sqrt(CAST(sw AS DOUBLE) / 1e9), 4) AS ci_low,
+       round(CAST(swd AS DOUBLE) / sw / 1e2
+             + 1.96 / sqrt(CAST(sw AS DOUBLE) / 1e9), 4) AS ci_high,
+       round((CAST(swdd AS DOUBLE)
+              - CAST(swd AS DOUBLE) * swd / sw) / 1e9 / 1e4, 4) AS cochran_q,
+       round(greatest(0.0, 1 - (k - 1)
+             / ((CAST(swdd AS DOUBLE) - CAST(swd AS DOUBLE) * swd / sw)
+                / 1e9 / 1e4)), 4) AS i_squared
+FROM s
+WHERE k > 1 AND sw > 0
+"""
+
+
+@register("stat_meta_analysis_fixed_effect", META_FIXED_ORACLE)
+def stat_meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    arms = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("n_hi"),
+            F.avg(F.when(hi, F.col("o_totalprice"))).alias("m_hi"),
+            F.var_samp(F.when(hi, F.col("o_totalprice"))).alias("v_hi"),
+            F.count(F.when(~hi, 1)).alias("n_lo"),
+            F.avg(F.when(~hi, F.col("o_totalprice"))).alias("m_lo"),
+            F.var_samp(F.when(~hi, F.col("o_totalprice"))).alias("v_lo"),
+        )
+    )
+    q = arms.where((F.col("n_hi") > 1) & (F.col("n_lo") > 1)).select(
+        "segment",
+        F.round(1e9 / (F.col("v_hi") / F.col("n_hi") + F.col("v_lo") / F.col("n_lo")))
+        .cast("long")
+        .alias("w_q"),
+        F.round((F.col("m_hi") - F.col("m_lo")) * 1e2).cast("long").alias("d_q"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("w_q").cast("long").alias("sw"),
+        F.sum(F.col("w_q") * F.col("d_q")).cast("long").alias("swd"),
+        F.sum(F.col("w_q") * F.col("d_q") * F.col("d_q")).cast("long").alias("swdd"),
+    )
+    pooled = F.col("swd").cast("double") / F.col("sw") / 1e2
+    half = 1.96 / F.sqrt(F.col("sw").cast("double") / 1e9)
+    qstat = (
+        F.col("swdd").cast("double")
+        - F.col("swd").cast("double") * F.col("swd") / F.col("sw")
+    ) / 1e9 / 1e4
+    return s.where((F.col("k") > 1) & (F.col("sw") > 0)).select(
+        F.col("k").alias("n_studies"),
+        F.round(pooled, 4).alias("pooled_effect"),
+        F.round(pooled - half, 4).alias("ci_low"),
+        F.round(pooled + half, 4).alias("ci_high"),
+        F.round(qstat, 4).alias("cochran_q"),
+        F.round(F.greatest(F.lit(0.0), 1 - (F.col("k") - 1) / qstat), 4).alias(
+            "i_squared"
+        ),
+    )

@@ -2005,3 +2005,89 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_coverage_curve — vocabulary coverage curve: how much of
+# the corpus token mass the top-10 / top-100 / top-1000 most frequent
+# terms cover — the number that sizes a vocab/stopword list and
+# explains Zipf in one table. Terms ranked (count DESC, term); the
+# cumulative mass at each cut is an exact BIGINT; one row per cut.
+# Scale: the rank window rides the vocab-bounded term relation (the
+# Zipf/TF-IDF stance).
+# ---------------------------------------------------------------------------
+
+COVERAGE_CURVE_ORACLE = f"""
+WITH t AS (
+  SELECT CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tok AS (SELECT unnest(toks) AS term FROM t),
+model AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total,
+         CAST(count(*) OVER () AS BIGINT) AS vocab
+  FROM model
+),
+cuts AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k)
+SELECT c.k AS top_k,
+       CAST(max(r.vocab) AS BIGINT) AS vocab_size,
+       CAST(max(r.total) AS BIGINT) AS total_tokens,
+       CAST(max(CASE WHEN r.rk <= c.k THEN r.cum END) AS BIGINT) AS covered_tokens,
+       round(CAST(max(CASE WHEN r.rk <= c.k THEN r.cum END) AS DOUBLE)
+             / max(r.total), 6) AS coverage
+FROM cuts c JOIN ranked r ON r.rk <= c.k
+GROUP BY c.k
+ORDER BY c.k
+"""
+
+
+@register("text_ngram_coverage_curve", COVERAGE_CURVE_ORACLE)
+def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+    model = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    w_rank = W.orderBy(F.col("cnt").desc(), "term")
+    ranked = model.select(
+        "cnt",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("long").alias("total"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("vocab"),
+    )
+    cuts = spark.createDataFrame([(10,), (100,), (1000,)], "k long")
+    return (
+        F.broadcast(cuts)
+        .join(ranked, ranked.rk <= cuts.k)
+        .groupBy("k")
+        .agg(
+            F.max("vocab").cast("long").alias("vocab_size"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum"))).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("k").alias("top_k"),
+            "vocab_size",
+            "total_tokens",
+            "covered_tokens",
+            "coverage",
+        )
+        .orderBy("top_k")
+    )
