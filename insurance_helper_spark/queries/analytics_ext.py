@@ -3922,3 +3922,298 @@ def stat_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# finance_sma_crossover — golden/death-cross census on the daily
+# revenue series: days where the 5-day SMA crosses the 20-day SMA,
+# detected with EXACT integer cross-multiplication (4*S5 vs S20 — no
+# float SMA anywhere; 5*20 = 100x common scale cancels to 4x), full
+# windows only. Reports each crossover day, direction, and both SMAs.
+# Scale: two rolling BIGINT window sums on the calendar-bounded daily
+# relation (the Bollinger stance).
+# ---------------------------------------------------------------------------
+
+SMA_CROSS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS d
+  FROM orders GROUP BY day
+),
+w AS (
+  SELECT day, d,
+         CAST(count(*) OVER w20 AS BIGINT) AS n20,
+         CAST(sum(d) OVER w5 AS BIGINT) AS s5,
+         CAST(sum(d) OVER w20 AS BIGINT) AS s20
+  FROM daily
+  WINDOW w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w20 AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+sig AS (
+  SELECT day, d, s5, s20,
+         CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END AS above,
+         lag(CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END)
+             OVER (ORDER BY day) AS prev_above,
+         lag(n20) OVER (ORDER BY day) AS prev_n20, n20
+  FROM w
+)
+SELECT day, CAST(d AS BIGINT) AS revenue,
+       round(CAST(s5 AS DOUBLE) / 5, 2) AS sma5,
+       round(CAST(s20 AS DOUBLE) / 20, 2) AS sma20,
+       CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS cross_type
+FROM sig
+WHERE n20 = 20 AND prev_n20 = 20 AND prev_above IS NOT NULL
+  AND above <> prev_above
+ORDER BY day
+"""
+
+
+@register("finance_sma_crossover", SMA_CROSS_ORACLE)
+def finance_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("d")
+    )
+    w5 = Window.orderBy("day").rowsBetween(-4, Window.currentRow)
+    w20 = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    w = daily.select(
+        "day",
+        "d",
+        F.count("*").over(w20).cast("long").alias("n20"),
+        F.sum("d").over(w5).cast("long").alias("s5"),
+        F.sum("d").over(w20).cast("long").alias("s20"),
+    )
+    above = F.when(4 * F.col("s5") > F.col("s20"), 1).otherwise(0)
+    wd = Window.orderBy("day")
+    sig = w.select(
+        "day",
+        "d",
+        "s5",
+        "s20",
+        "n20",
+        above.alias("above"),
+        F.lag(above).over(wd).alias("prev_above"),
+        F.lag("n20").over(wd).alias("prev_n20"),
+    )
+    return (
+        sig.where(
+            (F.col("n20") == 20)
+            & (F.col("prev_n20") == 20)
+            & F.col("prev_above").isNotNull()
+            & (F.col("above") != F.col("prev_above"))
+        )
+        .select(
+            "day",
+            F.col("d").cast("long").alias("revenue"),
+            F.round(F.col("s5").cast("double") / 5, 2).alias("sma5"),
+            F.round(F.col("s20").cast("double") / 20, 2).alias("sma20"),
+            F.when(F.col("above") == 1, "golden").otherwise("death").alias("cross_type"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_cross_elasticity — cross-price elasticity between every
+# ordered pair of the top-5 revenue brands: slope of ln(quantity of
+# brand A) on ln(avg unit price of brand B) across months — "does B's
+# price move A's volume" (substitutes > 0, complements < 0). Monthly
+# ln coordinates are quantized to BIGINT micro-units per cell (the
+# own-elasticity pattern, affine-shifted for headroom); each pair's
+# OLS slope folds over ~80 exact integer points. Scale: one fact
+# rollup to (brand, month); the pair grid is 5x4 on broadcast cells.
+# ---------------------------------------------------------------------------
+
+CROSS_ELASTICITY_ORACLE = """
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS m,
+         CAST(round(1e6 * ln(sum(l.l_quantity))) AS BIGINT) - 2500000 AS lq,
+         CAST(round(1e6 * ln(sum(l.l_extendedprice) / sum(l.l_quantity)))
+              AS BIGINT) - 7000000 AS lp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, m
+),
+top5 AS (
+  SELECT p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand
+  ORDER BY CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           DESC, brand
+  LIMIT 5
+),
+pts AS (
+  SELECT a.brand AS brand_q, b.brand AS brand_p, a.lq AS y, b.lp AS x
+  FROM bm a
+  JOIN bm b ON b.m = a.m AND b.brand <> a.brand
+  JOIN top5 ta ON ta.brand = a.brand
+  JOIN top5 tb ON tb.brand = b.brand
+),
+mo AS (
+  SELECT brand_q, brand_p, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY brand_q, brand_p
+)
+SELECT brand_q, brand_p, n AS n_months,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+           AS cross_elasticity
+FROM mo
+WHERE n >= 12 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+ORDER BY brand_q, brand_p
+"""
+
+
+@register("part_cross_elasticity", CROSS_ELASTICITY_ORACLE)
+def part_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bm = j.groupBy(
+        F.col("p_brand").alias("brand"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m"),
+    ).agg(
+        (F.round(F.lit(1e6) * F.log(F.sum("l_quantity"))).cast("long") - 2500000).alias(
+            "lq"
+        ),
+        (
+            F.round(
+                F.lit(1e6) * F.log(F.sum("l_extendedprice") / F.sum("l_quantity"))
+            ).cast("long")
+            - 7000000
+        ).alias("lp"),
+    )
+    top5 = (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), "brand")
+        .limit(5)
+        .select("brand")
+    )
+    a = bm.join(F.broadcast(top5), "brand").select(
+        F.col("brand").alias("brand_q"), "m", F.col("lq").alias("y")
+    )
+    b = bm.join(F.broadcast(top5), "brand").select(
+        F.col("brand").alias("brand_p"), F.col("m").alias("mb"), F.col("lp").alias("x")
+    )
+    pts = a.join(
+        b, (F.col("mb") == F.col("m")) & (F.col("brand_p") != F.col("brand_q"))
+    )
+    mo = pts.groupBy("brand_q", "brand_p").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    return (
+        mo.where((F.col("n") >= 12) & (varx > 0))
+        .select(
+            "brand_q",
+            "brand_p",
+            F.col("n").alias("n_months"),
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / varx, 4
+            ).alias("cross_elasticity"),
+        )
+        .orderBy("brand_q", "brand_p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# trade_nation_flow_matrix — the supplier-nation x customer-nation
+# revenue flow matrix (every q7 pair, not just the filtered two) with
+# exact integer cents and each cell's share of world trade — the
+# full bilateral trade table the TPC-H q7 query samples. Scale: the
+# classic star join (orders-lineitem fact, broadcast dims), one
+# (nation, nation) rollup — 25x25 output cells.
+# ---------------------------------------------------------------------------
+
+NATION_FLOW_ORACLE = """
+WITH flow AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  GROUP BY supp_nation, cust_nation
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS world FROM flow)
+SELECT f.supp_nation, f.cust_nation, f.n_lines,
+       round(f.cents / 100.0, 2) AS revenue,
+       round(CAST(f.cents AS DOUBLE) / t.world, 6) AS world_share
+FROM flow f CROSS JOIN tot t
+ORDER BY f.supp_nation, f.cust_nation
+"""
+
+
+@register("trade_nation_flow_matrix", NATION_FLOW_ORACLE)
+def trade_nation_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    flow = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    tot = flow.agg(F.sum("cents").cast("long").alias("world"))
+    return (
+        flow.crossJoin(F.broadcast(tot))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "n_lines",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cents").cast("double") / F.col("world"), 6).alias(
+                "world_share"
+            ),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
