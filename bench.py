@@ -269,6 +269,14 @@ HEADLINE = [
     "graph_jaccard_link_prediction",
     "text_tokenizer_fertility",
     "ml_lift_gains_table",
+    "stat_meta_analysis_fixed_effect",
+    "events_burstiness_memory",
+    "events_funnel_time_to_convert",
+    "text_ngram_coverage_curve",
+    "dq_primary_key_audit",
+    "finance_sma_crossover",
+    "part_cross_elasticity",
+    "trade_nation_flow_matrix",
 ]
 
 
