@@ -277,6 +277,8 @@ HEADLINE = [
     "finance_sma_crossover",
     "part_cross_elasticity",
     "trade_nation_flow_matrix",
+    "stat_anderson_darling_normal",
+    "stat_benford_second_digit",
 ]
 
 

@@ -6936,3 +6936,242 @@ def stat_meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFra
             "i_squared"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_anderson_darling_normal — Anderson-Darling normality test on
+# the daily-revenue distribution, in the tie-aware closed form: with
+# distinct values' rank blocks [a, b] (from the cumulative walk),
+#   sum(2i-1) over a block  = b^2 - (a-1)^2            (= S1)
+#   sum(2(n-i)+1) over it   = 2*n*c - S1               (= S2)
+# so A^2 = -n - (1/n) * sum_v [S1*lnPhi(z_v) + S2*ln(1-Phi(z_v))],
+# with Phi from the shared A&S 7.1.26 expression text (the Bayesian
+# A/B pattern) and both log terms QUANTIZED to 1e9 BIGINTs per
+# distinct value before the fold — the whole statistic is an exact
+# integer sum with one terminal division. Reports the case-3
+# small-sample adjustment and the 0.787 5% verdict. Scale: moments +
+# a distinct-value walk on the calendar-bounded daily relation.
+# ---------------------------------------------------------------------------
+
+AD_NORMAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS v
+  FROM orders GROUP BY day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM daily
+),
+dv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY v),
+walk AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS b
+  FROM dv
+),
+z AS (
+  SELECT w.v, w.c, w.b, w.b - w.c + 1 AS a, m.n,
+         (w.v - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt((m.n * CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s)
+                    / (CAST(m.n AS DOUBLE) * (m.n - 1))) AS d
+  FROM walk w CROSS JOIN m
+),
+ph AS (
+  SELECT v, c, b, a, n,
+         least(greatest({_PHI_SHARED}, 1e-15), 1.0 - 1e-15) AS phi
+  FROM z
+),
+q AS (
+  SELECT n,
+         b * b - (a - 1) * (a - 1) AS s1,
+         2 * n * c - (b * b - (a - 1) * (a - 1)) AS s2,
+         CAST(round(1e9 * ln(phi)) AS BIGINT) AS l1,
+         CAST(round(1e9 * ln(1.0 - phi)) AS BIGINT) AS l2
+  FROM ph
+),
+t AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(s1 * l1 + s2 * l2) AS BIGINT) AS acc
+  FROM q GROUP BY n
+)
+SELECT n AS n_days,
+       round(-CAST(n AS DOUBLE) - CAST(acc AS DOUBLE) / 1e9 / n, 4) AS ad_stat,
+       round((-CAST(n AS DOUBLE) - CAST(acc AS DOUBLE) / 1e9 / n)
+             * (1 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 4)
+           AS ad_adjusted,
+       CASE WHEN (-CAST(n AS DOUBLE) - CAST(acc AS DOUBLE) / 1e9 / n)
+                 * (1 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)) > 0.787
+            THEN 'reject' ELSE 'fail_to_reject' END AS normal_5pct
+FROM t
+"""
+
+
+@register("stat_anderson_darling_normal", AD_NORMAL_ORACLE)
+def stat_anderson_darling_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("v")
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    dv = daily.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    walk = dv.select(
+        "v",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nd * (F.col("n") - 1))
+    )
+    z = walk.crossJoin(F.broadcast(m)).select(
+        "v",
+        "c",
+        "b",
+        (F.col("b") - F.col("c") + 1).alias("a"),
+        "n",
+        ((F.col("v") - F.col("s").cast("double") / F.col("n")) / sd).alias("d"),
+    )
+    ph = z.select(
+        "v",
+        "c",
+        "b",
+        "a",
+        "n",
+        F.least(
+            F.greatest(F.expr(_PHI_SHARED), F.lit(1e-15)), F.lit(1.0 - 1e-15)
+        ).alias("phi"),
+    )
+    s1 = F.col("b") * F.col("b") - (F.col("a") - 1) * (F.col("a") - 1)
+    q = ph.select(
+        "n",
+        s1.alias("s1"),
+        (2 * F.col("n") * F.col("c") - s1).alias("s2"),
+        F.round(F.lit(1e9) * F.log("phi")).cast("long").alias("l1"),
+        F.round(F.lit(1e9) * F.log(1.0 - F.col("phi"))).cast("long").alias("l2"),
+    )
+    t = q.groupBy("n").agg(
+        F.sum(F.col("s1") * F.col("l1") + F.col("s2") * F.col("l2"))
+        .cast("long")
+        .alias("acc")
+    )
+    nd2 = F.col("n").cast("double")
+    a2 = -nd2 - F.col("acc").cast("double") / 1e9 / F.col("n")
+    adj = a2 * (1 + 0.75 / F.col("n") + 2.25 / (nd2 * F.col("n")))
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.round(a2, 4).alias("ad_stat"),
+        F.round(adj, 4).alias("ad_adjusted"),
+        F.when(adj > 0.787, "reject").otherwise("fail_to_reject").alias("normal_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_benford_second_digit — the second-significant-digit Benford
+# screen (the forensic follow-up when the first-digit test passes but
+# fabrication is still suspected; second digits include 0 and are
+# near-uniform, so deviations are subtler). The digit is taken from
+# the DECIMAL STRING of exact integer cents (substr, never
+# floor(log10) — immune to float boundary hazards at powers of ten);
+# expected probabilities sum log10(1 + 1/(10k+d)) over k = 1..9 as
+# the same closed-form expression in both engines; chi-square folds
+# per-digit quantized cells. Scale: one 10-cell rollup + a 9x10
+# constant grid.
+# ---------------------------------------------------------------------------
+
+BENFORD2_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice >= 0.10
+),
+obs AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 2, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM v GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+exp_p AS (
+  SELECT d.d AS digit,
+         CAST(sum(CAST(round(1e12 * ln(1.0 + 1.0 / (10 * k.k + d.d))
+                             / ln(10.0)) AS BIGINT)) AS DOUBLE) / 1e12 AS p
+  FROM (SELECT unnest(range(0, 10)) AS d) d
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k
+  GROUP BY d.d
+),
+cells AS (
+  SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs, e.p, t.n
+  FROM exp_p e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(p, 6) AS expected_p,
+       round(CAST(n_obs AS DOUBLE) / n, 6) AS observed_p,
+       round(pow(n_obs - n * p, 2) / (n * p), 4) AS chi2_term
+FROM cells
+ORDER BY digit
+"""
+
+
+@register("stat_benford_second_digit", BENFORD2_ORACLE)
+def stat_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    v = orders.where(F.col("o_totalprice") >= 0.10).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    obs = v.groupBy(
+        F.substring(F.col("cents").cast("string"), 2, 1).cast("long").alias("digit")
+    ).agg(F.count("*").cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    digits = spark.range(0, 10).select(F.col("id").alias("digit"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    exp_p = (
+        digits.crossJoin(ks)
+        .groupBy("digit")
+        .agg(
+            # per-term quantization: a 9-double sum is still a
+            # distributed float fold whose order can move the hash
+            (
+                F.sum(
+                    F.round(
+                        F.lit(1e12)
+                        * F.log(1.0 + 1.0 / (10 * F.col("k") + F.col("digit")))
+                        / F.log(F.lit(10.0))
+                    ).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("p")
+        )
+    )
+    cells = (
+        exp_p.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "p",
+            "n",
+        )
+    )
+    return cells.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("p", 6).alias("expected_p"),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("observed_p"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("n") * F.col("p"), 2) / (F.col("n") * F.col("p")),
+            4,
+        ).alias("chi2_term"),
+    ).orderBy("digit")

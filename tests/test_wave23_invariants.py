@@ -1,0 +1,50 @@
+"""Invariants for wave 23: Anderson-Darling normality, Benford
+second-digit screen."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="fixture data absent"
+)
+
+
+def _rows(spark, name, sf=SF_DIR):
+    from insurance_helper_spark.queries import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf).collect()
+
+
+def test_anderson_darling_positive_and_adjusted(spark):
+    (r,) = _rows(spark, "stat_anderson_darling_normal")
+    assert r.n_days > 20
+    assert r.ad_stat > 0.0  # A^2 is non-negative for real data
+    # the case-3 adjustment inflates the statistic
+    assert r.ad_adjusted >= r.ad_stat
+    assert r.normal_5pct in ("reject", "fail_to_reject")
+    assert (r.normal_5pct == "reject") == (r.ad_adjusted > 0.787)
+
+
+def test_benford_second_digit_law(spark):
+    rows = _rows(spark, "stat_benford_second_digit")
+    assert len(rows) == 10
+    assert [r.digit for r in rows] == list(range(10))
+    # expected probabilities match the closed form and sum to 1
+    for r in rows:
+        want = sum(
+            math.log10(1 + 1 / (10 * k + r.digit)) for k in range(1, 10)
+        )
+        assert r.expected_p == pytest.approx(want, abs=1e-5)
+        assert r.chi2_term >= 0.0
+    assert sum(r.expected_p for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.observed_p for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # second-digit law is monotone decreasing in the digit
+    exps = [r.expected_p for r in rows]
+    assert exps == sorted(exps, reverse=True)
