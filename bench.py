@@ -279,6 +279,8 @@ HEADLINE = [
     "trade_nation_flow_matrix",
     "stat_anderson_darling_normal",
     "stat_benford_second_digit",
+    "stat_g_test_independence",
+    "stat_runs_up_down",
 ]
 
 

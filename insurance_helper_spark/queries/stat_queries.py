@@ -7175,3 +7175,161 @@ def stat_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_term"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# stat_g_test_independence — the likelihood-ratio G-test on the same
+# (priority x status) contingency table as stat_chi2_priority_status:
+# G = 2 * sum O * ln(O/E) — asymptotically chi-square but additive
+# across partitions of the table (the property that makes it the
+# log-linear modeling workhorse). Per-cell O*ln(O/E) terms are
+# quantized to 1e6 BIGINTs before the fold; E comes from exact
+# integer margins. Scale: one contingency rollup (~15 cells).
+# ---------------------------------------------------------------------------
+
+G_TEST_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY pri, st
+),
+margins AS (
+  SELECT pri, st, o,
+         CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT) AS rp,
+         CAST(sum(o) OVER (PARTITION BY st) AS BIGINT) AS cs,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT n,
+         CAST(count(*) OVER () AS BIGINT) AS n_cells,
+         CAST(round(1e6 * o * ln(CAST(o AS DOUBLE) * n
+                                 / (CAST(rp AS DOUBLE) * cs))) AS BIGINT) AS t
+  FROM margins WHERE o > 0
+)
+SELECT CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(n_cells) AS BIGINT) AS n_cells,
+       round(2 * CAST(sum(t) AS BIGINT) / 1e6, 4) AS g_statistic
+FROM terms
+"""
+
+
+@register("stat_g_test_independence", G_TEST_ORACLE)
+def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").cast("long").alias("o"))
+    margins = cells.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).cast("long").alias("rp"),
+        F.sum("o").over(Window.partitionBy("st")).cast("long").alias("cs"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    terms = margins.where(F.col("o") > 0).select(
+        "n",
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_cells"),
+        F.round(
+            F.lit(1e6)
+            * F.col("o")
+            * F.log(
+                F.col("o").cast("double")
+                * F.col("n")
+                / (F.col("rp").cast("double") * F.col("cs"))
+            )
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("n_cells").cast("long").alias("n_cells"),
+        F.round(2 * F.sum("t").cast("long") / 1e6, 4).alias("g_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_runs_up_down — the runs-up-and-down randomness test on the
+# daily revenue series (the turning-point complement to the
+# above/below-median sign runs test): count maximal monotone runs of
+# the first-difference sign; under randomness E[R] = (2n-1)/3,
+# Var[R] = (16n-29)/90; z = (R - E)/sqrt(Var). Differences of exact
+# integer dollars — ties (zero diffs) are dropped, the standard
+# treatment. Scale: one lag window over the calendar-bounded daily
+# relation + a scalar fold.
+# ---------------------------------------------------------------------------
+
+RUNS_UPDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+             AS d
+  FROM orders GROUP BY day
+),
+diffs AS (
+  SELECT day,
+         CASE WHEN d > lag(d) OVER (ORDER BY day) THEN 1
+              WHEN d < lag(d) OVER (ORDER BY day) THEN -1 END AS s
+  FROM daily
+),
+sgn AS (SELECT day, s FROM diffs WHERE s IS NOT NULL),
+runs AS (
+  SELECT s,
+         CASE WHEN s <> lag(s) OVER (ORDER BY day)
+                OR lag(s) OVER (ORDER BY day) IS NULL THEN 1 ELSE 0 END AS new_run
+  FROM sgn
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) + 1 AS n,
+         CAST(sum(new_run) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n AS n_days, r AS n_runs,
+       round((2.0 * n - 1) / 3, 4) AS expected_runs,
+       round((r - (2.0 * n - 1) / 3)
+             / sqrt((16.0 * n - 29) / 90), 4) AS z_score
+FROM t
+"""
+
+
+@register("stat_runs_up_down", RUNS_UPDOWN_ORACLE)
+def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("d")
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.select(
+        "day",
+        F.when(F.col("d") > F.lag("d").over(wd), 1)
+        .when(F.col("d") < F.lag("d").over(wd), -1)
+        .alias("s"),
+    )
+    sgn = diffs.where(F.col("s").isNotNull())
+    runs = sgn.select(
+        "s",
+        F.when(
+            (F.col("s") != F.lag("s").over(wd)) | F.lag("s").over(wd).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    t = runs.agg(
+        (F.count("*").cast("long") + 1).alias("n"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    exp = (2.0 * F.col("n") - 1) / 3
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("r").alias("n_runs"),
+        F.round(exp, 4).alias("expected_runs"),
+        F.round((F.col("r") - exp) / F.sqrt((16.0 * F.col("n") - 29) / 90), 4).alias(
+            "z_score"
+        ),
+    )

@@ -48,3 +48,23 @@ def test_benford_second_digit_law(spark):
     # second-digit law is monotone decreasing in the digit
     exps = [r.expected_p for r in rows]
     assert exps == sorted(exps, reverse=True)
+
+
+def test_g_test_nonnegative_matches_chi2_scale(spark):
+    (r,) = _rows(spark, "stat_g_test_independence")
+    assert r.g_statistic >= 0.0
+    assert r.n_cells >= 2
+    # G and Pearson chi2 agree asymptotically on the same table:
+    # same order of magnitude on real data
+    chi = _rows(spark, "stat_chi2_priority_status")
+    chi2_val = chi[0].chi2 if hasattr(chi[0], "chi2") else None
+    if chi2_val is not None and chi2_val > 1:
+        assert 0.1 < r.g_statistic / chi2_val < 10
+
+
+def test_runs_up_down_bounds(spark):
+    (r,) = _rows(spark, "stat_runs_up_down")
+    assert r.n_days > 20
+    # runs count is between 1 and n-1
+    assert 1 <= r.n_runs <= r.n_days - 1
+    assert r.expected_runs == pytest.approx((2 * r.n_days - 1) / 3, abs=1e-3)
