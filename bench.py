@@ -281,6 +281,8 @@ HEADLINE = [
     "stat_benford_second_digit",
     "stat_g_test_independence",
     "stat_runs_up_down",
+    "stat_wilcoxon_signed_rank",
+    "stat_sign_test",
 ]
 
 

@@ -7333,3 +7333,215 @@ def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_wilcoxon_signed_rank — paired nonparametric test: did
+# per-customer spend shift between the first and second half of the
+# calendar? Pairs are per-customer (first-half cents, second-half
+# cents) for customers active in both; |d| ranks use the DOUBLED
+# average-rank trick (2*cum_before + c + 1 on the distinct-|d| walk —
+# exact integers even with ties, the Spearman pattern), so W+ folds
+# as a BIGINT sum; the normal approximation z is one terminal
+# expression (tie-variance correction documented as omitted — cents
+# ties are rare). Scale: one customer rollup, one distinct-value walk.
+# ---------------------------------------------------------------------------
+
+WILCOXON_ORACLE = """
+WITH span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+mid AS (SELECT d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS dm
+        FROM span),
+pc AS (
+  SELECT o.o_custkey,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) <= m.dm
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) > m.dm
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders o CROSS JOIN mid m
+  GROUP BY o.o_custkey
+),
+d AS (
+  SELECT y - x AS diff, abs(y - x) AS ad
+  FROM pc WHERE x > 0 AND y > 0 AND y <> x
+),
+dv AS (SELECT ad, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       FROM d GROUP BY ad),
+walk AS (
+  SELECT ad, c, pos,
+         CAST(coalesce(sum(c) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cb
+  FROM dv
+),
+s AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(pos * (2 * cb + c + 1)) AS BIGINT) AS w2p
+  FROM walk
+)
+SELECT n AS n_pairs,
+       round(w2p / 2.0, 1) AS w_plus,
+       round((w2p / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24), 4)
+           AS z_score
+FROM s
+WHERE n > 10
+"""
+
+
+@register("stat_wilcoxon_signed_rank", WILCOXON_ORACLE)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    dd = orders.select(F.to_date("o_orderdate").alias("day"))
+    span = dd.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    mid = span.select(
+        F.expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))").alias("dm")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    pc = (
+        orders.crossJoin(F.broadcast(mid))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.to_date("o_orderdate") <= F.col("dm"), cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.to_date("o_orderdate") > F.col("dm"), cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    d = pc.where(
+        (F.col("x") > 0) & (F.col("y") > 0) & (F.col("y") != F.col("x"))
+    ).select(
+        (F.col("y") - F.col("x")).alias("diff"),
+        F.abs(F.col("y") - F.col("x")).alias("ad"),
+    )
+    dv = d.groupBy("ad").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    walk = dv.select(
+        "ad",
+        "c",
+        "pos",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    s = walk.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("long")
+        .alias("w2p"),
+    )
+    nd = F.col("n").cast("double")
+    wp = F.col("w2p") / 2.0
+    return s.where(F.col("n") > 10).select(
+        F.col("n").alias("n_pairs"),
+        F.round(wp, 1).alias("w_plus"),
+        F.round(
+            (wp - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24),
+            4,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_sign_test — the distribution-free companion on the same paired
+# frame: counts of customers whose second-half spend rose vs fell
+# (zero-differences dropped), exact binomial moments under H0
+# p = 1/2, normal-approximation z with continuity correction. The
+# coarser-but-assumption-free cross-check every Wilcoxon readout
+# ships with. Scale: same customer rollup, one scalar fold.
+# ---------------------------------------------------------------------------
+
+SIGN_TEST_ORACLE = """
+WITH span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+mid AS (SELECT d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS dm
+        FROM span),
+pc AS (
+  SELECT o.o_custkey,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) <= m.dm
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) > m.dm
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders o CROSS JOIN mid m
+  GROUP BY o.o_custkey
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM pc WHERE x > 0 AND y > 0 AND y <> x
+)
+SELECT n_up, n_down, n_up + n_down AS n_pairs,
+       round(CAST(n_up AS DOUBLE) / (n_up + n_down), 6) AS frac_up,
+       round((abs(CAST(n_up AS DOUBLE) - CAST(n_up + n_down AS DOUBLE) / 2) - 0.5)
+             / sqrt(CAST(n_up + n_down AS DOUBLE) / 4), 4) AS z_score
+FROM s
+WHERE n_up + n_down > 10
+"""
+
+
+@register("stat_sign_test", SIGN_TEST_ORACLE)
+def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    dd = orders.select(F.to_date("o_orderdate").alias("day"))
+    span = dd.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    mid = span.select(
+        F.expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))").alias("dm")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    pc = (
+        orders.crossJoin(F.broadcast(mid))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.to_date("o_orderdate") <= F.col("dm"), cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.to_date("o_orderdate") > F.col("dm"), cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = pc.where(
+        (F.col("x") > 0) & (F.col("y") > 0) & (F.col("y") != F.col("x"))
+    ).agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    nt = F.col("n_up") + F.col("n_down")
+    return s.where(nt > 10).select(
+        "n_up",
+        "n_down",
+        nt.alias("n_pairs"),
+        F.round(F.col("n_up").cast("double") / nt, 6).alias("frac_up"),
+        F.round(
+            (F.abs(F.col("n_up").cast("double") - nt.cast("double") / 2) - 0.5)
+            / F.sqrt(nt.cast("double") / 4),
+            4,
+        ).alias("z_score"),
+    )

@@ -68,3 +68,20 @@ def test_runs_up_down_bounds(spark):
     # runs count is between 1 and n-1
     assert 1 <= r.n_runs <= r.n_days - 1
     assert r.expected_runs == pytest.approx((2 * r.n_days - 1) / 3, abs=1e-3)
+
+
+def test_wilcoxon_rank_sum_bounds(spark):
+    (r,) = _rows(spark, "stat_wilcoxon_signed_rank")
+    assert r.n_pairs > 10
+    # W+ is bounded by the total rank sum n(n+1)/2
+    assert 0.0 <= r.w_plus <= r.n_pairs * (r.n_pairs + 1) / 2
+
+
+def test_sign_test_agrees_with_wilcoxon_direction(spark):
+    (s,) = _rows(spark, "stat_sign_test")
+    assert s.n_pairs == s.n_up + s.n_down
+    assert 0.0 <= s.frac_up <= 1.0
+    assert s.z_score >= 0.0  # continuity-corrected |z|
+    # both tests see the same pair frame
+    (w,) = _rows(spark, "stat_wilcoxon_signed_rank")
+    assert w.n_pairs == s.n_pairs
