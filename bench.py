@@ -314,6 +314,12 @@ R1_WARM = {
 }
 R1_TOTAL = 33.936
 
+# Absolute warm-time ceiling per query at sf0.1, applied to EVERY query
+# including never-before-benched ones (the r8 blind spot: per-query
+# budgets only existed for queries with a prior recorded round, so a
+# brand-new O(n^2) query ran 553 s and the regression map stayed empty).
+ABS_WARM_CEILING_S = 30.0
+
 # Warm timings recorded for queries added after r1 (r4 run at sf0.1,
 # local[32], min-of-2-warm with rc=0). Same 2×-with-1.0s-floor warning
 # budget as R1_WARM; they do NOT join the r1-comparable hard gate (that
@@ -446,12 +452,23 @@ def main() -> None:
     # (new headline queries grow the suite without meaning a regression).
     comparable_total = round(sum(t for n, t in timings.items() if n in R1_WARM), 3)
     regressions = {}
+    ceiling_breaches = {}
     if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
         budgets = {**R5_WARM, **R4_WARM, **R1_WARM}  # earliest round wins where both exist
         for name, t in timings.items():
             if name in budgets and t > max(2.0 * budgets[name], 1.0):
                 regressions[name] = {"budget": budgets[name], "now": t}
                 print(f"  REGRESSION {name}: {t}s vs budget {budgets[name]}s", file=sys.stderr)
+            # Absolute per-query ceiling: budgeted OR NOT. Round 8 shipped
+            # a 553 s O(n^2) query unnoticed because new queries are
+            # unbudgeted until their first recorded round — no query in
+            # this engine has any business taking >30 s warm at sf0.1.
+            if t > ABS_WARM_CEILING_S:
+                ceiling_breaches[name] = t
+                print(
+                    f"  CEILING {name}: {t}s warm > {ABS_WARM_CEILING_S}s absolute ceiling",
+                    file=sys.stderr,
+                )
     result = {
         "metric": "headline_suite_runtime",
         "value": total,
@@ -461,6 +478,7 @@ def main() -> None:
         "r1_comparable_total": comparable_total,
         "sf": sf,
         "regressions": regressions,
+        "ceiling_breaches": ceiling_breaches,
     }
     _persist_round_timings(result, cold)
     print(json.dumps(result))
@@ -468,6 +486,13 @@ def main() -> None:
         print(
             f"SUITE REGRESSION: {comparable_total}s (r1-comparable queries) "
             f"vs r1 {R1_TOTAL}s",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if ceiling_breaches:
+        print(
+            f"ABSOLUTE CEILING BREACH: {sorted(ceiling_breaches)} exceed "
+            f"{ABS_WARM_CEILING_S}s warm at sf0.1",
             file=sys.stderr,
         )
         sys.exit(1)

@@ -3969,10 +3969,11 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold-picking artifact every deployed binary classifier ships
 # with. DISTRIBUTED SHAPE: the score is VALUE-COLLAPSED to (cents, n,
 # pos) once; decile edges come from exact integer rank selection over
-# that reduced relation, and every confusion cell is a suffix
-# cumulative count evaluated AT an edge value (equi-join, no per-row
-# scan per threshold). Everything before the three terminal quotients
-# is exact integer arithmetic.
+# that reduced relation, and every confusion cell is a suffix count
+# DERIVED as total-minus-exclusive-prefix from the one O(n) running
+# frame (never an UnboundedFollowing frame, which Spark evaluates
+# O(n^2)), then looked up AT an edge value by equi-join. Everything
+# before the three terminal quotients is exact integer arithmetic.
 # ---------------------------------------------------------------------------
 
 PR_CURVE_ORACLE = """
@@ -4028,14 +4029,24 @@ def ml_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = base.groupBy("cents").agg(
         F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
     )
+    # Suffix counts are derived as total-minus-exclusive-prefix from the
+    # single O(n) running frame: Spark's UnboundedFollowing frame
+    # (UnboundedFollowingWindowFunctionFrame) re-evaluates the aggregate
+    # from the current row to the end FOR EVERY ROW — O(n^2) on the
+    # unpartitioned relation (~150k distinct cents at sf0.1 took ~550 s).
+    # suf_n = nn - cum_n + n and suf_pos = pp - cum_pos + pos are the
+    # identical integers at O(n).
     w_up = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_dn = Window.orderBy("cents").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     w_all = Window.partitionBy()
     cum = vc.select(
         "cents",
         F.sum("n").over(w_up).alias("cum_n"),
-        F.sum("n").over(w_dn).alias("suf_n"),
-        F.sum("pos").over(w_dn).alias("suf_pos"),
+        (
+            F.sum("n").over(w_all) - F.sum("n").over(w_up) + F.col("n")
+        ).alias("suf_n"),
+        (
+            F.sum("pos").over(w_all) - F.sum("pos").over(w_up) + F.col("pos")
+        ).alias("suf_pos"),
         F.sum("n").over(w_all).alias("nn"),
         F.sum("pos").over(w_all).alias("pp"),
     )
