@@ -14,11 +14,11 @@ produced — these helpers are the bit-exactness contract:
   exactly representable, so "shortest repr >= k.5" is equivalent to
   the plain double comparison ``x - floor(x) >= 0.5`` — and that
   fractional subtraction is EXACT (Sterbenz), so no re-rounding noise.
-  The naive ``floor(x + 0.5)`` is NOT equivalent: for x one ulp below
-  k+0.5 the addition can round up to exactly k+1 and overshoot
-  (expected ~ulp-sized error window per unit; at 1e10-scaled products
-  over 10M rows that is a handful of real mismatches per run).
-  Negative values round away from zero (HALF_UP), mirroring Spark.
+  The naive ``floor(x + 0.5)`` is NOT equivalent: when the addition
+  crosses a rounding boundary the sum can round up past the integer
+  and overshoot (the classic ``0.49999999999999994 + 0.5 == 1.0``
+  case). Negative values round away from zero (HALF_UP), mirroring
+  Spark.
 
 - ``hash_family_int``: plain-Python-int twin of
   ``functions.hashing.hash_family`` (same xorshift-multiply chain,

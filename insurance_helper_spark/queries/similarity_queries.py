@@ -256,42 +256,69 @@ ORDER BY rank
 
 @register("embedding_covariance_pairs", COV_PAIRS_ORACLE)
 def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-correlated dimension pairs, numpy-kernel edition.
+
+    The (vec_id, dim) self-join materialized corpus x d(d+1)/2 rows
+    (~12M at sf0.1, 1.9 s warm); the kernel computes the SAME per-row
+    ``round(va*vb*1e10) AS BIGINT`` terms vectorized and ships only
+    d(d+1)/2 int64 partials per batch — the map-side-combine shape that
+    holds at any corpus size (what shuffles is O(d^2) per partition,
+    never O(rows)). ENGINE PARITY: per-row rounding uses
+    ``npkernels.half_up_long`` (bit-exact twin of F.round HALF_UP);
+    the partial sums are exact integers, so aggregation order cannot
+    move a bit, and the top-10 RANK over unrounded |corr| stays
+    cross-engine stable. Exact to ~5e8 vectors (1e10-scaled squares
+    < 2^63); beyond that, drop one scale decade.
+    """
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window as W
 
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    x = emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).toDF("vec_id", "i", "v")
-    x = x.localCheckpoint(eager=True)  # feeds dim moments + both join sides
-    # ENGINE PARITY (r7 float-sum sweep): every corpus-bounded fold sums
-    # round(·1eN) AS BIGINT — critical here because the top-10 RANK orders
-    # by the unrounded |corr|, so last-bit partial-sum noise could swap
-    # near-tied pairs between engines. Exact to ~5e8 vectors (1e10-scaled
-    # squares < 2^63); beyond that, drop one scale decade.
-    dim = x.groupBy("i").agg(
-        F.count("*").alias("n"),
-        (F.sum(F.round(F.col("v") * 1e9).cast("long")).cast("double") / 1e9).alias(
-            "s"
-        ),
-        (
-            F.sum(F.round(F.col("v") * F.col("v") * 1e10).cast("long")).cast("double")
-            / 1e10
-        ).alias("ss"),
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("vec"))
+
+    def run(batches):
+        from insurance_helper_spark.functions.npkernels import half_up_long
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n, d = blk.shape
+            s = half_up_long(blk * 1e9).sum(axis=0)  # per-dim 1e9-scaled sums
+            g = np.zeros((d, d), dtype=np.int64)  # upper triangle incl. diag
+            for i in range(d):
+                g[i, i:] = half_up_long((blk[:, i : i + 1] * blk[:, i:]) * 1e10).sum(
+                    axis=0
+                )
+            ii, jj = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": ii.astype(np.int32),
+                    "j": jj.astype(np.int32),
+                    "cnt": np.where(ii == jj, np.int64(n), np.int64(0)),
+                    "s": np.where(ii == jj, s[ii], np.int64(0)),
+                    "c": g[ii, jj],
+                }
+            )
+
+    parts = vecs.mapInPandas(run, schema="i int, j int, cnt long, s long, c long")
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("cnt").alias("cnt"), F.sum("s").alias("s"), F.sum("c").alias("c")
     )
-    a = x.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
-    b = x.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
-    cross_m = (
-        a.join(b, "vec_id")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            (
-                F.sum(
-                    F.round(F.col("va") * F.col("vb") * 1e10).cast("long")
-                ).cast("double")
-                / 1e10
-            ).alias("sxy")
-        )
+    agg = agg.localCheckpoint(eager=True)  # one kernel pass feeds dim + cross
+    dim = agg.filter(F.col("i") == F.col("j")).select(
+        "i",
+        F.col("cnt").alias("n"),
+        (F.col("s").cast("double") / 1e9).alias("s"),
+        (F.col("c").cast("double") / 1e10).alias("ss"),
+    )
+    cross_m = agg.filter(F.col("i") < F.col("j")).select(
+        "i", "j", (F.col("c").cast("double") / 1e10).alias("sxy")
     )
     da = dim.select(F.col("i"), F.col("n"), F.col("s").alias("sa"), F.col("ss").alias("ssa"))
     db = dim.select(F.col("i").alias("j"), F.col("s").alias("sb"), F.col("ss").alias("ssb"))
@@ -507,74 +534,121 @@ ORDER BY rank
 
 @register("embedding_pca_power_iteration", PCA_ORACLE)
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """Top principal direction by power iteration, numpy-kernel edition.
 
+    Architecture = Spark MLlib's RowMatrix.computePrincipalComponents
+    shape: the corpus-sized work is ONE distributed pass building the
+    d x d centered Gram as exact int64 partials (map-side d^2 per
+    batch; what shuffles is O(d^2), never O(rows)), then the d-bounded
+    linear algebra (3 matvec iterations on a 64 x 64 matrix) runs on
+    the driver — collecting 4096 longs, corpus-independent. Replaces
+    the (vec_id, dim) self-join that materialized corpus x d^2 rows
+    (~25M at sf0.1, 4.9 s warm).
+
+    ENGINE PARITY: identical integers to the former distributed plan —
+    per-row ``round(va*vb*1e10)`` via ``npkernels.half_up_long``, means
+    from 1e9-scaled integer sums, every matvec/norm fold sums per-cell
+    ``round(m*v*1e12)`` as int64 (integer sums are order-free), and the
+    terminal round(·, 4) replicates F.round's shortest-decimal HALF_UP
+    via Decimal(repr(x)).
+    """
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    x = emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).toDF("vec_id", "i", "v")
-    mu = x.groupBy("i").agg(
-        (
-            F.sum(F.round(F.col("v") * 1e9).cast("long")).cast("double")
-            / 1e9
-            / F.count("*")
-        ).alias("m"),
-        F.count("*").cast("long").alias("n"),
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("vec"))
+
+    def dim_sums(batches):
+        from insurance_helper_spark.functions.npkernels import half_up_long
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n, d = blk.shape
+            s = half_up_long(blk * 1e9).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype=np.int32),
+                    "cnt": np.full(d, n, dtype=np.int64),
+                    "s": s,
+                }
+            )
+
+    mu_rows = (
+        vecs.mapInPandas(dim_sums, schema="i int, cnt long, s long")
+        .groupBy("i")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+        .collect()
     )
-    c = x.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("v") - F.col("m")).alias("v")
-    )
-    c = c.localCheckpoint(eager=True)  # both sides of the Gram self-join
-    a = c.select("vec_id", F.col("i").alias("i"), F.col("v").alias("va"))
-    b = c.select("vec_id", F.col("i").alias("j"), F.col("v").alias("vb"))
-    mat = (
-        a.join(b, "vec_id")
+    d = len(mu_rows)
+    n_total = mu_rows[0]["cnt"]
+    m = np.zeros(d, dtype=np.float64)
+    for r in mu_rows:
+        # same op order as the former JVM expr: (sum/1e9) / n
+        m[r["i"]] = (float(r["s"]) / 1e9) / float(r["cnt"])
+    b_m = spark.sparkContext.broadcast(m)
+
+    def gram(batches):
+        from insurance_helper_spark.functions.npkernels import half_up_long
+
+        mm = b_m.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vec"]), dtype=np.float64) - mm[None, :]
+            g = np.empty((d, d), dtype=np.int64)
+            for i in range(d):
+                g[i] = half_up_long((blk[:, i : i + 1] * blk) * 1e10).sum(axis=0)
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "g": g.ravel(),
+                }
+            )
+
+    gram_rows = (
+        vecs.mapInPandas(gram, schema="i int, j int, g long")
         .groupBy("i", "j")
-        .agg(
-            F.sum(F.round(F.col("va") * F.col("vb") * 1e10).cast("long")).alias("s")
-        )
-        .join(F.broadcast(mu.select(F.col("i"), F.col("n"))), "i")
-        .select("i", "j", (F.col("s").cast("double") / 1e10 / F.col("n")).alias("m"))
+        .agg(F.sum("g").alias("g"))
+        .collect()
     )
-    mat = mat.localCheckpoint(eager=True)  # reused by all three iterations
-    v = mu.select("i", F.lit(_PCA_V0).alias("v"))
-    eig = None
+    g_int = np.zeros((d, d), dtype=np.int64)
+    for r in gram_rows:
+        g_int[r["i"], r["j"]] = r["g"]
+    mat = (g_int.astype(np.float64) / 1e10) / float(n_total)
+
+    from insurance_helper_spark.functions.npkernels import half_up_long as _hup
+
+    v_vec = np.full(d, _PCA_V0, dtype=np.float64)
+    nrm = 0.0
     for _ in range(3):
-        w_df = (
-            mat.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("m") * F.col("v") * 1e12).cast("long")
-                    ).cast("double")
-                    / 1e12
-                ).alias("w")
+        w_int = _hup((mat * v_vec[None, :]) * 1e12).sum(axis=1)  # exact per-cell
+        w = w_int.astype(np.float64) / 1e12
+        nrm = float(np.sqrt(float(_hup((w * w) * 1e12).sum()) / 1e12))
+        v_vec = w / nrm
+
+    def _round4(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
             )
         )
-        norm = w_df.agg(
-            F.sqrt(
-                F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).cast(
-                    "double"
-                )
-                / 1e12
-            ).alias("nrm")
-        )
-        v = w_df.join(F.broadcast(norm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
-        )
-        eig = norm
-    wr = W.orderBy(F.desc(F.abs(F.col("v"))), "i")
-    return (
-        v.join(F.broadcast(eig))
-        .select(
-            F.col("i").cast("int").alias("dim"),
-            F.round("v", 4).alias("loading"),
-            F.round("nrm", 4).alias("eigenvalue_est"),
-            F.row_number().over(wr).cast("int").alias("rank"),
-        )
-        .filter(F.col("rank") <= 8)
-        .orderBy("rank")
+
+    order = sorted(range(d), key=lambda i: (-abs(v_vec[i]), i))[:8]
+    rows = [
+        (int(i), _round4(v_vec[i]), _round4(nrm), rank + 1)
+        for rank, i in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows, schema="dim int, loading double, eigenvalue_est double, rank int"
     )
 
 
@@ -1076,6 +1150,26 @@ FROM scored
 
 @register("embedding_srp_bit_agreement", SRP_AGREE_ORACLE)
 def embedding_srp_bit_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP bit-agreement audit, numpy-kernel edition.
+
+    The 16 projections x 2 vectors + 3 cosine folds per pair were
+    interpreted ``F.aggregate`` folds (~12 s warm at sf0.1); the
+    mapInPandas kernel does the same arithmetic vectorized. EXACTNESS:
+    every JVM fold here is a left-to-right DOUBLE accumulation over
+    i = 1..64, so the kernel accumulates with a sequential loop over
+    the dimension axis (one vectorized ``acc += term_i`` per step) —
+    the identical IEEE addition sequence per row, NOT a BLAS dot
+    (pairwise summation could differ in the last ulp and flip a
+    near-zero projection bit). Signs come from the same portable
+    hash family via ``npkernels.srp_sign_matrix``; acos/sqrt stay
+    JVM-side so the libm surface vs the oracle is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     a = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -1087,39 +1181,46 @@ def embedding_srp_bit_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, "id_a")
 
-    def proj(vec: str, j: int):
-        def term(i):
-            sign = (
-                F.when(
-                    _jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
+    def run(batches):
+        from insurance_helper_spark.functions.npkernels import srp_sign_matrix
+
+        S = srp_sign_matrix(_JL_D, _JL_K)  # (d, k) of +-1.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["va"]), dtype=np.float64)
+            vb = np.array(list(pdf["vb"]), dtype=np.float64)
+            n = len(pdf)
+            pa = np.zeros((n, _JL_K))
+            pb = np.zeros((n, _JL_K))
+            dot = np.zeros(n)
+            na2 = np.zeros(n)
+            nb2 = np.zeros(n)
+            for i in range(_JL_D):  # sequential i order == the fold's order
+                ca, cb = va[:, i], vb[:, i]
+                pa += ca[:, None] * S[i]
+                pb += cb[:, None] * S[i]
+                dot += ca * cb
+                na2 += ca * ca
+                nb2 += cb * cb
+            n_agree = ((pa >= 0) == (pb >= 0)).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"n_agree": n_agree, "dot": dot, "na2": na2, "nb2": nb2}
             )
-            return F.element_at(F.col(vec), i.cast("int")) * sign
 
-        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
-        return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-
-    def bit(vec: str, j: int):
-        return F.when(proj(vec, j) >= 0, 1).otherwise(0)
-
-    n_agree = None
-    for j in range(_JL_K):
-        t = F.when(bit("va", j) == bit("vb", j), 1).otherwise(0)
-        n_agree = t if n_agree is None else n_agree + t
-
-    def fold(expr: str):
-        return F.expr(
-            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-
-    dot = fold("va[i - 1] * vb[i - 1]")
-    na = F.sqrt(fold("va[i - 1] * va[i - 1]"))
-    nb = F.sqrt(fold("vb[i - 1] * vb[i - 1]"))
-    theta = F.acos(F.least(F.greatest(dot / (na * nb), F.lit(-1.0)), F.lit(1.0)))
-    scored = pairs.select(
-        n_agree.cast("long").alias("n_agree"), theta.alias("theta")
+    raw = pairs.mapInPandas(
+        run, schema="n_agree bigint, dot double, na2 double, nb2 double"
     )
+    theta = F.acos(
+        F.least(
+            F.greatest(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                F.lit(-1.0),
+            ),
+            F.lit(1.0),
+        )
+    )
+    scored = raw.select(F.col("n_agree"), theta.alias("theta"))
     pred = 1.0 - F.col("theta") / F.lit(3.141592653589793)
     meas = F.col("n_agree").cast("double") / _JL_K
     return scored.agg(
