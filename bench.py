@@ -229,6 +229,8 @@ HEADLINE = [
     "stat_effect_sizes_urgency",
     "orders_backlog_aging",
     "similarity_ann_recall_eval",
+    "similarity_ann_frontier_eval",
+    "retrieval_hybrid_rrf_topk",
     "stat_power_sample_size",
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",
