@@ -156,12 +156,14 @@ def pdf_text_extract(binaries: DataFrame, extractor=None) -> DataFrame:
     declared, never implemented there).
 
     ``extractor: bytes -> (text, n_pages)`` is injected; the default is
-    a clearly-marked stub: real PDFs (%PDF magic) raise
-    NotImplementedError into ``extract_error`` (pypdf/pdfminer are not
-    in this container), anything else is decoded as UTF-8 text with
-    n_pages=1 — deterministic, so the Spark-side plumbing (schema,
-    mapInPandas batching, per-row error containment like the
-    reference's base.py:104-110 row tolerance) is fully testable.
+    REAL for the common case: ``sources/pdf_text.extract_pdf_text`` — a
+    pure-stdlib parser handling uncompressed and FlateDecode content
+    streams, Tj/TJ/'/" text operators, PDF string escapes, and /Page
+    counting (see that module for the documented scope). PDFs with no
+    decodable text (exotic filters, image-only, encrypted) raise into
+    ``extract_error`` per the F3 row-tolerance contract (reference
+    base.py:104-110); non-PDF blobs decode as UTF-8 text with
+    n_pages=1.
 
     Scale: same contract as extract_features — blobs never shuffle,
     only extracted text flows downstream; a decode failure becomes an
@@ -173,10 +175,9 @@ def pdf_text_extract(binaries: DataFrame, extractor=None) -> DataFrame:
 
     def default_extractor(content: bytes) -> tuple[str, int]:
         if content[:4] == b"%PDF":
-            raise NotImplementedError(
-                "real PDF text extraction (pypdf/pdfminer) not available "
-                "in this container; inject extractor="
-            )
+            from insurance_helper_spark.sources.pdf_text import extract_pdf_text
+
+            return extract_pdf_text(content)
         return content.decode("utf-8", errors="replace"), 1
 
     fn = extractor or default_extractor

@@ -59,15 +59,31 @@ def test_frame_sample_plan(spark, blob_dir):
     assert rows[1]["byte_offset"] == 1 << 16
 
 
-def test_pdf_text_extract_stub_and_error_rows(spark, blob_dir):
+def test_pdf_text_extract_real_and_error_rows(spark, blob_dir):
     blobs = binary.read_binary_dir(spark, str(blob_dir))
     out = {r["path"].rsplit("/", 1)[-1]: r for r in binary.pdf_text_extract(blobs).collect()}
-    # real PDF magic → stubbed NotImplementedError contained as error row
+    # PDF magic but no content streams → F3 error row (never a task failure)
     assert out["a.pdf"]["text"] is None
-    assert "not available" in out["a.pdf"]["extract_error"]
+    assert "no extractable text" in out["a.pdf"]["extract_error"]
     # non-PDF bytes decode as text with the default extractor
     assert out["junk.bin"]["extract_error"] is None
     assert out["junk.bin"]["n_pages"] == 1
+
+
+def test_pdf_text_extract_real_pdf_via_spark(spark, tmp_path):
+    """End-to-end: a REAL (FlateDecode) PDF through the binaryFile scan
+    + mapInPandas extractor returns its text and page count."""
+    from tests.test_pdf_text import mini_pdf
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    content = b"BT (Hello from Spark) Tj ET"
+    (d / "real.pdf").write_bytes(mini_pdf([content], n_pages=3, compress=True))
+    blobs = binary.read_binary_dir(spark, str(d))
+    row = binary.pdf_text_extract(blobs).collect()[0]
+    assert row["extract_error"] is None
+    assert row["text"].strip() == "Hello from Spark"
+    assert row["n_pages"] == 3
 
 
 def test_pdf_text_extract_injected_extractor(spark, blob_dir):
