@@ -231,6 +231,13 @@ HEADLINE = [
     "similarity_ann_recall_eval",
     "similarity_ann_frontier_eval",
     "retrieval_hybrid_rrf_topk",
+    "actuarial_ldf_selection",
+    "corpus_quality_token_tradeoff",
+    "stat_cochran_q",
+    "stat_fisher_exact_2x2",
+    "dedup_lsh_band_planner",
+    "ops_broadcast_threshold_audit",
+    "stat_breusch_pagan",
     "stat_power_sample_size",
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",

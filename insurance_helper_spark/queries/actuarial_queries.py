@@ -95,10 +95,10 @@ tips AS (SELECT cq, max_age, cum_cents FROM cum WHERE age = max_age)
 """
 
 
-def _triangle(spark: SparkSession, sf_dir: str):
-    """Build (tips, cdfs, cohort_sizes) DataFrames for the reserving
-    queries. tips: one row per cohort at its latest observed age;
-    cdfs: quantized-ln cumulative development factor per age."""
+def _cum_cells(spark: SparkSession, sf_dir: str):
+    """The cumulative development cells (cq, max_age, age, cum_cents)
+    shared by the reserving queries and the LDF-selection audit —
+    identical expressions to the _TRIANGLE_SQL `cum` CTE."""
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
@@ -143,6 +143,13 @@ def _triangle(spark: SparkSession, sf_dir: str):
             .alias("cum_cents"),
         )
     )
+    sizes = cohort.groupBy("cq").agg(F.count("*").cast("long").alias("n_cust"))
+    return cum, sizes
+
+
+def _fac_of(cum: DataFrame) -> DataFrame:
+    """Volume-weighted age-to-age factors (from_age, s_next, s_prev,
+    qln) from the cumulative cells — identical to _TRIANGLE_SQL `fac`."""
     a, b = cum.alias("a"), cum.alias("b")
     fac = (
         a.join(
@@ -164,19 +171,33 @@ def _triangle(spark: SparkSession, sf_dir: str):
             .alias("qln"),
         )
     )
+    return fac
+
+
+def _cdfs_of(cum: DataFrame, fac: DataFrame) -> DataFrame:
+    """Quantized-ln cumulative development factor per age — identical
+    to _TRIANGLE_SQL `cdfs`."""
     agespine = (
-        spine.agg(F.max("max_age").alias("maxa"))
+        cum.agg(F.max("max_age").alias("maxa"))
         .select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxa"))).alias("age"))
     )
-    cdfs = (
+    return (
         agespine.join(fac, fac.from_age >= agespine.age, "left")
         .groupBy("age")
         .agg(F.coalesce(F.sum("qln"), F.lit(0)).cast("long").alias("qsum"))
     )
+
+
+def _triangle(spark: SparkSession, sf_dir: str):
+    """Build (tips, cdfs, cohort_sizes) DataFrames for the reserving
+    queries. tips: one row per cohort at its latest observed age;
+    cdfs: quantized-ln cumulative development factor per age."""
+    cum, sizes = _cum_cells(spark, sf_dir)
+    fac = _fac_of(cum)
+    cdfs = _cdfs_of(cum, fac)
     tips = cum.where(F.col("age") == F.col("max_age")).select(
         "cq", "max_age", "cum_cents"
     )
-    sizes = cohort.groupBy("cq").agg(F.count("*").cast("long").alias("n_cust"))
     return tips, cdfs, sizes
 
 
@@ -719,4 +740,101 @@ def actuarial_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.pow(F.col("o1") - F.col("se1") / 1e6, 2) / (F.col("sv") / 1e6), 4
         ).alias("logrank_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# actuarial_ldf_selection — the loss-development-factor SELECTION
+# table an actuary reviews before accepting a chain-ladder projection:
+# for every age-to-age step, the volume-weighted LDF (what
+# chain_ladder uses), the simple (unweighted) mean of per-cohort
+# ratios, the min/max cohort ratio (the dispersion that flags an
+# unstable factor), the number of contributing cohorts, and the
+# cumulative-to-ultimate factor from that age. VW vs simple-mean
+# disagreement + a wide min/max band is the standard "don't trust
+# this diagonal" signal. ENGINE PARITY: per-cohort ratios are
+# quantized round(·1e9) AS BIGINT per row before the mean/min/max
+# folds (ratios of positive exact BIGINTs — cohort age-0 cumulative
+# is positive by construction); the VW factor is a ratio of exact
+# BIGINT sums; the CDF reuses the same quantized-ln sums as
+# chain_ladder. Scale: everything past the one cohort rollup runs on
+# the O(quarters^2) triangle.
+# ---------------------------------------------------------------------------
+
+LDF_SELECTION_ORACLE = f"""
+WITH {_TRIANGLE_SQL},
+ratios AS (
+  SELECT a.age AS from_age,
+         CAST(round(1e9 * (CAST(b.cum_cents AS DOUBLE) / a.cum_cents))
+              AS BIGINT) AS qr
+  FROM cum a JOIN cum b ON b.cq = a.cq AND b.age = a.age + 1
+  WHERE a.max_age >= a.age + 1
+),
+rstats AS (
+  SELECT from_age, CAST(count(*) AS BIGINT) AS n_cohorts,
+         CAST(sum(qr) AS BIGINT) AS qsumr,
+         CAST(min(qr) AS BIGINT) AS qmin, CAST(max(qr) AS BIGINT) AS qmax
+  FROM ratios GROUP BY from_age
+)
+SELECT f.from_age, f.from_age + 1 AS to_age, r.n_cohorts,
+       round(CAST(f.s_next AS DOUBLE) / f.s_prev, 6) AS vw_ldf,
+       round(CAST(r.qsumr AS DOUBLE) / 1e9 / r.n_cohorts, 6) AS simple_ldf,
+       round(CAST(r.qmin AS DOUBLE) / 1e9, 6) AS min_ldf,
+       round(CAST(r.qmax AS DOUBLE) / 1e9, 6) AS max_ldf,
+       round(exp(CAST(c.qsum AS DOUBLE) / 1e9), 6) AS cdf_to_ultimate
+FROM fac f
+JOIN rstats r ON r.from_age = f.from_age
+JOIN cdfs c ON c.age = f.from_age
+ORDER BY f.from_age
+"""
+
+
+@register("actuarial_ldf_selection", LDF_SELECTION_ORACLE)
+def actuarial_ldf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cum, _ = _cum_cells(spark, sf_dir)
+    cum = cum.localCheckpoint(eager=True)  # fac + ratios + cdfs reuse it
+    fac = _fac_of(cum)
+    cdfs = _cdfs_of(cum, fac)
+    a, b = cum.alias("a"), cum.alias("b")
+    ratios = (
+        a.join(
+            b,
+            (F.col("b.cq") == F.col("a.cq")) & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .where(F.col("a.max_age") >= F.col("a.age") + 1)
+        .select(
+            F.col("a.age").alias("from_age"),
+            F.round(
+                F.lit(1e9) * (F.col("b.cum_cents").cast("double") / F.col("a.cum_cents"))
+            )
+            .cast("long")
+            .alias("qr"),
+        )
+    )
+    rstats = ratios.groupBy("from_age").agg(
+        F.count("*").cast("long").alias("n_cohorts"),
+        F.sum("qr").cast("long").alias("qsumr"),
+        F.min("qr").cast("long").alias("qmin"),
+        F.max("qr").cast("long").alias("qmax"),
+    )
+    return (
+        fac.join(rstats, "from_age")
+        .join(F.broadcast(cdfs), cdfs.age == F.col("from_age"))
+        .select(
+            "from_age",
+            (F.col("from_age") + 1).alias("to_age"),
+            "n_cohorts",
+            F.round(F.col("s_next").cast("double") / F.col("s_prev"), 6).alias(
+                "vw_ldf"
+            ),
+            F.round(
+                F.col("qsumr").cast("double") / 1e9 / F.col("n_cohorts"), 6
+            ).alias("simple_ldf"),
+            F.round(F.col("qmin").cast("double") / 1e9, 6).alias("min_ldf"),
+            F.round(F.col("qmax").cast("double") / 1e9, 6).alias("max_ldf"),
+            F.round(F.exp(F.col("qsum").cast("double") / 1e9), 6).alias(
+                "cdf_to_ultimate"
+            ),
+        )
+        .orderBy("from_age")
     )

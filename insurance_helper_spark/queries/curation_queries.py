@@ -2710,3 +2710,107 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# ops_broadcast_threshold_audit — which join sides fit under Spark's
+# autoBroadcastJoinThreshold (default 10 MiB)? For each dimension-side
+# table, the audit estimates in-memory row bytes from the schema
+# (8 bytes per numeric, string length + 8 bytes of UTF8String/offset
+# overhead per string) and reports rows, estimated bytes, bytes/row,
+# and the broadcast verdict. This is the planner fact that decides
+# broadcast-hash vs shuffle joins across the whole catalog — at a new
+# scale factor you read THIS table before trusting any `broadcast()`
+# hint. ENGINE PARITY: byte estimates are exact BIGINT sums of integer
+# widths; bytes/row is the one terminal quotient. Scale: one
+# map-side-combined aggregate per audited table; output is 5 rows at
+# any corpus size.
+# ---------------------------------------------------------------------------
+
+# (table, [(column, kind)]) — kind: 'num' = fixed 8 bytes, 'str' =
+# length + 8. Shared by the Spark build and the DuckDB oracle below.
+_BCAST_SCHEMAS = [
+    ("region", [("r_regionkey", "num"), ("r_name", "str")]),
+    ("nation", [("n_nationkey", "num"), ("n_name", "str"), ("n_regionkey", "num")]),
+    (
+        "supplier",
+        [
+            ("s_suppkey", "num"),
+            ("s_name", "str"),
+            ("s_nationkey", "num"),
+            ("s_acctbal", "num"),
+        ],
+    ),
+    (
+        "customer",
+        [
+            ("c_custkey", "num"),
+            ("c_name", "str"),
+            ("c_nationkey", "num"),
+            ("c_acctbal", "num"),
+            ("c_mktsegment", "str"),
+        ],
+    ),
+    (
+        "part",
+        [
+            ("p_partkey", "num"),
+            ("p_name", "str"),
+            ("p_brand", "str"),
+            ("p_type", "str"),
+            ("p_size", "num"),
+            ("p_retailprice", "num"),
+        ],
+    ),
+]
+
+_BCAST_LIMIT = 10 * 1024 * 1024  # Spark's default autoBroadcastJoinThreshold
+
+
+def _bcast_row_bytes_sql(cols) -> str:
+    terms = [
+        "8" if kind == "num" else f"(length({c}) + 8)" for c, kind in cols
+    ]
+    return " + ".join(terms)
+
+
+BCAST_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_bcast_row_bytes_sql(cols)}) AS BIGINT) AS est_bytes,
+       round(CAST(sum({_bcast_row_bytes_sql(cols)}) AS DOUBLE) / count(*), 2)
+           AS bytes_per_row,
+       CAST(sum({_bcast_row_bytes_sql(cols)}) AS BIGINT) < {_BCAST_LIMIT}
+           AS broadcastable
+FROM {t}"""
+    for t, cols in _BCAST_SCHEMAS
+) + "\nORDER BY table_name"
+
+
+@register("ops_broadcast_threshold_audit", BCAST_AUDIT_ORACLE)
+def ops_broadcast_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _BCAST_SCHEMAS:
+        df = load_table(spark, sf_dir, t, columns=[c for c, _ in cols])
+        row_bytes = None
+        for c, kind in cols:
+            term = (
+                F.lit(8).cast("long")
+                if kind == "num"
+                else (F.length(F.col(c)) + 8).cast("long")
+            )
+            row_bytes = term if row_bytes is None else row_bytes + term
+        agg = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(row_bytes).cast("long").alias("est_bytes"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            "est_bytes",
+            F.round(F.col("est_bytes").cast("double") / F.col("n_rows"), 2).alias(
+                "bytes_per_row"
+            ),
+            (F.col("est_bytes") < _BCAST_LIMIT).alias("broadcastable"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("table_name")

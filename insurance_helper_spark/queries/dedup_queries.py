@@ -1712,3 +1712,151 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_band_planner — the (bands x rows) TUNING TABLE you read
+# BEFORE building a MinHash-LSH index over 100 TB: for each banding of
+# a 128-minhash signature, the S-curve operating point s* = (1/b)^(1/r)
+# and the collision probability 1-(1-s^r)^b at a Jaccard grid, next to
+# the MEASURED corpus facts that price the index (docs with shingles,
+# mean distinct shingles per doc, index rows = n_docs x b). Picking
+# (b, r) off this table is what decides whether the band join's
+# buckets are selective at the target threshold. ENGINE PARITY: b and
+# r are powers of two, so s^r and (1-s^r)^b are computed by EXPLICIT
+# SQUARING CHAINS (bit-identical IEEE multiplies on both engines —
+# never libm pow); s* is one terminal exp(-ln b / r) per config row
+# under round(4); the measured stats are exact BIGINTs with terminal
+# quotients. Scale: one shingle pass, map-side combined; the planner
+# grid is 4 configs x 4 s-values regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+LSH_PLANNER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT)
+             AS n_sh
+  FROM t
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_sh) AS BIGINT) AS tot_sh
+  FROM sh WHERE n_sh > 0
+),
+cfg AS (
+  SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) AS v(b, r)
+),
+grid AS (
+  SELECT cfg.b, cfg.r, CAST(s.s AS DOUBLE) AS s
+  FROM cfg CROSS JOIN (VALUES (0.5), (0.7), (0.8), (0.9)) AS s(s)
+),
+p1 AS (SELECT b, r, s, s * s AS s2 FROM grid),
+p2 AS (SELECT *, s2 * s2 AS s4 FROM p1),
+p3 AS (SELECT *, s4 * s4 AS s8 FROM p2),
+p4 AS (SELECT *, s8 * s8 AS s16 FROM p3),
+sr AS (
+  SELECT b, r, s,
+         CASE r WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8 ELSE s16 END AS srv
+  FROM p4
+),
+q1 AS (SELECT b, r, s, srv, (1 - srv) * (1 - srv) AS q2 FROM sr),
+q2 AS (SELECT *, q2 * q2 AS q4 FROM q1),
+q3 AS (SELECT *, q4 * q4 AS q8 FROM q2),
+q4 AS (SELECT *, q8 * q8 AS q16 FROM q3),
+q5 AS (SELECT *, q16 * q16 AS q32 FROM q4),
+q6 AS (SELECT *, q32 * q32 AS q64 FROM q5),
+curve AS (
+  SELECT b, r, s,
+         1 - (CASE b WHEN 8 THEN q8 WHEN 16 THEN q16 WHEN 32 THEN q32
+              ELSE q64 END) AS p
+  FROM q6
+)
+SELECT CAST(cv.b AS BIGINT) AS bands,
+       CAST(cv.r AS BIGINT) AS rows_per_band,
+       round(exp(-ln(CAST(cv.b AS DOUBLE)) / cv.r), 4) AS s50_threshold,
+       cv.s AS s_jaccard,
+       round(cv.p, 6) AS p_collide,
+       co.n_docs,
+       round(CAST(co.tot_sh AS DOUBLE) / co.n_docs, 2) AS avg_shingles_per_doc,
+       CAST(co.n_docs * cv.b AS BIGINT) AS est_index_rows
+FROM curve cv CROSS JOIN corpus co
+ORDER BY bands DESC, s_jaccard
+"""
+
+
+@register("dedup_lsh_band_planner", LSH_PLANNER_ORACLE)
+def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n_sh = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i.cast("int")),
+                    F.element_at(F.col("toks"), (i + 1).cast("int")),
+                    F.element_at(F.col("toks"), (i + 2).cast("int")),
+                ),
+            )
+        )
+    ).cast("long")
+    sh = toks.select("doc_id", n_sh.alias("n_sh")).where(F.col("n_sh") > 0)
+    corpus = sh.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sh").cast("long").alias("tot_sh"),
+    )
+    cfg = spark.createDataFrame([(64, 2), (32, 4), (16, 8), (8, 16)], "b int, r int")
+    sgrid = spark.createDataFrame([(0.5,), (0.7,), (0.8,), (0.9,)], "s double")
+    g = cfg.crossJoin(F.broadcast(sgrid))
+    g = g.withColumn("s2", F.col("s") * F.col("s"))
+    g = g.withColumn("s4", F.col("s2") * F.col("s2"))
+    g = g.withColumn("s8", F.col("s4") * F.col("s4"))
+    g = g.withColumn("s16", F.col("s8") * F.col("s8"))
+    g = g.withColumn(
+        "srv",
+        F.when(F.col("r") == 2, F.col("s2"))
+        .when(F.col("r") == 4, F.col("s4"))
+        .when(F.col("r") == 8, F.col("s8"))
+        .otherwise(F.col("s16")),
+    )
+    g = g.withColumn("q2", (1 - F.col("srv")) * (1 - F.col("srv")))
+    g = g.withColumn("q4", F.col("q2") * F.col("q2"))
+    g = g.withColumn("q8", F.col("q4") * F.col("q4"))
+    g = g.withColumn("q16", F.col("q8") * F.col("q8"))
+    g = g.withColumn("q32", F.col("q16") * F.col("q16"))
+    g = g.withColumn("q64", F.col("q32") * F.col("q32"))
+    g = g.withColumn(
+        "p",
+        1
+        - F.when(F.col("b") == 8, F.col("q8"))
+        .when(F.col("b") == 16, F.col("q16"))
+        .when(F.col("b") == 32, F.col("q32"))
+        .otherwise(F.col("q64")),
+    )
+    return (
+        g.crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            F.round(
+                F.exp(-F.log(F.col("b").cast("double")) / F.col("r")), 4
+            ).alias("s50_threshold"),
+            F.col("s").alias("s_jaccard"),
+            F.round(F.col("p"), 6).alias("p_collide"),
+            "n_docs",
+            F.round(F.col("tot_sh").cast("double") / F.col("n_docs"), 2).alias(
+                "avg_shingles_per_doc"
+            ),
+            (F.col("n_docs") * F.col("b")).cast("long").alias("est_index_rows"),
+        )
+        .orderBy(F.desc("bands"), "s_jaccard")
+    )

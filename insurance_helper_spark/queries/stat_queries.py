@@ -7556,3 +7556,455 @@ def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_cochran_q — Cochran's Q test for k related BINARY treatments:
+# did the propensity to place an urgent-priority order change across
+# calendar years, measured on the balanced panel of customers active
+# (>= 1 order) in EVERY year? This completes the repeated-measures
+# shelf: McNemar is its k=2 special case, Friedman its ordinal
+# generalization. x_ij = 1 iff customer i placed an urgent/high order
+# in year j; Q = (k-1)*(k*sum_j G_j^2 - T^2) / (k*T - sum_i R_i^2)
+# ~ chi2(k-1) under H0. ENGINE PARITY: G_j, R_i, T and both quadratic
+# folds are exact BIGINTs; Q is one terminal quotient (NULL if the
+# degenerate all-0/all-k panel zeroes the denominator — nullif guard,
+# ANSI-safe). Scale: one (customer, year) rollup with map-side
+# combine; the panel filter is a customer-keyed groupBy; everything
+# after runs on panel x years cells.
+# ---------------------------------------------------------------------------
+
+COCHRAN_Q_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS urgent
+  FROM orders
+),
+ny AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS k FROM o),
+cell AS (
+  SELECT o_custkey, yr, CAST(max(urgent) AS BIGINT) AS x
+  FROM o GROUP BY o_custkey, yr
+),
+panel AS (
+  SELECT o_custkey FROM cell GROUP BY o_custkey
+  HAVING count(*) = (SELECT k FROM ny)
+),
+px AS (SELECT c.o_custkey, c.yr, c.x FROM cell c JOIN panel p USING (o_custkey)),
+rows_i AS (
+  SELECT o_custkey, CAST(sum(x) AS BIGINT) AS r FROM px GROUP BY o_custkey
+),
+cols_j AS (SELECT yr, CAST(sum(x) AS BIGINT) AS g FROM px GROUP BY yr),
+agg AS (
+  SELECT (SELECT k FROM ny) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM rows_i) AS n_subjects,
+         (SELECT CAST(sum(r) AS BIGINT) FROM rows_i) AS t,
+         (SELECT CAST(sum(r * r) AS BIGINT) FROM rows_i) AS sum_r2,
+         (SELECT CAST(sum(g * g) AS BIGINT) FROM cols_j) AS sum_g2
+)
+SELECT k AS k_years, n_subjects, t AS total_successes,
+       round((k - 1) * CAST(k * sum_g2 - t * t AS DOUBLE)
+             / nullif(k * t - sum_r2, 0), 6) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM agg
+"""
+
+
+@register("stat_cochran_q", COCHRAN_Q_ORACLE)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    o = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    cell = o.groupBy("o_custkey", "yr").agg(F.max("urgent").cast("long").alias("x"))
+    cell = cell.localCheckpoint(eager=True)  # panel filter + both margins
+    ny = cell.select("yr").distinct().agg(F.count("*").cast("long").alias("k"))
+    panel = (
+        cell.groupBy("o_custkey")
+        .agg(F.count("*").alias("nyr"))
+        .crossJoin(F.broadcast(ny))
+        .where(F.col("nyr") == F.col("k"))
+        .select("o_custkey")
+    )
+    px = cell.join(panel, "o_custkey")
+    rows_i = px.groupBy("o_custkey").agg(F.sum("x").cast("long").alias("r"))
+    cols_j = px.groupBy("yr").agg(F.sum("x").cast("long").alias("g"))
+    ragg = rows_i.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum("r").cast("long").alias("t"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r2"),
+    )
+    cagg = cols_j.agg(F.sum(F.col("g") * F.col("g")).cast("long").alias("sum_g2"))
+    return (
+        F.broadcast(ny)
+        .crossJoin(ragg)
+        .crossJoin(F.broadcast(cagg))
+        .select(
+            F.col("k").alias("k_years"),
+            "n_subjects",
+            F.col("t").alias("total_successes"),
+            F.round(
+                (F.col("k") - 1)
+                * (F.col("k") * F.col("sum_g2") - F.col("t") * F.col("t")).cast(
+                    "double"
+                )
+                / F.nullif(F.col("k") * F.col("t") - F.col("sum_r2"), F.lit(0)),
+                6,
+            ).alias("q_stat"),
+            (F.col("k") - 1).cast("long").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_fisher_exact_2x2 — Fisher's EXACT test on the 2x2 table
+# urgent-priority x finished-status: the small-sample-safe complement
+# to the chi-square/G-test rows (no large-count approximation; the
+# p-value is the exact hypergeometric tail). Two-sided convention:
+# sum P(k) over all tables with P(k) <= P(observed) at fixed margins.
+# ENGINE PARITY: ln k! comes from a quantized ln spine — qlf(i) =
+# running BIGINT sum of round(1e9*ln(j)) — so every table's ln P(k) is
+# EXACT INTEGER arithmetic on nine spine values, the "as extreme"
+# comparison is an integer comparison (no float-tolerance fudge
+# factor), and the tail sum adds per-k exp() quantized to 1e12 before
+# the BIGINT fold. Scale: the spine is O(n) on the value axis (the
+# same reduced-relation running frame the KS/PSI rows ride), the k
+# relation is O(min(r1, c1)), and each lookup is an equi-join.
+# ---------------------------------------------------------------------------
+
+FISHER_EXACT_ORACLE = """
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS u,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+  FROM orders
+),
+cells AS (
+  SELECT CAST(sum(u * f) AS BIGINT) AS a,
+         CAST(sum(u * (1 - f)) AS BIGINT) AS b,
+         CAST(sum((1 - u) * f) AS BIGINT) AS c,
+         CAST(sum((1 - u) * (1 - f)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM o
+),
+spine AS (
+  SELECT i,
+         CAST(sum(CASE WHEN i = 0 THEN 0
+                       ELSE CAST(round(1e9 * ln(CAST(i AS DOUBLE))) AS BIGINT)
+                  END) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS qlf
+  FROM (SELECT unnest(range(0, (SELECT n FROM cells) + 1)) AS i)
+),
+consts AS (
+  SELECT cl.a, cl.b, cl.c, cl.d, cl.n,
+         cl.a + cl.b AS r1, cl.c + cl.d AS r2, cl.a + cl.c AS c1,
+         sr1.qlf AS qr1, sr2.qlf AS qr2, sn.qlf AS qn,
+         sc1.qlf AS qc1, sc2.qlf AS qc2
+  FROM cells cl
+  JOIN spine sr1 ON sr1.i = cl.a + cl.b
+  JOIN spine sr2 ON sr2.i = cl.c + cl.d
+  JOIN spine sn  ON sn.i  = cl.n
+  JOIN spine sc1 ON sc1.i = cl.a + cl.c
+  JOIN spine sc2 ON sc2.i = cl.n - cl.a - cl.c
+),
+ks AS (
+  SELECT co.*, k.k,
+         (co.qr1 - sk.qlf - sr1k.qlf
+          + co.qr2 - sc1k.qlf - sr2k.qlf
+          - co.qn + co.qc1 + co.qc2) AS qlnp
+  FROM consts co
+  CROSS JOIN (SELECT unnest(range(0, (SELECT least(a + b, a + c) FROM consts) + 1)) AS k) k
+  JOIN spine sk   ON sk.i   = k.k
+  JOIN spine sr1k ON sr1k.i = co.r1 - k.k
+  JOIN spine sc1k ON sc1k.i = co.c1 - k.k
+  JOIN spine sr2k ON sr2k.i = co.r2 - co.c1 + k.k
+  WHERE k.k >= co.c1 - co.r2 AND k.k <= least(co.r1, co.c1)
+),
+obs AS (SELECT qlnp AS qlnp_obs FROM ks JOIN cells cl ON ks.k = cl.a)
+SELECT co.a, co.b, co.c, co.d,
+       round(CAST(co.a * co.d AS DOUBLE) / nullif(co.b * co.c, 0), 6)
+           AS odds_ratio,
+       round(CAST((SELECT sum(CAST(round(1e12 * exp(CAST(qlnp AS DOUBLE) / 1e9))
+                                   AS BIGINT))
+                   FROM ks, obs WHERE qlnp <= qlnp_obs) AS DOUBLE) / 1e12, 6)
+           AS p_two_sided
+FROM consts co
+"""
+
+
+@register("stat_fisher_exact_2x2", FISHER_EXACT_ORACLE)
+def stat_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    o = orders.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("u"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f"),
+    )
+    cells = o.agg(
+        F.sum(F.col("u") * F.col("f")).cast("long").alias("a"),
+        F.sum(F.col("u") * (1 - F.col("f"))).cast("long").alias("b"),
+        F.sum((1 - F.col("u")) * F.col("f")).cast("long").alias("c"),
+        F.sum((1 - F.col("u")) * (1 - F.col("f"))).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cells = cells.localCheckpoint(eager=True)  # spine bound + consts + obs
+    w_run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine = (
+        cells.select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.when(F.col("i") == 0, F.lit(0).cast("long")).otherwise(
+                    F.round(F.lit(1e9) * F.log(F.col("i").cast("double"))).cast("long")
+                )
+            )
+            .over(w_run)
+            .cast("long")
+            .alias("qlf"),
+        )
+        .localCheckpoint(eager=True)  # 9 lookups ride one materialized spine
+    )
+
+    def lk(expr, name):
+        s = spine.select(F.col("i").alias(f"_i_{name}"), F.col("qlf").alias(name))
+        return s
+
+    consts = (
+        cells.withColumn("r1", F.col("a") + F.col("b"))
+        .withColumn("r2", F.col("c") + F.col("d"))
+        .withColumn("c1", F.col("a") + F.col("c"))
+        .join(lk("r1", "qr1"), F.col("r1") == F.col("_i_qr1"))
+        .join(lk("r2", "qr2"), F.col("r2") == F.col("_i_qr2"))
+        .join(lk("n", "qn"), F.col("n") == F.col("_i_qn"))
+        .join(lk("c1", "qc1"), F.col("c1") == F.col("_i_qc1"))
+        .join(lk("nc1", "qc2"), F.col("n") - F.col("c1") == F.col("_i_qc2"))
+        .drop("_i_qr1", "_i_qr2", "_i_qn", "_i_qc1", "_i_qc2")
+    )
+    ks = (
+        consts.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0).cast("long"), F.col("c1") - F.col("r2")),
+                    F.least(F.col("r1"), F.col("c1")),
+                )
+            ).alias("k"),
+        )
+        .join(F.broadcast(lk("k", "qk")), F.col("k") == F.col("_i_qk"))
+        .join(F.broadcast(lk("r1k", "qr1k")), F.col("r1") - F.col("k") == F.col("_i_qr1k"))
+        .join(F.broadcast(lk("c1k", "qc1k")), F.col("c1") - F.col("k") == F.col("_i_qc1k"))
+        .join(
+            F.broadcast(lk("r2k", "qr2k")),
+            F.col("r2") - F.col("c1") + F.col("k") == F.col("_i_qr2k"),
+        )
+        .select(
+            "a", "b", "c", "d", "k",
+            (
+                F.col("qr1") - F.col("qk") - F.col("qr1k")
+                + F.col("qr2") - F.col("qc1k") - F.col("qr2k")
+                - F.col("qn") + F.col("qc1") + F.col("qc2")
+            ).alias("qlnp"),
+        )
+    )
+    ks = ks.localCheckpoint(eager=True)  # obs lookup + tail sum share it
+    obs = ks.where(F.col("k") == F.col("a")).select(F.col("qlnp").alias("qlnp_obs"))
+    tail = (
+        ks.crossJoin(F.broadcast(obs))
+        .where(F.col("qlnp") <= F.col("qlnp_obs"))
+        .agg(
+            F.sum(
+                F.round(F.lit(1e12) * F.exp(F.col("qlnp").cast("double") / 1e9)).cast(
+                    "long"
+                )
+            ).alias("qp")
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(tail))
+        .select(
+            "a", "b", "c", "d",
+            F.round(
+                (F.col("a") * F.col("d")).cast("double")
+                / F.nullif(F.col("b") * F.col("c"), F.lit(0)),
+                6,
+            ).alias("odds_ratio"),
+            F.round(F.col("qp").cast("double") / 1e12, 6).alias("p_two_sided"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_breusch_pagan — heteroscedasticity test for the pricing
+# regression (stat_ols_two_regressors' model): regress SQUARED
+# residuals on the same regressors; LM = n*R^2 of that auxiliary fit
+# ~ chi2(2) under homoscedasticity. The diagnostic that says whether
+# the OLS row's standard errors can be trusted. DISTRIBUTED SHAPE:
+# two sufficient-statistics passes (the MLlib pattern) — pass 1 the
+# 3x3 Gram/moment sums and Cramer betas per return flag, pass 2 the
+# aux moments with betas joined back by a 3-row broadcast; no
+# per-row residual ever shuffles. ENGINE PARITY: residuals are
+# deterministic doubles from exact-integer moments (the Cramer solve
+# is ONE shared expression text on both engines); the squared
+# residual is rescaled to kilo-dollar units then quantized per row
+# (e^2 at 1e6, e^4 at 1e4 — headroom-audited: every product stays
+# under 2^63 at 1e8 rows) before ANY distributed sum; LM is invariant
+# to that rescaling by construction (R^2 is scale-free). df = 2;
+# reject at the 5.991 chi2(2) critical value.
+# ---------------------------------------------------------------------------
+
+_BP_B0 = f"(({_OLS_D0}) / ({_OLS_DET}))"
+_BP_B1 = f"(({_OLS_D1}) / ({_OLS_DET}))"
+_BP_B2 = f"(({_OLS_D2}) / ({_OLS_DET}))"
+
+# auxiliary Cramer solve: same Gram, regressand y' = quantized e^2
+_BP_A_DET = _OLS_DET
+_BP_A0 = _det3(("syp", "s1", "s2"), ("s1yp", "s11", "s12"), ("s2yp", "s12", "s22"))
+_BP_A1 = _det3(("fn", "syp", "s2"), ("s1", "s1yp", "s12"), ("s2", "s2yp", "s22"))
+_BP_A2 = _det3(("fn", "s1", "syp"), ("s1", "s11", "s1yp"), ("s2", "s12", "s2yp"))
+
+_BP_LM = (
+    f"fn * ((({_BP_A0}) / ({_BP_A_DET})) * syp"
+    f" + (({_BP_A1}) / ({_BP_A_DET})) * s1yp"
+    f" + (({_BP_A2}) / ({_BP_A_DET})) * s2yp"
+    " - syp * syp / fn)"
+    " / nullif(syyp - syp * syp / fn, 0.0)"
+)
+
+BP_ORACLE = f"""
+WITH obs AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS fn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM obs GROUP BY l_returnflag
+),
+betas AS (
+  SELECT l_returnflag, n_rows,
+         {_BP_B0} AS b0, {_BP_B1} AS b1, {_BP_B2} AS b2
+  FROM moments WHERE ({_OLS_DET}) <> 0
+),
+resid AS (
+  SELECT o.l_returnflag, o.x1, o.x2,
+         (CAST(o.y AS DOUBLE) - (b.b0 + b.b1 * o.x1 + b.b2 * o.x2)) / 100000
+             AS ek
+  FROM obs o JOIN betas b ON o.l_returnflag = b.l_returnflag
+),
+q AS (
+  SELECT l_returnflag, x1, x2,
+         CAST(round(1e6 * (ek * ek)) AS BIGINT) AS y2q,
+         CAST(round(1e4 * ((ek * ek) * (ek * ek))) AS BIGINT) AS y4q
+  FROM resid
+),
+aux AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS fn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(y2q) AS DOUBLE) / 1e6 AS syp,
+         CAST(sum(x1 * y2q) AS DOUBLE) / 1e6 AS s1yp,
+         CAST(sum(x2 * y2q) AS DOUBLE) / 1e6 AS s2yp,
+         CAST(sum(y4q) AS DOUBLE) / 1e4 AS syyp,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       round({_BP_LM}, 4) AS lm_stat,
+       CAST(2 AS BIGINT) AS df,
+       ({_BP_LM}) > 5.991 AS reject_5pct
+FROM aux WHERE ({_BP_A_DET}) <> 0
+ORDER BY l_returnflag
+"""
+
+
+@register("stat_breusch_pagan", BP_ORACLE)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    obs = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    obs = obs.localCheckpoint(eager=False)  # both moment passes share it
+    moments = obs.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    betas = moments.filter(F.expr(f"({_OLS_DET}) <> 0")).select(
+        "l_returnflag",
+        F.expr(f"{_BP_B0} AS b0"),
+        F.expr(f"{_BP_B1} AS b1"),
+        F.expr(f"{_BP_B2} AS b2"),
+    )
+    resid = obs.join(F.broadcast(betas), "l_returnflag").select(
+        "l_returnflag",
+        "x1",
+        "x2",
+        F.expr("(CAST(y AS DOUBLE) - (b0 + b1 * x1 + b2 * x2)) / 100000 AS ek"),
+    )
+    q = resid.select(
+        "l_returnflag",
+        "x1",
+        "x2",
+        F.expr("CAST(round(1e6 * (ek * ek)) AS BIGINT) AS y2q"),
+        F.expr("CAST(round(1e4 * ((ek * ek) * (ek * ek))) AS BIGINT) AS y4q"),
+    )
+    aux = q.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        (F.sum("y2q").cast("double") / 1e6).alias("syp"),
+        (F.sum(F.col("x1") * F.col("y2q")).cast("double") / 1e6).alias("s1yp"),
+        (F.sum(F.col("x2") * F.col("y2q")).cast("double") / 1e6).alias("s2yp"),
+        (F.sum("y4q").cast("double") / 1e4).alias("syyp"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return (
+        aux.filter(F.expr(f"({_BP_A_DET}) <> 0"))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.expr(f"round({_BP_LM}, 4) AS lm_stat"),
+            F.lit(2).cast("long").alias("df"),
+            F.expr(f"({_BP_LM}) > 5.991 AS reject_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2091,3 +2091,124 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_token_tradeoff — the retention CURVE behind a quality
+# gate: for a grid of stopword-ratio thresholds tau = k/50
+# (k = 0..10, i.e. 0.00..0.20 — the fixture corpus's observed range),
+# how many documents and how many TOKENS survive "stop_ratio >= tau".
+# This is the sizing table a pre-training data team reads before
+# picking a cut: the marginal token cost of each notch of quality.
+# ENGINE PARITY: the keep decision is the exact integer
+# cross-multiplication 50*n_stop >= k*n_tokens — no float threshold,
+# no float ratio, ever; retained fractions are terminal quotients of
+# exact BIGINTs. Scale: one tokenize pass collapses each doc to two
+# ints; the 11-row grid is a broadcast; the census is one map-side-
+# combined groupBy — the n x 11 intermediate is linear and never
+# carries text.
+# ---------------------------------------------------------------------------
+
+QUALITY_TRADEOFF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('{_SW_LIST}'))) AS BIGINT) AS n_stop
+  FROM t WHERE len(toks) > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS all_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS all_tokens
+  FROM m
+),
+census AS (
+  SELECT least(10, (50 * n_stop) // n_tokens) AS kmax,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_tokens) AS BIGINT) AS toks
+  FROM m GROUP BY 1
+),
+grid AS (SELECT unnest(range(0, 11)) AS k),
+curve AS (
+  SELECT g.k,
+         CAST(sum(coalesce(c.docs, 0)) OVER (
+             ORDER BY g.k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS docs_kept,
+         CAST(sum(coalesce(c.toks, 0)) OVER (
+             ORDER BY g.k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tokens_kept
+  FROM grid g LEFT JOIN census c ON c.kmax = g.k
+)
+SELECT round(CAST(cv.k AS DOUBLE) / 50, 2) AS threshold,
+       cv.docs_kept, cv.tokens_kept,
+       round(CAST(cv.docs_kept AS DOUBLE) / t.all_docs, 6) AS frac_docs,
+       round(CAST(cv.tokens_kept AS DOUBLE) / t.all_tokens, 6) AS frac_tokens
+FROM curve cv CROSS JOIN tot t
+ORDER BY threshold
+"""
+
+
+@register("corpus_quality_token_tradeoff", QUALITY_TRADEOFF_ORACLE)
+def corpus_quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sw = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
+    m = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw, t)))
+            .cast("long")
+            .alias("n_stop"),
+        )
+    )
+    m = m.localCheckpoint(eager=True)  # totals + census share one pass
+    tot = m.agg(
+        F.count("*").cast("long").alias("all_docs"),
+        F.sum("n_tokens").cast("long").alias("all_tokens"),
+    )
+    # each doc satisfies every threshold k <= kmax = (50*n_stop) div
+    # n_tokens, so ONE map-side-combined census by kmax + an 11-row
+    # suffix cumulation replaces any doc x grid join (a left-outer
+    # range join would force Spark to broadcast the CORPUS side of a
+    # BroadcastNestedLoopJoin -- unacceptable at scale).
+    census = m.groupBy(
+        F.least(F.lit(10), F.expr("(50 * n_stop) div n_tokens")).alias("kmax")
+    ).agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+    )
+    grid = spark.range(0, 11).select(F.col("id").alias("k"))
+    w_suf = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        grid.join(F.broadcast(census), grid.k == census.kmax, "left")
+        .select(
+            "k",
+            F.sum(F.coalesce("docs", F.lit(0))).over(w_suf).cast("long").alias("docs_kept"),
+            F.sum(F.coalesce("toks", F.lit(0))).over(w_suf).cast("long").alias("tokens_kept"),
+        )
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("k").cast("double") / 50, 2).alias("threshold"),
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("docs_kept").cast("double") / F.col("all_docs"), 6
+            ).alias("frac_docs"),
+            F.round(
+                F.col("tokens_kept").cast("double") / F.col("all_tokens"), 6
+            ).alias("frac_tokens"),
+        )
+        .orderBy("threshold")
+    )
