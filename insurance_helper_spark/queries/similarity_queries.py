@@ -1530,33 +1530,107 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
 """
 
 
+def _srp_sig_df(vecs: DataFrame) -> DataFrame:
+    """(vec_id, b0..b3) 4-bit SRP band keys via the numpy kernel —
+    sequential dimension-order accumulation, bit-exact vs the
+    F.aggregate/list_reduce projection folds (the
+    embedding_srp_bit_agreement contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(vecs.sparkSession)
+
+    def run(batches):
+        from insurance_helper_spark.functions.npkernels import srp_sign_matrix
+
+        S = srp_sign_matrix(_JL_D, _JL_K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vv"]), dtype=np.float64)
+            n = len(pdf)
+            pa = np.zeros((n, _JL_K))
+            for i in range(_JL_D):  # sequential i order == the fold's order
+                pa += blk[:, i : i + 1] * S[i]
+            bits = (pa >= 0).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for t in range(4):
+                out[f"b{t}"] = sum(bits[:, 4 * t + j] << j for j in range(4))
+            yield pd.DataFrame(out)
+
+    return vecs.mapInPandas(
+        run, schema="vec_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    )
+
+
+def _pair_score6(pairs: DataFrame) -> DataFrame:
+    """(qid, cid, cos6) for a (qid, cid, va, vb) pair relation: the
+    dot/norm folds run in a numpy kernel with SEQUENTIAL dimension
+    order (== list_reduce), rounding stays JVM-side so the libm
+    surface vs the oracle is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(pairs.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["va"]), dtype=np.float64)
+            vb = np.array(list(pdf["vb"]), dtype=np.float64)
+            m = len(pdf)
+            dot = np.zeros(m)
+            na2 = np.zeros(m)
+            nb2 = np.zeros(m)
+            for i in range(_JL_D):  # sequential == list_reduce order
+                ca, cb = va[:, i], vb[:, i]
+                dot += ca * cb
+                na2 += ca * ca
+                nb2 += cb * cb
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                    "cid": pdf["cid"].to_numpy(dtype=np.int64),
+                    "dot": dot,
+                    "na2": na2,
+                    "nb2": nb2,
+                }
+            )
+
+    raw = pairs.mapInPandas(
+        run, schema="qid bigint, cid bigint, dot double, na2 double, nb2 double"
+    )
+    cos6 = F.round(
+        F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+    )
+    return raw.select("qid", "cid", cos6.alias("cos6"))
+
+
+def _ann_topk(scored: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc("cos6"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ANN_TOPK)
+        .select("qid", "cid")
+    )
+
+
 @register("similarity_ann_recall_eval", ANN_RECALL_ORACLE)
 def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vv")
-    )
-
-    def proj(j: int):
-        def term(i):
-            sign = F.when(
-                _jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            return F.element_at(F.col("vv"), i.cast("int")) * sign
-
-        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
-        return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-
-    bands = []
-    for t in range(4):
-        b = None
-        for j in range(4):
-            bit = F.when(proj(4 * t + j) >= 0, F.lit(1 << j)).otherwise(0)
-            b = bit if b is None else b + bit
-        bands.append(b.alias(f"b{t}"))
-    # 16 projections per vector computed ONCE, reused by every band
-    # join and both scoring sides.
-    sig = vecs.select("vec_id", "vv", *bands).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    # signatures + all pair scoring in numpy kernels (bit-exact vs the
+    # former interpreted folds — measured 13.9 s -> ~3 s warm at sf0.1)
+    sig = _srp_sig_df(vecs).localCheckpoint(eager=True)
     q = sig.where(F.col("vec_id") % _ANN_Q_MOD == 0)
 
     # Production plan: one equi-join per band, unioned, distinct —
@@ -1569,39 +1643,14 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = part if cand is None else cand.unionByName(part)
     cand = cand.distinct()
 
-    def fold(expr: str):
-        return F.expr(
-            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-
-    cos6 = F.round(
-        fold("va[i - 1] * vb[i - 1]")
-        / (F.sqrt(fold("va[i - 1] * va[i - 1]")) * F.sqrt(fold("vb[i - 1] * vb[i - 1]"))),
-        6,
+    qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
-    qv = q.select(F.col("vec_id").alias("qid"), F.col("vv").alias("va"))
-    cv = sig.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
-    from pyspark.sql import Window  # local: module has no top-level import
-
-    def topk(scored):
-        w = Window.partitionBy("qid").orderBy(F.desc("cos6"), "cid")
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= _ANN_TOPK)
-            .select("qid", "cid")
-        )
-
-    exact_scored = (
-        cv.crossJoin(F.broadcast(qv))
-        .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cos6.alias("cos6"))
-    )
-    exact_top = topk(exact_scored)
-    lsh_scored = (
-        cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", cos6.alias("cos6"))
-    )
-    lsh_top = topk(lsh_scored)
+    cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
+    exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
+    exact_top = _ann_topk(_pair_score6(exact_pairs))
+    lsh_pairs = cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", "va", "vb")
+    lsh_top = _ann_topk(_pair_score6(lsh_pairs))
     hits = exact_top.join(lsh_top, ["qid", "cid"])
     nq = q.agg(F.count("*").cast("long").alias("n_queries"))
     ne = exact_top.agg(F.count("*").cast("long").alias("total_exact"))
@@ -1795,93 +1844,24 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier explodes 5 XOR keys per (query, band) and equi-joins — never
     an OR-join.
     """
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window as W
 
-    from insurance_helper_spark.shipping import ensure_shipped
-
-    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vv")
     ).localCheckpoint(eager=True)
-
-    def sig_run(batches):
-        from insurance_helper_spark.functions.npkernels import srp_sign_matrix
-
-        S = srp_sign_matrix(_JL_D, _JL_K)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blk = np.array(list(pdf["vv"]), dtype=np.float64)
-            n = len(pdf)
-            pa = np.zeros((n, _JL_K))
-            for i in range(_JL_D):  # sequential i order == the fold's order
-                pa += blk[:, i : i + 1] * S[i]
-            bits = (pa >= 0).astype(np.int64)
-            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
-            for t in range(4):
-                out[f"b{t}"] = sum(bits[:, 4 * t + j] << j for j in range(4))
-            yield pd.DataFrame(out)
-
-    sig = vecs.mapInPandas(
-        sig_run, schema="vec_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
-    ).localCheckpoint(eager=True)
+    sig = _srp_sig_df(vecs).localCheckpoint(eager=True)
     sig_long = sig.selectExpr(
         "vec_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (t, key)"
     )
     q_long = sig_long.where(F.col("vec_id") % _ANN_Q_MOD == 0)
-
-    def pair_score(pairs: DataFrame) -> DataFrame:
-        def run(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                va = np.array(list(pdf["va"]), dtype=np.float64)
-                vb = np.array(list(pdf["vb"]), dtype=np.float64)
-                m = len(pdf)
-                dot = np.zeros(m)
-                na2 = np.zeros(m)
-                nb2 = np.zeros(m)
-                for i in range(_JL_D):  # sequential == list_reduce order
-                    ca, cb = va[:, i], vb[:, i]
-                    dot += ca * cb
-                    na2 += ca * ca
-                    nb2 += cb * cb
-                yield pd.DataFrame(
-                    {
-                        "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                        "cid": pdf["cid"].to_numpy(dtype=np.int64),
-                        "dot": dot,
-                        "na2": na2,
-                        "nb2": nb2,
-                    }
-                )
-
-        raw = pairs.mapInPandas(
-            run, schema="qid bigint, cid bigint, dot double, na2 double, nb2 double"
-        )
-        cos6 = F.round(
-            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
-        )
-        return raw.select("qid", "cid", cos6.alias("cos6"))
-
-    def topk(scored: DataFrame) -> DataFrame:
-        w = W.partitionBy("qid").orderBy(F.desc("cos6"), "cid")
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= _ANN_TOPK)
-            .select("qid", "cid")
-        )
 
     qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
     cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
     exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
-    exact_top = topk(pair_score(exact_pairs)).localCheckpoint(eager=True)
+    exact_top = _ann_topk(_pair_score6(exact_pairs)).localCheckpoint(eager=True)
 
     # tier 1 + 2 candidates: band-key equi-joins (flips=[0] is tier 1)
     def srp_cand(flips):
@@ -1972,10 +1952,10 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tier_row(name: str, cand: DataFrame) -> DataFrame:
         cand = cand.localCheckpoint(eager=True)  # feeds count + scoring
-        scored = pair_score(
+        scored = _pair_score6(
             cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", "va", "vb")
         )
-        t_top = topk(scored)
+        t_top = _ann_topk(scored)
         hits = t_top.join(exact_top, ["qid", "cid"])
         nh = hits.agg(F.count("*").cast("long").alias("total_hits"))
         nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
