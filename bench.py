@@ -238,6 +238,11 @@ HEADLINE = [
     "dedup_lsh_band_planner",
     "ops_broadcast_threshold_audit",
     "stat_breusch_pagan",
+    "stat_bartlett_test",
+    "stat_mood_median_test",
+    "stat_page_trend_test",
+    "actuarial_mack_sigma",
+    "stat_jonckheere_terpstra",
     "stat_power_sample_size",
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",

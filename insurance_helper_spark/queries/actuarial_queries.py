@@ -838,3 +838,102 @@ def actuarial_ldf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_age")
     )
+
+
+# ---------------------------------------------------------------------------
+# actuarial_mack_sigma — the Mack (distribution-free chain-ladder)
+# variance table: per development age, sigma^2_k = 1/(n_k-1) *
+# sum_j c_jk * (f_jk - fhat_k)^2 — the process-variance estimate that
+# turns the deterministic chain-ladder projection into a reserve with
+# a standard error. Reported with the volume-weighted factor and its
+# standard error SE(fhat_k) = sqrt(sigma^2_k / sum_j c_jk); ages with
+# a single contributing cohort have no variance estimate and are
+# excluded (Mack's rule). ENGINE PARITY: fhat is the ratio of exact
+# BIGINT sums; each weighted squared deviation is quantized
+# round(·1e4) AS BIGINT per cohort before the fold (terms are
+# O(c·dev^2) ~ 1e6, so 1e4-scaled terms stay far under 2^63 at any
+# realistic cohort count). Scale: O(quarters^2) triangle work after
+# one cohort rollup.
+# ---------------------------------------------------------------------------
+
+MACK_SIGMA_ORACLE = f"""
+WITH {_TRIANGLE_SQL},
+rat AS (
+  SELECT a.age AS from_age, a.cum_cents AS c_prev,
+         CAST(b.cum_cents AS DOUBLE) / a.cum_cents AS f
+  FROM cum a JOIN cum b ON b.cq = a.cq AND b.age = a.age + 1
+  WHERE a.max_age >= a.age + 1
+),
+dev AS (
+  SELECT r.from_age,
+         CAST(count(*) AS BIGINT) AS n_cohorts,
+         any_value(CAST(f.s_next AS DOUBLE) / f.s_prev) AS fhat,
+         CAST(sum(CAST(round(1e4 * r.c_prev
+                  * (r.f - CAST(f.s_next AS DOUBLE) / f.s_prev)
+                  * (r.f - CAST(f.s_next AS DOUBLE) / f.s_prev)) AS BIGINT))
+              AS BIGINT) AS qdev,
+         CAST(sum(r.c_prev) AS BIGINT) AS c_total
+  FROM rat r JOIN fac f ON f.from_age = r.from_age
+  GROUP BY r.from_age
+)
+SELECT from_age, from_age + 1 AS to_age, n_cohorts,
+       round(fhat, 6) AS vw_ldf,
+       round(CAST(qdev AS DOUBLE) / 1e4 / (n_cohorts - 1), 6) AS sigma2,
+       round(sqrt((CAST(qdev AS DOUBLE) / 1e4 / (n_cohorts - 1)) / c_total), 6)
+           AS se_factor
+FROM dev WHERE n_cohorts >= 2
+ORDER BY from_age
+"""
+
+
+@register("actuarial_mack_sigma", MACK_SIGMA_ORACLE)
+def actuarial_mack_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cum, _ = _cum_cells(spark, sf_dir)
+    cum = cum.localCheckpoint(eager=True)  # ratios + factors share it
+    fac = _fac_of(cum)
+    a, b = cum.alias("a"), cum.alias("b")
+    rat = (
+        a.join(
+            b,
+            (F.col("b.cq") == F.col("a.cq")) & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .where(F.col("a.max_age") >= F.col("a.age") + 1)
+        .select(
+            F.col("a.age").alias("from_age"),
+            F.col("a.cum_cents").alias("c_prev"),
+            (F.col("b.cum_cents").cast("double") / F.col("a.cum_cents")).alias("f"),
+        )
+    )
+    fhat = F.col("s_next").cast("double") / F.col("s_prev")
+    dev = (
+        rat.join(F.broadcast(fac), "from_age")
+        .groupBy("from_age")
+        .agg(
+            F.count("*").cast("long").alias("n_cohorts"),
+            F.any_value(fhat).alias("fhat"),
+            F.sum(
+                F.round(
+                    F.lit(1e4)
+                    * F.col("c_prev")
+                    * (F.col("f") - fhat)
+                    * (F.col("f") - fhat)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("qdev"),
+            F.sum("c_prev").cast("long").alias("c_total"),
+        )
+    )
+    sigma2 = F.col("qdev").cast("double") / 1e4 / (F.col("n_cohorts") - 1)
+    return (
+        dev.where(F.col("n_cohorts") >= 2)
+        .select(
+            "from_age",
+            (F.col("from_age") + 1).alias("to_age"),
+            "n_cohorts",
+            F.round(F.col("fhat"), 6).alias("vw_ldf"),
+            F.round(sigma2, 6).alias("sigma2"),
+            F.round(F.sqrt(sigma2 / F.col("c_total")), 6).alias("se_factor"),
+        )
+        .orderBy("from_age")
+    )

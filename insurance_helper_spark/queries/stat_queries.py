@@ -8008,3 +8008,476 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_bartlett_test — Bartlett's homogeneity-of-variances test across
+# the 5 market segments (order value): the PARAMETRIC complement to
+# the Brown-Forsythe row (Bartlett is more powerful under normality,
+# fragile otherwise — reporting both is the standard practice). Per
+# segment, s_i^2 comes from exact BIGINT moment sums; the statistic
+# T = [(N-k) ln(s_p^2) - sum (n_i-1) ln(s_i^2)] / C with the
+# Bartlett correction C. ENGINE PARITY: each per-segment ln(s_i^2) is
+# quantized round(·1e9) AS BIGINT before the k-row fold (libm never
+# enters a distributed float sum); everything else is exact integers
+# until the terminal expression. Scale: one map-side-combined segment
+# rollup; the fold runs on k = 5 rows.
+# ---------------------------------------------------------------------------
+
+BARTLETT_ORACLE = """
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+  FROM obs GROUP BY segment
+),
+v AS (
+  SELECT segment, n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS s2
+  FROM m WHERE n >= 2
+),
+q AS (
+  SELECT segment, n, s2,
+         CAST(round(1e9 * ln(s2)) AS BIGINT) AS qln
+  FROM v WHERE s2 > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum((n - 1) * qln) AS BIGINT) AS qsum,
+         sum((CAST(n AS DOUBLE) - 1) * s2) AS wss,
+         sum(1.0 / (n - 1)) AS inv_sum
+  FROM q
+)
+SELECT k AS k_groups, nn AS n_total,
+       round(wss / (nn - k), 4) AS pooled_var,
+       round(((nn - k) * ln(wss / (nn - k)) - CAST(qsum AS DOUBLE) / 1e9)
+             / (1 + (inv_sum - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+           AS bartlett_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM tot
+"""
+
+
+@register("stat_bartlett_test", BARTLETT_ORACLE)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    obs = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    m = obs.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    v = m.where(F.col("n") >= 2).select(
+        "segment",
+        "n",
+        (
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2"),
+    )
+    q = v.where(F.col("s2") > 0).select(
+        "segment",
+        "n",
+        "s2",
+        F.round(F.lit(1e9) * F.log("s2")).cast("long").alias("qln"),
+    )
+    tot = q.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("qln")).cast("long").alias("qsum"),
+        F.sum((F.col("n").cast("double") - 1) * F.col("s2")).alias("wss"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("inv_sum"),
+    )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round(F.col("wss") / (F.col("nn") - F.col("k")), 4).alias("pooled_var"),
+        F.round(
+            (
+                (F.col("nn") - F.col("k")) * F.log(F.col("wss") / (F.col("nn") - F.col("k")))
+                - F.col("qsum").cast("double") / 1e9
+            )
+            / (
+                1
+                + (F.col("inv_sum") - 1.0 / (F.col("nn") - F.col("k")))
+                / (3.0 * (F.col("k") - 1))
+            ),
+            4,
+        ).alias("bartlett_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_mood_median_test — Mood's k-sample median test: are the 5
+# market segments' order values centered on the same median? Counts
+# above vs not-above the GLOBAL lower median per segment; chi2 on the
+# k x 2 table. The coarsest, most assumption-free of the k-sample
+# location tests (complements Kruskal-Wallis, which uses full ranks).
+# ENGINE PARITY: the global median is the exact integer cents value at
+# rank ceil(N/2) from a distinct-value cumulative walk (the house
+# median — no percentile interpolation); table cells and margins are
+# exact BIGINTs; chi2 is one terminal fold over 2k cells. Scale: one
+# value-collapse pass + one segment rollup.
+# ---------------------------------------------------------------------------
+
+MOOD_MEDIAN_ORACLE = """
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+vc AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY x
+),
+walk AS (
+  SELECT x, CAST(sum(n) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS nn
+  FROM vc
+),
+med AS (SELECT min(x) AS median_cents FROM walk WHERE cum >= (nn + 1) // 2),
+cells AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN x > (SELECT median_cents FROM med) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN x > (SELECT median_cents FROM med) THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_below_eq
+  FROM obs GROUP BY segment
+),
+marg AS (
+  SELECT CAST(sum(n_above) AS BIGINT) AS ta,
+         CAST(sum(n_below_eq) AS BIGINT) AS tb,
+         CAST(sum(n_above + n_below_eq) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+),
+chi AS (
+  SELECT sum(
+           pow(c.n_above - CAST(c.n_above + c.n_below_eq AS DOUBLE) * m.ta / m.nn, 2)
+             / (CAST(c.n_above + c.n_below_eq AS DOUBLE) * m.ta / m.nn)
+           + pow(c.n_below_eq - CAST(c.n_above + c.n_below_eq AS DOUBLE) * m.tb / m.nn, 2)
+             / (CAST(c.n_above + c.n_below_eq AS DOUBLE) * m.tb / m.nn)
+         ) AS chi2
+  FROM cells c CROSS JOIN marg m
+)
+SELECT m.k AS k_groups, m.nn AS n_total,
+       (SELECT median_cents FROM med) AS median_cents,
+       round(chi.chi2, 4) AS chi2,
+       CAST(m.k - 1 AS BIGINT) AS df
+FROM marg m CROSS JOIN chi
+"""
+
+
+@register("stat_mood_median_test", MOOD_MEDIAN_ORACLE)
+def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    obs = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    obs = obs.localCheckpoint(eager=False)  # walk + cells share the scan
+    vc = obs.groupBy("x").agg(F.count("*").cast("long").alias("n"))
+    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = vc.select(
+        "x",
+        F.sum("n").over(w_run).cast("long").alias("cum"),
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("nn"),
+    )
+    med = walk.where(F.col("cum") >= F.expr("(nn + 1) div 2")).agg(
+        F.min("x").alias("median_cents")
+    )
+    cells = (
+        obs.crossJoin(F.broadcast(med))
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("median_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("x") > F.col("median_cents"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_below_eq"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=True)  # margins + chi2 fold
+    marg = cells.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum("n_below_eq").cast("long").alias("tb"),
+        F.sum(F.col("n_above") + F.col("n_below_eq")).cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+    )
+    rt = F.col("n_above") + F.col("n_below_eq")
+    ea = rt.cast("double") * F.col("ta") / F.col("nn")
+    eb = rt.cast("double") * F.col("tb") / F.col("nn")
+    chi = (
+        cells.crossJoin(F.broadcast(marg))
+        .agg(
+            F.sum(
+                F.pow(F.col("n_above") - ea, 2) / ea
+                + F.pow(F.col("n_below_eq") - eb, 2) / eb
+            ).alias("chi2")
+        )
+    )
+    return (
+        marg.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("nn").alias("n_total"),
+            "median_cents",
+            F.round("chi2", 4).alias("chi2"),
+            (F.col("k") - 1).cast("long").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_page_trend_test — Page's L test for an ORDERED alternative in
+# the Friedman design: does average order value trend MONOTONICALLY
+# across the 5 priority classes (natural order 1-URGENT..5-LOW) within
+# each balanced year block? Friedman asks "any difference"; Page asks
+# "this specific ordering" and is far more powerful when the ordering
+# is pre-specified. Cells/blocks/ranks follow stat_friedman_test's
+# machinery (integer-cents cell values, (value, treatment) tiebreak);
+# L = sum over treatments of position * rank_sum is an exact BIGINT;
+# E[L] = n*k*(k+1)^2/4 and Var[L] = n*k^2*(k+1)*(k^2-1)/144 give one
+# terminal z. Scale: one fact rollup to k x years cells.
+# ---------------------------------------------------------------------------
+
+PAGE_TREND_ORACLE = """
+WITH cells0 AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pos,
+         year(o_orderdate) AS yr,
+         CAST(round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / count(*)) AS BIGINT) AS x
+  FROM orders GROUP BY pos, yr
+),
+k AS (SELECT CAST(count(DISTINCT pos) AS BIGINT) AS k FROM cells0),
+balanced AS (
+  SELECT yr FROM cells0 CROSS JOIN k
+  GROUP BY yr, k.k HAVING count(*) = any_value(k.k)
+),
+ranked AS (
+  SELECT c.pos, c.yr,
+         CAST(row_number() OVER (PARTITION BY c.yr ORDER BY c.x, c.pos)
+              AS BIGINT) AS r
+  FROM cells0 c JOIN balanced b ON b.yr = c.yr
+),
+rs AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS rank_sum
+  FROM ranked GROUP BY pos
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS kk, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(pos * rank_sum) AS BIGINT) AS l_stat
+  FROM rs
+)
+SELECT kk AS k_treatments, n AS n_blocks, l_stat,
+       round((l_stat - CAST(n * kk * (kk + 1) * (kk + 1) AS DOUBLE) / 4)
+             / sqrt(CAST(n * kk * kk * (kk + 1) * (kk * kk - 1) AS DOUBLE) / 144),
+             4) AS z_stat
+FROM tot
+"""
+
+
+@register("stat_page_trend_test", PAGE_TREND_ORACLE)
+def stat_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    cells0 = orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pos"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("x")
+    )
+    k = cells0.agg(F.countDistinct("pos").cast("long").alias("k"))
+    balanced = (
+        cells0.crossJoin(F.broadcast(k))
+        .groupBy("yr", "k")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == F.col("k"))
+        .select("yr")
+    )
+    ranked = cells0.join(F.broadcast(balanced), "yr").select(
+        "pos",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy("x", "pos"))
+        .cast("long")
+        .alias("r"),
+    )
+    rs = ranked.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("rank_sum"),
+    )
+    tot = rs.agg(
+        F.count("*").cast("long").alias("kk"),
+        F.max("n").cast("long").alias("n_b"),
+        F.sum(F.col("pos") * F.col("rank_sum")).cast("long").alias("l_stat"),
+    )
+    kk, nb, lval = F.col("kk"), F.col("n_b"), F.col("l_stat")
+    return tot.select(
+        kk.alias("k_treatments"),
+        nb.alias("n_blocks"),
+        lval.alias("l_stat"),
+        F.round(
+            (lval - (nb * kk * (kk + 1) * (kk + 1)).cast("double") / 4)
+            / F.sqrt(
+                (nb * kk * kk * (kk + 1) * (kk * kk - 1)).cast("double") / 144
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_jonckheere_terpstra — the Jonckheere-Terpstra ordered-
+# alternative k-sample test: does order value trend monotonically
+# across the 5 priority classes (natural 1-URGENT..5-LOW order)?
+# The rank-based complement to Page's test (which needs blocks) and
+# Cochran-Armitage (which needs binary outcomes): J sums, over every
+# ordered group pair, the number of cross-pair observations in
+# increasing order (ties count half). DISTRIBUTED SHAPE: the corpus
+# collapses to one row per DISTINCT cents value carrying per-group
+# counts (pivot to k columns); 2J = sum over values of
+# sum_{g1<g2} [2*n_g2(v)*cum_g1(<v) + n_g1(v)*n_g2(v)] — the
+# EXCLUSIVE prefix counts come from the one allowed running frame on
+# the value-collapsed relation, and 2J is an exact BIGINT (the x2
+# representation keeps tie-halves integral). z uses the standard
+# untied-variance normal approximation (both engines compute the
+# same convention, so parity is exact). Scale: one value-collapse
+# pass; everything after rides the distinct-value axis.
+# ---------------------------------------------------------------------------
+
+_JT_PAIRS = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+_JT_2J = " + ".join(
+    f"(2 * n{j} * c{i} + n{i} * n{j})" for i, j in _JT_PAIRS
+)
+
+JT_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+vc AS (
+  SELECT x,
+         {", ".join(f"CAST(sum(CASE WHEN g = {g} THEN 1 ELSE 0 END) AS BIGINT) AS n{g}" for g in range(1, 6))}
+  FROM obs GROUP BY x
+),
+walk AS (
+  SELECT x, {", ".join(f"n{g}" for g in range(1, 6))},
+         {", ".join(
+             f"CAST(sum(n{g}) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING"
+             f" AND CURRENT ROW) - n{g} AS BIGINT) AS c{g}"
+             for g in range(1, 6))}
+  FROM vc
+),
+agg AS (
+  SELECT CAST(sum({_JT_2J}) AS BIGINT) AS two_j,
+         {", ".join(f"CAST(sum(n{g}) AS BIGINT) AS t{g}" for g in range(1, 6))}
+  FROM walk
+),
+stats AS (
+  SELECT two_j,
+         t1 + t2 + t3 + t4 + t5 AS nn,
+         t1*t1 + t2*t2 + t3*t3 + t4*t4 + t5*t5 AS sq,
+         t1*t1*(2*t1+3) + t2*t2*(2*t2+3) + t3*t3*(2*t3+3)
+           + t4*t4*(2*t4+3) + t5*t5*(2*t5+3) AS sq3
+  FROM agg
+)
+SELECT nn AS n_total, two_j,
+       round((two_j - CAST(nn * nn - sq AS DOUBLE) / 2)
+             / (2 * sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - sq3) / 72)),
+             4) AS z_stat
+FROM stats
+"""
+
+
+@register("stat_jonckheere_terpstra", JT_ORACLE)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    obs = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    vc = obs.groupBy("x").agg(
+        *[
+            F.sum(F.when(F.col("g") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{g}")
+            for g in range(1, 6)
+        ]
+    )
+    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = vc.select(
+        "x",
+        *[F.col(f"n{g}") for g in range(1, 6)],
+        *[
+            (F.sum(f"n{g}").over(w_run) - F.col(f"n{g}")).cast("long").alias(f"c{g}")
+            for g in range(1, 6)
+        ],
+    )
+    two_j_terms = None
+    for i, j in _JT_PAIRS:
+        t = 2 * F.col(f"n{j}") * F.col(f"c{i}") + F.col(f"n{i}") * F.col(f"n{j}")
+        two_j_terms = t if two_j_terms is None else two_j_terms + t
+    agg = walk.agg(
+        F.sum(two_j_terms).cast("long").alias("two_j"),
+        *[F.sum(f"n{g}").cast("long").alias(f"t{g}") for g in range(1, 6)],
+    )
+    nn = sum([F.col(f"t{g}") for g in range(1, 6)][1:], F.col("t1"))
+    sq = sum(
+        [F.col(f"t{g}") * F.col(f"t{g}") for g in range(1, 6)][1:],
+        F.col("t1") * F.col("t1"),
+    )
+    sq3_terms = [
+        F.col(f"t{g}") * F.col(f"t{g}") * (2 * F.col(f"t{g}") + 3)
+        for g in range(1, 6)
+    ]
+    sq3 = sum(sq3_terms[1:], sq3_terms[0])
+    stats = agg.select(
+        F.col("two_j"), nn.alias("nn"), sq.alias("sq"), sq3.alias("sq3")
+    )
+    return stats.select(
+        F.col("nn").alias("n_total"),
+        "two_j",
+        F.round(
+            (F.col("two_j") - (F.col("nn") * F.col("nn") - F.col("sq")).cast("double") / 2)
+            / (
+                2
+                * F.sqrt(
+                    (
+                        F.col("nn").cast("double") * F.col("nn") * (2 * F.col("nn") + 3)
+                        - F.col("sq3")
+                    )
+                    / 72
+                )
+            ),
+            4,
+        ).alias("z_stat"),
+    )
