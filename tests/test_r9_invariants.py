@@ -155,3 +155,41 @@ class TestBroadcastAudit:
         for r in rows.values():
             assert r["est_bytes"] >= 8 * r["n_rows"]  # at least one numeric each
             assert r["broadcastable"] == (r["est_bytes"] < 10 * 1024 * 1024)
+
+
+class TestWave2Stats:
+    def test_bartlett_nonnegative(self, spark):
+        (r,) = _run(spark, "stat_bartlett_test")
+        assert r["df"] == r["k_groups"] - 1
+        assert r["bartlett_stat"] >= -1e-6
+        assert r["pooled_var"] > 0
+
+    def test_mood_median_counts(self, spark):
+        (r,) = _run(spark, "stat_mood_median_test")
+        assert r["chi2"] >= -1e-9
+        assert r["df"] == r["k_groups"] - 1
+        assert r["median_cents"] > 0
+
+    def test_page_trend_l_bounds(self, spark):
+        (r,) = _run(spark, "stat_page_trend_test")
+        k, n, l_stat = r["k_treatments"], r["n_blocks"], r["l_stat"]
+        # L is bounded by the perfectly anti-ordered / ordered rankings
+        lo = n * sum(p * (k + 1 - p) for p in range(1, k + 1))
+        hi = n * sum(p * p for p in range(1, k + 1))
+        assert lo <= l_stat <= hi
+
+    def test_jonckheere_bounds(self, spark):
+        (r,) = _run(spark, "stat_jonckheere_terpstra")
+        # 2J is bounded by twice the number of cross-group pairs
+        assert 0 <= r["two_j"]
+        assert abs(r["z_stat"]) < 50  # sanity: not a degenerate blowup
+
+    def test_mack_sigma_consistency(self, spark):
+        rows = {r["from_age"]: r for r in _run(spark, "actuarial_mack_sigma")}
+        ldf = {r["from_age"]: r for r in _run(spark, "actuarial_ldf_selection")}
+        assert rows
+        for age, r in rows.items():
+            assert r["sigma2"] >= 0.0 and r["se_factor"] >= 0.0
+            assert r["n_cohorts"] >= 2
+            # same vw factor as the LDF selection table
+            assert age in ldf and abs(r["vw_ldf"] - ldf[age]["vw_ldf"]) < 1e-9
