@@ -243,6 +243,7 @@ HEADLINE = [
     "stat_page_trend_test",
     "actuarial_mack_sigma",
     "stat_jonckheere_terpstra",
+    "stat_cramer_von_mises",
     "stat_power_sample_size",
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",

@@ -8481,3 +8481,124 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_cramer_von_mises — two-sample Cramér–von Mises criterion on the
+# urgent vs normal order-value split: T = (nm/N^2) * sum over the
+# POOLED sample of (F_hi - F_lo)^2 — the whole-distribution companion
+# to KS (max gap) and Wasserstein (area): CvM weights EVERY gap, so it
+# catches diffuse shape differences a single extremum misses.
+# Standardization uses Anderson's exact moments: E[T] = (1+1/N)/6,
+# Var[T] = (N+1)/(45 N^2) * (4mnN - 3(m^2+n^2) - 2mn)/(4mn) (checked:
+# the m=n asymptote recovers the limiting omega^2 variance 1/45).
+# ENGINE PARITY: the ECDF gap numerator c_hi*n_lo - c_lo*n_hi is an
+# exact BIGINT per distinct value, but its SQUARE can exceed 2^63 (nm
+# ~ 5.4e9 at sf0.1 alone), so each value's term (h+l)*(num/(nm))^2 is
+# computed in doubles from exact integers and quantized round(·1e12)
+# AS BIGINT before the fold (sum bounded by N*1e12 — headroom to 1e6
+# distinct values per unit of T). Scale: same value-collapsed walk as
+# the KS row.
+# ---------------------------------------------------------------------------
+
+CVM_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+tot AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS m, CAST(sum(1 - hi) AS BIGINT) AS n
+  FROM arms
+),
+by_val AS (
+  SELECT cents, CAST(sum(hi) AS BIGINT) AS h, CAST(sum(1 - hi) AS BIGINT) AS l
+  FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents, h, l,
+         sum(h) OVER w AS c_hi,
+         sum(l) OVER w AS c_lo
+  FROM by_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT CAST(sum(CAST(round(1e12 * (w.h + w.l)
+           * ((CAST(w.c_hi * t.n - w.c_lo * t.m AS DOUBLE) / (t.m * t.n))
+              * (CAST(w.c_hi * t.n - w.c_lo * t.m AS DOUBLE) / (t.m * t.n))))
+           AS BIGINT)) AS BIGINT) AS qsum,
+         any_value(t.m) AS m, any_value(t.n) AS n
+  FROM walked w CROSS JOIN tot t
+)
+SELECT m AS n_hi, n AS n_lo,
+       round(CAST(m AS DOUBLE) * n / ((m + n) * (m + n))
+             * (CAST(qsum AS DOUBLE) / 1e12), 6) AS cvm_t,
+       round((1 + 1.0 / (m + n)) / 6, 6) AS t_expected_h0,
+       round((CAST(m AS DOUBLE) * n / ((m + n) * (m + n))
+              * (CAST(qsum AS DOUBLE) / 1e12)
+              - (1 + 1.0 / (m + n)) / 6)
+             / sqrt((m + n + 1.0) / (45.0 * (m + n) * (m + n))
+                    * (4.0 * m * n * (m + n) - 3.0 * (m * m + n * n) - 2.0 * m * n)
+                    / (4.0 * m * n)), 4) AS z_stat
+FROM terms
+"""
+
+
+@register("stat_cramer_von_mises", CVM_ORACLE)
+def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    tot = arms.agg(
+        F.sum("hi").cast("long").alias("m"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n"),
+    )
+    by_val = arms.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("h"),
+        F.sum(1 - F.col("hi")).cast("long").alias("l"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = by_val.select(
+        "h",
+        "l",
+        F.sum("h").over(w).alias("c_hi"),
+        F.sum("l").over(w).alias("c_lo"),
+    )
+    gap = (F.col("c_hi") * F.col("n") - F.col("c_lo") * F.col("m")).cast(
+        "double"
+    ) / (F.col("m") * F.col("n"))
+    terms = walked.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(F.lit(1e12) * (F.col("h") + F.col("l")) * (gap * gap)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("qsum"),
+        F.any_value("m").alias("m"),
+        F.any_value("n").alias("n"),
+    )
+    m, n = F.col("m"), F.col("n")
+    nn = m + n
+    t_stat = m.cast("double") * n / (nn * nn) * (F.col("qsum").cast("double") / 1e12)
+    t_exp = (1 + 1.0 / nn) / 6
+    var = (
+        (nn + 1.0)
+        / (45.0 * nn * nn)
+        * (4.0 * m * n * nn - 3.0 * (m * m + n * n) - 2.0 * m * n)
+        / (4.0 * m * n)
+    )
+    return terms.select(
+        m.alias("n_hi"),
+        n.alias("n_lo"),
+        F.round(t_stat, 6).alias("cvm_t"),
+        F.round(t_exp, 6).alias("t_expected_h0"),
+        F.round((t_stat - t_exp) / F.sqrt(var), 4).alias("z_stat"),
+    )
