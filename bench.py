@@ -244,6 +244,8 @@ HEADLINE = [
     "actuarial_mack_sigma",
     "stat_jonckheere_terpstra",
     "stat_cramer_von_mises",
+    "stat_kuiper_two_sample",
+    "text_sttr_lexical_diversity",
     "stat_power_sample_size",
     "graph_clustering_coefficient",
     "stat_bayesian_ab_urgency",

@@ -8602,3 +8602,108 @@ def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_exp, 6).alias("t_expected_h0"),
         F.round((t_stat - t_exp) / F.sqrt(var), 4).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_kuiper_two_sample — Kuiper's V = D+ + D- between the urgent and
+# normal order-value ECDFs: the rotation-invariant refinement of KS
+# (equally sensitive at the distribution tails and median, and the
+# standard choice for cyclic/wrapped data). Rides the SAME
+# value-collapsed integer walk as stat_ks_two_sample: D+ and D- come
+# from the signed BIGINT gap c_hi*n_lo - c_lo*n_hi maximized in each
+# direction, so the statistic is one exact integer pair + a terminal
+# division. p uses the standard first-term asymptotic
+# 2*(4*lam^2 - 1)*exp(-2*lam^2) with lam = (sqrt(ne) + 0.155 +
+# 0.24/sqrt(ne)) * V. Scale: identical to the KS row.
+# ---------------------------------------------------------------------------
+
+KUIPER_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+tot AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS m, CAST(sum(1 - hi) AS BIGINT) AS n
+  FROM arms
+),
+by_val AS (
+  SELECT cents, CAST(sum(hi) AS BIGINT) AS h, CAST(sum(1 - hi) AS BIGINT) AS l
+  FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT sum(h) OVER w AS c_hi, sum(l) OVER w AS c_lo
+  FROM by_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gaps AS (
+  SELECT CAST(max(c_hi * t.n - c_lo * t.m) AS BIGINT) AS d_plus_num,
+         CAST(max(c_lo * t.m - c_hi * t.n) AS BIGINT) AS d_minus_num,
+         any_value(t.m) AS m, any_value(t.n) AS n
+  FROM walked CROSS JOIN tot t
+),
+v AS (
+  SELECT m, n,
+         (CAST(greatest(d_plus_num, 0) AS DOUBLE)
+          + greatest(d_minus_num, 0)) / (m * n) AS vstat,
+         CAST(m AS DOUBLE) * n / (m + n) AS ne
+  FROM gaps
+)
+SELECT m AS n_hi, n AS n_lo,
+       round(vstat, 6) AS kuiper_v,
+       round(2 * (4 * pow((sqrt(ne) + 0.155 + 0.24 / sqrt(ne)) * vstat, 2) - 1)
+             * exp(-2 * pow((sqrt(ne) + 0.155 + 0.24 / sqrt(ne)) * vstat, 2)),
+             6) AS p_approx
+FROM v
+"""
+
+
+@register("stat_kuiper_two_sample", KUIPER_ORACLE)
+def stat_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    tot = arms.agg(
+        F.sum("hi").cast("long").alias("m"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n"),
+    )
+    by_val = arms.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("h"),
+        F.sum(1 - F.col("hi")).cast("long").alias("l"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = by_val.select(
+        F.sum("h").over(w).alias("c_hi"),
+        F.sum("l").over(w).alias("c_lo"),
+    )
+    gaps = walked.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("c_hi") * F.col("n") - F.col("c_lo") * F.col("m"))
+        .cast("long")
+        .alias("d_plus_num"),
+        F.max(F.col("c_lo") * F.col("m") - F.col("c_hi") * F.col("n"))
+        .cast("long")
+        .alias("d_minus_num"),
+        F.any_value("m").alias("m"),
+        F.any_value("n").alias("n"),
+    )
+    vstat = (
+        F.greatest(F.col("d_plus_num"), F.lit(0)).cast("double")
+        + F.greatest(F.col("d_minus_num"), F.lit(0))
+    ) / (F.col("m") * F.col("n"))
+    ne = F.col("m").cast("double") * F.col("n") / (F.col("m") + F.col("n"))
+    lam = (F.sqrt(ne) + 0.155 + 0.24 / F.sqrt(ne)) * vstat
+    return gaps.select(
+        F.col("m").alias("n_hi"),
+        F.col("n").alias("n_lo"),
+        F.round(vstat, 6).alias("kuiper_v"),
+        F.round(
+            2 * (4 * F.pow(lam, 2) - 1) * F.exp(-2 * F.pow(lam, 2)), 6
+        ).alias("p_approx"),
+    )

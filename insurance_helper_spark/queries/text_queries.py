@@ -2212,3 +2212,103 @@ def corpus_quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_sttr_lexical_diversity — standardized type-token ratio per
+# language: raw TTR (types/tokens) shrinks mechanically with corpus
+# size, so corpus linguistics standardizes it by averaging TTR over
+# fixed 25-token windows (full windows only) — the length-robust
+# lexical-diversity dial that complements Heaps/Yule/hapax. ENGINE
+# PARITY: window types are exact integer countDistinct per (doc,
+# window); STTR = sum(types) / (25 * n_windows) is ONE terminal ratio
+# of exact BIGINTs (never a float mean of per-window ratios), and raw
+# TTR is likewise exact-integer. Scale: one positional explode with
+# map-side-combined (doc, window) distinct counting; the per-language
+# fold runs on window counts, not tokens.
+# ---------------------------------------------------------------------------
+
+_STTR_WIN = 25
+
+STTR_ORACLE = f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE {_TOKS} END AS toks
+  FROM documents d
+),
+ex AS (
+  SELECT t.doc_id, t.lang, i.i AS pos1, t.toks[i.i] AS term,
+         len(t.toks) AS n_toks
+  FROM t, unnest(range(1, len(t.toks) + 1)) AS i(i)
+),
+winx AS (
+  SELECT doc_id, lang, (pos1 - 1) // {_STTR_WIN} AS win, term
+  FROM ex WHERE (pos1 - 1) // {_STTR_WIN} < n_toks // {_STTR_WIN}
+),
+wtypes AS (
+  SELECT doc_id, lang, win, CAST(count(DISTINCT term) AS BIGINT) AS types
+  FROM winx GROUP BY doc_id, lang, win
+),
+sttr AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(types) AS BIGINT) AS sum_types
+  FROM wtypes GROUP BY lang
+),
+raw AS (
+  SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS v_types,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ex GROUP BY lang
+)
+SELECT r.lang, r.n_docs, r.n_tokens, s.n_windows,
+       round(CAST(r.v_types AS DOUBLE) / r.n_tokens, 6) AS raw_ttr,
+       round(CAST(s.sum_types AS DOUBLE) / ({_STTR_WIN} * s.n_windows), 6)
+           AS sttr
+FROM raw r JOIN sttr s ON s.lang = r.lang
+ORDER BY r.lang
+"""
+
+
+@register("text_sttr_lexical_diversity", STTR_ORACLE)
+def text_sttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ex = docs.select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        F.posexplode(T.tokens(F.col("text"))).alias("pos", "term"),
+    )
+    ex = ex.localCheckpoint(eager=True)  # windows + raw TTR share it
+    winx = ex.where(
+        F.expr(f"pos div {_STTR_WIN}") < F.expr(f"n_toks div {_STTR_WIN}")
+    ).select("doc_id", "lang", F.expr(f"pos div {_STTR_WIN}").alias("win"), "term")
+    wtypes = winx.groupBy("doc_id", "lang", "win").agg(
+        F.countDistinct("term").cast("long").alias("types")
+    )
+    sttr = wtypes.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("types").cast("long").alias("sum_types"),
+    )
+    raw = ex.groupBy("lang").agg(
+        F.countDistinct("term").cast("long").alias("v_types"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        raw.join(sttr, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_windows",
+            F.round(F.col("v_types").cast("double") / F.col("n_tokens"), 6).alias(
+                "raw_ttr"
+            ),
+            F.round(
+                F.col("sum_types").cast("double") / (_STTR_WIN * F.col("n_windows")),
+                6,
+            ).alias("sttr"),
+        )
+        .orderBy("lang")
+    )
