@@ -498,7 +498,32 @@ def main() -> None:
         "ceiling_breaches": ceiling_breaches,
     }
     _persist_round_timings(result, cold)
-    print(json.dumps(result))
+    # The driver's BENCH_r{N}.json keeps only the last 2000 chars of
+    # stdout and json-parses them; the full 270-query map is ~8 KB so
+    # the capture truncated mid-line and "parsed" came back null in r8
+    # and r9 (VERDICT r9 item 3). stdout gets ONE <2 KB compact line
+    # whose "queries" carries only the r1-comparable gate set; the full
+    # map goes to stderr for humans and to bench_results/r{N}.json
+    # (committed in-repo) for cross-round diffs.
+    print(json.dumps(result), file=sys.stderr)
+    compact = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: t for n, t in timings.items() if n in R1_WARM},
+        "n_queries": len(timings),
+        "cold_total": result["cold_total"],
+        "r1_comparable_total": comparable_total,
+        "sf": sf,
+        "regressions": dict(sorted(regressions.items())[:8]),
+        "ceiling_breaches": dict(sorted(ceiling_breaches.items())[:8]),
+        "full": "bench_results/",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the tail capture truncate mid-line
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     if abs(sf - 0.1) < 1e-9 and comparable_total > 1.5 * R1_TOTAL:
         print(
             f"SUITE REGRESSION: {comparable_total}s (r1-comparable queries) "
