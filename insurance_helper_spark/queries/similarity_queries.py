@@ -532,6 +532,103 @@ ORDER BY rank
 """
 
 
+def _pca_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return emb.select(F.col("embedding").cast("array<double>").alias("vec"))
+
+
+def _pca_dim_sums_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed pass 1: per-dim exact int64 sums (O(d) shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    def dim_sums(batches):
+        from insurance_helper_spark.functions.npkernels import half_up_long
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vec"]), dtype=np.float64)
+            n, d = blk.shape
+            s = half_up_long(blk * 1e9).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype=np.int32),
+                    "cnt": np.full(d, n, dtype=np.int64),
+                    "s": s,
+                }
+            )
+
+    return (
+        _pca_vecs(spark, sf_dir)
+        .mapInPandas(dim_sums, schema="i int, cnt long, s long")
+        .groupBy("i")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+    )
+
+
+def _pca_gram_df(spark: SparkSession, sf_dir: str, m) -> DataFrame:
+    """Distributed pass 2: centered d x d Gram as exact int64 partials
+    (O(d^2) shuffle, never O(rows))."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(m)
+    b_m = spark.sparkContext.broadcast(np.asarray(m, dtype=np.float64))
+
+    def gram(batches):
+        from insurance_helper_spark.functions.npkernels import half_up_long
+
+        mm = b_m.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk = np.array(list(pdf["vec"]), dtype=np.float64) - mm[None, :]
+            g = np.empty((d, d), dtype=np.int64)
+            for i in range(d):
+                g[i] = half_up_long((blk[:, i : i + 1] * blk) * 1e10).sum(axis=0)
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "g": g.ravel(),
+                }
+            )
+
+    return (
+        _pca_vecs(spark, sf_dir)
+        .mapInPandas(gram, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def pca_plan_sweep_frames(spark: SparkSession, sf_dir: str) -> list:
+    """The query's REAL distributed plans, exposed for the plan sweep.
+
+    ``embedding_pca_power_iteration`` collects both passes at
+    DataFrame-construction time and returns a LocalTableScan, so the
+    engine-wide anti-pattern sweep would otherwise only ever inspect
+    the local result (ADVICE r9). The sweep iterates these pre-collect
+    frames explicitly instead. The mean vector fed to the Gram pass is
+    computed here (tiny at the sweep SF) so the second plan is exactly
+    the one the query executes.
+    """
+    import numpy as np
+
+    mu_df = _pca_dim_sums_df(spark, sf_dir)
+    mu_rows = mu_df.collect()
+    d = len(mu_rows)
+    m = np.zeros(d, dtype=np.float64)
+    for r in mu_rows:
+        m[r["i"]] = (float(r["s"]) / 1e9) / float(r["cnt"])
+    return [mu_df, _pca_gram_df(spark, sf_dir, m)]
+
+
 @register("embedding_pca_power_iteration", PCA_ORACLE)
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by power iteration, numpy-kernel edition.
@@ -555,71 +652,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     import decimal
 
     import numpy as np
-    import pandas as pd
 
-    from insurance_helper_spark.shipping import ensure_shipped
-
-    ensure_shipped(spark)
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    vecs = emb.select(F.col("embedding").cast("array<double>").alias("vec"))
-
-    def dim_sums(batches):
-        from insurance_helper_spark.functions.npkernels import half_up_long
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blk = np.array(list(pdf["vec"]), dtype=np.float64)
-            n, d = blk.shape
-            s = half_up_long(blk * 1e9).sum(axis=0)
-            yield pd.DataFrame(
-                {
-                    "i": np.arange(d, dtype=np.int32),
-                    "cnt": np.full(d, n, dtype=np.int64),
-                    "s": s,
-                }
-            )
-
-    mu_rows = (
-        vecs.mapInPandas(dim_sums, schema="i int, cnt long, s long")
-        .groupBy("i")
-        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
-        .collect()
-    )
+    mu_rows = _pca_dim_sums_df(spark, sf_dir).collect()
     d = len(mu_rows)
     n_total = mu_rows[0]["cnt"]
     m = np.zeros(d, dtype=np.float64)
     for r in mu_rows:
         # same op order as the former JVM expr: (sum/1e9) / n
         m[r["i"]] = (float(r["s"]) / 1e9) / float(r["cnt"])
-    b_m = spark.sparkContext.broadcast(m)
-
-    def gram(batches):
-        from insurance_helper_spark.functions.npkernels import half_up_long
-
-        mm = b_m.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blk = np.array(list(pdf["vec"]), dtype=np.float64) - mm[None, :]
-            g = np.empty((d, d), dtype=np.int64)
-            for i in range(d):
-                g[i] = half_up_long((blk[:, i : i + 1] * blk) * 1e10).sum(axis=0)
-            ii, jj = np.indices((d, d))
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype(np.int32),
-                    "j": jj.ravel().astype(np.int32),
-                    "g": g.ravel(),
-                }
-            )
-
-    gram_rows = (
-        vecs.mapInPandas(gram, schema="i int, j int, g long")
-        .groupBy("i", "j")
-        .agg(F.sum("g").alias("g"))
-        .collect()
-    )
+    gram_rows = _pca_gram_df(spark, sf_dir, m).collect()
     g_int = np.zeros((d, d), dtype=np.int64)
     for r in gram_rows:
         g_int[r["i"], r["j"]] = r["g"]

@@ -7672,9 +7672,16 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXACT INTEGER arithmetic on nine spine values, the "as extreme"
 # comparison is an integer comparison (no float-tolerance fudge
 # factor), and the tail sum adds per-k exp() quantized to 1e12 before
-# the BIGINT fold. Scale: the spine is O(n) on the value axis (the
-# same reduced-relation running frame the KS/PSI rows ride), the k
-# relation is O(min(r1, c1)), and each lookup is an equi-join.
+# the BIGINT fold. Scale: the spine is O(total row count) — built from
+# spark.range(n+1) (never a single-row array materialization) with a
+# chunked two-stage prefix sum (per-chunk BIGINT totals -> tiny
+# exclusive chunk-offset window over n/2^16 rows -> within-chunk
+# running frame partitioned by chunk), so no unpartitioned window ever
+# sees the full spine; it is checkpointed once (2 BIGINTs/row) and the
+# 9 lookups are plain shuffle equi-joins — the spine is never
+# broadcast. BIGINT-sum exactness makes the chunked fold
+# order-independent, so values are bit-identical to the single-window
+# form.
 # ---------------------------------------------------------------------------
 
 FISHER_EXACT_ORACLE = """
@@ -7755,36 +7762,49 @@ def stat_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
     )
     cells = cells.localCheckpoint(eager=True)  # spine bound + consts + obs
-    w_run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # n is the single scalar margin of the materialized 2x2 — reading it
+    # on the driver is O(1), not a data collect.
+    n_total = cells.first()["n"]
+    chunk_sz = 1 << 16
+    terms = spark.range(0, n_total + 1).select(
+        F.col("id").alias("i"),
+        F.expr(f"id div {chunk_sz}").alias("ch"),
+        F.when(F.col("id") == 0, F.lit(0).cast("long"))
+        .otherwise(F.round(F.lit(1e9) * F.log(F.col("id").cast("double"))).cast("long"))
+        .alias("t"),
+    )
+    # chunk offsets: exclusive prefix over n/2^16 rows (the only
+    # unpartitioned window — bounded by n/65536, not n)
+    w_off = Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        terms.groupBy("ch")
+        .agg(F.sum("t").alias("cs"))
+        .select("ch", F.coalesce(F.sum("cs").over(w_off), F.lit(0)).cast("long").alias("off"))
+    )
+    w_in = (
+        Window.partitionBy("ch")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spine = (
-        cells.select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i"))
-        .select(
-            "i",
-            F.sum(
-                F.when(F.col("i") == 0, F.lit(0).cast("long")).otherwise(
-                    F.round(F.lit(1e9) * F.log(F.col("i").cast("double"))).cast("long")
-                )
-            )
-            .over(w_run)
-            .cast("long")
-            .alias("qlf"),
-        )
+        terms.select("i", "ch", F.sum("t").over(w_in).cast("long").alias("run"))
+        .join(F.broadcast(offs), "ch")
+        .select("i", (F.col("off") + F.col("run")).alias("qlf"))
         .localCheckpoint(eager=True)  # 9 lookups ride one materialized spine
     )
 
-    def lk(expr, name):
-        s = spine.select(F.col("i").alias(f"_i_{name}"), F.col("qlf").alias(name))
-        return s
+    def lk(name):
+        return spine.select(F.col("i").alias(f"_i_{name}"), F.col("qlf").alias(name))
 
     consts = (
         cells.withColumn("r1", F.col("a") + F.col("b"))
         .withColumn("r2", F.col("c") + F.col("d"))
         .withColumn("c1", F.col("a") + F.col("c"))
-        .join(lk("r1", "qr1"), F.col("r1") == F.col("_i_qr1"))
-        .join(lk("r2", "qr2"), F.col("r2") == F.col("_i_qr2"))
-        .join(lk("n", "qn"), F.col("n") == F.col("_i_qn"))
-        .join(lk("c1", "qc1"), F.col("c1") == F.col("_i_qc1"))
-        .join(lk("nc1", "qc2"), F.col("n") - F.col("c1") == F.col("_i_qc2"))
+        .join(lk("qr1"), F.col("r1") == F.col("_i_qr1"))
+        .join(lk("qr2"), F.col("r2") == F.col("_i_qr2"))
+        .join(lk("qn"), F.col("n") == F.col("_i_qn"))
+        .join(lk("qc1"), F.col("c1") == F.col("_i_qc1"))
+        .join(lk("qc2"), F.col("n") - F.col("c1") == F.col("_i_qc2"))
         .drop("_i_qr1", "_i_qr2", "_i_qn", "_i_qc1", "_i_qc2")
     )
     ks = (
@@ -7797,13 +7817,10 @@ def stat_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("k"),
         )
-        .join(F.broadcast(lk("k", "qk")), F.col("k") == F.col("_i_qk"))
-        .join(F.broadcast(lk("r1k", "qr1k")), F.col("r1") - F.col("k") == F.col("_i_qr1k"))
-        .join(F.broadcast(lk("c1k", "qc1k")), F.col("c1") - F.col("k") == F.col("_i_qc1k"))
-        .join(
-            F.broadcast(lk("r2k", "qr2k")),
-            F.col("r2") - F.col("c1") + F.col("k") == F.col("_i_qr2k"),
-        )
+        .join(lk("qk"), F.col("k") == F.col("_i_qk"))
+        .join(lk("qr1k"), F.col("r1") - F.col("k") == F.col("_i_qr1k"))
+        .join(lk("qc1k"), F.col("c1") - F.col("k") == F.col("_i_qc1k"))
+        .join(lk("qr2k"), F.col("r2") - F.col("c1") + F.col("k") == F.col("_i_qr2k"))
         .select(
             "a", "b", "c", "d", "k",
             (

@@ -41,6 +41,13 @@ class PdfExtractError(ValueError):
 
 _STREAM_RE = re.compile(rb"stream\r?\n", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+# page-tree root: /Type /Pages ... /Count N (authoritative page count —
+# the per-page regex can false-match '/Type /Page' bytes inside
+# compressed stream bodies)
+_PAGES_COUNT_RE = re.compile(
+    rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)|/Count\s+(\d+)[^>]*?/Type\s*/Pages\b",
+    re.S,
+)
 _FLATE_RE = re.compile(rb"/(?:Filter\s*/FlateDecode|FlateDecode)")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[([^\]]*)\])")
 
@@ -181,19 +188,32 @@ def extract_pdf_text(content: bytes) -> tuple[str, int]:
     ``PdfExtractError`` when nothing decodable carries text."""
     if content[:4] != b"%PDF":
         raise PdfExtractError("not a PDF (missing %PDF header)")
-    n_pages = len(_PAGE_RE.findall(content)) or 1
+    # Prefer the /Count of the page-tree root: exact even when stream
+    # bodies happen to contain '/Type /Page' bytes (ADVICE r9). Fall
+    # back to the per-page regex census for root-less/fragmented files.
+    pm = _PAGES_COUNT_RE.search(content)
+    if pm is not None:
+        n_pages = int(pm.group(1) or pm.group(2)) or 1
+    else:
+        n_pages = len(_PAGE_RE.findall(content)) or 1
     texts: list[str] = []
     decoded_any = False
     for m in _STREAM_RE.finditer(content):
         start = m.end()
-        end = content.find(b"endstream", start)
-        if end < 0:
-            continue
         # the object dict sits between the previous 'obj' and 'stream'
         hdr_start = content.rfind(b"obj", 0, m.start())
         header = content[hdr_start if hdr_start >= 0 else 0 : m.start()]
-        body = content[start:end].rstrip(b"\r\n")
-        data = _decode_stream(body, header)
+        # A Flate body may contain the literal bytes 'endstream'; if
+        # decoding fails on the first delimiter, retry with each later
+        # occurrence before giving up on the stream (ADVICE r9).
+        data = None
+        end = content.find(b"endstream", start)
+        while end >= 0:
+            body = content[start:end].rstrip(b"\r\n")
+            data = _decode_stream(body, header)
+            if data is not None:
+                break
+            end = content.find(b"endstream", end + 1)
         if data is None:
             continue
         decoded_any = True

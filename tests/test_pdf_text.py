@@ -111,3 +111,57 @@ def test_corrupt_flate_is_skipped():
     pdf = mini_pdf([b"garbage-not-zlib"], filter_name=b"/Filter /FlateDecode ")
     with pytest.raises(PdfExtractError):
         extract_pdf_text(pdf)
+
+
+def test_flate_body_containing_literal_endstream():
+    """zlib level 0 emits stored blocks, so the compressed body contains
+    the raw text verbatim — including the bytes 'endstream'. The first
+    delimiter candidate truncates the deflate stream; the extractor must
+    retry with the next occurrence instead of dropping the stream."""
+    content = b"BT (before endstream marker) Tj (after) Tj ET"
+    body = zlib.compress(content, 0)
+    assert b"endstream" in body  # the trap this test exists for
+    pdf = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"10 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Count 1 >>\nendobj\n",
+            b"100 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(body),
+            body,
+            b"\nendstream\nendobj\n%%EOF\n",
+        ]
+    )
+    text, n_pages = extract_pdf_text(pdf)
+    assert text.strip() == "before endstream markerafter"
+    assert n_pages == 1
+
+
+def test_page_count_from_pages_root_ignores_stream_bytes():
+    """A stored-block Flate body carrying the literal bytes
+    '/Type /Page' must not inflate the page count: the /Count of the
+    /Type /Pages root is authoritative."""
+    content = b"BT (looks like /Type /Page inside a stream) Tj ET"
+    body = zlib.compress(content, 0)
+    assert b"/Type /Page" in body
+    pdf = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"10 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n",
+            b"11 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Count 2 >>\nendobj\n",
+            b"100 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(body),
+            body,
+            b"\nendstream\nendobj\n%%EOF\n",
+        ]
+    )
+    _, n_pages = extract_pdf_text(pdf)
+    assert n_pages == 2
+
+
+def test_page_count_regex_fallback_without_pages_root():
+    pdf = mini_pdf([b"(x) Tj"], n_pages=3).replace(
+        b"2 0 obj\n<< /Type /Pages /Count 3 >>\nendobj\n", b""
+    )
+    assert b"/Count" not in pdf
+    _, n_pages = extract_pdf_text(pdf)
+    assert n_pages == 3  # per-page census still works root-less

@@ -65,10 +65,7 @@ def _all_names():
     return sorted(catalog.QUERIES)
 
 
-@pytest.mark.parametrize("name", _all_names())
-def test_no_rowwise_python_and_no_unbounded_cartesian(spark, name):
-    df = catalog.QUERIES[name](spark, SWEEP_SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def _assert_plan_clean(name: str, plan: str):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{name}: unbounded cartesian"
     if name not in UNBOUNDED_FOLLOWING_ALLOWLIST:
@@ -78,3 +75,25 @@ def test_no_rowwise_python_and_no_unbounded_cartesian(spark, name):
             "derive suffix aggregates as total minus exclusive prefix, or add to "
             "UNBOUNDED_FOLLOWING_ALLOWLIST with a partitioning justification"
         )
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_no_rowwise_python_and_no_unbounded_cartesian(spark, name):
+    df = catalog.QUERIES[name](spark, SWEEP_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_plan_clean(name, plan)
+
+
+def test_pca_precollect_plans_swept(spark):
+    """embedding_pca_power_iteration collects its two distributed
+    passes at construction and returns a LocalTableScan, so the
+    catalog-wide sweep above only ever sees the local result. Sweep the
+    pre-collect frames explicitly (ADVICE r9) so the guard covers the
+    query's real distributed plans."""
+    from insurance_helper_spark.queries.similarity_queries import pca_plan_sweep_frames
+
+    frames = pca_plan_sweep_frames(spark, SWEEP_SF)
+    assert len(frames) == 2
+    for i, df in enumerate(frames):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _assert_plan_clean(f"embedding_pca_power_iteration[pass{i}]", plan)
