@@ -434,6 +434,36 @@ def _cmd_curate(args, spark, out) -> int:
     return 0
 
 
+def _cmd_retrieve(args, spark, out) -> int:
+    """Stage-3 retrieval at the CLI surface (reference parity:
+    cli.py is the reference's only user surface): hybrid BM25 + vector
+    retrieval with RRF fusion, for free query text (Rocchio
+    pseudo-vector leg) or a --doc-id query-by-example (both legs
+    native). See operators/retrieval.py for the plan shape."""
+    from insurance_helper_spark.operators.retrieval import hybrid_rrf_retrieve
+
+    if (args.query is None) == (args.doc_id is None):
+        out("Pass query text OR --doc-id (exactly one).")
+        return 1
+    try:
+        rows = hybrid_rrf_retrieve(
+            spark, args.sf_dir, query=args.query, doc_id=args.doc_id, topn=args.topn
+        ).collect()
+    except ValueError as exc:
+        out(str(exc))
+        return 1
+    qlabel = f"doc:{args.doc_id}" if args.doc_id is not None else repr(args.query)
+    out(f"top-{args.topn} for {qlabel} (rrf = 1/(60+lex) + 1/(60+vec); 0 = outside leg top-20)")
+    for r in rows:
+        out(
+            f"{r['rank']:>3}. doc {r['doc_id']:>8}  rrf={r['rrf_score']:.6f}  "
+            f"lex#{r['lex_rank']:<3} vec#{r['vec_rank']:<3} {r['snippet']}"
+        )
+    if not rows:
+        out("(no results)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="insurance-helper-spark",
@@ -501,6 +531,16 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", "-o", default="data/corpus")
     cu.add_argument("--min-tokens", type=int, default=30, dest="min_tokens")
 
+    rv = sub.add_parser(
+        "retrieve", help="Hybrid BM25+vector retrieval with RRF fusion"
+    )
+    rv.add_argument("query", nargs="?", default=None,
+                    help="free query text (omit when using --doc-id)")
+    rv.add_argument("--doc-id", type=int, default=None, dest="doc_id",
+                    help="query-by-example: retrieve neighbors of this document")
+    rv.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
+    rv.add_argument("--topn", type=int, default=10)
+
     an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")
     an.add_argument("--table", "-t", default="all")
     an.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
@@ -531,6 +571,8 @@ def main(
         return _cmd_query(args, spark, out)
     if args.command == "analyze":
         return _cmd_analyze(args, spark, out)
+    if args.command == "retrieve":
+        return _cmd_retrieve(args, spark, out)
     if args.command == "curate":
         return _cmd_curate(args, spark, out)
     if args.command == "delta":

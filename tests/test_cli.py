@@ -332,6 +332,66 @@ class TestExplain:
         assert "PushedFilters" in out
 
 
+class TestRetrieve:
+    def test_retrieve_free_text(self, spark):
+        rc, text = run(spark, [
+            "retrieve", "window merge scan", "--sf-dir", "/root/testdata/sf0.001",
+            "--topn", "5",
+        ])
+        assert rc == 0
+        lines = [l for l in text.splitlines() if l.lstrip().startswith(("1.", "2.", "3.", "4.", "5."))]
+        assert len(lines) == 5
+        # lexical leg must have fired; Rocchio vector leg exists (some
+        # vec ranks may be 0 = outside that leg's top-20)
+        assert "lex#" in lines[0] and "vec#" in lines[0]
+
+    def test_retrieve_query_by_example(self, spark):
+        rc, text = run(spark, [
+            "retrieve", "--doc-id", "3", "--sf-dir", "/root/testdata/sf0.001",
+            "--topn", "5",
+        ])
+        assert rc == 0
+        body = [l for l in text.splitlines()[1:] if l.strip()]
+        assert len(body) == 5
+        import re as _re
+
+        # the query document itself is excluded from results
+        hit_ids = [int(m.group(1)) for l in body for m in [_re.search(r"doc\s+(\d+)", l)] if m]
+        assert len(hit_ids) == 5 and 3 not in hit_ids
+        # both legs fire in query-by-example mode: at least one hit
+        # carries a nonzero rank in each leg
+        lex_ranks = [int(m.group(1)) for l in body for m in [_re.search(r"lex#(\d+)", l)] if m]
+        vec_ranks = [int(m.group(1)) for l in body for m in [_re.search(r"vec#(\d+)", l)] if m]
+        assert any(r > 0 for r in lex_ranks)
+        assert any(r > 0 for r in vec_ranks)
+
+    def test_retrieve_requires_exactly_one_query_form(self, spark):
+        rc, text = run(spark, ["retrieve", "--sf-dir", "/root/testdata/sf0.001"])
+        assert rc == 1 and "exactly one" in text
+        rc, text = run(spark, [
+            "retrieve", "words", "--doc-id", "1", "--sf-dir", "/root/testdata/sf0.001",
+        ])
+        assert rc == 1 and "exactly one" in text
+
+    def test_retrieve_stopword_only_query_errors_cleanly(self, spark):
+        rc, text = run(spark, [
+            "retrieve", "the and of", "--sf-dir", "/root/testdata/sf0.001",
+        ])
+        assert rc == 1
+        assert "no indexable terms" in text
+
+    def test_retrieve_deterministic(self, spark):
+        outs = []
+        for _ in range(2):
+            rc, text = run(spark, [
+                "retrieve", "customer filter stream", "--sf-dir",
+                "/root/testdata/sf0.001", "--topn", "3",
+            ])
+            assert rc == 0
+            outs.append(text)
+        assert outs[0] == outs[1]
+
+
 class TestCurate:
     def test_curate_end_to_end(self, spark, tmp_path):
         out_dir = str(tmp_path / "corpus")
