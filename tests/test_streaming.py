@@ -1082,3 +1082,89 @@ class TestSpaceSavingTopK:
         # Second micro-batch emission must carry count folded from the
         # first batch's persisted state.
         assert [r.est_count for r in got] == [1, 2]
+
+
+class TestDriftGate:
+    """drift_gate_stream: PSI drift scoring against the maintained
+    vocabulary, replay-safe per the content-key contract."""
+
+    @staticmethod
+    def _write_batches(tmp_path):
+        import pandas as pd
+
+        in_dir = tmp_path / "drift_in"
+        in_dir.mkdir()
+        base = "alpha beta gamma delta epsilon zeta " * 5
+        shifted = "omega psi chi phi upsilon tau " * 5
+        for name, text in (("b1", base), ("b2", base), ("b3", shifted)):
+            pd.DataFrame({
+                "doc_id": [1], "text": [text], "lang": ["en"],
+                "source": ["s"], "n_chars": [len(text)],
+            }).to_parquet(in_dir / f"{name}.parquet")
+        return str(in_dir)
+
+    def test_psi_scores_and_alarm(self, spark, tmp_path):
+        in_dir = self._write_batches(tmp_path)
+        counts, reports = str(tmp_path / "c"), str(tmp_path / "r")
+        ops.drift_gate_stream(spark, in_dir, counts, reports, str(tmp_path / "k"))
+        rows = sorted(
+            ops.drift_reports(spark, reports).collect(), key=lambda r: r.batch_id
+        )
+        assert len(rows) == 3
+        # batch 1: no history yet
+        assert rows[0].psi is None and rows[0].note == "baseline_empty"
+        assert rows[0].alarm is False and rows[0].batch_tokens == 30
+        # batch 2: same distribution as history -> tiny PSI, no alarm
+        assert rows[1].note == "ok" and rows[1].psi is not None
+        assert rows[1].psi < 0.2 and rows[1].alarm is False
+        # batch 3: disjoint vocabulary -> all mass in __other__ -> alarm
+        assert rows[2].psi >= 0.2 and rows[2].alarm is True
+        # the gate maintains the SAME mergeable partials contract
+        counts_back = {
+            r.term: r.cnt
+            for r in ops.trending_vocabulary(spark, counts).collect()
+        }
+        assert counts_back["alpha"] == 10 and counts_back["omega"] == 5
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        in_dir = self._write_batches(tmp_path)
+        counts, reports = str(tmp_path / "c"), str(tmp_path / "r")
+        args = (spark, in_dir, counts, reports, str(tmp_path / "k"))
+        ops.drift_gate_stream(*args)
+        first = sorted(map(tuple, ops.drift_reports(spark, reports).collect()))
+        ops.drift_gate_stream(*args)  # checkpoint: second drain is a no-op
+        second = sorted(map(tuple, ops.drift_reports(spark, reports).collect()))
+        assert first == second
+
+    def test_replay_after_lost_checkpoint_is_idempotent(self, spark, tmp_path):
+        import shutil
+
+        in_dir = self._write_batches(tmp_path)
+        counts, reports = str(tmp_path / "c"), str(tmp_path / "r")
+        ops.drift_gate_stream(spark, in_dir, counts, reports, str(tmp_path / "k"))
+        first = sorted(map(tuple, ops.drift_reports(spark, reports).collect()))
+        vocab_first = sorted(
+            map(tuple, ops.trending_vocabulary(spark, counts).collect())
+        )
+        # lose the checkpoint: full replay in a NEW lineage
+        shutil.rmtree(tmp_path / "k")
+        ops.drift_gate_stream(spark, in_dir, counts, reports, str(tmp_path / "k2"))
+        second = sorted(map(tuple, ops.drift_reports(spark, reports).collect()))
+        vocab_second = sorted(
+            map(tuple, ops.trending_vocabulary(spark, counts).collect())
+        )
+        # no double-merge: the maintained vocabulary is exact
+        assert vocab_first == vocab_second
+        # reports rewrite, never append: still one row per content key
+        keys_of = lambda rows: sorted(t[-1] for t in rows)
+        assert len(second) == len(first) == 3
+        assert keys_of(first) == keys_of(second)
+        # the LAST batch's baseline (everything except its own
+        # partitions) is unchanged by replay -> bit-identical report;
+        # earlier batches are rescored against as-of-now history (the
+        # documented content-key caveat), but the alarm on the shifted
+        # batch must survive replay.
+        last_first = max(first, key=lambda t: t[0])
+        last_second = max(second, key=lambda t: t[0])
+        assert last_first == last_second
+        assert last_second[2] is True  # alarm column
