@@ -300,6 +300,19 @@ HEADLINE = [
     "stat_runs_up_down",
     "stat_wilcoxon_signed_rank",
     "stat_sign_test",
+    # round-10 additions: finance risk + reserving completions +
+    # rank/stratified tests + stylometry
+    "finance_max_drawdown",
+    "finance_sortino_ratio",
+    "finance_rsi_cutler",
+    "actuarial_cape_cod",
+    "actuarial_benktander",
+    "stat_cliff_delta",
+    "stat_mantel_haenszel",
+    "stat_chow_test",
+    "stat_quade_test",
+    "stat_ansari_bradley",
+    "text_burrows_delta",
 ]
 
 
@@ -397,9 +410,16 @@ def _release_blocks(spark) -> None:
     """
     import gc
 
+    from insurance_helper_spark.queries.sequence_queries import _EDGE_KEEP_IDS
+
     gc.collect()  # drop py4j handles so the JVM side is collectable
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+        # The memoized co-purchase edge checkpoints are REUSED across
+        # the graph family (r10): localCheckpoint truncates lineage, so
+        # unpersisting them here would break every later graph query
+        # (and forfeit the shared-build win the cache exists for).
+        if jrdd.id() not in _EDGE_KEEP_IDS:
+            jrdd.unpersist()
     spark.catalog.clearCache()
 
 

@@ -125,6 +125,7 @@ def load_all() -> None:
         relational_ext,
         stat_queries,
         sequence_queries,
+        wave10_queries,
     )
 
     # Stable-sort the registry so the driver's first-50 verification

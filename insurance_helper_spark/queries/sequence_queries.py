@@ -55,6 +55,15 @@ _PR_D = 0.85
 # ---------------------------------------------------------------------------
 
 _EDGE_CACHE: dict = {}
+# RDD ids of the cached edge checkpoints. localCheckpoint TRUNCATES
+# lineage, so an external unpersist (bench.py's between-query
+# _release_blocks) would leave the memoized DataFrames unrecoverable —
+# the block sweeper must skip exactly these ids.
+_EDGE_KEEP_IDS: set = set()
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set:
+    return {r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, support: int = 1) -> DataFrame:
@@ -80,7 +89,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, support: int = 1) -> Dat
         )
     else:
         edges = pairs.select("src", "dst").distinct()
+    before = _persistent_rdd_ids(spark)
     edges = edges.localCheckpoint(eager=True)
+    _EDGE_KEEP_IDS.update(_persistent_rdd_ids(spark) - before)
     _EDGE_CACHE[key] = edges
     return edges
 

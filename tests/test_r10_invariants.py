@@ -124,3 +124,108 @@ def test_ivf_recall_and_scan_on_clustered_corpus(spark, clustered):
 
     assert recall >= 0.8, f"clustered-corpus recall@{K} = {recall}"
     assert scan <= 0.35, f"scan fraction = {scan}"
+
+
+# ---------------------------------------------------------------------------
+# Structural invariants for the r10 query wave (cross-consistency the
+# oracle hash can't see: algebraic identities between related queries).
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    import __spark_entry__ as e
+
+    return e.queries()[name](spark, SF)
+
+
+def test_benktander_is_convex_blend_of_cl_and_bf(spark):
+    rows = _q(spark, "actuarial_benktander").collect()
+    assert rows
+    for r in rows:
+        lo = min(r["cl_ultimate"], r["bf_ultimate"])
+        hi = max(r["cl_ultimate"], r["bf_ultimate"])
+        assert lo - 0.02 <= r["gb_ultimate"] <= hi + 0.02, r
+        assert 0.0 <= r["credibility_z"] <= 1.0 + 1e-9
+        assert abs((r["gb_ultimate"] - r["latest_cum"]) - r["gb_reserve"]) < 0.03
+
+
+def test_cape_cod_elr_constant_and_ultimate_dominates_latest(spark):
+    rows = _q(spark, "actuarial_cape_cod").collect()
+    assert rows
+    elrs = {r["elr_per_customer"] for r in rows}
+    assert len(elrs) == 1 and min(elrs) > 0
+    for r in rows:
+        assert r["cc_reserve"] >= -0.01
+        assert r["cc_ultimate"] >= r["latest_cum"] - 0.01
+
+
+def test_cliff_delta_is_two_auc_minus_one(spark):
+    r = _q(spark, "stat_cliff_delta").collect()[0]
+    assert abs(r["cliff_delta"] - (2 * r["p_superiority"] - 1)) < 2e-6
+    assert -1.0 <= r["cliff_delta"] <= 1.0
+    assert r["magnitude"] in {"negligible", "small", "medium", "large"}
+
+
+def test_max_drawdown_bounds(spark):
+    rows = _q(spark, "finance_max_drawdown").collect()
+    assert rows
+    dds = [r["drawdown"] for r in rows]
+    assert dds == sorted(dds, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["drawdown"] < 1.0
+        assert r["peak_revenue"] >= r["revenue"] - 0.01
+
+
+def test_rsi_rows_match_their_signal(spark):
+    for r in _q(spark, "finance_rsi_cutler").collect():
+        if r["signal"] == "overbought":
+            assert r["rsi"] >= 70.0 - 1e-4
+        else:
+            assert r["rsi"] <= 30.0 + 1e-4
+
+
+def test_sortino_sign_matches_mean_return(spark):
+    r = _q(spark, "finance_sortino_ratio").collect()[0]
+    assert r["downside_dev"] >= 0.0
+    if r["sortino"] is not None and r["downside_dev"] > 0:
+        assert (r["sortino"] > 0) == (r["mean_return"] > 0) or r["mean_return"] == 0
+
+
+def test_chow_split_never_beats_pooled(spark):
+    r = _q(spark, "stat_chow_test").collect()[0]
+    # adding a free breakpoint can only reduce the residual sum
+    assert r["ssr_split"] <= r["ssr_pooled"] + 0.01
+    assert r["chow_f"] >= -1e-9
+
+
+def test_quade_dfs(spark):
+    r = _q(spark, "stat_quade_test").collect()[0]
+    assert r["df1"] == r["k_treatments"] - 1
+    assert r["df2"] == (r["n_blocks"] - 1) * (r["k_treatments"] - 1)
+    assert r["quade_t3"] >= 0.0
+
+
+def test_ansari_bradley_statistic_in_range(spark):
+    r = _q(spark, "stat_ansari_bradley").collect()[0]
+    n = r["n_h1"] + r["n_h2"]
+    # sum of group-1 scores is bounded by n1 * max-score
+    assert 0 < r["ab_statistic"] <= r["n_h1"] * ((n + 1) // 2)
+    assert r["expected_ab"] > 0
+
+
+def test_mantel_haenszel_or_positive(spark):
+    r = _q(spark, "stat_mantel_haenszel").collect()[0]
+    assert r["or_mh"] > 0
+    assert r["cmh_chi2"] >= 0
+    assert r["reject_5pct"] == (r["cmh_chi2"] > 3.841)
+
+
+def test_burrows_delta_pair_count_and_nonneg(spark):
+    rows = _q(spark, "text_burrows_delta").collect()
+    # 20 sources -> C(20,2) unordered pairs
+    assert len(rows) == 190
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["burrows_delta"] >= 0.0
