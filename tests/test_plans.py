@@ -210,3 +210,28 @@ def test_spearman_windows_ride_reduced_relations(spark, sf_dir):
             assert "FileScan" not in ln, (
                 "Window sorts the raw scan — reduced-relation guarantee broken"
             )
+
+
+class TestRetrievePlans:
+    """hybrid_rrf_retrieve (the CLI retrieval core) must keep the
+    catalog twin's plan hygiene: Arrow/JVM-only (no row-wise Python),
+    no cartesian blowup, query terms broadcast into the posting build."""
+
+    def test_free_text_plan_clean_and_broadcasts_terms(self, spark, sf_dir):
+        from insurance_helper_spark.operators.retrieval import hybrid_rrf_retrieve
+        from insurance_helper_spark.plans import audit
+
+        df = hybrid_rrf_retrieve(spark, sf_dir, query="window merge scan", topn=5)
+        plan = audit.executed_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_query_by_example_plan_clean(self, spark, sf_dir):
+        from insurance_helper_spark.operators.retrieval import hybrid_rrf_retrieve
+        from insurance_helper_spark.plans import audit
+
+        df = hybrid_rrf_retrieve(spark, sf_dir, doc_id=3, topn=5)
+        plan = audit.executed_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
