@@ -410,15 +410,16 @@ def _release_blocks(spark) -> None:
     """
     import gc
 
-    from insurance_helper_spark.queries.sequence_queries import _EDGE_KEEP_IDS
+    from insurance_helper_spark.queries.shared_cache import KEEP_RDD_IDS
 
     gc.collect()  # drop py4j handles so the JVM side is collectable
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        # The memoized co-purchase edge checkpoints are REUSED across
-        # the graph family (r10): localCheckpoint truncates lineage, so
-        # unpersisting them here would break every later graph query
-        # (and forfeit the shared-build win the cache exists for).
-        if jrdd.id() not in _EDGE_KEEP_IDS:
+        # The memoized family checkpoints (co-purchase edges, reserving
+        # triangle — see queries/shared_cache.py) are REUSED across
+        # queries: localCheckpoint truncates lineage, so unpersisting
+        # them here would break every later consumer (and forfeit the
+        # shared-build win the cache exists for).
+        if jrdd.id() not in KEEP_RDD_IDS:
             jrdd.unpersist()
     spark.catalog.clearCache()
 

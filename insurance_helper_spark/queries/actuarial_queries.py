@@ -98,42 +98,51 @@ tips AS (SELECT cq, max_age, cum_cents FROM cum WHERE age = max_age)
 def _cum_cells(spark: SparkSession, sf_dir: str):
     """The cumulative development cells (cq, max_age, age, cum_cents)
     shared by the reserving queries and the LDF-selection audit —
-    identical expressions to the _TRIANGLE_SQL `cum` CTE."""
-    orders = load_table(
-        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
-    )
-    o = orders.select(
-        "o_custkey",
-        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
-        .cast("long")
-        .alias("q"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    cohort = o.groupBy("o_custkey").agg(F.min("q").alias("cq"))
-    latest = o.agg(F.max("q").alias("lq"))
-    inc = (
-        o.join(cohort, "o_custkey")
-        .groupBy("cq", (F.col("q") - F.col("cq")).alias("age"))
-        .agg(F.sum("cents").cast("long").alias("inc_cents"))
-    )
-    spine = (
-        cohort.select("cq")
-        .distinct()
-        .crossJoin(F.broadcast(latest))
-        .select(
-            "cq",
-            (F.col("lq") - F.col("cq")).alias("max_age"),
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("lq") - F.col("cq"))).alias(
-                "age"
-            ),
+    identical expressions to the _TRIANGLE_SQL `cum` CTE. Memoized +
+    eagerly checkpointed per (app, sf_dir) via shared_cache (r10): six
+    reserving queries consume the same triangle, and several self-join
+    it, so the orders rollup runs once per session instead of 6+ times
+    — the in-session analogue of a published triangle table."""
+    from insurance_helper_spark.queries.shared_cache import memo_checkpoint
+
+    def _o():
+        orders = load_table(
+            spark, sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
         )
-    )
-    w_cum = Window.partitionBy("cq").orderBy("age").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = (
-        spine.join(inc, ["cq", "age"], "left")
-        .select(
+        return orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+            .cast("long")
+            .alias("q"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    def build_cum() -> DataFrame:
+        o = _o()
+        cohort = o.groupBy("o_custkey").agg(F.min("q").alias("cq"))
+        latest = o.agg(F.max("q").alias("lq"))
+        inc = (
+            o.join(cohort, "o_custkey")
+            .groupBy("cq", (F.col("q") - F.col("cq")).alias("age"))
+            .agg(F.sum("cents").cast("long").alias("inc_cents"))
+        )
+        spine = (
+            cohort.select("cq")
+            .distinct()
+            .crossJoin(F.broadcast(latest))
+            .select(
+                "cq",
+                (F.col("lq") - F.col("cq")).alias("max_age"),
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.col("lq") - F.col("cq"))
+                ).alias("age"),
+            )
+        )
+        w_cum = Window.partitionBy("cq").orderBy("age").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return spine.join(inc, ["cq", "age"], "left").select(
             "cq",
             "max_age",
             "age",
@@ -142,8 +151,14 @@ def _cum_cells(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("cum_cents"),
         )
-    )
-    sizes = cohort.groupBy("cq").agg(F.count("*").cast("long").alias("n_cust"))
+
+    def build_sizes() -> DataFrame:
+        o = _o()
+        cohort = o.groupBy("o_custkey").agg(F.min("q").alias("cq"))
+        return cohort.groupBy("cq").agg(F.count("*").cast("long").alias("n_cust"))
+
+    cum = memo_checkpoint(spark, ("actuarial_cum_cells", sf_dir), build_cum)
+    sizes = memo_checkpoint(spark, ("actuarial_cohort_sizes", sf_dir), build_sizes)
     return cum, sizes
 
 
@@ -342,18 +357,24 @@ def actuarial_bf_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # actuarial_freq_severity — compound (collective-risk) frequency/
 # severity decomposition per market segment: claim frequency lambda =
-# orders per customer, severity mean and coefficient of variation
-# from exact integer cents moments, and the compound-Poisson
-# aggregate-loss moments E[S] = lambda*mu = total/n_cust and
-# Var[S] = lambda*E[X^2] = sum(x^2)/n_cust — both EXACT integer
-# ratios, the neat collective-risk identity. Scale: one map-side-
-# combined groupBy on 5 segments after a broadcast customer join.
+# orders per customer, severity mean and coefficient of variation,
+# and the compound-Poisson aggregate-loss moments E[S] = total/n_cust
+# and Var[S] = lambda*E[X^2] = sum(x^2)/n_cust. First moments stay
+# EXACT integer cents; SECOND moments use KILO-DOLLAR units (r10
+# headroom audit: sum(cents^2) is ~2.5e19 per segment at sf0.1 —
+# already past int64, silently wrapping in ANSI-off sessions and
+# erroring in ANSI-on; kilo-dollar squares are safe to ~2.5e13
+# orders/segment, and CV is a unit-invariant ratio of kilo-dollar
+# moments; agg_loss_sd is converted back to dollars for display).
+# Scale: one map-side-combined groupBy on 5 segments after a
+# broadcast customer join.
 # ---------------------------------------------------------------------------
 
 FREQ_SEV_ORACLE = """
 WITH o AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(round(o.o_totalprice / 1000) AS BIGINT) AS kd
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ),
 m AS (
@@ -361,17 +382,18 @@ m AS (
          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
          CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(cents) AS BIGINT) AS s,
-         CAST(sum(cents * cents) AS BIGINT) AS ssq
+         CAST(sum(kd) AS BIGINT) AS sk,
+         CAST(sum(kd * kd) AS BIGINT) AS ssq
   FROM o GROUP BY segment
 )
 SELECT segment, n_cust, n_orders,
        round(CAST(n_orders AS DOUBLE) / n_cust, 6) AS freq_lambda,
        round(CAST(s AS DOUBLE) / n_orders / 100.0, 4) AS sev_mean,
-       round(sqrt((CAST(n_orders AS DOUBLE) * ssq - CAST(s AS DOUBLE) * s)
+       round(sqrt((CAST(n_orders AS DOUBLE) * ssq - CAST(sk AS DOUBLE) * sk)
                   / (CAST(n_orders AS DOUBLE) * (n_orders - 1)))
-             / (CAST(s AS DOUBLE) / n_orders), 6) AS sev_cv,
+             / (CAST(sk AS DOUBLE) / n_orders), 6) AS sev_cv,
        round(CAST(s AS DOUBLE) / n_cust / 100.0, 4) AS agg_loss_mean,
-       round(sqrt(CAST(ssq AS DOUBLE) / n_cust) / 100.0, 4) AS agg_loss_sd
+       round(sqrt(CAST(ssq AS DOUBLE) / n_cust) * 1000, 4) AS agg_loss_sd
 FROM m
 ORDER BY segment
 """
@@ -389,30 +411,34 @@ def actuarial_freq_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("o_totalprice") / 1000).cast("long").alias("kd"),
     )
     m = o.groupBy("segment").agg(
         F.countDistinct("o_custkey").cast("long").alias("n_cust"),
         F.count("*").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ssq"),
+        F.sum("kd").cast("long").alias("sk"),
+        F.sum(F.col("kd") * F.col("kd")).cast("long").alias("ssq"),
     )
     nd = F.col("n_orders").cast("double")
-    sd_ = F.col("s").cast("double")
+    s_ = F.col("s").cast("double")
+    sk_ = F.col("sk").cast("double")
     return m.select(
         "segment",
         "n_cust",
         "n_orders",
         F.round(nd / F.col("n_cust"), 6).alias("freq_lambda"),
-        F.round(sd_ / F.col("n_orders") / 100.0, 4).alias("sev_mean"),
+        F.round(s_ / F.col("n_orders") / 100.0, 4).alias("sev_mean"),
         F.round(
             F.sqrt(
-                (nd * F.col("ssq") - sd_ * F.col("s")) / (nd * (F.col("n_orders") - 1))
+                (nd * F.col("ssq") - sk_ * F.col("sk"))
+                / (nd * (F.col("n_orders") - 1))
             )
-            / (sd_ / F.col("n_orders")),
+            / (sk_ / F.col("n_orders")),
             6,
         ).alias("sev_cv"),
-        F.round(sd_ / F.col("n_cust") / 100.0, 4).alias("agg_loss_mean"),
-        F.round(F.sqrt(F.col("ssq").cast("double") / F.col("n_cust")) / 100.0, 4).alias(
+        F.round(s_ / F.col("n_cust") / 100.0, 4).alias("agg_loss_mean"),
+        F.round(F.sqrt(F.col("ssq").cast("double") / F.col("n_cust")) * 1000, 4).alias(
             "agg_loss_sd"
         ),
     ).orderBy("segment")

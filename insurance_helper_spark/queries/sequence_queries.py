@@ -54,46 +54,30 @@ _PR_D = 0.85
 # distinct (sf_dir, support) pairs touched in-session.
 # ---------------------------------------------------------------------------
 
-_EDGE_CACHE: dict = {}
-# RDD ids of the cached edge checkpoints. localCheckpoint TRUNCATES
-# lineage, so an external unpersist (bench.py's between-query
-# _release_blocks) would leave the memoized DataFrames unrecoverable —
-# the block sweeper must skip exactly these ids.
-_EDGE_KEEP_IDS: set = set()
-
-
-def _persistent_rdd_ids(spark: SparkSession) -> set:
-    return {r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()}
-
-
 def _copurchase_edges(spark: SparkSession, sf_dir: str, support: int = 1) -> DataFrame:
     """Co-purchase edge relation (both orientations), deduplicated;
     support>=2 keeps only pairs sharing at least 2 orders (the
     strong-tie pruned graph used by the neighborhood operators).
-    Eagerly checkpointed + memoized per (app, sf_dir, support)."""
-    key = (spark.sparkContext.applicationId, sf_dir, support)
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    pairs = a.join(b, "k").filter(F.col("src") != F.col("dst"))
-    if support > 1:
-        edges = (
-            pairs.groupBy("src", "dst")
-            .agg(F.count("*").cast("long").alias("sup"))
-            .where(F.col("sup") >= support)
-            .select("src", "dst")
-        )
-    else:
-        edges = pairs.select("src", "dst").distinct()
-    before = _persistent_rdd_ids(spark)
-    edges = edges.localCheckpoint(eager=True)
-    _EDGE_KEEP_IDS.update(_persistent_rdd_ids(spark) - before)
-    _EDGE_CACHE[key] = edges
-    return edges
+    Eagerly checkpointed + memoized per (app, sf_dir, support) via
+    shared_cache.memo_checkpoint."""
+    from insurance_helper_spark.queries.shared_cache import memo_checkpoint
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+        pairs = a.join(b, "k").filter(F.col("src") != F.col("dst"))
+        if support > 1:
+            return (
+                pairs.groupBy("src", "dst")
+                .agg(F.count("*").cast("long").alias("sup"))
+                .where(F.col("sup") >= support)
+                .select("src", "dst")
+            )
+        return pairs.select("src", "dst").distinct()
+
+    return memo_checkpoint(spark, ("copurchase_edges", sf_dir, support), build)
 
 PAGERANK_ORACLE = f"""
 WITH order_parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

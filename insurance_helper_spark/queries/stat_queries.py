@@ -3766,23 +3766,34 @@ tot AS (
   FROM fm
 ),
 coefs AS (
+  -- r10 headroom audit: the moments are exact BIGINTs but the
+  -- cross-products (n * sxy ~ 2e19 at sf0.1) overflow int64, so the
+  -- solve multiplies in DOUBLE (identical expression both engines;
+  -- b1/b0 were already deterministic IEEE quotients).
   SELECT f.fold,
-         CAST((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
-           / CAST((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE) AS b1,
+         (CAST(t.n - f.n AS DOUBLE) * (t.sxy - f.sxy)
+          - CAST(t.sx - f.sx AS DOUBLE) * (t.sy - f.sy))
+           / (CAST(t.n - f.n AS DOUBLE) * (t.sxx - f.sxx)
+              - CAST(t.sx - f.sx AS DOUBLE) * (t.sx - f.sx)) AS b1,
          (CAST(t.sy - f.sy AS DOUBLE)
-          - CAST((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
-            / CAST((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE)
+          - (CAST(t.n - f.n AS DOUBLE) * (t.sxy - f.sxy)
+             - CAST(t.sx - f.sx AS DOUBLE) * (t.sy - f.sy))
+            / (CAST(t.n - f.n AS DOUBLE) * (t.sxx - f.sxx)
+               - CAST(t.sx - f.sx AS DOUBLE) * (t.sx - f.sx))
             * CAST(t.sx - f.sx AS DOUBLE)) / CAST(t.n - f.n AS DOUBLE) AS b0
   FROM fm f CROSS JOIN tot t
 ),
 scored AS (
+  -- residuals quantized to whole DOLLARS before squaring (cent
+  -- squares would cap the test fold at ~1e6 rows; dollar squares are
+  -- safe to ~1e9)
   SELECT b.fold,
-         CAST(round(b.y - (c.b0 + c.b1 * b.x)) AS BIGINT) AS rc
+         CAST(round((b.y - (c.b0 + c.b1 * b.x)) / 100) AS BIGINT) AS rc
   FROM base b JOIN coefs c ON b.fold = c.fold
 ),
 per_fold AS (
   SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
-         sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)) / 100.0 AS rmse
+         sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)) AS rmse
   FROM scored GROUP BY fold
 )
 SELECT fold, n_test, round(rmse, 4) AS fold_rmse,
@@ -3821,8 +3832,9 @@ def ml_kfold_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr_n = F.col("tn") - F.col("n")
     tr_sx, tr_sy = F.col("tsx") - F.col("sx"), F.col("tsy") - F.col("sy")
     tr_sxy, tr_sxx = F.col("tsxy") - F.col("sxy"), F.col("tsxx") - F.col("sxx")
-    num = (tr_n * tr_sxy - tr_sx * tr_sy).cast("double")
-    den = (tr_n * tr_sxx - tr_sx * tr_sx).cast("double")
+    # cross-products in DOUBLE: n * sxy ~ 2e19 at sf0.1 overflows int64
+    num = tr_n.cast("double") * tr_sxy - tr_sx.cast("double") * tr_sy
+    den = tr_n.cast("double") * tr_sxx - tr_sx.cast("double") * tr_sx
     b1 = num / den
     coefs = fm.crossJoin(F.broadcast(tot)).select(
         "fold",
@@ -3833,16 +3845,15 @@ def ml_kfold_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = base.join(F.broadcast(coefs), "fold").select(
         "fold",
-        F.round(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+        F.round((F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))) / 100)
         .cast("long")
         .alias("rc"),
     )
     per_fold = scored.groupBy("fold").agg(
         F.count("*").cast("long").alias("n_test"),
-        (
-            F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*"))
-            / 100.0
-        ).alias("rmse"),
+        F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*")).alias(
+            "rmse"
+        ),
     )
     w_all = Window.partitionBy()
     return per_fold.select(
@@ -4216,21 +4227,27 @@ pts AS (
   GROUP BY k.k
 ),
 coefs AS (
+  -- r10 headroom audit: n * sxy ~ 2e19 at sf0.1 overflows int64 —
+  -- multiply in DOUBLE (identical expression both engines)
   SELECT k, n,
-         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
          (CAST(sy AS DOUBLE)
-          - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
   FROM pts
 ),
 scored AS (
+  -- residuals quantized to whole DOLLARS before squaring (dollar
+  -- squares are safe to ~1e9 test rows; cent squares were not)
   SELECT c.k, c.n,
-         CAST(round(b.y - (c.b0 + c.b1 * b.x)) AS BIGINT) AS rc
+         CAST(round((b.y - (c.b0 + c.b1 * b.x)) / 100) AS BIGINT) AS rc
   FROM (SELECT * FROM base WHERE fold = 9) b CROSS JOIN coefs c
 )
 SELECT k AS train_tenths, any_value(n) AS n_train,
        CAST(count(*) AS BIGINT) AS n_test,
-       round(sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)) / 100.0, 4) AS test_rmse
+       round(sqrt(CAST(sum(rc * rc) AS DOUBLE) / count(*)), 4) AS test_rmse
 FROM scored
 GROUP BY k
 ORDER BY k
@@ -4270,8 +4287,9 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sxx").alias("sxx"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # cross-products in DOUBLE: n * sxy ~ 2e19 at sf0.1 overflows int64
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     b1 = num / den
     coefs = pts.select(
         "k",
@@ -4288,7 +4306,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "n",
-            F.round(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+            F.round((F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))) / 100)
             .cast("long")
             .alias("rc"),
         )
@@ -4299,8 +4317,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n").alias("n_train"),
             F.count("*").cast("long").alias("n_test"),
             F.round(
-                F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*"))
-                / 100.0,
+                F.sqrt(F.sum(F.col("rc") * F.col("rc")).cast("double") / F.count("*")),
                 4,
             ).alias("test_rmse"),
         )
@@ -5672,40 +5689,48 @@ def stat_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation decision rides the effect size, not the p-value. All three
 # derive from the same exact integer (n, Σ, Σ²) moments per arm in
 # ONE conditional aggregation; the pooled/control SDs and the
-# small-sample correction are terminal expressions. Scale: one
-# map-side-combined aggregation, nothing else.
+# small-sample correction are terminal expressions. Mean difference
+# stays EXACT cents; the SD moments use KILO-DOLLAR units (r10
+# headroom audit: cent squares summed past int64 at sf0.1 — kilo-
+# dollar squares are safe to ~2.5e13 rows/arm, and the standardized
+# effect sizes are unit-invariant ratios of kilo-dollar moments).
+# Scale: one map-side-combined aggregation, nothing else.
 # ---------------------------------------------------------------------------
 
 EFFECT_ORACLE = """
 WITH arms AS (
   SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
               THEN 1 ELSE 0 END AS hi,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(round(o_totalprice / 1000) AS BIGINT) AS kd
   FROM orders
 ),
 m AS (
   SELECT CAST(sum(hi) AS BIGINT) AS n1,
          CAST(sum(CASE WHEN hi = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
-         CAST(sum(CASE WHEN hi = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN hi = 1 THEN kd ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN hi = 1 THEN kd * kd ELSE 0 END) AS BIGINT) AS q1,
          CAST(sum(1 - hi) AS BIGINT) AS n2,
          CAST(sum(CASE WHEN hi = 0 THEN cents ELSE 0 END) AS BIGINT) AS s2,
-         CAST(sum(CASE WHEN hi = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+         CAST(sum(CASE WHEN hi = 0 THEN kd ELSE 0 END) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN hi = 0 THEN kd * kd ELSE 0 END) AS BIGINT) AS q2
   FROM arms
 ),
 d AS (
   SELECT n1, n2,
          CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
-         (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
-         (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+         CAST(k1 AS DOUBLE) / n1 AS km1, CAST(k2 AS DOUBLE) / n2 AS km2,
+         (q1 - CAST(k1 AS DOUBLE) * k1 / n1) / (n1 - 1) AS v1,
+         (q2 - CAST(k2 AS DOUBLE) * k2 / n2) / (n2 - 1) AS v2
   FROM m
 )
 SELECT n1 AS n_urgent, n2 AS n_normal,
        round((m1 - m2) / 100, 2) AS mean_diff_dollars,
-       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+       round((km1 - km2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
            AS cohens_d,
-       round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)))
+       round(((km1 - km2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)))
              * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
-       round((m1 - m2) / sqrt(v2), 6) AS glass_delta
+       round((km1 - km2) / sqrt(v2), 6) AS glass_delta
 FROM d
 """
 
@@ -5720,20 +5745,27 @@ def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("hi"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("o_totalprice") / 1000).cast("long").alias("kd"),
     )
     m = arms.agg(
         F.sum("hi").cast("long").alias("n1"),
         F.sum(F.when(F.col("hi") == 1, F.col("cents")).otherwise(0))
         .cast("long")
         .alias("s1"),
-        F.sum(F.when(F.col("hi") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        F.sum(F.when(F.col("hi") == 1, F.col("kd")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("hi") == 1, F.col("kd") * F.col("kd")).otherwise(0))
         .cast("long")
         .alias("q1"),
         F.sum(1 - F.col("hi")).cast("long").alias("n2"),
         F.sum(F.when(F.col("hi") == 0, F.col("cents")).otherwise(0))
         .cast("long")
         .alias("s2"),
-        F.sum(F.when(F.col("hi") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        F.sum(F.when(F.col("hi") == 0, F.col("kd")).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+        F.sum(F.when(F.col("hi") == 0, F.col("kd") * F.col("kd")).otherwise(0))
         .cast("long")
         .alias("q2"),
     )
@@ -5742,12 +5774,14 @@ def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
         (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        (F.col("k1").cast("double") / F.col("n1")).alias("km1"),
+        (F.col("k2").cast("double") / F.col("n2")).alias("km2"),
         (
-            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            (F.col("q1") - F.col("k1").cast("double") * F.col("k1") / F.col("n1"))
             / (F.col("n1") - 1)
         ).alias("v1"),
         (
-            (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+            (F.col("q2") - F.col("k2").cast("double") * F.col("k2") / F.col("n2"))
             / (F.col("n2") - 1)
         ).alias("v2"),
     )
@@ -5755,7 +5789,7 @@ def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
         / (F.col("n1") + F.col("n2") - 2)
     )
-    cohens = (F.col("m1") - F.col("m2")) / pooled_sd
+    cohens = (F.col("km1") - F.col("km2")) / pooled_sd
     return d.select(
         F.col("n1").alias("n_urgent"),
         F.col("n2").alias("n_normal"),
@@ -5764,7 +5798,7 @@ def stat_effect_sizes_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             cohens * (1 - F.lit(3.0) / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
         ).alias("hedges_g"),
-        F.round((F.col("m1") - F.col("m2")) / F.sqrt(F.col("v2")), 6).alias(
+        F.round((F.col("km1") - F.col("km2")) / F.sqrt(F.col("v2")), 6).alias(
             "glass_delta"
         ),
     )
@@ -8037,14 +8071,18 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bartlett correction C. ENGINE PARITY: each per-segment ln(s_i^2) is
 # quantized round(·1e9) AS BIGINT before the k-row fold (libm never
 # enters a distributed float sum); everything else is exact integers
-# until the terminal expression. Scale: one map-side-combined segment
-# rollup; the fold runs on k = 5 rows.
+# until the terminal expression. Values are KILO-DOLLAR units (r10
+# headroom audit: cent squares summed to ~2.5e19 per segment at sf0.1,
+# past int64 — kilo-dollar squares are safe to ~2.5e13 rows/segment;
+# the statistic is unit-invariant, pooled_var is reported in
+# kilo-dollar² units). Scale: one map-side-combined segment rollup;
+# the fold runs on k = 5 rows.
 # ---------------------------------------------------------------------------
 
 BARTLETT_ORACLE = """
 WITH obs AS (
   SELECT c.c_mktsegment AS segment,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+         CAST(round(o.o_totalprice / 1000) AS BIGINT) AS x
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ),
 m AS (
@@ -8088,7 +8126,7 @@ def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     obs = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") / 1000).cast("long").alias("x"),
     )
     m = obs.groupBy("segment").agg(
         F.count("*").cast("long").alias("n"),

@@ -229,3 +229,30 @@ def test_burrows_delta_pair_count_and_nonneg(spark):
     for r in rows:
         assert r["source_a"] < r["source_b"]
         assert r["burrows_delta"] >= 0.0
+
+
+def test_no_int64_overflow_at_sf01_ansi(spark):
+    """r10 headroom audit regression guard. A full ANSI-on sweep of the
+    catalog at sf0.1 found five queries whose BIGINT second moments /
+    cross-products silently wrapped in ANSI-off sessions (and errored
+    in ANSI-on): cent squares summed past int64 at ~150k rows. The
+    fixes rescale to kilo-dollar second moments / DOUBLE solve
+    products. Pin the five at sf0.1 under ANSI (the conftest session
+    default) — they must execute, not wrap or throw."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")  # runtime conf
+    try:
+        for name in [
+            "actuarial_freq_severity",
+            "stat_bartlett_test",
+            "stat_effect_sizes_urgency",
+            "ml_kfold_cv_rmse",
+            "ml_learning_curve",
+        ]:
+            rows = qs[name](spark, "/root/testdata/sf0.1").collect()
+            assert rows, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
