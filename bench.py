@@ -312,6 +312,7 @@ HEADLINE = [
     "stat_chow_test",
     "stat_quade_test",
     "stat_ansari_bradley",
+    "stat_brunner_munzel",
     "text_burrows_delta",
 ]
 

@@ -1108,3 +1108,163 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_brunner_munzel — the Brunner-Munzel generalized Wilcoxon test
+# (H1 vs H2 daily revenue): tests P(X<Y) + half-P(X=Y) = 1/2 WITHOUT
+# the equal-variance assumption Mann-Whitney needs — the modern
+# default for two-sample stochastic comparison. Everything reduces to
+# the value-collapsed walk: per distinct value, DOUBLED overall and
+# within-group midranks are exact integers (2R = 2cum+c+1), the
+# rank-variance terms are per-cell exact BIGINTs
+# M_g = n_g·(2R - 2R_g) - K_g + n_g(n_g+1) (|M| <= ~2·n_g·N, squares
+# safe for any calendar-bounded relation), and the statistic
+# W = n1·n2·(Rbar2 - Rbar1) / ((n1+n2)·sqrt(n1·S1² + n2·S2²)) with the
+# Welch-type df follows Brunner & Munzel (2000) exactly (the same
+# closed form scipy.stats.brunnermunzel implements; pinned against an
+# independent numpy brute force in test_r10_invariants). Scale: one
+# value-collapse + three running sums on the SAME ordered walk over
+# the calendar-bounded daily relation; one scalar fold.
+# ---------------------------------------------------------------------------
+
+BRUNNER_MUNZEL_ORACLE = f"""
+WITH {_DAILY_SQL},
+vals AS (
+  SELECT cents AS v, CASE WHEN month(day) <= 6 THEN 1 ELSE 0 END AS g1
+  FROM daily
+),
+cells AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c, CAST(sum(g1) AS BIGINT) AS c1
+  FROM vals GROUP BY v
+),
+walk AS (
+  SELECT v, c, c1, c - c1 AS c2,
+         CAST(coalesce(sum(c) OVER w, 0) AS BIGINT) AS cum,
+         CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS cum1,
+         CAST(coalesce(sum(c - c1) OVER w, 0) AS BIGINT) AS cum2
+  FROM cells
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+kc AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * cum + c + 1)) AS BIGINT) AS k1,
+         CAST(sum(c2 * (2 * cum + c + 1)) AS BIGINT) AS k2
+  FROM walk
+),
+s AS (
+  SELECT any_value(kc.n1) AS n1, any_value(kc.n2) AS n2,
+         any_value(kc.k1) AS k1, any_value(kc.k2) AS k2,
+         CAST(sum(w.c1 * (kc.n1 * (2 * (w.cum - w.cum1) + (w.c - w.c1))
+                          - kc.k1 + kc.n1 * (kc.n1 + 1))
+                       * (kc.n1 * (2 * (w.cum - w.cum1) + (w.c - w.c1))
+                          - kc.k1 + kc.n1 * (kc.n1 + 1))) AS BIGINT) AS m1s,
+         CAST(sum(w.c2 * (kc.n2 * (2 * (w.cum - w.cum2) + (w.c - w.c2))
+                          - kc.k2 + kc.n2 * (kc.n2 + 1))
+                       * (kc.n2 * (2 * (w.cum - w.cum2) + (w.c - w.c2))
+                          - kc.k2 + kc.n2 * (kc.n2 + 1))) AS BIGINT) AS m2s
+  FROM walk w CROSS JOIN kc
+),
+d AS (
+  SELECT n1, n2,
+         CAST(k1 AS DOUBLE) / (2 * n1) AS rb1,
+         CAST(k2 AS DOUBLE) / (2 * n2) AS rb2,
+         CAST(m1s AS DOUBLE) / (4.0 * n1 * n1 * (n1 - 1)) AS s1,
+         CAST(m2s AS DOUBLE) / (4.0 * n2 * n2 * (n2 - 1)) AS s2
+  FROM s WHERE n1 > 1 AND n2 > 1
+)
+SELECT n1 AS n_h1, n2 AS n_h2,
+       round((rb2 - (n2 + 1) / 2.0) / n1, 6) AS p_hat,
+       round(n1 * n2 * (rb2 - rb1)
+             / ((n1 + n2) * nullif(sqrt(n1 * s1 + n2 * s2), 0.0)), 4)
+           AS bm_statistic,
+       round((n1 * s1 + n2 * s2) * (n1 * s1 + n2 * s2)
+             / nullif((n1 * s1) * (n1 * s1) / (n1 - 1)
+                      + (n2 * s2) * (n2 * s2) / (n2 - 1), 0.0), 2) AS welch_df
+FROM d
+"""
+
+
+@register("stat_brunner_munzel", BRUNNER_MUNZEL_ORACLE)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    vals = daily.select(
+        F.col("cents").alias("v"),
+        F.when(F.month("day") <= 6, 1).otherwise(0).alias("g1"),
+    )
+    cells = vals.groupBy("v").agg(
+        F.count("*").cast("long").alias("c"), F.sum("g1").cast("long").alias("c1")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    walk = cells.select(
+        "v", "c", "c1", (F.col("c") - F.col("c1")).alias("c2"),
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("cum"),
+        F.coalesce(F.sum("c1").over(w_cum), F.lit(0)).cast("long").alias("cum1"),
+        F.coalesce(F.sum(F.col("c") - F.col("c1")).over(w_cum), F.lit(0))
+        .cast("long")
+        .alias("cum2"),
+    )
+    walk = walk.localCheckpoint(eager=True)  # kc fold + the M fold share it
+    kc = walk.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum") + F.col("c") + 1))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.col("c2") * (2 * F.col("cum") + F.col("c") + 1))
+        .cast("long")
+        .alias("k2"),
+    )
+    m1 = (
+        F.col("n1") * (2 * (F.col("cum") - F.col("cum1")) + (F.col("c") - F.col("c1")))
+        - F.col("k1")
+        + F.col("n1") * (F.col("n1") + 1)
+    )
+    m2 = (
+        F.col("n2") * (2 * (F.col("cum") - F.col("cum2")) + (F.col("c") - F.col("c2")))
+        - F.col("k2")
+        + F.col("n2") * (F.col("n2") + 1)
+    )
+    s = walk.crossJoin(F.broadcast(kc)).agg(
+        F.any_value("n1").alias("n1"),
+        F.any_value("n2").alias("n2"),
+        F.any_value("k1").alias("k1"),
+        F.any_value("k2").alias("k2"),
+        F.sum(F.col("c1") * m1 * m1).cast("long").alias("m1s"),
+        F.sum(F.col("c2") * m2 * m2).cast("long").alias("m2s"),
+    )
+    d = s.where((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "n1", "n2",
+        (F.col("k1").cast("double") / (2 * F.col("n1"))).alias("rb1"),
+        (F.col("k2").cast("double") / (2 * F.col("n2"))).alias("rb2"),
+        (
+            F.col("m1s").cast("double")
+            / (F.lit(4.0) * F.col("n1") * F.col("n1") * (F.col("n1") - 1))
+        ).alias("s1"),
+        (
+            F.col("m2s").cast("double")
+            / (F.lit(4.0) * F.col("n2") * F.col("n2") * (F.col("n2") - 1))
+        ).alias("s2"),
+    )
+    var_term = F.col("n1") * F.col("s1") + F.col("n2") * F.col("s2")
+    return d.select(
+        F.col("n1").alias("n_h1"),
+        F.col("n2").alias("n_h2"),
+        F.round(
+            (F.col("rb2") - (F.col("n2") + 1) / 2.0) / F.col("n1"), 6
+        ).alias("p_hat"),
+        F.round(
+            F.col("n1") * F.col("n2") * (F.col("rb2") - F.col("rb1"))
+            / ((F.col("n1") + F.col("n2")) * F.nullif(F.sqrt(var_term), F.lit(0.0))),
+            4,
+        ).alias("bm_statistic"),
+        F.round(
+            var_term * var_term
+            / F.nullif(
+                (F.col("n1") * F.col("s1")) * (F.col("n1") * F.col("s1")) / (F.col("n1") - 1)
+                + (F.col("n2") * F.col("s2")) * (F.col("n2") * F.col("s2")) / (F.col("n2") - 1),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("welch_df"),
+    )

@@ -256,3 +256,55 @@ def test_no_int64_overflow_at_sf01_ansi(spark):
             assert rows, name
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_brunner_munzel_matches_numpy_brute_force(spark):
+    """Independent verification of the BM closed form: a from-scratch
+    numpy implementation of Brunner & Munzel (2000) — full midranks via
+    scipy-style average ranking, no shared code with the query — must
+    match the query's statistic, p_hat, and Welch df on the sf0.001
+    daily relation."""
+    import duckdb
+
+    r = _q(spark, "stat_brunner_munzel").collect()[0]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),"
+        " month(CAST(o_orderdate AS DATE)) <= 6"
+        f" FROM '{SF}/orders.parquet'"
+        " GROUP BY CAST(o_orderdate AS DATE)"
+    ).fetchall()
+    x = np.array([v for v, h1 in rows if h1], dtype=np.float64)   # group 1
+    y = np.array([v for v, h1 in rows if not h1], dtype=np.float64)
+
+    def midranks(a):
+        order = np.argsort(a, kind="mergesort")
+        ranks = np.empty(len(a), dtype=np.float64)
+        sa = a[order]
+        i = 0
+        while i < len(sa):
+            j = i
+            while j + 1 < len(sa) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    nx, ny = len(x), len(y)
+    comb = midranks(np.concatenate([x, y]))
+    rankcx, rankcy = comb[:nx], comb[nx:]
+    rankx, ranky = midranks(x), midranks(y)
+    rankcx_mean, rankcy_mean = rankcx.mean(), rankcy.mean()
+    sx = ((rankcx - rankx - rankcx_mean + (nx + 1) / 2) ** 2).sum() / (nx - 1)
+    sy = ((rankcy - ranky - rankcy_mean + (ny + 1) / 2) ** 2).sum() / (ny - 1)
+    w = nx * ny * (rankcy_mean - rankcx_mean) / (nx + ny) / np.sqrt(nx * sx + ny * sy)
+    df = (nx * sx + ny * sy) ** 2 / (
+        (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+    )
+    p_hat = (rankcy_mean - (ny + 1) / 2) / nx
+
+    assert r["n_h1"] == nx and r["n_h2"] == ny
+    assert abs(r["bm_statistic"] - w) < 5e-4, (r["bm_statistic"], w)
+    assert abs(r["welch_df"] - df) < 5e-2, (r["welch_df"], df)
+    assert abs(r["p_hat"] - p_hat) < 5e-6, (r["p_hat"], p_hat)
