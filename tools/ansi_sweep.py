@@ -37,6 +37,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # the graph/dedup checkpoint builds need real driver heap — the
+        # 1g default OOMs the JVM mid-sweep
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_SWEEP_MEM", "16g"))
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
