@@ -1,8 +1,8 @@
 """Round-10 operator wave: finance risk metrics (max drawdown,
 Sortino, Cutler RSI), reserving completions (Cape Cod, Benktander),
-rank-based scale/effect/stratified tests (Ansari-Bradley, Cliff's
-delta, Mantel-Haenszel, Chow, Quade), and Burrows' Delta authorship
-distance.
+rank-based scale/effect/stratified tests (Ansari-Bradley,
+Brunner-Munzel, Cliff's delta, Mantel-Haenszel, Chow, Quade), and
+Burrows' Delta authorship distance.
 
 House rules throughout: every libm value is quantized to BIGINT per
 row/cell BEFORE any distributed fold (partial-aggregation order can
