@@ -411,16 +411,17 @@ def _release_blocks(spark) -> None:
     """
     import gc
 
-    from insurance_helper_spark.queries.shared_cache import KEEP_RDD_IDS
+    from insurance_helper_spark.queries.shared_cache import keep_ids
 
     gc.collect()  # drop py4j handles so the JVM side is collectable
+    kept = keep_ids(spark)
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         # The memoized family checkpoints (co-purchase edges, reserving
         # triangle — see queries/shared_cache.py) are REUSED across
         # queries: localCheckpoint truncates lineage, so unpersisting
         # them here would break every later consumer (and forfeit the
         # shared-build win the cache exists for).
-        if jrdd.id() not in KEEP_RDD_IDS:
+        if jrdd.id() not in kept:
             jrdd.unpersist()
     spark.catalog.clearCache()
 

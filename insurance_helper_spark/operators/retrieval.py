@@ -15,12 +15,16 @@ Fusion: Reciprocal Rank Fusion, score = sum 1/(60+rank) over legs
 (Cormack et al.), fused top-n returned with both leg ranks (0 = not in
 that leg's top-20).
 
-Scale stance (same as the catalog twin): tf rows exist only for the
-query's <=8 terms (left-semi pushdown into the posting build); df/avgdl
-are tiny broadcast aggregates; the vector leg broadcasts ONE query
-vector and scans embeddings once; every window partitions on the
-single-query key over <= 2x depth rows. No all-pairs joins; nothing
-corpus-sized is ever collected (the Rocchio centroid collects 3 rows).
+Scale stance: tf rows exist only for the query's <=8 terms (left-semi
+pushdown into the posting build); df/avgdl are tiny broadcast
+aggregates; the vector leg broadcasts ONE query vector and scans
+embeddings once. Each leg is cut to depth 20 by ``orderBy().limit()``
+— Spark plans that as TakeOrderedAndProject (per-partition top-k,
+merged in one final task), never a global sort — and only the <=20
+survivors pass through the rank-assignment window, so no window ever
+sees a corpus-sized partition (ADVICE r10). No all-pairs joins;
+nothing corpus-sized is ever collected (the Rocchio centroid collects
+3 rows).
 
 Reference parity: Stage-3 "semantic search / RAG querying"
 (/root/reference/README.md:103-137) exposed at the reference's only
@@ -120,12 +124,16 @@ def hybrid_rrf_retrieve(
     )
     if doc_id is not None:
         lex_base = lex_base.filter(F.col("doc_id") != doc_id)
+    # orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    # top-k then one merge task; the row_number window only ever sees
+    # the <= LEG_DEPTH survivors (never the full candidate set).
     w_lex = W.orderBy(F.desc("bm4"), "doc_id")
     lex = (
         lex_base.groupBy("doc_id")
         .agg(F.round(F.sum(term_score).cast("double") / 1e9, 4).alias("bm4"))
+        .orderBy(F.desc("bm4"), "doc_id")
+        .limit(LEG_DEPTH)
         .withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= LEG_DEPTH)
         .select("doc_id", "lex_rank")
         .localCheckpoint(eager=True)  # reused: vec leg feedback + fusion
     )
@@ -152,8 +160,9 @@ def hybrid_rrf_retrieve(
         vec = (
             vec_base.crossJoin(F.broadcast(qvec))
             .select("doc_id", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos6"))
+            .orderBy(F.desc("cos6"), "doc_id")
+            .limit(LEG_DEPTH)
             .withColumn("vec_rank", F.row_number().over(w_vec))
-            .filter(F.col("vec_rank") <= LEG_DEPTH)
             .select("doc_id", "vec_rank")
         )
     else:

@@ -366,6 +366,12 @@ def actuarial_bf_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # erroring in ANSI-on; kilo-dollar squares are safe to ~2.5e13
 # orders/segment, and CV is a unit-invariant ratio of kilo-dollar
 # moments; agg_loss_sd is converted back to dollars for display).
+# NOTE (ADVICE r10): because each order is rounded to the nearest
+# $1000 BEFORE the second moments, the published sev_cv / agg_loss_sd
+# are kilo-dollar-quantized approximations of the cent-level
+# statistic — statistically negligible at these row counts, but
+# "EXACT" above refers to the kilo-dollar definition both engines
+# share, not cent-level dispersion.
 # Scale: one map-side-combined groupBy on 5 segments after a
 # broadcast customer join.
 # ---------------------------------------------------------------------------

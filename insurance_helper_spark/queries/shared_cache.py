@@ -11,9 +11,14 @@ bucketed table at warehouse scale.
 
 Keyed by applicationId so a stopped-and-restarted session can never
 see stale checkpoint blocks. ``KEEP_RDD_IDS`` records the checkpoint
-RDD ids: localCheckpoint TRUNCATES lineage, so any external block
-sweeper (bench.py's between-query ``_release_blocks``) must skip
-exactly these ids or every later consumer breaks unrecoverably.
+RDD ids PER applicationId: localCheckpoint TRUNCATES lineage, so any
+external block sweeper (bench.py's between-query ``_release_blocks``,
+tools/ansi_sweep.py) must skip exactly these ids or every later
+consumer breaks unrecoverably. The per-app keying matters because RDD
+ids restart from 0 in a new SparkContext within the same process —
+a flat global set would make sweepers silently skip unrelated blocks
+after a session restart (ADVICE r10). Sweepers call ``keep_ids(spark)``
+to get the CURRENT app's set.
 """
 
 from __future__ import annotations
@@ -23,7 +28,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict = {}
-KEEP_RDD_IDS: set = set()
+KEEP_RDD_IDS: dict[str, set] = {}
+
+
+def keep_ids(spark: SparkSession) -> set:
+    """The checkpoint RDD ids a block sweeper must NOT unpersist, for
+    the session's current application only."""
+    return KEEP_RDD_IDS.get(spark.sparkContext.applicationId, set())
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> set:
@@ -35,12 +46,15 @@ def memo_checkpoint(
 ) -> DataFrame:
     """Return the memoized eagerly-checkpointed relation for ``key``,
     building it with ``build()`` on first use in this session."""
-    full_key = (spark.sparkContext.applicationId,) + tuple(key)
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id,) + tuple(key)
     cached = _CACHE.get(full_key)
     if cached is not None:
         return cached
     before = _persistent_rdd_ids(spark)
     df = build().localCheckpoint(eager=True)
-    KEEP_RDD_IDS.update(_persistent_rdd_ids(spark) - before)
+    KEEP_RDD_IDS.setdefault(app_id, set()).update(
+        _persistent_rdd_ids(spark) - before
+    )
     _CACHE[full_key] = df
     return df

@@ -999,7 +999,16 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_SQL = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
 
 BURROWS_ORACLE = f"""
-WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents WHERE trim(text) <> ''),
+WITH toks AS (
+  SELECT source, unnest(
+    -- a punctuation-only doc normalizes to '' and string_split('', ' ')
+    -- yields [''] in DuckDB while Spark's tokens() drops it — guard
+    -- with the same empty-after-normalize CASE the text oracles use
+    -- (ADVICE r10)
+    CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+         THEN [] ELSE {_TOKS_SQL} END
+  ) AS term FROM documents WHERE trim(text) <> ''
+),
 totals AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM toks GROUP BY source),
 tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
        FROM toks GROUP BY source, term),

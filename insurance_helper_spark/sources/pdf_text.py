@@ -188,12 +188,17 @@ def extract_pdf_text(content: bytes) -> tuple[str, int]:
     ``PdfExtractError`` when nothing decodable carries text."""
     if content[:4] != b"%PDF":
         raise PdfExtractError("not a PDF (missing %PDF header)")
-    # Prefer the /Count of the page-tree root: exact even when stream
-    # bodies happen to contain '/Type /Page' bytes (ADVICE r9). Fall
-    # back to the per-page regex census for root-less/fragmented files.
-    pm = _PAGES_COUNT_RE.search(content)
-    if pm is not None:
-        n_pages = int(pm.group(1) or pm.group(2)) or 1
+    # Prefer the /Count of the page-tree ROOT: exact even when stream
+    # bodies happen to contain '/Type /Page' bytes (ADVICE r9). In a
+    # multi-node page tree every intermediate /Pages node carries the
+    # /Count of ITS subtree, and the first match in byte order need not
+    # be the root — the root's /Count is the total, hence >= every
+    # subtree's, so take the MAX across all /Type /Pages matches
+    # (ADVICE r10). Fall back to the per-page regex census for
+    # root-less/fragmented files.
+    counts = [int(g1 or g2) for g1, g2 in _PAGES_COUNT_RE.findall(content)]
+    if counts:
+        n_pages = max(counts) or 1
     else:
         n_pages = len(_PAGE_RE.findall(content)) or 1
     texts: list[str] = []
