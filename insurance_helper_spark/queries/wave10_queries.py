@@ -153,34 +153,51 @@ def finance_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unlike Wilder's recursive EWMA it needs no unbounded recursion):
 # RSI = 100·G14/(G14+L14) where G/L are 14-day sums of EXACT integer
 # cent gains/losses; the ratio is an exact rational rounded once.
-# Reports the overbought/oversold census (RSI >= 70 or <= 30, full
-# windows only). Scale: one lag + two rolling BIGINT windows on the
-# daily relation (the SMA-crossover stance).
+# Reports ONE always-present summary row (n_days, min/max RSI,
+# overbought/oversold census counts) followed by the per-day
+# overbought/oversold census (RSI >= 70 or <= 30, full windows only,
+# integer threshold comparisons). The summary row exists because at
+# small SFs the census is legitimately EMPTY — an empty-vs-empty
+# driver hash proves nothing (VERDICT r10) — so the driver always has
+# ≥1 value-bearing row to hash at every SF. Scale: one lag + two
+# rolling BIGINT windows on the daily relation (the SMA-crossover
+# stance); the summary is an O(days) fold.
 # ---------------------------------------------------------------------------
 
 RSI_ORACLE = f"""
 WITH {_DAILY_SQL},
 d AS (
-  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff,
-         row_number() OVER (ORDER BY day) AS rn
+  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff
   FROM daily
 ),
 g AS (
-  SELECT day, rn,
+  SELECT day,
          CAST(sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w14 AS BIGINT) AS g14,
          CAST(sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w14 AS BIGINT) AS l14,
          CAST(count(diff) OVER w14 AS BIGINT) AS n14
   FROM d
   WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT day, round(100.0 * g14 / (g14 + l14), 4) AS rsi,
+         CASE WHEN 10 * g14 >= 7 * (g14 + l14) THEN 1 ELSE 0 END AS ob,
+         CASE WHEN 10 * g14 <= 3 * (g14 + l14) THEN 1 ELSE 0 END AS os
+  FROM g WHERE n14 = 14 AND g14 + l14 > 0
 )
-SELECT day,
-       round(100.0 * g14 / (g14 + l14), 4) AS rsi,
-       CASE WHEN 10 * g14 >= 7 * (g14 + l14) THEN 'overbought'
-            ELSE 'oversold' END AS signal
-FROM g
-WHERE n14 = 14 AND g14 + l14 > 0
-  AND (10 * g14 >= 7 * (g14 + l14) OR 10 * g14 <= 3 * (g14 + l14))
-ORDER BY day
+SELECT 'summary' AS kind, '' AS day,
+       CAST(NULL AS DOUBLE) AS rsi, CAST(NULL AS VARCHAR) AS signal,
+       CAST(count(*) AS DOUBLE) AS n_days,
+       min(rsi) AS min_rsi, max(rsi) AS max_rsi,
+       CAST(coalesce(sum(ob), 0) AS DOUBLE) AS n_overbought,
+       CAST(coalesce(sum(os), 0) AS DOUBLE) AS n_oversold
+FROM r
+UNION ALL
+SELECT 'signal', CAST(day AS VARCHAR), rsi,
+       CASE WHEN ob = 1 THEN 'overbought' ELSE 'oversold' END,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM r WHERE ob = 1 OR os = 1
+ORDER BY kind, day
 """
 
 
@@ -205,21 +222,45 @@ def finance_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("diff").over(w14).cast("long").alias("n14"),
     )
     tot = F.col("g14") + F.col("l14")
-    return (
-        g.where(
-            (F.col("n14") == 14)
-            & (tot > 0)
-            & ((10 * F.col("g14") >= 7 * tot) | (10 * F.col("g14") <= 3 * tot))
-        )
+    r = (
+        g.where((F.col("n14") == 14) & (tot > 0))
         .select(
             "day",
             F.round(F.lit(100.0) * F.col("g14") / tot, 4).alias("rsi"),
-            F.when(10 * F.col("g14") >= 7 * tot, "overbought")
-            .otherwise("oversold")
-            .alias("signal"),
+            F.when(10 * F.col("g14") >= 7 * tot, 1).otherwise(0).alias("ob"),
+            F.when(10 * F.col("g14") <= 3 * tot, 1).otherwise(0).alias("os"),
         )
-        .orderBy("day")
+        .localCheckpoint(eager=True)  # summary fold + census share one build
     )
+    # counts as DOUBLE + day as STRING ('' on the summary row): nullable
+    # BIGINT/DATE columns wobble to float64/NaT in pandas on one side or
+    # the other depending on whether the census is empty — type-stable
+    # columns hash identically at EVERY SF.
+    summary = r.agg(
+        F.count("*").cast("double").alias("n_days"),
+        F.min("rsi").alias("min_rsi"),
+        F.max("rsi").alias("max_rsi"),
+        F.coalesce(F.sum("ob"), F.lit(0)).cast("double").alias("n_overbought"),
+        F.coalesce(F.sum("os"), F.lit(0)).cast("double").alias("n_oversold"),
+    ).select(
+        F.lit("summary").alias("kind"),
+        F.lit("").alias("day"),
+        F.lit(None).cast("double").alias("rsi"),
+        F.lit(None).cast("string").alias("signal"),
+        "n_days", "min_rsi", "max_rsi", "n_overbought", "n_oversold",
+    )
+    census = r.where((F.col("ob") == 1) | (F.col("os") == 1)).select(
+        F.lit("signal").alias("kind"),
+        F.col("day").cast("string").alias("day"),
+        "rsi",
+        F.when(F.col("ob") == 1, "overbought").otherwise("oversold").alias("signal"),
+        F.lit(None).cast("double").alias("n_days"),
+        F.lit(None).cast("double").alias("min_rsi"),
+        F.lit(None).cast("double").alias("max_rsi"),
+        F.lit(None).cast("double").alias("n_overbought"),
+        F.lit(None).cast("double").alias("n_oversold"),
+    )
+    return summary.unionAll(census).orderBy("kind", "day")
 
 
 # ---------------------------------------------------------------------------
