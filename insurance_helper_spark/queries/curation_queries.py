@@ -733,10 +733,12 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair grid is produced by a BLAS matmul in mapInPandas blocks
     (the cosine_topk pattern): the English matrix collects + broadcasts
     (the small "queries" side), each non-English block multiplies once —
-    measured 13.5 s → 3.9 s warm at sf0.1 vs the interpreted
-    zip_with/aggregate cosine over the same 6M-pair grid. Rounding to 4 digits happens
-    inside the kernel so the margin windows see cross-engine-stable
-    values."""
+    measured 13.5 s → 3.5 s warm at sf0.1 (r11 isolated min-of-3 re-check;
+    individual warm passes range 3.5-5.4 s on the shared host with an
+    UNCHANGED plan, which is what the one-off 5.12 s r10 bench reading
+    was) vs the interpreted zip_with/aggregate cosine over the same
+    6M-pair grid. Rounding to 4 digits happens inside the kernel so the
+    margin windows see cross-engine-stable values."""
     import numpy as np
     import pandas as pd
 
