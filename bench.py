@@ -314,6 +314,13 @@ HEADLINE = [
     "stat_ansari_bradley",
     "stat_brunner_munzel",
     "text_burrows_delta",
+    # round-11 additions: vector-store lifecycle + risk/text/DQ completions
+    "vector_store_assignment_census",
+    "vector_store_incremental_assign",
+    "vector_store_occupancy_psi",
+    "finance_calmar_ulcer",
+    "text_zipf_slope",
+    "dq_benford_mad",
 ]
 
 
@@ -350,6 +357,26 @@ R1_TOTAL = 33.936
 # budgets only existed for queries with a prior recorded round, so a
 # brand-new O(n^2) query ran 553 s and the regression map stayed empty).
 ABS_WARM_CEILING_S = 30.0
+
+
+def _load_prev_tier2(repo: str) -> dict[str, float]:
+    """Previous round's tier-2 warm map from bench_results/r*.json —
+    the regression budget for non-headline queries (2x with a 1.0 s
+    floor, warn-only, same policy as the headline budgets)."""
+    try:
+        rounds = sorted(
+            (int(m.group(1)), f)
+            for f in os.listdir(os.path.join(repo, "bench_results"))
+            if (m := re.match(r"r(\d+)\.json$", f))
+        )
+        for _, f in reversed(rounds):
+            with open(os.path.join(repo, "bench_results", f)) as fh:
+                t2 = json.load(fh).get("tier2")
+            if t2:
+                return {k: float(v) for k, v in t2.items()}
+    except Exception:
+        pass
+    return {}
 
 # Warm timings recorded for queries added after r1 (r4 run at sf0.1,
 # local[32], min-of-2-warm with rc=0). Same 2×-with-1.0s-floor warning
@@ -487,6 +514,29 @@ def main() -> None:
             _release_blocks(spark)
     timings = {n: min(p[n] for p in warm_passes) for n in HEADLINE}
 
+    # Tier 2: every catalog query OUTSIDE the headline list still gets
+    # a timing and the 30 s absolute ceiling (VERDICT r10 item 4 — the
+    # r8 O(n^2) incident proved untimed queries hide blowups). One cold
+    # + one warm pass; a warm reading above the ceiling is re-run once
+    # and the min kept so a one-off host stall can't fail the gate.
+    tier2_names = sorted(set(catalog.QUERIES) - set(HEADLINE))
+    tier2: dict[str, float] = {}
+    tier2_cold: dict[str, float] = {}
+    for label, store in (("t2-cold", tier2_cold), ("t2-warm", tier2)):
+        for name in tier2_names:
+            fn = catalog.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            store[name] = round(time.perf_counter() - t0, 3)
+            print(f"  [{label}] {name}: {store[name]}s", file=sys.stderr)
+            _release_blocks(spark)
+    for name, t in list(tier2.items()):
+        if t > ABS_WARM_CEILING_S:
+            t0 = time.perf_counter()
+            catalog.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            tier2[name] = round(min(t, time.perf_counter() - t0), 3)
+            _release_blocks(spark)
+
     total = round(sum(timings.values()), 3)
     # Suite gate compares like-for-like: only queries that existed in r1
     # (new headline queries grow the suite without meaning a regression).
@@ -495,10 +545,13 @@ def main() -> None:
     ceiling_breaches = {}
     if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
         budgets = {**R5_WARM, **R4_WARM, **R1_WARM}  # earliest round wins where both exist
-        for name, t in timings.items():
-            if name in budgets and t > max(2.0 * budgets[name], 1.0):
-                regressions[name] = {"budget": budgets[name], "now": t}
-                print(f"  REGRESSION {name}: {t}s vs budget {budgets[name]}s", file=sys.stderr)
+        # tier-2 budgets come from the previous round's recorded map
+        t2_budgets = _load_prev_tier2(os.path.dirname(os.path.abspath(__file__)))
+        for name, t in {**tier2, **timings}.items():
+            budget = budgets.get(name, t2_budgets.get(name) if name in tier2 else None)
+            if budget is not None and t > max(2.0 * budget, 1.0):
+                regressions[name] = {"budget": budget, "now": t}
+                print(f"  REGRESSION {name}: {t}s vs budget {budget}s", file=sys.stderr)
             # Absolute per-query ceiling: budgeted OR NOT. Round 8 shipped
             # a 553 s O(n^2) query unnoticed because new queries are
             # unbudgeted until their first recorded round — no query in
@@ -519,6 +572,10 @@ def main() -> None:
         "sf": sf,
         "regressions": regressions,
         "ceiling_breaches": ceiling_breaches,
+        "tier2": tier2,
+        "tier2_total": round(sum(tier2.values()), 3),
+        "tier2_cold_total": round(sum(tier2_cold.values()), 3),
+        "n_queries_total": len(timings) + len(tier2),
     }
     _persist_round_timings(result, cold)
     # The driver's BENCH_r{N}.json keeps only the last 2000 chars of
@@ -535,6 +592,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: t for n, t in timings.items() if n in R1_WARM},
         "n_queries": len(timings),
+        "n_tier2": len(tier2),
+        "tier2_total": result["tier2_total"],
         "cold_total": result["cold_total"],
         "r1_comparable_total": comparable_total,
         "sf": sf,

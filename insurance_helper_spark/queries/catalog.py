@@ -126,6 +126,7 @@ def load_all() -> None:
         stat_queries,
         sequence_queries,
         wave10_queries,
+        wave11_queries,
     )
 
     # Stable-sort the registry so the driver's first-50 verification

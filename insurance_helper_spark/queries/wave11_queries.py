@@ -1,0 +1,577 @@
+"""Round-11 operator wave: the vector-store lifecycle made
+oracle-checkable (assignment census, incremental per-batch assignment,
+cell-occupancy PSI drift — the batch twins of
+``operators/vector_store.py``'s maintained-table stream), plus risk
+ratios (Calmar + Ulcer index), the Zipf rank-frequency slope, and the
+Benford MAD conformity screen.
+
+House rules throughout: every libm value is quantized to BIGINT per
+row/cell BEFORE any distributed fold (partial-aggregation order can
+never move a bit); divisions are nullif/WHERE-guarded for the driver's
+vanilla ANSI session; every computed column is aliased identically in
+the Spark plan and the DuckDB oracle; each docstring carries the
+100 TB scale stance.
+
+Reference parity: the vector-store rows realize Stage-3 "vector
+database for semantic document storage"
+(/root/reference/README.md:108-110) as verifiable relational facts;
+the risk/text/DQ rows extend shelves the driver mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.functions.hashing import (
+    KEY_REDUCE as _KR,
+    KNUTH_MOD as _KMOD,
+    KNUTH_MUL as _KMUL,
+)
+from insurance_helper_spark.operators.vector_store import _assign, _elect_centroids
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.sources.tables import load_table
+
+_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+
+
+def _census_sql(src: str, assign_src: str, k: int) -> str:
+    """Shared oracle skeleton: knuth-seeded k centroids with DENSE cell
+    ids 0..k-1 + one 1e9-quantized Lloyd step elected over ``src``,
+    then round-4 cosine argmax assignment of ``assign_src`` — the exact
+    arithmetic of operators/vector_store.py::_elect_centroids/_assign."""
+    return f"""
+seeds AS (
+  SELECT CAST(rn - 1 AS INT) AS cell, cvec FROM (
+    SELECT vv AS cvec,
+           row_number() OVER (
+             ORDER BY ((vec_id % {_KR}) * {_KMUL}) % {_KMOD}, vec_id) AS rn
+    FROM {src}) WHERE rn <= {k}
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY round(list_cosine_similarity(t.vv, s.cvec), 4) DESC,
+                      s.cell) AS rn
+    FROM {src} t CROSS JOIN seeds s) WHERE rn = 1
+),
+means AS (
+  SELECT cell, list(mu ORDER BY dim) AS mvec FROM (
+    SELECT a1.cell AS cell, i.i AS dim,
+           CAST(sum(CAST(round(t.vv[i.i + 1] * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*) AS mu
+    FROM a1 JOIN {src} t USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS i) i
+    GROUP BY a1.cell, i.i)
+  GROUP BY cell
+),
+cent2 AS MATERIALIZED (
+  SELECT s.cell, coalesce(m.mvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN means m ON m.cell = s.cell
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cell, cos_c FROM (
+    SELECT t.vec_id, c.cell,
+           round(list_cosine_similarity(t.vv, c.cvec), 4) AS cos_c,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY round(list_cosine_similarity(t.vv, c.cvec), 4) DESC,
+                      c.cell) AS rn
+    FROM {assign_src} t CROSS JOIN cent2 c) WHERE rn = 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# vector_store_assignment_census — the maintained IVF vector store's
+# per-cell health table: elect the coarse quantizer over the whole
+# embeddings fixture (knuth seeds, one quantized Lloyd step — the
+# portable recipe the maintained store persists at each epoch), assign
+# every vector, report per cell: occupancy, corpus share, and the
+# 1e6-quantized mean assignment cosine. This is the relation an
+# operator reads to decide cell splits / re-election — and the
+# oracle-backed twin of operators/vector_store.py's epoch content.
+# Scale: centroids are k x d (broadcast); assignment is k candidate
+# rows per vector, codegen'd JVM cosine; the census is a k-row fold.
+# ---------------------------------------------------------------------------
+
+VS_CENSUS_K = 16
+
+VS_CENSUS_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+{_census_sql('v', 'v', VS_CENSUS_K)}
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(100.0 * count(*) / (SELECT count(*) FROM v), 4) AS share_pct,
+       round(CAST(sum(CAST(round(1e6 * cos_c) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_cos
+FROM a2 GROUP BY cell ORDER BY cell
+"""
+
+
+@register("vector_store_assignment_census", VS_CENSUS_ORACLE)
+def vector_store_assignment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)  # seeds + means + assign
+    cents = _elect_centroids(vecs, VS_CENSUS_K).localCheckpoint(eager=True)
+    a = _assign(vecs, cents)
+    total = vecs.count()
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.round(F.col("cos_c") * 1e6).cast("long")).alias("s"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.lit(100.0) * F.col("n_vectors") / F.lit(total), 4).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("s").cast("double") / F.col("n_vectors") / 1e6, 6
+            ).alias("mean_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_store_incremental_assign — the stream's per-batch step as a
+# pure-batch relation: the quantizer is elected over the HISTORY half
+# of the corpus (even vec_ids — the store content), the DELTA half
+# (odd vec_ids — the incoming micro-batch) is assigned against those
+# broadcast centroids, and the per-cell census of the new arrivals is
+# reported. This value-pins exactly what
+# vector_store_ingest_stream's assignment write produces for a batch.
+# Scale: the delta never joins the history — only the k x d centroid
+# relation crosses over (broadcast), the incremental-maintenance
+# property that makes the store O(batch) per trigger.
+# ---------------------------------------------------------------------------
+
+VS_INC_K = 8
+
+VS_INC_ORACLE = f"""
+WITH h AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+  WHERE vec_id % 2 = 0
+),
+d AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+  WHERE vec_id % 2 = 1
+),
+{_census_sql('h', 'd', VS_INC_K)}
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_new,
+       round(100.0 * count(*) / (SELECT count(*) FROM d), 4) AS share_pct,
+       round(CAST(sum(CAST(round(1e6 * cos_c) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_cos
+FROM a2 GROUP BY cell ORDER BY cell
+"""
+
+
+@register("vector_store_incremental_assign", VS_INC_ORACLE)
+def vector_store_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    hist = vecs.where(F.col("vec_id") % 2 == 0).localCheckpoint(eager=True)
+    delta = vecs.where(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    cents = _elect_centroids(hist, VS_INC_K).localCheckpoint(eager=True)
+    a = _assign(delta, cents)
+    n_delta = delta.count()
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.sum(F.round(F.col("cos_c") * 1e6).cast("long")).alias("s"),
+        )
+        .select(
+            "cell",
+            "n_new",
+            F.round(F.lit(100.0) * F.col("n_new") / F.lit(n_delta), 4).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("s").cast("double") / F.col("n_new") / 1e6, 6
+            ).alias("mean_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_store_occupancy_psi — the store's re-election trigger as an
+# oracle-backed scalar: PSI between the incoming batch's (odd ids)
+# cell occupancy and the store's (even ids) occupancy under the
+# history-elected quantizer, over the FIXED 0..k-1 bucket spine, both
+# sides Laplace-smoothed, per-cell contributions quantized
+# round(1e9·) before the fold — the drift_gate_stream arithmetic on
+# the IVF cell space, and bit-identical to
+# operators/vector_store.py::occupancy_psi (pinned by test). Alarm at
+# PSI >= 0.25 (the stream's default re-election threshold).
+# Scale: two k-row censuses + a k-row fold; nothing data-sized moves.
+# ---------------------------------------------------------------------------
+
+VS_PSI_ORACLE = f"""
+WITH h AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+  WHERE vec_id % 2 = 0
+),
+d AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+  WHERE vec_id % 2 = 1
+),
+{_census_sql('h', 'd', VS_INC_K)},
+ah AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, c.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY round(list_cosine_similarity(t.vv, c.cvec), 4) DESC,
+                      c.cell) AS rn
+    FROM h t CROSS JOIN cent2 c) WHERE rn = 1
+),
+spine AS (SELECT unnest(range(0, {VS_INC_K})) AS cell),
+bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS nb FROM a2 GROUP BY cell),
+hc AS (SELECT cell, CAST(count(*) AS BIGINT) AS nh FROM ah GROUP BY cell),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM h) AS m
+),
+cells AS (
+  SELECT s.cell, coalesce(b.nb, 0) AS nb, coalesce(c.nh, 0) AS nh, t.n, t.m
+  FROM spine s LEFT JOIN bc b ON b.cell = s.cell
+  LEFT JOIN hc c ON c.cell = s.cell CROSS JOIN tot t
+),
+contrib AS (
+  SELECT CAST(round(1e9 *
+           (CAST(nb + 1 AS DOUBLE) / (n + {VS_INC_K})
+            - CAST(nh + 1 AS DOUBLE) / (m + {VS_INC_K}))
+           * ln((CAST(nb + 1 AS DOUBLE) / (n + {VS_INC_K}))
+                / (CAST(nh + 1 AS DOUBLE) / (m + {VS_INC_K})))) AS BIGINT) AS q
+  FROM cells
+)
+SELECT t.m AS n_hist, t.n AS n_batch,
+       round(CAST((SELECT sum(q) FROM contrib) AS DOUBLE) / 1e9, 9)
+           AS occupancy_psi,
+       CAST((SELECT sum(q) FROM contrib) AS DOUBLE) / 1e9 >= 0.25 AS alarm
+FROM tot t
+"""
+
+
+@register("vector_store_occupancy_psi", VS_PSI_ORACLE)
+def vector_store_occupancy_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = VS_INC_K
+    vecs = _vecs(spark, sf_dir)
+    hist = vecs.where(F.col("vec_id") % 2 == 0).localCheckpoint(eager=True)
+    delta = vecs.where(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    cents = _elect_centroids(hist, k).localCheckpoint(eager=True)
+    bc = _assign(delta, cents).groupBy("cell").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    hc = _assign(hist, cents).groupBy("cell").agg(
+        F.count("*").cast("long").alias("nh")
+    )
+    m = hist.count()
+    n = delta.count()
+    spine = spark.range(k).select(F.col("id").cast("int").alias("cell"))
+    cells = (
+        spine.join(F.broadcast(bc), "cell", "left")
+        .join(F.broadcast(hc), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("nh", F.lit(0)).alias("nh"),
+        )
+    )
+    p = (F.col("nb") + 1).cast("double") / (n + k)
+    q = (F.col("nh") + 1).cast("double") / (m + k)
+    contrib = cells.select(
+        F.round(F.lit(1e9) * (p - q) * F.log(p / q)).cast("long").alias("q")
+    )
+    s = contrib.agg(F.sum("q").alias("sq"))
+    return s.select(
+        F.lit(m).cast("long").alias("n_hist"),
+        F.lit(n).cast("long").alias("n_batch"),
+        F.round(F.col("sq").cast("double") / 1e9, 9).alias("occupancy_psi"),
+        (F.col("sq").cast("double") / 1e9 >= 0.25).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# finance_calmar_ulcer — downside-risk ratio shelf completion beside
+# Sortino/max-drawdown: on the daily revenue series, annualized
+# arithmetic return (per-day % returns quantized 1e6 to BIGINT before
+# the mean — the Sortino fold), maximum drawdown % off the exact
+# BIGINT running peak, the Ulcer index (RMS of the drawdown-% series,
+# per-day squared drawdowns quantized 1e9 — headroom: 1e13/day x
+# calendar days, calendar-bounded), and Calmar = annualized return /
+# max drawdown computed from the two ROUNDED components so both
+# engines divide identical values. Scale: one lag window + one running
+# max on the calendar-bounded daily relation; single-row output.
+# ---------------------------------------------------------------------------
+
+from insurance_helper_spark.queries.wave10_queries import (  # noqa: E402
+    _DAILY_SQL,
+    _daily,
+)
+
+CALMAR_ORACLE = f"""
+WITH {_DAILY_SQL},
+w AS (
+  SELECT day, cents,
+         lag(cents) OVER (ORDER BY day) AS prev,
+         max(cents) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM daily
+),
+t AS (
+  SELECT count(*) AS n_days,
+         CAST(sum(CASE WHEN prev > 0
+             THEN CAST(round(1e6 * (cents - prev) / prev) AS BIGINT) END)
+           AS BIGINT) AS sr,
+         CAST(count(prev) AS BIGINT) AS n_ret,
+         max(100.0 * (peak - cents) / peak) AS maxdd,
+         CAST(sum(CAST(round(1e9 * (100.0 * (peak - cents) / peak)
+                             * (100.0 * (peak - cents) / peak)) AS BIGINT))
+           AS BIGINT) AS sdd
+  FROM w WHERE peak > 0
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(CAST(sr AS DOUBLE) * 36500.0 / n_ret / 1e6, 4) AS ann_return_pct,
+       round(maxdd, 4) AS max_drawdown_pct,
+       round(sqrt(CAST(sdd AS DOUBLE) / n_days / 1e9), 4) AS ulcer_index,
+       round(round(CAST(sr AS DOUBLE) * 36500.0 / n_ret / 1e6, 4)
+             / nullif(round(maxdd, 4), 0.0), 6) AS calmar_ratio
+FROM t WHERE n_ret > 0
+"""
+
+
+@register("finance_calmar_ulcer", CALMAR_ORACLE)
+def finance_calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wd = Window.orderBy("day")
+    wpeak = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = daily.select(
+        "day",
+        "cents",
+        F.lag("cents").over(wd).alias("prev"),
+        F.max("cents").over(wpeak).alias("peak"),
+    ).where(F.col("peak") > 0)
+    dd = F.lit(100.0) * (F.col("peak") - F.col("cents")) / F.col("peak")
+    t = w.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("prev") > 0,
+                F.round(F.lit(1e6) * (F.col("cents") - F.col("prev")) / F.col("prev"))
+                .cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("sr"),
+        F.count("prev").cast("long").alias("n_ret"),
+        F.max(dd).alias("maxdd"),
+        F.sum(F.round(F.lit(1e9) * dd * dd).cast("long")).cast("long").alias("sdd"),
+    )
+    ann = F.round(F.col("sr").cast("double") * 36500.0 / F.col("n_ret") / 1e6, 4)
+    mdd = F.round(F.col("maxdd"), 4)
+    return t.where(F.col("n_ret") > 0).select(
+        "n_days",
+        ann.alias("ann_return_pct"),
+        mdd.alias("max_drawdown_pct"),
+        F.round(F.sqrt(F.col("sdd").cast("double") / F.col("n_days") / 1e9), 4).alias(
+            "ulcer_index"
+        ),
+        F.round(ann / F.nullif(mdd, F.lit(0.0)), 6).alias("calmar_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope — Zipf rank-frequency law fit over the top-100
+# corpus terms: OLS of ln(count) on ln(rank) with BOTH coordinates
+# quantized round(1e6·ln) to BIGINT per term before the sufficient-
+# statistic sums (headroom: q·q <= 6.4e13/term x 100 terms — exact
+# int64 with ~1e4x margin), slope/intercept from the closed form as
+# one terminal DOUBLE ratio (the 1e6 scaling cancels in the slope).
+# The corpus-statistics dial beside Heaps' law and the coverage curve:
+# slope ~ -1 is natural-language-like. Scale: one token pass to the
+# term census; the fit runs on a vocab-bounded 100-row relation.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOKS = (
+    "CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''"
+    " THEN [] ELSE string_split(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g')), ' ') END"
+)
+
+ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_ZIPF_TOKS}) AS term FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+ranked AS (
+  SELECT CAST(round(1e6 * ln(CAST(rn AS DOUBLE))) AS BIGINT) AS qx,
+         CAST(round(1e6 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS qy
+  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM tf)
+  WHERE rn <= 100
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) / n
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                * CAST(sx AS DOUBLE) / n) / 1e6, 6) AS zipf_intercept
+FROM s WHERE n >= 2
+"""
+
+
+@register("text_zipf_slope", ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    tf = (
+        docs.where(F.trim("text") != "")
+        .select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ranked = (
+        tf.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
+        )
+        .where(F.col("rn") <= 100)
+        .select(
+            F.round(F.lit(1e6) * F.log(F.col("rn").cast("double")))
+            .cast("long")
+            .alias("qx"),
+            F.round(F.lit(1e6) * F.log(F.col("cnt").cast("double")))
+            .cast("long")
+            .alias("qy"),
+        )
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    slope = num / den
+    return s.where(F.col("n") >= 2).select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * F.col("sx").cast("double") / F.col("n")
+            )
+            / 1e6,
+            6,
+        ).alias("zipf_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_mad — Nigrini's MAD conformity screen beside the Benford
+# chi-square rows: mean absolute deviation between the observed
+# first-digit distribution of order cents (digit from the DECIMAL
+# STRING of the exact integer — never floor(log10)) and the closed-form
+# Benford frequencies, over the FULL 1..9 digit spine (absent digits
+# count as observed 0). Per-digit |obs - exp| quantized round(1e12·)
+# BEFORE the 9-row mean (<= 3e11/digit — exact), conformity class from
+# the ROUNDED MAD per Nigrini's published cutoffs (0.006 / 0.012 /
+# 0.015). Scale: one 9-key map-side groupBy; the spine is 9 literal
+# rows. The screen a billing-integrity audit runs daily.
+# ---------------------------------------------------------------------------
+
+BENFORD_MAD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d),
+devs AS (
+  SELECT CAST(round(1e12 * abs(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / t.n
+                               - ln(1 + 1.0 / s.d) / ln(10))) AS BIGINT) AS q
+  FROM spine s LEFT JOIN counts c ON c.d = s.d CROSS JOIN tot t
+),
+mad AS (
+  SELECT t.n,
+         round(CAST((SELECT sum(q) FROM devs) AS DOUBLE) / 9 / 1e12, 8) AS m
+  FROM tot t
+)
+SELECT n AS n_values, m AS benford_mad,
+       CASE WHEN m < 0.006 THEN 'close'
+            WHEN m < 0.012 THEN 'acceptable'
+            WHEN m < 0.015 THEN 'marginal'
+            ELSE 'nonconformity' END AS conformity
+FROM mad
+"""
+
+
+@register("dq_benford_mad", BENFORD_MAD_ORACLE)
+def dq_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
+    devs = (
+        spine.join(F.broadcast(counts), "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.lit(1e12)
+                * F.abs(
+                    F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("n")
+                    - F.log(1 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+                )
+            )
+            .cast("long")
+            .alias("q")
+        )
+    )
+    sq = devs.agg(F.sum("q").alias("sq"))
+    mad = F.round(F.col("sq").cast("double") / 9 / 1e12, 8)
+    return (
+        tot.crossJoin(F.broadcast(sq))
+        .select(
+            F.col("n").alias("n_values"),
+            mad.alias("benford_mad"),
+            F.when(mad < 0.006, "close")
+            .when(mad < 0.012, "acceptable")
+            .when(mad < 0.015, "marginal")
+            .otherwise("nonconformity")
+            .alias("conformity"),
+        )
+    )
