@@ -464,6 +464,96 @@ def _cmd_retrieve(args, spark, out) -> int:
     return 0
 
 
+def _cmd_vector_store(args, spark, out) -> int:
+    """Stage-3 vector database at the CLI surface (reference parity:
+    README.md:108-110 "vector database for semantic document storage";
+    cli.py is the reference's only user surface): drain new embeddings
+    into the maintained store, inspect its epochs/reports, run the
+    probed ANN search, and run the reassignment maintenance pass. See
+    operators/vector_store.py for the tables and the replay contract."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.operators import vector_store as VS
+
+    if args.action == "ingest":
+        if not args.input:
+            out("ingest requires --input <embedding parquet dir>")
+            return 1
+        ckpt = args.checkpoint or f"{args.store}/_checkpoint"
+        VS.vector_store_ingest_stream(
+            spark,
+            args.input,
+            args.store,
+            ckpt,
+            n_centroids=args.n_centroids,
+            psi_threshold=args.psi_threshold,
+        )
+        rows = sorted(
+            VS.read_store_reports(spark, args.store).collect(),
+            key=lambda r: r["ingest_batch"],
+        )
+        for r in rows:
+            psi = "-" if r["occupancy_psi"] is None else f"{r['occupancy_psi']:.6f}"
+            out(
+                f"batch {r['ingest_batch']:>3}  epoch {r['epoch']}  "
+                f"n={r['n_vectors']:<6} psi={psi:<10} "
+                f"mean_cos={r['mean_cos']:.4f}  {r['note']}"
+            )
+        return 0
+    try:
+        cents = VS.read_centroids(spark, args.store)
+    except AnalysisException:
+        out(f"no vector store at {args.store} (run ingest first)")
+        return 1
+    if args.action == "status":
+        epoch = cents.first()["epoch"]
+        vec = VS.read_vector_store(spark, args.store)
+        n = vec.count()
+        stale = vec.where(F.col("epoch") != epoch).count()
+        out(f"store {args.store}: epoch {epoch}, {n} vectors, {stale} stale")
+        census = (
+            vec.where(F.col("epoch") == epoch)
+            .groupBy("cell")
+            .count()
+            .orderBy("cell")
+            .collect()
+        )
+        for r in census:
+            out(f"  cell {r['cell']:>3}: {r['count']} vectors")
+        return 0
+    if args.action == "reassign":
+        n = VS.reassign_stale(spark, args.store)
+        out(f"reassigned {n} stale vectors to the current epoch")
+        return 0
+    if args.action == "search":
+        if args.vec_id is None:
+            out("search requires --vec-id <stored vector id>")
+            return 1
+        queries = (
+            VS.read_vector_store(spark, args.store)
+            .where(F.col("vec_id") == args.vec_id)
+            .select(F.col("vec_id").alias("query_id"), "vv")
+        )
+        if queries.isEmpty():
+            out(f"vec_id {args.vec_id} not in the store")
+            return 1
+        rows = VS.vector_store_search(
+            spark, args.store, queries, k=args.topk, n_probe=args.n_probe
+        ).collect()
+        out(
+            f"top-{args.topk} neighbors of vec {args.vec_id} "
+            f"(probing {args.n_probe} cells)"
+        )
+        for r in sorted(rows, key=lambda r: r["nn_rank"]):
+            out(
+                f"{r['nn_rank']:>3}. vec {r['neighbor_id']:>8}  "
+                f"cos={r['cosine_sim']:.6f}"
+            )
+        return 0
+    return 2
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="insurance-helper-spark",
@@ -541,6 +631,24 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
     rv.add_argument("--topn", type=int, default=10)
 
+    vs = sub.add_parser(
+        "vector-store",
+        help="Maintained IVF vector store: ingest / search / reassign / status",
+    )
+    vs.add_argument("action", choices=["ingest", "search", "reassign", "status"])
+    vs.add_argument("--store", default="data/vector_store")
+    vs.add_argument("--input", default=None,
+                    help="embedding parquet dir to drain (ingest)")
+    vs.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default <store>/_checkpoint)")
+    vs.add_argument("--centroids", type=int, default=8, dest="n_centroids")
+    vs.add_argument("--psi-threshold", type=float, default=0.25,
+                    dest="psi_threshold")
+    vs.add_argument("--vec-id", type=int, default=None, dest="vec_id",
+                    help="search: query by a stored vector id")
+    vs.add_argument("--topk", type=int, default=5)
+    vs.add_argument("--n-probe", type=int, default=2, dest="n_probe")
+
     an = sub.add_parser("analyze", help="Collect table statistics (ANALYZE)")
     an.add_argument("--table", "-t", default="all")
     an.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
@@ -573,6 +681,8 @@ def main(
         return _cmd_analyze(args, spark, out)
     if args.command == "retrieve":
         return _cmd_retrieve(args, spark, out)
+    if args.command == "vector-store":
+        return _cmd_vector_store(args, spark, out)
     if args.command == "curate":
         return _cmd_curate(args, spark, out)
     if args.command == "delta":

@@ -426,3 +426,54 @@ class TestCurate:
         ida = sorted(r.doc_id for r in spark.read.parquet(a).select("doc_id").collect())
         idb = sorted(r.doc_id for r in spark.read.parquet(b).select("doc_id").collect())
         assert ida == idb
+
+
+class TestVectorStoreCli:
+    """vector-store subcommand: the Stage-3 vector database exposed at
+    the reference's user surface — ingest, status, search, reassign."""
+
+    @staticmethod
+    def _write_input(tmp_path):
+        from tests.test_vector_store import _write_batches
+
+        return _write_batches(tmp_path)
+
+    def test_ingest_status_search_reassign_e2e(self, spark, tmp_path):
+        in_dir = self._write_input(tmp_path)
+        store = str(tmp_path / "store")
+        rc, text = run(spark, ["vector-store", "ingest", "--input", in_dir,
+                               "--store", store, "--centroids", "4"])
+        assert rc == 0
+        lines = [l for l in text.splitlines() if l.startswith("batch")]
+        assert len(lines) == 3
+        assert "initial_epoch" in lines[0] and "reelected" in lines[2]
+
+        rc, text = run(spark, ["vector-store", "status", "--store", store])
+        assert rc == 0
+        # batches 0+1 were ingested under epoch 0, batch 2 re-elected
+        assert "epoch 1, 120 vectors, 80 stale" in text
+
+        rc, text = run(spark, ["vector-store", "search", "--store", store,
+                               "--vec-id", "200", "--topk", "3",
+                               "--n-probe", "4"])
+        assert rc == 0
+        hits = [l for l in text.splitlines() if l.lstrip().startswith(("1.", "2.", "3."))]
+        assert len(hits) == 3 and "cos=" in hits[0]
+
+        rc, text = run(spark, ["vector-store", "reassign", "--store", store])
+        assert rc == 0 and "reassigned 80 stale vectors" in text
+        rc, text = run(spark, ["vector-store", "status", "--store", store])
+        assert rc == 0 and "0 stale" in text
+
+    def test_search_unknown_id_and_missing_store(self, spark, tmp_path):
+        rc, text = run(spark, ["vector-store", "status",
+                               "--store", str(tmp_path / "nope")])
+        assert rc == 1 and "no vector store" in text
+        in_dir = self._write_input(tmp_path)
+        store = str(tmp_path / "store")
+        rc, _ = run(spark, ["vector-store", "ingest", "--input", in_dir,
+                            "--store", store, "--centroids", "4"])
+        assert rc == 0
+        rc, text = run(spark, ["vector-store", "search", "--store", store,
+                               "--vec-id", "99999"])
+        assert rc == 1 and "not in the store" in text
