@@ -321,6 +321,10 @@ HEADLINE = [
     "finance_calmar_ulcer",
     "text_zipf_slope",
     "dq_benford_mad",
+    "stat_hurst_exponent",
+    "stat_energy_distance",
+    "finance_ewma_volatility",
+    "corpus_boilerplate_ngrams",
 ]
 
 

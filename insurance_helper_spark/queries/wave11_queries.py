@@ -575,3 +575,440 @@ def dq_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conformity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_hurst_exponent — long-memory diagnostic for the daily revenue
+# series via the aggregated-variance method (Beran 1994; the
+# SQL-expressible cousin of rescaled-range): daily % returns quantized
+# round(1e3·) to BIGINT (coarser than the Sortino fold's 1e6 on
+# purpose — block-sum SQUARES must stay in int64: measured |q| ≤
+# 3.2e5 at the sparse sf0.001 worst case → nb·ΣS² ≤ ~1e16, exact,
+# and returns only SHRINK as the data grows denser), blocks of
+# m ∈ {1,2,4,8,16} days (only FULL blocks), per-scale variance of the
+# block means from exact BIGINT (ΣS, ΣS²) sufficient statistics, then
+# OLS of ln(var_m) on ln(m) with both coordinates quantized 1e6 per
+# point. Var(mean of m) ~ m^(2H-2) for fractional Gaussian noise, so
+# H = 1 + slope/2: H≈0.5 short-memory, H>0.5 persistent — the
+# long-memory dial beside the ACF / Ljung-Box / burstiness rows.
+# Scale: one lag window on the calendar-bounded daily relation, a
+# 5-row scale spine crossed over it, and a 5-point fit; single row out.
+# ---------------------------------------------------------------------------
+
+HURST_ORACLE = f"""
+WITH {_DAILY_SQL},
+w AS (
+  SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev FROM daily
+),
+r AS (
+  SELECT CAST(round(1e3 * (cents - prev) / prev) AS BIGINT) AS q,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM w WHERE prev > 0
+),
+ms AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS m),
+blocks AS (
+  SELECT ms.m AS m, (r.rn - 1) // ms.m AS b,
+         CAST(sum(r.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM r CROSS JOIN ms GROUP BY ms.m, (r.rn - 1) // ms.m
+),
+scales AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s * s) AS BIGINT) AS ss2
+  FROM blocks WHERE c = m GROUP BY m
+),
+pts AS (
+  SELECT CAST(round(1e6 * ln(CAST(m AS DOUBLE))) AS BIGINT) AS qx,
+         CAST(round(1e6 * ln(CAST(nb * ss2 - ss * ss AS DOUBLE)
+                / (CAST(nb AS DOUBLE) * nb * m * m * 1e6))) AS BIGINT) AS qy
+  FROM scales WHERE nb >= 2 AND nb * ss2 - ss * ss > 0
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_scales,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6)
+           AS agg_var_slope,
+       round(1.0 + 0.5 * CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6) AS hurst
+FROM fit WHERE n >= 2
+"""
+
+
+@register("stat_hurst_exponent", HURST_ORACLE)
+def stat_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wd = Window.orderBy("day")
+    w = daily.select(
+        "day", "cents", F.lag("cents").over(wd).alias("prev")
+    ).where(F.col("prev") > 0)
+    r = w.select(
+        F.round(F.lit(1e3) * (F.col("cents") - F.col("prev")) / F.col("prev"))
+        .cast("long")
+        .alias("q"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    ms = spark.range(5).select(
+        F.expr("shiftleft(1, CAST(id AS INT))").cast("long").alias("m")
+    )
+    blocks = (
+        r.crossJoin(F.broadcast(ms))
+        .groupBy("m", F.expr("(rn - 1) div m").alias("b"))
+        .agg(F.sum("q").cast("long").alias("s"), F.count("*").cast("long").alias("c"))
+    )
+    scales = (
+        blocks.where(F.col("c") == F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("nb"),
+            F.sum("s").cast("long").alias("ss"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2"),
+        )
+    )
+    var_num = (F.col("nb") * F.col("ss2") - F.col("ss") * F.col("ss")).cast("double")
+    var_den = (
+        F.col("nb").cast("double") * F.col("nb") * F.col("m") * F.col("m") * F.lit(1e6)
+    )
+    pts = scales.where(
+        (F.col("nb") >= 2) & (F.col("nb") * F.col("ss2") - F.col("ss") * F.col("ss") > 0)
+    ).select(
+        F.round(F.lit(1e6) * F.log(F.col("m").cast("double"))).cast("long").alias("qx"),
+        F.round(F.lit(1e6) * F.log(var_num / var_den)).cast("long").alias("qy"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    return fit.where(F.col("n") >= 2).select(
+        F.col("n").alias("n_scales"),
+        F.round(num / den, 6).alias("agg_var_slope"),
+        F.round(F.lit(1.0) + F.lit(0.5) * num / den, 6).alias("hurst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_energy_distance — Székely's (squared) energy distance between
+# urgent/high vs normal order-value distributions, closed-form in 1-D:
+# D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, each expectation an integral over
+# the pooled value axis of cross-ECDF products — the SAME value-
+# collapsed walked relation as the Wasserstein/KS rows, with THREE
+# BIGINT integrals ridden in one pass: Σ_{i<j}|x_i−x_j| =
+# Σ_gaps c·(n−c)·gap. Completes the two-sample shelf's metric corner
+# (KS = supremum, W1 = mass transport, energy = the E-statistic that
+# powers the energy test of equal distributions; T = nm/(n+m)·D²).
+# BIGINT headroom: each integral ≤ n·m·range ≈ 3e17 at sf0.1 (the W1
+# row's documented bound); beyond ~sf3 drop to per-segment partials.
+# Scale: map-side value collapse, ordered walk on DISTINCT values only.
+# ---------------------------------------------------------------------------
+
+ENERGY_ORACLE = """
+WITH arms AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+tot AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS n_hi, CAST(sum(1 - hi) AS BIGINT) AS n_lo
+  FROM arms
+),
+by_val AS (
+  SELECT cents, CAST(sum(hi) AS BIGINT) AS h, CAST(sum(1 - hi) AS BIGINT) AS l
+  FROM arms GROUP BY cents
+),
+walked AS (
+  SELECT cents,
+         sum(h) OVER w AS c_hi,
+         sum(l) OVER w AS c_lo,
+         lead(cents) OVER (ORDER BY cents) AS next_cents
+  FROM by_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+acc AS (
+  SELECT CAST(sum(c_hi * (t.n_hi - c_hi) * (next_cents - cents)) AS BIGINT) AS a,
+         CAST(sum(c_lo * (t.n_lo - c_lo) * (next_cents - cents)) AS BIGINT) AS b,
+         CAST(sum((c_hi * (t.n_lo - c_lo) + c_lo * (t.n_hi - c_hi))
+                  * (next_cents - cents)) AS BIGINT) AS c,
+         any_value(t.n_hi) AS n_hi, any_value(t.n_lo) AS n_lo
+  FROM walked CROSS JOIN tot t
+  WHERE next_cents IS NOT NULL
+)
+SELECT n_hi, n_lo,
+       round(CAST(c AS DOUBLE) / n_hi / n_lo / 100, 4) AS e_xy_dollars,
+       round((2.0 * CAST(c AS DOUBLE) / n_hi / n_lo
+              - 2.0 * CAST(a AS DOUBLE) / n_hi / n_hi
+              - 2.0 * CAST(b AS DOUBLE) / n_lo / n_lo) / 100, 6)
+           AS energy_dist_dollars,
+       round(CAST(n_hi AS DOUBLE) * n_lo / (n_hi + n_lo)
+             * (2.0 * CAST(c AS DOUBLE) / n_hi / n_lo
+                - 2.0 * CAST(a AS DOUBLE) / n_hi / n_hi
+                - 2.0 * CAST(b AS DOUBLE) / n_lo / n_lo) / 100, 4)
+           AS energy_test_stat
+FROM acc
+"""
+
+
+@register("stat_energy_distance", ENERGY_ORACLE)
+def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    arms = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    tot = arms.agg(
+        F.sum("hi").cast("long").alias("n_hi"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n_lo"),
+    )
+    by_val = arms.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("h"),
+        F.sum(1 - F.col("hi")).cast("long").alias("l"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.orderBy("cents")
+    walked = by_val.select(
+        "cents",
+        F.sum("h").over(wc).alias("c_hi"),
+        F.sum("l").over(wc).alias("c_lo"),
+        F.lead("cents").over(wl).alias("next_cents"),
+    )
+    gap = F.col("next_cents") - F.col("cents")
+    acc = (
+        walked.where(F.col("next_cents").isNotNull())
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("c_hi") * (F.col("n_hi") - F.col("c_hi")) * gap)
+            .cast("long")
+            .alias("a"),
+            F.sum(F.col("c_lo") * (F.col("n_lo") - F.col("c_lo")) * gap)
+            .cast("long")
+            .alias("b"),
+            F.sum(
+                (
+                    F.col("c_hi") * (F.col("n_lo") - F.col("c_lo"))
+                    + F.col("c_lo") * (F.col("n_hi") - F.col("c_hi"))
+                )
+                * gap
+            )
+            .cast("long")
+            .alias("c"),
+            F.any_value("n_hi").alias("n_hi"),
+            F.any_value("n_lo").alias("n_lo"),
+        )
+    )
+    d2 = (
+        F.lit(2.0) * F.col("c").cast("double") / F.col("n_hi") / F.col("n_lo")
+        - F.lit(2.0) * F.col("a").cast("double") / F.col("n_hi") / F.col("n_hi")
+        - F.lit(2.0) * F.col("b").cast("double") / F.col("n_lo") / F.col("n_lo")
+    )
+    return acc.select(
+        "n_hi",
+        "n_lo",
+        F.round(
+            F.col("c").cast("double") / F.col("n_hi") / F.col("n_lo") / 100, 4
+        ).alias("e_xy_dollars"),
+        F.round(d2 / 100, 6).alias("energy_dist_dollars"),
+        F.round(
+            F.col("n_hi").cast("double")
+            * F.col("n_lo")
+            / (F.col("n_hi") + F.col("n_lo"))
+            * d2
+            / 100,
+            4,
+        ).alias("energy_test_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# finance_ewma_volatility — the RiskMetrics EWMA variance (λ = 0.94)
+# on the daily revenue series as a WEIGHTED FOLD, not a recursion:
+# σ²_T = (1−λ)·Σ λ^(T−t)·r_t². Per-day: return quantized round(1e3·)
+# BIGINT (measured |r_q| ≤ 3.2e5 at the sparse sf0.001 worst case;
+# returns shrink as data densifies), weight quantized
+# round(1e6·λ^(T−t)) BIGINT (λ^k underflows to an exact shared 0 past
+# k≈330 at this scale — the old tail can never move the fold), exact
+# BIGINT product w_q·r_q² per day (≤ 1e17 worst) — headroom: the
+# weight sum is geometric, Σw_q ≈ 1e6/(1−λ) ≈ 1.7e7, so the fold
+# stays ≥ 45× inside int64. ONE libm pow per day, quantized
+# before the fold (partial-agg order can't move a bit). Completes the
+# risk shelf: Sortino (downside), Calmar/Ulcer (drawdown), EWMA (the
+# variance clock VaR desks actually run). Scale: one lag + one
+# row_number on the calendar-bounded daily relation; single row out.
+# ---------------------------------------------------------------------------
+
+EWMA_VOL_ORACLE = f"""
+WITH {_DAILY_SQL},
+w AS (
+  SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev FROM daily
+),
+r AS (
+  SELECT CAST(round(1e3 * (cents - prev) / prev) AS BIGINT) AS rq,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM w WHERE prev > 0
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM r),
+acc AS (
+  SELECT CAST(sum(CAST(round(1e6 * pow(0.94, t.t - r.rn)) AS BIGINT)
+                  * rq * rq) AS BIGINT) AS sc,
+         any_value(t.t) AS t
+  FROM r CROSS JOIN tot t
+)
+SELECT t AS n_returns,
+       round(0.06 * CAST(sc AS DOUBLE) / 1e12, 8) AS ewma_var,
+       round(100.0 * sqrt(0.06 * CAST(sc AS DOUBLE) / 1e12), 4)
+           AS ewma_vol_daily_pct,
+       round(100.0 * sqrt(365.0 * 0.06 * CAST(sc AS DOUBLE) / 1e12), 4)
+           AS ewma_vol_annual_pct
+FROM acc
+"""
+
+
+@register("finance_ewma_volatility", EWMA_VOL_ORACLE)
+def finance_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wd = Window.orderBy("day")
+    w = daily.select(
+        "day", "cents", F.lag("cents").over(wd).alias("prev")
+    ).where(F.col("prev") > 0)
+    r = w.select(
+        F.round(F.lit(1e3) * (F.col("cents") - F.col("prev")) / F.col("prev"))
+        .cast("long")
+        .alias("rq"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    tot = r.agg(F.count("*").cast("long").alias("t"))
+    acc = r.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(F.lit(1e6) * F.pow(F.lit(0.94), F.col("t") - F.col("rn")))
+            .cast("long")
+            * F.col("rq")
+            * F.col("rq")
+        )
+        .cast("long")
+        .alias("sc"),
+        F.any_value("t").alias("t"),
+    )
+    var = F.lit(0.06) * F.col("sc").cast("double") / F.lit(1e12)
+    return acc.select(
+        F.col("t").alias("n_returns"),
+        F.round(var, 8).alias("ewma_var"),
+        F.round(F.lit(100.0) * F.sqrt(var), 4).alias("ewma_vol_daily_pct"),
+        F.round(F.lit(100.0) * F.sqrt(F.lit(365.0) * F.lit(0.06) * F.col("sc").cast("double") / F.lit(1e12)), 4).alias(
+            "ewma_vol_annual_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_boilerplate_ngrams — the C4-style boilerplate screen adapted
+# to the fixture (no line structure, so the unit is the 4-token
+# shingle): document-frequency census of every positional 4-gram, the
+# top-20 by (doc_freq, n_occurrences, shingle) — a TOTAL order, so
+# both engines pick identical rows — each flagged is_boilerplate when
+# it appears in ≥ max(3, 1% of docs) DISTINCT documents (the
+# repeated-across-documents test C4 applies to lines and Gopher to
+# n-grams). Always 20 rows at any SF — never a vacuous driver hash.
+# Feeds removal/downweighting decisions in a curation pipeline; the
+# corpus-level complement of the pairwise dedup family. Scale: the
+# shingle census is one map-side-combinable groupBy on the shingle
+# key (same key distribution the MinHash family already rides);
+# top-20 via TakeOrdered — no global sort materializes.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_ZIPF_TOKS} AS ts FROM documents WHERE trim(text) <> ''
+),
+tk AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS pos
+  FROM d
+),
+sh AS (
+  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS shingle FROM (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS t1,
+           lead(tok, 2) OVER w AS t2,
+           lead(tok, 3) OVER w AS t3
+    FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE t3 IS NOT NULL
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+census AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM sh GROUP BY shingle
+)
+SELECT shingle, doc_freq, n_occurrences,
+       round(100.0 * doc_freq / nd.n_docs, 4) AS pct_docs,
+       doc_freq >= greatest(3, CAST(ceil(0.01 * nd.n_docs) AS BIGINT))
+           AS is_boilerplate
+FROM census CROSS JOIN nd
+ORDER BY doc_freq DESC, n_occurrences DESC, shingle
+LIMIT 20
+"""
+
+
+@register("corpus_boilerplate_ngrams", BOILERPLATE_ORACLE)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insurance_helper_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"]).where(
+        F.trim("text") != ""
+    )
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).localCheckpoint(eager=True)  # feeds both the census and n_docs
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text")))
+    ).toDF("doc_id", "pos", "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, 4)]
+    sh = (
+        tok.select("doc_id", "tok", *leads)
+        .where(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2", "t3").alias("shingle"),
+        )
+    )
+    census = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        census.crossJoin(F.broadcast(nd))
+        .select(
+            "shingle",
+            "doc_freq",
+            "n_occurrences",
+            F.round(F.lit(100.0) * F.col("doc_freq") / F.col("n_docs"), 4).alias(
+                "pct_docs"
+            ),
+            (
+                F.col("doc_freq")
+                >= F.greatest(
+                    F.lit(3).cast("long"),
+                    F.ceil(F.lit(0.01) * F.col("n_docs")).cast("long"),
+                )
+            ).alias("is_boilerplate"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), "shingle")
+        .limit(20)
+    )

@@ -100,3 +100,147 @@ def test_elect_centroids_is_deterministic_and_dense(spark):
     b = sorted(map(tuple, VS._elect_centroids(vecs, 8).collect()))
     assert a == b
     assert [c for c, _ in a] == list(range(8))
+
+
+# --- r11 wave, part 2: hurst / energy / ewma-vol / boilerplate ---------------
+
+
+def _round_half_away(x):
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _daily_cents(sf_dir):
+    """Day-ordered daily revenue cents, the wave's shared base relation."""
+    import duckdb
+
+    con = duckdb.connect()
+    return [
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            f" FROM '{sf_dir}/orders.parquet'"
+            " GROUP BY CAST(o_orderdate AS DATE)"
+            " ORDER BY CAST(o_orderdate AS DATE)"
+        ).fetchall()
+    ]
+
+
+def test_hurst_matches_numpy_brute_force(spark):
+    """From-scratch numpy replication of the aggregated-variance method
+    (same 1e3/1e6 quantization, same full-block rule, same OLS closed
+    form — no shared code with the query) must match slope and H."""
+    import math
+
+    import numpy as np
+
+    r = _q(spark, "stat_hurst_exponent").collect()[0]
+
+    cents = np.array(_daily_cents(SF_DIR), dtype=np.float64)
+    prev, cur = cents[:-1], cents[1:]
+    mask = prev > 0
+    q = _round_half_away(1e3 * (cur[mask] - prev[mask]) / prev[mask]).astype(np.int64)
+    pts = []
+    for m in (1, 2, 4, 8, 16):
+        nb = len(q) // m
+        if nb < 2:
+            continue
+        s = q[: nb * m].reshape(nb, m).sum(axis=1)
+        ss, ss2 = int(s.sum()), int((s.astype(object) ** 2).sum())
+        num = nb * ss2 - ss * ss
+        if num <= 0:
+            continue
+        var = float(num) / (float(nb) * nb * m * m * 1e6)
+        pts.append(
+            (round(1e6 * math.log(m)), round(1e6 * math.log(var)))
+        )
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    assert r["n_scales"] == n == 5
+    assert abs(r["agg_var_slope"] - slope) < 2e-6
+    assert abs(r["hurst"] - (1.0 + slope / 2)) < 2e-6
+    assert 0.0 < r["hurst"] < 1.0
+
+
+def test_energy_distance_matches_numpy_brute_force(spark):
+    """Székely's V-statistic energy distance computed the O(n²) way —
+    full pairwise |x−y| means in numpy — must match the ECDF-walk
+    closed form (nonnegativity of D² comes free)."""
+    import duckdb
+    import numpy as np
+
+    r = _q(spark, "stat_energy_distance").collect()[0]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT),"
+        " o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    x = np.array([v for v, hi in rows if hi], dtype=np.float64)
+    y = np.array([v for v, hi in rows if not hi], dtype=np.float64)
+    e_xy = np.abs(x[:, None] - y[None, :]).mean()
+    e_xx = np.abs(x[:, None] - x[None, :]).mean()
+    e_yy = np.abs(y[:, None] - y[None, :]).mean()
+    d2 = 2 * e_xy - e_xx - e_yy
+
+    assert r["n_hi"] == len(x) and r["n_lo"] == len(y)
+    assert abs(r["e_xy_dollars"] - e_xy / 100) < 1e-3
+    assert abs(r["energy_dist_dollars"] - d2 / 100) < 1e-3
+    assert r["energy_dist_dollars"] >= 0.0
+    expected_t = len(x) * len(y) / (len(x) + len(y)) * d2 / 100
+    assert abs(r["energy_test_stat"] - expected_t) < max(1e-3, 1e-6 * expected_t)
+
+
+def test_ewma_volatility_matches_numpy_brute_force(spark):
+    """RiskMetrics fold replicated in numpy with the same 1e3/1e6
+    quantization; internal daily→annual consistency also pinned."""
+    import numpy as np
+
+    r = _q(spark, "finance_ewma_volatility").collect()[0]
+
+    cents = np.array(_daily_cents(SF_DIR), dtype=np.float64)
+    prev, cur = cents[:-1], cents[1:]
+    mask = prev > 0
+    rq = _round_half_away(1e3 * (cur[mask] - prev[mask]) / prev[mask]).astype(np.int64)
+    t = len(rq)
+    wq = _round_half_away(1e6 * 0.94 ** (t - 1 - np.arange(t, dtype=np.float64)))
+    sc = int((wq.astype(np.int64) * rq * rq).sum())
+    var = 0.06 * sc / 1e12
+
+    assert r["n_returns"] == t
+    assert abs(r["ewma_var"] - var) < max(1e-7, 1e-9 * var)
+    assert r["ewma_var"] >= 0.0
+    assert abs(r["ewma_vol_daily_pct"] - 100 * var**0.5) < 1e-3
+    assert (
+        abs(r["ewma_vol_annual_pct"] - 100 * (365 * var) ** 0.5)
+        < max(1e-3, 1e-6 * r["ewma_vol_annual_pct"])
+    )
+
+
+def test_boilerplate_census_structure(spark):
+    """Top-20 screen: always 20 rows (never a vacuous driver hash), a
+    total sort order, df ≤ occurrences, df ≤ n_docs, and the
+    is_boilerplate flag consistent with the max(3, 1%·docs) threshold."""
+    import math
+
+    rows = _q(spark, "corpus_boilerplate_ngrams").collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("trim(text) <> ''")
+        .count()
+    )
+    thr = max(3, math.ceil(0.01 * n_docs))
+    assert len(rows) == 20
+    keys = [(-r["doc_freq"], -r["n_occurrences"], r["shingle"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 1 <= r["doc_freq"] <= min(r["n_occurrences"], n_docs)
+        assert 0.0 < r["pct_docs"] <= 100.0
+        assert r["is_boilerplate"] == (r["doc_freq"] >= thr)
