@@ -85,6 +85,25 @@ def hash_family(key: Column, seed: int) -> Column:
     return x.bitwiseXOR(F.shiftright(x, 16))
 
 
+def hash_family_py(key: int, seed: int) -> int:
+    """Pure-Python twin of ``hash_family`` — bit-identical by
+    construction (every step is exact integer arithmetic; Python ints
+    don't overflow, and all intermediates are non-negative so ``%``
+    and ``>>`` agree with the engine semantics). Used at PLAN BUILD
+    time to fold constant hash values (e.g. the JL ±1 sign matrix,
+    which depends only on (dim, projection)) into literals instead of
+    re-evaluating the avalanche per row pair per element.
+    Parity with the Column version is pinned by
+    tests/test_hashing_props.py."""
+    x = ((key % KEY_REDUCE) + KEY_REDUCE) % KEY_REDUCE
+    x = (x + seed * HASH_MIX) % KEY_REDUCE
+    x = x ^ (x >> 15)
+    x = (x * KNUTH_MUL) % KNUTH_MOD
+    x = x ^ (x >> 13)
+    x = ((x % KEY_REDUCE) * MIX_MUL2) % KNUTH_MOD
+    return x ^ (x >> 16)
+
+
 def hash_family_sql(key_expr: str, seed: int) -> str:
     """DuckDB twin of ``hash_family`` as a SQL fragment (xor() and >>
     are DuckDB's bitwise ops; the textual sub-expression duplication

@@ -933,23 +933,30 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
     )
     pairs = a.join(b, "id_a")
 
-    def proj_diff(j: int):
-        # Same left fold as the oracle's list_reduce, 1-based range; the
-        # sign uses the Column-side hash family (bit-identical to the
-        # oracle's hash_family_sql text).
-        def term(i):
-            sign = (
-                F.when(_jl_hf((i - F.lit(1)) * _JL_K + F.lit(j), 0) % 2 == 0, F.lit(1.0))
-                .otherwise(F.lit(-1.0))
-            )
-            return (
-                F.element_at(F.col("va"), i.cast("int"))
-                - F.element_at(F.col("vb"), i.cast("int"))
-            ) * sign
+    from insurance_helper_spark.functions.hashing import hash_family_py
 
-        arr = F.transform(F.sequence(F.lit(1), F.lit(_JL_D)), term)
+    def proj_diff(j: int):
+        # The ±1 sign depends only on (i, j) — fold it to a LITERAL
+        # array at plan build (hash_family_py is bit-identical to the
+        # Column avalanche, pinned by test): the per-pair-per-element
+        # hash re-evaluation was most of this query's cost (r11:
+        # 6.0 s → ~1 s warm at sf0.1). The zip_with products and the
+        # 0.0-seeded left fold add in the SAME order as before, so the
+        # doubles are unchanged. (An explicit 16×64 add-chain variant
+        # was tried and REJECTED: it blows the janino 64 KB method
+        # limit in the join-consume function and forfeits codegen for
+        # the whole stage.)
+        sarr = F.array(
+            *[
+                F.lit(1.0 if hash_family_py(i * _JL_K + j, 0) % 2 == 0 else -1.0)
+                for i in range(_JL_D)
+            ]
+        )
+        prods = F.zip_with(
+            F.zip_with("va", "vb", lambda x, y: x - y), sarr, lambda d, s: d * s
+        )
         return F.aggregate(
-            arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+            prods, F.lit(0.0).cast("double"), lambda acc, x: acc + x
         ).alias(f"dp{j}")
 
     d2_orig = F.expr(
@@ -994,12 +1001,19 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
 # neighbors (cosine), confusion matrix out. This is the supervised
 # complement of similarity_cosine_topk — same exact-scoring tier, but
 # with labels and an eval. Deterministic: both engines compute the
-# cosine with the SAME left-fold expression (F.aggregate /
-# list_reduce — bit-identical doubles, like the JL audit), rank on
-# the 6-decimal rounding with a vec_id tiebreak, and break vote ties
-# on the label. Scale: the exact test×train scoring is the sanctioned
-# small-side baseline (test side broadcast); the production path is
-# the SRP-LSH / IVF candidate tier above feeding the same voter.
+# cosine from the SAME left-fold adds (bit-identical doubles, like
+# the JL audit), rank on the 6-decimal rounding with a vec_id
+# tiebreak, and break vote ties on the label. The Spark side
+# precomputes each row's norm BEFORE the cross join (norms don't
+# depend on the pair — 1200+4800 folds instead of 2×5.8M) and rides
+# the dot as ONE explicit codegen'd add chain per pair instead of
+# three interpreted sequence→transform→aggregate lambdas; every
+# product and every add happens in the same order as the oracle's
+# per-pair list_reduce, so cos6 is bit-identical (r11: 23.5 s →
+# ~2 s warm at sf0.1). Scale:
+# the exact test×train scoring is the sanctioned small-side baseline
+# (test side broadcast); the production path is the SRP-LSH / IVF
+# candidate tier above feeding the same voter.
 # ---------------------------------------------------------------------------
 
 _KNN_K = 5
@@ -1068,27 +1082,36 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(_jl_hf(F.col("vec_id"), 11) % 5 == 0, 1).otherwise(0).alias("is_test"),
     )
+    def chain(term):
+        # Explicit left-assoc 0.0-seeded add chain: the same add order
+        # as the oracle's per-pair fold, but whole-stage-codegen
+        # instead of an interpreted higher-order-function lambda.
+        acc = F.lit(0.0).cast("double")
+        for i in range(1, _JL_D + 1):
+            acc = acc + term(i)
+        return acc
+
+    # Per-row norms BEFORE the cross join: the same adds (and
+    # therefore the same double) the oracle evaluates per pair, but
+    # computed once per row instead of once per pair.
+    norm = F.sqrt(chain(lambda i: F.element_at("v", i) * F.element_at("v", i)))
     test = vecs.filter("is_test = 1").select(
         F.col("vec_id").alias("test_id"),
         F.col("label").alias("true_label"),
         F.col("v").alias("va"),
+        norm.alias("norm_a"),
     )
     train = vecs.filter("is_test = 0").select(
         F.col("vec_id").alias("train_id"),
         F.col("label").alias("train_label"),
         F.col("v").alias("vb"),
+        norm.alias("norm_b"),
     )
 
-    def fold(expr: str):
-        return F.expr(
-            f"aggregate(transform(sequence(1, {_JL_D}), i -> {expr}),"
-            " cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-
-    # Spark arrays are 0-based: va[i - 1] pairs with DuckDB's va[i].
-    cos = fold("va[i - 1] * vb[i - 1]") / (
-        F.sqrt(fold("va[i - 1] * va[i - 1]")) * F.sqrt(fold("vb[i - 1] * vb[i - 1]"))
-    )
+    # Per-pair work: ONE codegen'd dot chain (the triple per-pair fold
+    # was the query's entire 23.5 s cost at sf0.1).
+    dot = chain(lambda i: F.element_at("va", i) * F.element_at("vb", i))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     scored = (
         train.crossJoin(F.broadcast(test))
         .select(

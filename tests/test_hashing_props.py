@@ -61,3 +61,22 @@ def test_split_fractions_approximately_uniform(spark):
     assert abs(n_train / 5000 - 0.8) < 0.03
     assert abs(n_val / 5000 - 0.1) < 0.02
     assert abs(n_test / 5000 - 0.1) < 0.02
+
+
+def test_hash_family_py_matches_column_version(spark):
+    """hash_family_py (the plan-build-time constant folder behind the
+    JL sign matrix) must be bit-identical to the Column avalanche over
+    positive, huge, and negative keys, for several seeds."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.functions.hashing import hash_family, hash_family_py
+
+    df = (
+        spark.range(0, 1500)
+        .union(spark.range(2**40, 2**40 + 500))
+        .union(spark.range(-500, 0))
+    )
+    for seed in (0, 1, 11, 97):
+        rows = df.select("id", hash_family(F.col("id"), seed).alias("h")).collect()
+        for r in rows:
+            assert r.h == hash_family_py(r.id, seed), (r.id, seed)
