@@ -40,11 +40,7 @@ from __future__ import annotations
 import numpy as np
 
 from insurance_helper_spark.functions.hashing import (
-    HASH_MIX,
-    KEY_REDUCE,
-    KNUTH_MOD,
-    KNUTH_MUL,
-    MIX_MUL2,
+    hash_family_py as _hash_family_py,
 )
 
 
@@ -67,14 +63,11 @@ def hash_family_int(key: int, seed: int) -> int:
     pmod-reduce + seed fold + xorshift-multiply avalanche, same
     constants. For driver-side precomputation of small deterministic
     tables (e.g. the SRP sign matrix) that the Column version defines.
+    Canonical implementation lives beside the constants as
+    ``hashing.hash_family_py`` (r11); this name is kept for kernel
+    callers and tests.
     """
-    x = ((key % KEY_REDUCE) + KEY_REDUCE) % KEY_REDUCE
-    x = (x + seed * HASH_MIX) % KEY_REDUCE
-    x = x ^ (x >> 15)
-    x = (x * KNUTH_MUL) % KNUTH_MOD
-    x = x ^ (x >> 13)
-    x = ((x % KEY_REDUCE) * MIX_MUL2) % KNUTH_MOD
-    return x ^ (x >> 16)
+    return _hash_family_py(key, seed)
 
 
 def srp_sign_matrix(d: int, k: int) -> np.ndarray:

@@ -106,9 +106,12 @@ def test_elect_centroids_is_deterministic_and_dense(spark):
 
 
 def _round_half_away(x):
-    import numpy as np
+    # F.round(double).cast(long) twin — npkernels.half_up_long, NOT
+    # floor(x + 0.5) (the addition can cross a rounding boundary; see
+    # the npkernels module docstring).
+    from insurance_helper_spark.functions.npkernels import half_up_long
 
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    return half_up_long(x)
 
 
 def _daily_cents(sf_dir):
