@@ -1006,11 +1006,11 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
 # tiebreak, and break vote ties on the label. The Spark side
 # precomputes each row's norm BEFORE the cross join (norms don't
 # depend on the pair — 1200+4800 folds instead of 2×5.8M) and rides
-# the dot as ONE explicit codegen'd add chain per pair instead of
-# three interpreted sequence→transform→aggregate lambdas; every
-# product and every add happens in the same order as the oracle's
-# per-pair list_reduce, so cos6 is bit-identical (r11: 23.5 s →
-# ~2 s warm at sf0.1). Scale:
+# the dot as ONE single-pass zip_with fold per pair instead of three
+# sequence→transform→aggregate chains; every product and every add
+# happens in the same order as the oracle's per-pair list_reduce, so
+# cos6 is bit-identical (r11: 23.5 s → 5.0 s warm at sf0.1 — see the
+# fold-shape measurement note in the function body). Scale:
 # the exact test×train scoring is the sanctioned small-side baseline
 # (test side broadcast); the production path is the SRP-LSH / IVF
 # candidate tier above feeding the same voter.
@@ -1082,19 +1082,25 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(_jl_hf(F.col("vec_id"), 11) % 5 == 0, 1).otherwise(0).alias("is_test"),
     )
-    def chain(term):
-        # Explicit left-assoc 0.0-seeded add chain: the same add order
-        # as the oracle's per-pair fold, but whole-stage-codegen
-        # instead of an interpreted higher-order-function lambda.
-        acc = F.lit(0.0).cast("double")
-        for i in range(1, _JL_D + 1):
-            acc = acc + term(i)
-        return acc
+    # Fold shapes chosen by MEASUREMENT (r11): at this scale the
+    # per-run cost is dominated by fresh-plan codegen compilation, not
+    # data work (same-DataFrame re-execution runs in 0.06 s). An
+    # explicit 64-term add-chain halves the old interpreted-fold cost
+    # (23.5 s → 10.4 s warm) but emits a janino method so large each
+    # fresh run recompiles for seconds; single-pass array HOFs
+    # (transform/zip_with) keep the generated code small — 5.0 s warm,
+    # bit-identical output. Products and 0.0-seeded left-fold adds are
+    # in the oracle's element order in every variant.
 
     # Per-row norms BEFORE the cross join: the same adds (and
     # therefore the same double) the oracle evaluates per pair, but
     # computed once per row instead of once per pair.
-    norm = F.sqrt(chain(lambda i: F.element_at("v", i) * F.element_at("v", i)))
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(v, x -> x * x),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+    )
     test = vecs.filter("is_test = 1").select(
         F.col("vec_id").alias("test_id"),
         F.col("label").alias("true_label"),
@@ -1108,9 +1114,11 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_b"),
     )
 
-    # Per-pair work: ONE codegen'd dot chain (the triple per-pair fold
-    # was the query's entire 23.5 s cost at sf0.1).
-    dot = chain(lambda i: F.element_at("va", i) * F.element_at("vb", i))
+    # Per-pair work: ONE zip_with fold.
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
     cos = dot / (F.col("norm_a") * F.col("norm_b"))
     scored = (
         train.crossJoin(F.broadcast(test))
