@@ -2,8 +2,11 @@
 oracle-checkable (assignment census, incremental per-batch assignment,
 cell-occupancy PSI drift — the batch twins of
 ``operators/vector_store.py``'s maintained-table stream), plus risk
-ratios (Calmar + Ulcer index), the Zipf rank-frequency slope, and the
-Benford MAD conformity screen.
+ratios (Calmar + Ulcer index), the Zipf rank-frequency slope, the
+Benford MAD conformity screen, and the wave-2 completions: the Hurst
+exponent (aggregated-variance long-memory), Székely's energy distance
+(1-D closed form on the ECDF walk), RiskMetrics EWMA volatility as a
+quantized weighted fold, and a C4-style boilerplate n-gram screen.
 
 House rules throughout: every libm value is quantized to BIGINT per
 row/cell BEFORE any distributed fold (partial-aggregation order can

@@ -247,3 +247,25 @@ def test_boilerplate_census_structure(spark):
         assert 1 <= r["doc_freq"] <= min(r["n_occurrences"], n_docs)
         assert 0.0 < r["pct_docs"] <= 100.0
         assert r["is_boilerplate"] == (r["doc_freq"] >= thr)
+
+
+def test_knn_and_jl_plans_keep_their_fold_shapes(spark):
+    """Plan pins for the r11 fold-shape work: ml_knn_classify must not
+    regress to per-pair sequence(1, d) folds (the 23.5 s shape), and
+    embedding_random_projection_jl's projection signs must stay
+    plan-time literals — no hash-family avalanche (Knuth multiply) may
+    appear anywhere in its plan."""
+    knn_plan = (
+        _q(spark, "ml_knn_classify")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "zip_with" in knn_plan
+    # norms may fold over the array itself; the banned shape is the
+    # indexed sequence fold that re-walks both arrays per pair
+    assert "sequence(1" not in knn_plan.replace(" ", "")
+    jl_plan = (
+        _q(spark, "embedding_random_projection_jl")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "2654435761" not in jl_plan  # KNUTH_MUL: signs are literals now
