@@ -382,14 +382,24 @@ ORDER BY l_returnflag
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) with an oracle-checkable error
     bound. At 100 TB the approx path replaces exact distinct counts that
-    would otherwise shuffle every key; the bound is the contract."""
+    would otherwise shuffle every key; the bound is the contract.
+
+    The exact and approximate counts run as SEPARATE aggregations
+    joined on the 3-row group key — never in one agg() with
+    count(DISTINCT): Catalyst's two-phase distinct rewrite keys the
+    FIRST aggregate by (group, distinct_key), so a co-resident
+    imperative HLL becomes one ~100 KB sketch buffer PER DISTINCT PART
+    KEY (measured 24 s vs <1 s at sf0.1; at corpus scale it is
+    gigabytes of aggregation state for a 3-row answer)."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_exact"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "n_exact",

@@ -269,3 +269,22 @@ def test_knn_and_jl_plans_keep_their_fold_shapes(spark):
         .toString()
     )
     assert "2654435761" not in jl_plan  # KNUTH_MUL: signs are literals now
+
+
+def test_approx_distinct_never_sketches_per_distinct_key(spark):
+    """agg_approx_distinct_bounds must keep the exact and approximate
+    counts in SEPARATE aggregations: mixing count(DISTINCT) with an
+    imperative HLL in one agg() makes Catalyst's distinct rewrite key
+    the first partial aggregate by (group, distinct_key) — one ~100 KB
+    sketch buffer per distinct part key (24 s vs <1 s at sf0.1;
+    gigabytes of aggregation state at corpus scale)."""
+    plan = (
+        _q(spark, "agg_approx_distinct_bounds")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "approx_count_distinct" in line and "keys=[" in line:
+            keys = line.split("keys=[", 1)[1].split("]", 1)[0]
+            assert "l_partkey" not in keys, line
