@@ -1009,7 +1009,7 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
 # the dot as ONE single-pass zip_with fold per pair instead of three
 # sequence→transform→aggregate chains; every product and every add
 # happens in the same order as the oracle's per-pair list_reduce, so
-# cos6 is bit-identical (r11: 23.5 s → 5.0 s warm at sf0.1 — see the
+# cos6 is bit-identical (r11: 23.5 s → ~5.5 s warm at sf0.1, bench-recorded — see the
 # fold-shape measurement note in the function body). Scale:
 # the exact test×train scoring is the sanctioned small-side baseline
 # (test side broadcast); the production path is the SRP-LSH / IVF
@@ -1088,7 +1088,7 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit 64-term add-chain halves the old interpreted-fold cost
     # (23.5 s → 10.4 s warm) but emits a janino method so large each
     # fresh run recompiles for seconds; single-pass array HOFs
-    # (transform/zip_with) keep the generated code small — 5.0 s warm,
+    # (transform/zip_with) keep the generated code small — ~5.5 s warm,
     # bit-identical output. Products and 0.0-seeded left-fold adds are
     # in the oracle's element order in every variant.
 
