@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
     materialize: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with k-token-shingle Jaccard ≥ threshold.
 
@@ -126,9 +127,18 @@ def ngram_jaccard_pairs(
     expensive than a full shingle-table write (e.g. text behind a
     costly UDF).
 
+    ``shingles`` (default None) lets the caller supply a pre-built
+    shingle relation — MUST equal ``hashed_shingle_rows(df, id_col,
+    text_col, k)``, i.e. distinct (doc_id, h) rows over exactly the
+    rows of ``df``. The query layer passes the session-memoized
+    checkpoint (queries/shared_cache.doc_shingles), optionally
+    semi-joined to a doc_id subset; a checkpointed relation also makes
+    the self-join read blocks instead of re-executing the tokenize
+    lineage twice, superseding ``materialize`` for that caller.
+
     Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
     """
-    shd = hashed_shingle_rows(df, id_col, text_col, k)
+    shd = shingles if shingles is not None else hashed_shingle_rows(df, id_col, text_col, k)
     if max_doc_freq is not None:
         hot = (
             shd.groupBy("h")
@@ -168,6 +178,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str,
     k: int = 3,
     threshold: float = 0.2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACTLY the pairs ``ngram_jaccard_pairs`` returns, via AllPairs/
     PPJoin prefix filtering (Bayardo et al. 2007; Xiao et al. 2008) —
@@ -199,13 +210,22 @@ def ngram_jaccard_pairs_prefix(
     acceptable; use prefix when the EXACT relation is required at
     scale.
 
+    ``shingles`` — same contract as ``ngram_jaccard_pairs``: a caller-
+    supplied relation equal to ``hashed_shingle_rows(df, id_col,
+    text_col, k)``. This plan consumes the shingle relation FOUR times
+    (document-frequency count, size window, and both verify joins), so
+    the memoized checkpoint pays off even more here than in the plain
+    join.
+
     Returns (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
     """
-    shd = hashed_shingle_rows(df, id_col, text_col, k)
-    # NOT checkpointed: the shingle relation is one row per
+    shd = shingles if shingles is not None else hashed_shingle_rows(df, id_col, text_col, k)
+    # NOT checkpointed per-call: the shingle relation is one row per
     # (doc, shingle) — writing it costs more than recomputing the
-    # codegen'd tokenize (the same measurement that sets
-    # ngram_jaccard_pairs' materialize default to False).
+    # codegen'd tokenize for a single consumer (the same measurement
+    # that sets ngram_jaccard_pairs' materialize default to False);
+    # the session-memoized relation amortizes the write across the
+    # whole family instead.
     dfreq = shd.groupBy("h").agg(F.count("*").alias("dfh"))
     sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
     ranked = sized.join(dfreq, "h").withColumn(
@@ -261,7 +281,12 @@ def ngram_jaccard_pairs_prefix(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures as (doc_id, sig array<bigint>[num_perm]).
 
@@ -272,10 +297,11 @@ def minhash_signatures(
     The num_perm mins combine map-side so the shuffle carries one row
     per doc; with the input already clustered by doc_id the aggregation
     needs no exchange at all.
+
+    ``shingles`` — same caller contract as ``ngram_jaccard_pairs``.
     """
-    exploded = hashed_shingle_rows(df, id_col, text_col, k).withColumnRenamed(
-        "h", "shingle"
-    )
+    base = shingles if shingles is not None else hashed_shingle_rows(df, id_col, text_col, k)
+    exploded = base.withColumnRenamed("h", "shingle")
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
         for i in range(num_perm)
@@ -295,6 +321,8 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     materialize: bool = True,
+    shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
@@ -310,11 +338,20 @@ def minhash_lsh_candidates(
     (num_perm × 8 B/doc), so the checkpoint is cheap relative to the
     two full text passes it replaces; at warehouse scale this is the
     staged signature table.
+
+    ``signatures`` — a caller-supplied (already materialized) signature
+    relation equal to ``minhash_signatures(df, id_col, text_col, k,
+    num_perm)``; skips the build AND the per-call checkpoint (the query
+    layer passes the session-memoized signature table). ``shingles``
+    feeds the internal build when signatures are not supplied.
     """
     rows_per_band = num_perm // bands
-    sig_df = minhash_signatures(df, id_col, text_col, k, num_perm)
-    if materialize:
-        sig_df = sig_df.localCheckpoint(eager=True)
+    if signatures is not None:
+        sig_df = signatures
+    else:
+        sig_df = minhash_signatures(df, id_col, text_col, k, num_perm, shingles=shingles)
+        if materialize:
+            sig_df = sig_df.localCheckpoint(eager=True)
 
     banded = sig_df.select(
         "doc_id",
@@ -430,6 +467,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     materialize: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -445,12 +483,20 @@ def simhash_pairs(
     signature table before the block self-join; without it the clone of
     the lineage runs the tokenize→explode→packed-bit-count aggregation
     twice (measured ~2× the operator's wall time at sf0.1).
+
+    ``signatures`` — a caller-supplied (already materialized) relation
+    equal to ``simhash_signatures(df, id_col, text_col)``; skips both
+    the build and the per-call checkpoint (the query layer passes the
+    session-memoized signature table).
     """
     block_bits = 64 // bands
     mask = (1 << block_bits) - 1
-    sig = simhash_signatures(df, id_col, text_col)
-    if materialize:
-        sig = sig.localCheckpoint(eager=True)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = simhash_signatures(df, id_col, text_col)
+        if materialize:
+            sig = sig.localCheckpoint(eager=True)
     blocks = sig.select(
         "doc_id",
         "sim",

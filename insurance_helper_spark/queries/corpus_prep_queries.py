@@ -296,7 +296,18 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["fp"],
         [F.col("doc_id")],
     ).select("doc_id", "source", "text")
-    pairs = D.ngram_jaccard_pairs(u, "doc_id", "text", k=3, threshold=0.5)
+    # `u` is a subset of documents with text unchanged, and pair stats
+    # are per-pair facts, so its pair relation is the staged pair table
+    # filtered to ≥ 0.5 and semi-joined to survivor ids on BOTH sides.
+    from insurance_helper_spark.queries.shared_cache import ngram_pair_stats
+
+    u_ids = u.select("doc_id")
+    pairs = (
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .join(u_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(u_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     q_ids = q.select("doc_id").withColumn("in_q", F.lit(1))
     u_ids = u.select("doc_id").withColumn("in_u", F.lit(1))
@@ -579,6 +590,7 @@ ORDER BY source, doc_id
 
 @register("corpus_budget_quota_sample", QUOTA_SAMPLE_ORACLE)
 def corpus_budget_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota sampling: per-source sequential cut at a global token budget via running-sum windows."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])

