@@ -357,6 +357,7 @@ FROM t WHERE n_ret > 0
 
 @register("finance_calmar_ulcer", CALMAR_ORACLE)
 def finance_calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio + Ulcer index: annualized return over max drawdown, RMS drawdown from the running peak."""
     daily = _daily(spark, sf_dir)
     wd = Window.orderBy("day")
     wpeak = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -444,6 +445,7 @@ FROM s WHERE n >= 2
 
 @register("text_zipf_slope", ZIPF_ORACLE)
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: OLS of ln(count) on ln(rank) over the top-100 terms, quantized coordinates."""
     from insurance_helper_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
@@ -812,8 +814,33 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
             F.any_value("n_hi").alias("n_hi"),
             F.any_value("n_lo").alias("n_lo"),
+            F.min("cents").cast("long").alias("__min_c"),
+            F.max("next_cents").cast("long").alias("__max_c"),
         )
     )
+    # Runtime int64-headroom guard (ADVICE r11): each integral is
+    # bounded by n·m·range (~3e17 at sf0.1, growing quadratically with
+    # SF). The comment-only "beyond ~sf3 drop to per-segment partials"
+    # limit would wrap SILENTLY in a non-ANSI session, so fail fast
+    # here instead: the bound is computed in DOUBLE (the guard itself
+    # must not overflow) and 2e18 leaves >4× true-int64 headroom.
+    # assert_true returns NULL when the condition holds, so the filter
+    # passes the single row through untouched — and throws before any
+    # wrapped integral can reach the outputs when it does not.
+    bound = (
+        F.col("n_hi").cast("double")
+        * F.col("n_lo").cast("double")
+        * (F.col("__max_c") - F.col("__min_c")).cast("double")
+    )
+    acc = acc.where(
+        F.assert_true(
+            bound < 2.0e18,
+            "stat_energy_distance: n_hi*n_lo*value_range exceeds the exact-"
+            "int64 budget of the pairwise-gap integrals at this scale; "
+            "switch to per-segment partial integrals (see docstring) before "
+            "trusting these outputs",
+        ).isNull()
+    ).drop("__min_c", "__max_c")
     d2 = (
         F.lit(2.0) * F.col("c").cast("double") / F.col("n_hi") / F.col("n_lo")
         - F.lit(2.0) * F.col("a").cast("double") / F.col("n_hi") / F.col("n_hi")
@@ -848,7 +875,15 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT product w_q·r_q² per day (≤ 1e17 worst) — headroom: the
 # weight sum is geometric, Σw_q ≈ 1e6/(1−λ) ≈ 1.7e7, so the fold
 # stays ≥ 45× inside int64. ONE libm pow per day, quantized
-# before the fold (partial-agg order can't move a bit). Completes the
+# before the fold (partial-agg order can't move a bit). Cross-engine
+# pow safety (ADVICE r11): the quantization round(1e6·0.94^k) is
+# boundary-safe by verified margin — computed EXACTLY over rationals
+# (1e6·(47/50)^k via Fraction), the minimum distance of the true value
+# to any .5 rounding boundary for k ≤ 1000 is 3.669e-3 (at k = 125),
+# while a 1-ulp libm pow divergence between DuckDB and the JVM is
+# ≤ ulp(1e6) ≈ 1.2e-10 — a ~3e7× margin, so both engines round every
+# weight to the same BIGINT and the 8-decimal ewma_var cannot split.
+# Completes the
 # risk shelf: Sortino (downside), Calmar/Ulcer (drawdown), EWMA (the
 # variance clock VaR desks actually run). Scale: one lag + one
 # row_number on the calendar-bounded daily relation; single row out.

@@ -188,9 +188,22 @@ def test_energy_distance_matches_numpy_brute_force(spark):
     ).fetchall()
     x = np.array([v for v, hi in rows if hi], dtype=np.float64)
     y = np.array([v for v, hi in rows if not hi], dtype=np.float64)
-    e_xy = np.abs(x[:, None] - y[None, :]).mean()
-    e_xx = np.abs(x[:, None] - x[None, :]).mean()
-    e_yy = np.abs(y[:, None] - y[None, :]).mean()
+
+    def mean_abs_diff(a: np.ndarray, b: np.ndarray, tile: int = 2048) -> float:
+        # Tiled pairwise sum: a full a[:,None]-b[None,:] matrix is fine
+        # at the default sf0.001 fixture (589×911) but ~30 GB if
+        # SPARK_GRAFT_TEST_SF_DIR points at sf0.1 (45k×105k), which
+        # conftest explicitly supports; tiles keep it ≤ tile² × 8 B.
+        tot = 0.0
+        for i in range(0, len(a), tile):
+            ai = a[i : i + tile, None]
+            for j in range(0, len(b), tile):
+                tot += float(np.abs(ai - b[None, j : j + tile]).sum())
+        return tot / (len(a) * len(b))
+
+    e_xy = mean_abs_diff(x, y)
+    e_xx = mean_abs_diff(x, x)
+    e_yy = mean_abs_diff(y, y)
     d2 = 2 * e_xy - e_xx - e_yy
 
     assert r["n_hi"] == len(x) and r["n_lo"] == len(y)
