@@ -384,6 +384,7 @@ def _trunc_us(col, unit_us: int, *, ntz: bool = False):
 
 @register("events_rollup_hourly", ROLLUP_HOURLY_ORACLE)
 def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute→hour→day rollup of the event stream with epoch-floor bucketing (pre-epoch timestamps bucket to the previous interval)."""
     events = load_table(spark, sf_dir, "events", columns=["event_type", "ts", "value"])
     minutes = events.groupBy(
         "event_type",
@@ -1913,6 +1914,7 @@ ORDER BY linestatus
 
 @register("lineitem_business_day_lag", BUSINESS_LAG_ORACLE)
 def lineitem_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag in BUSINESS days (weekend-aware closed-form calendar arithmetic), mean per line status."""
     li = load_table(
         spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
     )

@@ -1054,6 +1054,7 @@ REF_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
 
 @register("dq_referential_integrity", REF_INTEGRITY_ORACLE)
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star schema: orphan counts and rates per edge."""
     _SMALL_PARENTS = {"nation", "region", "supplier"}
     parts = []
     for edge, child, fk, parent, pk in _FK_EDGES:
@@ -1267,6 +1268,7 @@ FROM orders"""
 
 @register("dq_column_profile", DQ_PROFILE_ORACLE)
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler for orders: null/distinct/min/max/mean per column, one fused aggregate."""
     orders = load_table(spark, sf_dir, "orders", columns=list(_PROFILE_COLS))
     aggs = []
     for c in _PROFILE_COLS:
@@ -1351,6 +1353,7 @@ def duplicate_payment_flags(base: DataFrame, max_gap_days: int = 7) -> DataFrame
 
 @register("dq_duplicate_payment_candidates", DUP_PAYMENT_ORACLE)
 def dq_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer + amount within a short date window, window-paired candidates with day gaps."""
     orders = load_table(
         spark, sf_dir, "orders",
         columns=["o_custkey", "o_totalprice", "o_orderdate", "o_orderkey"],
@@ -1425,6 +1428,7 @@ ORDER BY shard
 
 @register("ops_rendezvous_sharding", HRW_ORACLE)
 def ops_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding audit: 8→9 shard scale-out moves only ~1/9 of keys; per-shard movement census."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     h8 = F.array(*[_hf(F.col("doc_id"), s) for s in range(_HRW_N)])
     h9 = F.array(*[_hf(F.col("doc_id"), s) for s in range(_HRW_N + 1)])
@@ -1511,6 +1515,7 @@ ORDER BY o_orderpriority
 
 @register("ops_bloom_semijoin_audit", BLOOM_ORACLE)
 def ops_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join audit: bloom pass rate vs the exact semi-join — false-positive rate of the runtime filter."""
     cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
@@ -1733,6 +1738,7 @@ WHERE gap_z IS NOT NULL
 
 @register("ops_zorder_locality_audit", ZORDER_ORACLE)
 def ops_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality audit: interleaved-bit curve addresses vs linear layout, range-scan block-touch counts compared."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
     obs = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1935,6 +1941,7 @@ JOIN_CARD_ORACLE = "\nUNION ALL\n".join(
 
 @register("ops_join_cardinality_estimate", JOIN_CARD_ORACLE)
 def ops_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator: |A⋈B| predicted from per-key count sketches vs the exact join count, per FK edge."""
     import functools
 
     edges = []
@@ -2791,6 +2798,7 @@ FROM {t}"""
 
 @register("ops_broadcast_threshold_audit", BCAST_AUDIT_ORACLE)
 def ops_broadcast_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-threshold audit: estimated in-memory bytes per dimension table vs the 10 MB autoBroadcast default."""
     out = None
     for t, cols in _BCAST_SCHEMAS:
         df = load_table(spark, sf_dir, t, columns=[c for c, _ in cols])

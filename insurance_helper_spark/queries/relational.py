@@ -327,6 +327,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @register("agg_cube", CUBE_ORACLE)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets with counts and quantity sums in one pass."""
     li = load_table(spark, sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity"])
     return (
@@ -349,6 +350,7 @@ ORDER BY l_returnflag
 
 @register("agg_count_distinct", DISTINCT_ORACLE)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) per group — the two-phase expand-aggregate Catalyst plan."""
     li = load_table(spark, sf_dir, "lineitem",
                     columns=["l_returnflag", "l_partkey", "l_suppkey"])
     return (
@@ -554,6 +556,7 @@ ORDER BY b.band
 
 @register("range_join_price_bands", RANGE_JOIN_ORACLE)
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: order prices bucketed into broadcast price bands via BroadcastNestedLoopJoin over 5 rows."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
     bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
     return (

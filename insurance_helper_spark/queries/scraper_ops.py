@@ -559,6 +559,7 @@ ORDER BY pk
 
 @register("scrape_life_list_path", LIFE_LIST_ORACLE)
 def scrape_life_list_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFE list-page URL construction for every product row (ref list_scraper.py URL template), driver-checked string arithmetic."""
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_name"])
     pk = F.col("p_partkey")
     pks = pk.cast("string")
@@ -639,6 +640,7 @@ ORDER BY pk
 
 @register("scrape_object_keys", OBJECT_KEYS_ORACLE)
 def scrape_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store key + public-URL derivation for scraped documents (ref r2_uploader.generate_r2_key)."""
     from insurance_helper_spark.sources import object_store
 
     part = load_table(spark, sf_dir, "part", columns=["p_partkey"])
@@ -707,6 +709,7 @@ ORDER BY p_partkey
 
 @register("scrape_retry_dest", RETRY_DEST_ORACLE)
 def scrape_retry_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry destination paths for failed downloads — the exact cleaning.retry_destination expression over the four URL shapes."""
     part = load_table(spark, sf_dir, "part", columns=["p_partkey"])
     url = (
         F.when(
@@ -770,6 +773,7 @@ ORDER BY c_custkey
 
 @register("pii_redact_notes", PII_ORACLE)
 def pii_redact_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction of free-text notes: email/phone masking via engine-portable regexes."""
     cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
     note = F.concat(
         F.lit("Reach "), F.col("c_name"), F.lit(" at "),

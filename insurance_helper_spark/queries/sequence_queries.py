@@ -117,6 +117,7 @@ ORDER BY part_id
 
 @register("graph_pagerank_copurchase", PAGERANK_ORACLE)
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank iterations over the co-purchase graph: |E|-row contribution shuffles on the shared memoized edge relation."""
     edges = _copurchase_edges(spark, sf_dir, support=1)
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -669,6 +670,7 @@ ORDER BY event_type, day
 
 @register("events_ewma_daily", EWMA_ORACLE)
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the per-type daily event-value series as a lag-window fold with quantized weights."""
     events = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
     daily = events.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1653,6 +1655,7 @@ ORDER BY rank
 
 @register("graph_pagerank_iterations", PAGERANK_ORACLE)
 def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank per-iteration convergence trace (L1 deltas per round) over the co-purchase graph."""
     edges = _copurchase_edges(spark, sf_dir, support=1)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("d")
@@ -2365,6 +2368,7 @@ def _hits_normalize(scored: DataFrame) -> DataFrame:
 
 @register("graph_hits_hubs_authorities", HITS_ORACLE)
 def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores on the strong-tie digraph: alternating exact-integer power iterations with per-round normalization."""
     e = _strong_tie_edges(spark, sf_dir)
     h = (
         e.select(F.col("src").alias("node"))

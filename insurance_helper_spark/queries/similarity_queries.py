@@ -38,6 +38,7 @@ ORDER BY query_id, nn_rank
 
 @register("similarity_cosine_topk", COSINE_TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors per query vector — the exact baseline the ANN tiers are measured against."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -412,6 +413,7 @@ ORDER BY m.cluster_id
 
 @register("ml_kmeans_lloyd_step", KMEANS_STEP_ORACLE)
 def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd k-means step: deterministic seed centroids, broadcast assignment, exact per-cell mean recompute."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -922,6 +924,7 @@ FROM ratios
 
 @register("embedding_random_projection_jl", JL_ORACLE)
 def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: pairwise distances before vs after a signed-hash projection, distortion quantiles."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     a = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -1075,6 +1078,7 @@ ORDER BY true_label, pred_label
 
 @register("ml_knn_classify", KNN_ORACLE)
 def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label vote over embeddings: broadcast exact cosine top-k then majority label per query."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     vecs = emb.select(
         "vec_id",
@@ -1696,6 +1700,7 @@ def _ann_topk(scored: DataFrame) -> DataFrame:
 
 @register("similarity_ann_recall_eval", ANN_RECALL_ORACLE)
 def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation: SRP-bucketed candidates scored against the exact cosine top-k ground truth."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vv")
@@ -2756,6 +2761,7 @@ MMR_ORACLE = _mmr_oracle()
 
 @register("similarity_mmr_rerank", MMR_ORACLE)
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank of cosine top-k: greedy relevance-vs-redundancy selection on the candidate set."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     x = emb.select(
         "vec_id",

@@ -254,6 +254,7 @@ ORDER BY user_id
 
 @register("stream_user_state", USER_STATE_ORACLE)
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running session state over the event stream (count/sum/last-seen), the batch twin of the stateful-stream operator."""
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"]).filter(
         F.col("user_id") <= 50
     )

@@ -1305,6 +1305,7 @@ ORDER BY true_lang, pred_lang
 
 @register("ml_naive_bayes_langid", NB_LANGID_ORACLE)
 def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language ID: character-bigram class likelihoods with add-one smoothing, argmax per document vs the true lang label."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
     base = (
         docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
@@ -1878,6 +1879,7 @@ ORDER BY rank
 
 @register("text_textrank_keywords", TEXTRANK_ORACLE)
 def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: co-occurrence graph over token windows, power-iteration scores, top terms per corpus."""
     from insurance_helper_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
@@ -1978,6 +1980,7 @@ ORDER BY lang
 
 @register("text_tokenizer_fertility", FERTILITY_ORACLE)
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish subword count / whitespace token count) per language from two regex projections."""
     docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
     n_bpe = F.size(
         F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)")

@@ -309,6 +309,7 @@ ORDER BY cohort
 
 @register("actuarial_cape_cod", CAPE_COD_ORACLE)
 def actuarial_cape_cod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cape Cod reserving: decay-weighted expected loss ratio over the shared development triangle, IBNR per cohort."""
     tips, cdfs, sizes = _triangle(spark, sf_dir)
     rows_cc = (
         tips.join(F.broadcast(cdfs), cdfs.age == tips.max_age)
@@ -726,6 +727,7 @@ FROM f
 
 @register("stat_chow_test", CHOW_ORACLE)
 def stat_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test: pooled vs split-half OLS of the daily revenue series, F statistic from exact folds."""
     daily = _daily(spark, sf_dir)
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     pts = daily.crossJoin(F.broadcast(bounds)).select(
@@ -981,6 +983,7 @@ FROM res
 
 @register("stat_ansari_bradley", ANSARI_ORACLE)
 def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test between half-year revenue arms from symmetric mid-ranks."""
     daily = _daily(spark, sf_dir)
     vals = daily.select(
         F.col("cents").alias("v"),
