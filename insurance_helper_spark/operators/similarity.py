@@ -251,6 +251,31 @@ def pair_cosine_udf(round_digits: int = 6):
     return pair_cosine
 
 
+def adaptive_srp_planes(
+    n_rows: int, base_planes: int, target_occupancy: int = 128
+) -> int:
+    """Scale-aware SRP plane count: enough planes that the expected
+    per-table bucket occupancy stays ≤ ``target_occupancy``, i.e.
+    ``2^planes ≥ n/target`` — candidate volume per table is then
+    ≤ target·n, LINEAR in corpus size instead of n²/2^base.
+
+    The r12 sf1 scale probe measured the fixed-plane configurations at
+    85×/135× their sf0.1 wall time at 10× rows (bucket occupancy grows
+    linearly, per-bucket join output quadratically); this knob is the
+    documented LSH answer (more planes per table at larger corpora,
+    recall re-bought with n_tables where the similarity band needs it
+    — at the production near-dup band cos ≥ 0.9, 8 planes × 16 tables
+    still gives recall ≥ 0.99). Returns ``base_planes`` whenever the
+    corpus is small enough that base already meets the target, so
+    fixture-scale behavior (and every recall pin) is unchanged.
+    """
+    import math
+
+    if n_rows <= target_occupancy:
+        return base_planes
+    return max(base_planes, math.ceil(math.log2(n_rows / target_occupancy)))
+
+
 def cross_bucket_candidates(
     left: DataFrame,
     right: DataFrame,

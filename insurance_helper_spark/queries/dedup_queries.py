@@ -326,12 +326,17 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insurance_helper_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # Scale-adaptive plane count (r12 probe: fixed 4 planes measured
+    # 135× at 10× rows — per-bucket join output is quadratic in
+    # occupancy). 4 planes up to ~2k vectors (fixture behavior and the
+    # recall pin unchanged), +1 plane per corpus doubling beyond.
+    n_planes = similarity.adaptive_srp_planes(emb.count(), base_planes=4)
     return (
         similarity.embedding_near_dup_pairs(
             # 0.399 (not 0.4) for the same boundary reason as the exact
             # twin: a pair at true cosine 0.39996 rounds UP to 0.4 and
             # must survive the operator-level prune on both paths.
-            emb, threshold=0.399, exact=False, n_planes=4, n_tables=16, seed=7
+            emb, threshold=0.399, exact=False, n_planes=n_planes, n_tables=16, seed=7
         )
         .withColumn("cosine_sim", F.round("cosine_sim", 4))
         .filter(F.col("cosine_sim") >= 0.4)

@@ -1124,6 +1124,13 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(0.0 as double), (acc, x) -> acc + x)"
     )
     cos = dot / (F.col("norm_a") * F.col("norm_b"))
+    # Parallelism must be sized by OUTPUT fan-out, not input bytes: the
+    # embeddings parquet is one small file, so the stream side of the
+    # broadcast cross join inherits 1-2 input splits — each carrying a
+    # |test|× row fan-out of interpreted-HOF work. The r12 sf1 scale
+    # probe caught this as a near-serial 2-task stage (~10 min at 10×);
+    # one round-robin repartition restores 32-way parallelism.
+    train = train.repartition(spark.sparkContext.defaultParallelism)
     scored = (
         train.crossJoin(F.broadcast(test))
         .select(
@@ -1723,7 +1730,13 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
-    cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
+    # Output-fan-out parallelism (r12 sf1 probe): the checkpointed
+    # vecs relation carries 1-2 file-split partitions, so the stream
+    # side of the broadcast cross join would run the |queries|x pair
+    # fan-out near-serially; repartition restores full parallelism.
+    cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
     exact_top = _ann_topk(_pair_score6(exact_pairs))
     lsh_pairs = cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", "va", "vb")
@@ -1936,7 +1949,13 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
-    cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb"))
+    # Output-fan-out parallelism (r12 sf1 probe): the checkpointed
+    # vecs relation carries 1-2 file-split partitions, so the stream
+    # side of the broadcast cross join would run the |queries|x pair
+    # fan-out near-serially; repartition restores full parallelism.
+    cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
     exact_top = _ann_topk(_pair_score6(exact_pairs)).localCheckpoint(eager=True)
 
