@@ -325,6 +325,10 @@ HEADLINE = [
     "stat_energy_distance",
     "finance_ewma_volatility",
     "corpus_boilerplate_ngrams",
+    # round-12 additions: schema inference + enforcement (Stage-2
+    # "Schema Builder" declaration)
+    "schema_infer_promotion_census",
+    "schema_infer_roundtrip",
 ]
 
 

@@ -127,6 +127,7 @@ def load_all() -> None:
         sequence_queries,
         wave10_queries,
         wave11_queries,
+        wave12_queries,
     )
 
     # Stable-sort the registry so the driver's first-50 verification
