@@ -450,8 +450,9 @@ class TestVectorStoreCli:
 
         rc, text = run(spark, ["vector-store", "status", "--store", store])
         assert rc == 0
-        # batches 0+1 were ingested under epoch 0, batch 2 re-elected
-        assert "epoch 1, 120 vectors, 80 stale" in text
+        # batch 2 re-elected AND reassigned batches 0+1 inline (r12):
+        # the store ends fully on the current epoch
+        assert "epoch 1, 120 vectors, 0 stale" in text
 
         rc, text = run(spark, ["vector-store", "search", "--store", store,
                                "--vec-id", "200", "--topk", "3",
@@ -460,8 +461,9 @@ class TestVectorStoreCli:
         hits = [l for l in text.splitlines() if l.lstrip().startswith(("1.", "2.", "3."))]
         assert len(hits) == 3 and "cos=" in hits[0]
 
+        # explicit maintenance finds nothing left to do
         rc, text = run(spark, ["vector-store", "reassign", "--store", store])
-        assert rc == 0 and "reassigned 80 stale vectors" in text
+        assert rc == 0 and "reassigned 0 stale vectors" in text
         rc, text = run(spark, ["vector-store", "status", "--store", store])
         assert rc == 0 and "0 stale" in text
 
