@@ -367,6 +367,33 @@ R1_TOTAL = 33.936
 ABS_WARM_CEILING_S = 30.0
 
 
+def _load_prev_headline(repo: str) -> dict[str, float]:
+    """Previous round's FULL headline warm map from bench_results/
+    r*.json — the basis of the suite-total gate (r13): per-query
+    budgets (2× with a 1.0 s floor) let a diffuse session-wide tax
+    through (r12 shipped +12% headline total with `regressions: {}`
+    because the block-pressure cost spread across many queries), so
+    the like-for-like HEADLINE TOTAL is also gated, at 1.15× the
+    previous recorded round."""
+    try:
+        rounds = sorted(
+            (int(m.group(1)), f)
+            for f in os.listdir(os.path.join(repo, "bench_results"))
+            if (m := re.match(r"r(\d+)\.json$", f))
+        )
+        for _, f in reversed(rounds):
+            with open(os.path.join(repo, "bench_results", f)) as fh:
+                q = json.load(fh).get("queries")
+            if q:
+                return {k: float(v) for k, v in q.items()}
+    except Exception:
+        pass
+    return {}
+
+
+SUITE_TOTAL_BUDGET_RATIO = 1.15
+
+
 def _load_prev_tier2(repo: str) -> dict[str, float]:
     """Previous round's tier-2 warm map from bench_results/r*.json —
     the regression budget for non-headline queries (2x with a 1.0 s
@@ -451,11 +478,10 @@ def _release_blocks(spark) -> None:
     gc.collect()  # drop py4j handles so the JVM side is collectable
     kept = keep_ids(spark)
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        # The memoized family checkpoints (co-purchase edges, reserving
-        # triangle — see queries/shared_cache.py) are REUSED across
-        # queries: localCheckpoint truncates lineage, so unpersisting
-        # them here would break every later consumer (and forfeit the
-        # shared-build win the cache exists for).
+        # Since r13 the shared_cache staged relations live in
+        # session-temp parquet, not the block manager, so keep_ids()
+        # is empty and EVERY leftover block is sweepable — the sweep
+        # can no longer break a staged-relation consumer.
         if jrdd.id() not in kept:
             jrdd.unpersist()
     spark.catalog.clearCache()
@@ -621,6 +647,23 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+    # Headline-TOTAL gate vs the previous recorded round, like-for-like
+    # (only queries present in both rounds), so a diffuse tax spread
+    # thin across the suite — under every per-query budget — still
+    # fails loudly (VERDICT r12 item 4).
+    prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)))
+    common = [n for n in timings if n in prev_head]
+    if abs(sf - 0.1) < 1e-9 and common:
+        now_sum = round(sum(timings[n] for n in common), 3)
+        prev_sum = round(sum(prev_head[n] for n in common), 3)
+        if now_sum > SUITE_TOTAL_BUDGET_RATIO * prev_sum:
+            print(
+                f"SUITE-TOTAL REGRESSION: {now_sum}s over {len(common)} "
+                f"like-for-like headline queries vs previous round's "
+                f"{prev_sum}s (budget {SUITE_TOTAL_BUDGET_RATIO}x)",
+                file=sys.stderr,
+            )
+            sys.exit(1)
     if ceiling_breaches:
         print(
             f"ABSOLUTE CEILING BREACH: {sorted(ceiling_breaches)} exceed "

@@ -868,13 +868,18 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     tgt = v.filter(F.col("lang") == "en").select(F.col("doc_id").alias("y_id"), "vec")
     dim = 64  # fixture embedding width (TESTDATA.md)
     # Scale-adaptive plane count (r12 probe: fixed 4 planes measured
-    # 86× at 10× rows). Sized off the total vector count — a
-    # metadata-only parquet count and an upper bound for both sides,
-    # so per-table candidate volume stays ≤ target·|side| — linear.
+    # 86× at 10× rows). Sized off the total vector count — a REAL
+    # count job (footer pushdown is off by default), so it's memoized
+    # per (app, sf_dir) in shared_cache rather than re-run on every
+    # invocation (ADVICE r12); an upper bound for both sides, so
+    # per-table candidate volume stays ≤ target·|side| — linear.
     # 4 planes at fixture SFs (recall pin unchanged).
     from insurance_helper_spark.operators.similarity import adaptive_srp_planes
+    from insurance_helper_spark.queries.shared_cache import corpus_count
 
-    n_planes = adaptive_srp_planes(emb.count(), base_planes=4)
+    n_planes = adaptive_srp_planes(
+        corpus_count(spark, sf_dir, "embeddings"), base_planes=4
+    )
     cand = cross_bucket_candidates(
         src.select("x_id", "vec"), tgt, dim=dim, n_planes=n_planes, n_tables=12
     )

@@ -15,6 +15,7 @@ from insurance_helper_spark.functions import text as T
 from insurance_helper_spark.operators import dedup
 from insurance_helper_spark.queries.catalog import register
 from insurance_helper_spark.queries.shared_cache import (
+    corpus_count,
     doc_shingles,
     memo_checkpoint,
     ngram_components,
@@ -220,12 +221,15 @@ ORDER BY p.id_a, p.id_b
 
 @register("dedup_ngram_jaccard_capped", NGRAM_CAPPED_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    """Since r13 the staged pair table ITSELF carries the df cap
+    (shared_cache.PAIR_STATS_MAX_DOC_FREQ = 50, this query's
+    production value), so the capped policy is — like the plain one —
+    just a filter on the published relation. The oracle still builds
+    the cap from scratch, pinning that the staged build's guard
+    matches the from-scratch capped operator."""
     return (
-        dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=50,
-            shingles=doc_shingles(spark, sf_dir),
-        )
+        ngram_pair_stats(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     )
 
@@ -329,8 +333,11 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-adaptive plane count (r12 probe: fixed 4 planes measured
     # 135× at 10× rows — per-bucket join output is quadratic in
     # occupancy). 4 planes up to ~2k vectors (fixture behavior and the
-    # recall pin unchanged), +1 plane per corpus doubling beyond.
-    n_planes = similarity.adaptive_srp_planes(emb.count(), base_planes=4)
+    # recall pin unchanged), +1 plane per corpus doubling beyond. The
+    # corpus count is a real job, memoized per session (ADVICE r12).
+    n_planes = similarity.adaptive_srp_planes(
+        corpus_count(spark, sf_dir, "embeddings"), base_planes=4
+    )
     return (
         similarity.embedding_near_dup_pairs(
             # 0.399 (not 0.4) for the same boundary reason as the exact

@@ -24,21 +24,46 @@ class TestMemoContract:
         b = SC.doc_shingles(spark, SF_DIR)
         assert a is b
 
-    def test_keep_ids_survive_block_sweeper(self, spark):
-        """bench._release_blocks unpersists every block EXCEPT the
-        memoized checkpoints — a memo consumer evaluated AFTER a sweep
-        must still work (localCheckpoint truncates lineage, so a swept
-        memo block is unrecoverable — the r10 regression class)."""
+    def test_staged_relations_survive_block_sweeper(self, spark):
+        """Staged relations are parquet-backed (r13), NOT block-manager
+        resident: a full block sweep (bench._release_blocks) must leave
+        them readable and value-identical, and keep_ids must be empty —
+        the sweeper no longer has to protect anything, which is what
+        fixed the r12 block-pressure regression (pinned memo blocks
+        taxing the Arrow/matmul queries' unified-memory budget)."""
         import bench
 
         pairs = SC.ngram_pair_stats(spark, SF_DIR)
         before = _rows(pairs.filter(F.col("jaccard") >= 0.5))
         bench._release_blocks(spark)
-        assert SC.keep_ids(spark)  # the memo blocks are registered
+        assert SC.keep_ids(spark) == set()  # nothing pinned anymore
+        # nothing the staged relations own is left in the block manager
+        assert not spark.sparkContext._jsc.getPersistentRDDs()
         after = _rows(
             SC.ngram_pair_stats(spark, SF_DIR).filter(F.col("jaccard") >= 0.5)
         )
         assert after == before
+
+    def test_staged_build_runs_once(self, spark):
+        """The memo returns a reader over the staged parquet — the
+        second call must not re-run build()."""
+        calls = []
+
+        def build():
+            calls.append(1)
+            return SC.doc_shingles(spark, SF_DIR).limit(5)
+
+        a = SC.memo_checkpoint(spark, ("t_once", SF_DIR), build)
+        b = SC.memo_checkpoint(spark, ("t_once", SF_DIR), build)
+        assert a is b and calls == [1]
+        assert a.count() == 5
+
+    def test_corpus_count_memoized(self, spark):
+        n1 = SC.corpus_count(spark, SF_DIR, "embeddings")
+        n2 = SC.corpus_count(spark, SF_DIR, "embeddings")
+        assert n1 == n2 > 0
+        key = (spark.sparkContext.applicationId, SF_DIR, "embeddings")
+        assert SC._COUNTS[key] == n1
 
     def test_staged_relations_match_operators(self, spark):
         """The r12 rewiring claim, unit-pinned: the staged shingle /
@@ -57,6 +82,48 @@ class TestMemoContract:
         assert _rows(staged) == _rows(direct)
         comp = SC.ngram_components(spark, SF_DIR)
         assert _rows(comp) == _rows(dedup.connected_components(direct))
+
+
+class TestPairTableDfCap:
+    def test_cap_above_fixture_max_df(self, spark):
+        """PAIR_STATS_MAX_DOC_FREQ must sit above the fixture's max
+        shingle document frequency, so the staged table is value-
+        identical to the uncapped build at every test SF (the
+        invariant the 14 oracle-backed consumers rely on)."""
+        max_df = (
+            SC.doc_shingles(spark, SF_DIR)
+            .groupBy("h").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert max_df <= SC.PAIR_STATS_MAX_DOC_FREQ
+
+    def test_hot_shingle_corpus_stays_bounded(self, spark):
+        """On a corpus where one boilerplate shingle lands in EVERY
+        document, the capped staged build must not go quadratic: the
+        uncapped join yields all C(n,2) pairs from that single key;
+        the capped build drops it and returns only the genuinely
+        near-dup pairs."""
+        n = 60
+        rows = [
+            # shared boilerplate ("copyright acme corp") in all docs +
+            # a unique tail so uncapped Jaccard stays below any policy
+            # threshold; docs 0/1 are true near-dups of each other.
+            (f"d{i:03d}",
+             "copyright acme corp "
+             + ("alpha beta gamma delta epsilon" if i < 2
+                else f"tail{i} u{i} v{i} w{i} x{i}"))
+            for i in range(n)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.0
+        )
+        capped = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.0,
+            max_doc_freq=SC.PAIR_STATS_MAX_DOC_FREQ,
+        )
+        assert uncapped.count() == n * (n - 1) // 2  # quadratic blow-up
+        capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert capped_pairs == {("d000", "d001")}  # linear: true dups only
 
 
 class TestAdaptivePlanes:
