@@ -511,7 +511,14 @@ def _cmd_vector_store(args, spark, out) -> int:
         vec = VS.read_vector_store(spark, args.store)
         n = vec.count()
         stale = vec.where(F.col("epoch") != epoch).count()
-        out(f"store {args.store}: epoch {epoch}, {n} vectors, {stale} stale")
+        # stale_fraction is the serving-path health contract: exactly
+        # the fraction of rows vector_store_search must exact-scan
+        # instead of cell-probing (pinned by tests/test_vector_store).
+        frac = VS.stale_fraction(spark, args.store)
+        out(
+            f"store {args.store}: epoch {epoch}, {n} vectors, "
+            f"{stale} stale (stale_fraction={frac:.4f})"
+        )
         census = (
             vec.where(F.col("epoch") == epoch)
             .groupBy("cell")

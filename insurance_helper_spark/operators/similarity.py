@@ -261,12 +261,12 @@ def adaptive_srp_planes(
 
     The r12 sf1 scale probe measured the fixed-plane configurations at
     85×/135× their sf0.1 wall time at 10× rows (bucket occupancy grows
-    linearly, per-bucket join output quadratically); this knob is the
-    documented LSH answer (more planes per table at larger corpora,
-    recall re-bought with n_tables where the similarity band needs it
-    — at the production near-dup band cos ≥ 0.9, 8 planes × 16 tables
-    still gives recall ≥ 0.99). Returns ``base_planes`` whenever the
-    corpus is small enough that base already meets the target, so
+    linearly, per-bucket join output quadratically). More planes alone
+    SACRIFICES recall at the query's similarity band — pair it with
+    ``adaptive_srp_tables`` (r13, ADVICE r12), which grows the table
+    count to hold the base configuration's recall at the band the
+    query actually serves. Returns ``base_planes`` whenever the corpus
+    is small enough that base already meets the target, so
     fixture-scale behavior (and every recall pin) is unchanged.
     """
     import math
@@ -274,6 +274,64 @@ def adaptive_srp_planes(
     if n_rows <= target_occupancy:
         return base_planes
     return max(base_planes, math.ceil(math.log2(n_rows / target_occupancy)))
+
+
+def srp_collision_p(cosine: float) -> float:
+    """Per-hyperplane collision probability for a pair at the given
+    cosine: p = 1 − θ/π (Goemans–Williamson / Charikar 2002)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+
+
+def srp_recall(n_planes: int, n_tables: int, cosine: float) -> float:
+    """Probability a pair at the given cosine shares ≥1 bucket across
+    L tables of b planes: 1 − (1 − p^b)^L with p = srp_collision_p."""
+    p = srp_collision_p(cosine)
+    return 1.0 - (1.0 - p**n_planes) ** n_tables
+
+
+def adaptive_srp_tables(
+    n_planes: int,
+    target_cosine: float,
+    base_planes: int,
+    base_tables: int,
+    max_tables: int = 128,
+) -> int:
+    """Table count that HOLDS the base configuration's recall at the
+    query's actual similarity band as the plane count grows with
+    corpus size (ADVICE r12: growing planes alone silently collapses
+    recall — at cos ≥ 0.4, p ≈ 0.63, so 4→8 planes drops per-table
+    collision from 0.159 to 0.025 and 16-table recall from 0.94 to
+    0.33; the recall figure a query advertises must be re-bought with
+    tables).
+
+    Solves 1-(1-p^planes)^L ≥ recall(base_planes, base_tables, p) for
+    L, capped at ``max_tables``. The cap is the honest cost ceiling:
+    holding recall at a LOW band is intrinsically super-linear — with
+    occupancy-targeted planes (b = log2(n/occ)) and recall held, total
+    candidate volume grows as n^(1+log2(2·p)/1)… ≈ n^1.66 at p = 0.63
+    — so past the cap the engine degrades recall gracefully instead of
+    exploding cost; callers can report the delivered figure via
+    ``srp_recall``. At the production near-dup band (cos ≥ 0.9,
+    p = 0.856) the same formula stays cheap: 8 planes need only 39
+    tables to hold the 4-plane×16-table recall of 0.9999, and recall
+    0.99 needs just 16.
+
+    Returns ``base_tables`` unchanged when planes == base_planes, so
+    fixture-scale behavior (and every recall/rows pin) is identical.
+    """
+    import math
+
+    if n_planes <= base_planes:
+        return base_tables
+    p = srp_collision_p(target_cosine)
+    target_recall = srp_recall(base_planes, base_tables, target_cosine)
+    miss = 1.0 - p**n_planes
+    if miss <= 0.0:
+        return base_tables
+    need = math.ceil(math.log(max(1.0 - target_recall, 1e-300)) / math.log(miss))
+    return max(base_tables, min(max_tables, need))
 
 
 def cross_bucket_candidates(

@@ -258,10 +258,25 @@ def vector_store_ingest_stream(
                 ):
                     # Heal the one crash window inline reassignment
                     # leaves: vectors committed, crash before the
-                    # post-re-election reassign ran. Idempotent (same
-                    # bytes when rerun; zero work when nothing stale),
-                    # so replay stays bit-identical.
-                    reassign_stale(spark_b, store_dir)
+                    # post-re-election reassign ran. Keyed on a stale
+                    # row actually existing (ADVICE r12): a full
+                    # replay hits this guard once per batch, and an
+                    # unconditional reassign_stale pays a centroid
+                    # read + distinct scan + collect N times when at
+                    # most one heal does anything — a limit-1 probe on
+                    # the epoch column decides instead. Idempotent
+                    # (same bytes when rerun), so replay stays
+                    # bit-identical.
+                    cur = read_centroids(spark_b, store_dir).first()["epoch"]
+                    stale_exists = bool(
+                        read_vector_store(spark_b, store_dir)
+                        .where(F.col("epoch") != cur)
+                        .select("epoch")
+                        .limit(1)
+                        .take(1)
+                    )
+                    if stale_exists:
+                        reassign_stale(spark_b, store_dir)
                     return
         except AnalysisException:
             pass  # no vectors table yet

@@ -874,14 +874,23 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     # invocation (ADVICE r12); an upper bound for both sides, so
     # per-table candidate volume stays ≤ target·|side| — linear.
     # 4 planes at fixture SFs (recall pin unchanged).
-    from insurance_helper_spark.operators.similarity import adaptive_srp_planes
+    from insurance_helper_spark.operators.similarity import (
+        adaptive_srp_planes,
+        adaptive_srp_tables,
+    )
     from insurance_helper_spark.queries.shared_cache import corpus_count
 
     n_planes = adaptive_srp_planes(
         corpus_count(spark, sf_dir, "embeddings"), base_planes=4
     )
+    # Tables grow with planes to hold the 4×12 ≈ 0.83 candidate recall
+    # at this query's weak fixture band (median cos 0.33, p ≈ 0.61);
+    # capped at 128 tables — see adaptive_srp_tables (ADVICE r12).
+    n_tables = adaptive_srp_tables(
+        n_planes, target_cosine=0.33, base_planes=4, base_tables=12
+    )
     cand = cross_bucket_candidates(
-        src.select("x_id", "vec"), tgt, dim=dim, n_planes=n_planes, n_tables=12
+        src.select("x_id", "vec"), tgt, dim=dim, n_planes=n_planes, n_tables=n_tables
     )
     grid = (
         cand.join(src.select("x_id", "x_lang", F.col("vec").alias("x_vec")), "x_id")

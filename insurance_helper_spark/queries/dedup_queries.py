@@ -335,15 +335,24 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occupancy). 4 planes up to ~2k vectors (fixture behavior and the
     # recall pin unchanged), +1 plane per corpus doubling beyond. The
     # corpus count is a real job, memoized per session (ADVICE r12).
+    # Tables grow WITH planes to hold the base config's recall at this
+    # query's actual band (cos ≥ 0.4, p_plane ≈ 0.63 → 4×16 recall
+    # ≈ 0.94; 8 planes alone would drop it to 0.33 — ADVICE r12); past
+    # the 128-table cost cap recall degrades gracefully and the
+    # delivered figure is similarity.srp_recall(planes, tables, 0.4).
     n_planes = similarity.adaptive_srp_planes(
         corpus_count(spark, sf_dir, "embeddings"), base_planes=4
+    )
+    n_tables = similarity.adaptive_srp_tables(
+        n_planes, target_cosine=0.4, base_planes=4, base_tables=16
     )
     return (
         similarity.embedding_near_dup_pairs(
             # 0.399 (not 0.4) for the same boundary reason as the exact
             # twin: a pair at true cosine 0.39996 rounds UP to 0.4 and
             # must survive the operator-level prune on both paths.
-            emb, threshold=0.399, exact=False, n_planes=n_planes, n_tables=16, seed=7
+            emb, threshold=0.399, exact=False,
+            n_planes=n_planes, n_tables=n_tables, seed=7
         )
         .withColumn("cosine_sim", F.round("cosine_sim", 4))
         .filter(F.col("cosine_sim") >= 0.4)

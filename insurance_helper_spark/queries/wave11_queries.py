@@ -827,10 +827,16 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assert_true returns NULL when the condition holds, so the filter
     # passes the single row through untouched — and throws before any
     # wrapped integral can reach the outputs when it does not.
-    bound = (
+    # coalesce(…, 0.0): with ≤1 distinct cents value the next_cents
+    # filter leaves zero rows, the global agg yields NULL __min_c /
+    # __max_c, and assert_true(NULL) would throw a MISLEADING overflow
+    # error on degenerate input that is actually in budget (ADVICE
+    # r12) — a NULL bound passes through as 0 instead.
+    bound = F.coalesce(
         F.col("n_hi").cast("double")
         * F.col("n_lo").cast("double")
-        * (F.col("__max_c") - F.col("__min_c")).cast("double")
+        * (F.col("__max_c") - F.col("__min_c")).cast("double"),
+        F.lit(0.0),
     )
     acc = acc.where(
         F.assert_true(

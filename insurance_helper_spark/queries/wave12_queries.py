@@ -65,12 +65,21 @@ _BRONZE_COLS = ("okey_s", "cust_soft", "cust_hard", "price_s", "date_s",
 # dirty-date trial order on the leading whitespace token).
 _OK_BIGINT = r"regexp_matches({c}, '^[+-]?\d{{1,18}}$')"
 _OK_DOUBLE = r"regexp_matches({c}, '^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$')"
+# The shape gate mirrors schema_infer._DATE_SHAPE_RE — both engines
+# gate the trial parse identically, so the census and the enforcement
+# cast are definitionally consistent (ADVICE r12), not merely
+# coincident on fixture data.
+_DATE_SHAPE_SQL = (
+    "regexp_matches(regexp_extract(trim({c}), '^\\S+'),"
+    " '^\\d{{1,4}}[-/][0-9A-Za-z]{{1,3}}[-/]\\d{{1,4}}$')"
+)
 _OK_DATE = (
+    "(" + _DATE_SHAPE_SQL + " AND "
     "coalesce(try_strptime(regexp_extract(trim({c}), '^\\S+'), '%Y-%m-%d'),"
     " try_strptime(regexp_extract(trim({c}), '^\\S+'), '%d-%m-%Y'),"
     " try_strptime(regexp_extract(trim({c}), '^\\S+'), '%d/%m/%Y'),"
     " try_strptime(regexp_extract(trim({c}), '^\\S+'), '%Y/%m/%d'),"
-    " try_strptime(regexp_extract(trim({c}), '^\\S+'), '%d-%b-%Y')) IS NOT NULL"
+    " try_strptime(regexp_extract(trim({c}), '^\\S+'), '%d-%b-%Y')) IS NOT NULL)"
 )
 _OK_BOOL = "lower({c}) IN ('true', 'false')"
 
@@ -179,11 +188,13 @@ parsed AS (
               THEN CAST(cust_soft AS BIGINT) END AS p_cust,
          CASE WHEN regexp_matches(price_s, '^[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')
               THEN CAST(price_s AS DOUBLE) END AS p_price,
-         CAST(coalesce(try_strptime(date_s, '%Y-%m-%d'),
+         CASE WHEN regexp_matches(regexp_extract(trim(date_s), '^\\S+'),
+                                  '^\\d{1,4}[-/][0-9A-Za-z]{1,3}[-/]\\d{1,4}$')
+              THEN CAST(coalesce(try_strptime(date_s, '%Y-%m-%d'),
                        try_strptime(date_s, '%d-%m-%Y'),
                        try_strptime(date_s, '%d/%m/%Y'),
                        try_strptime(date_s, '%Y/%m/%d'),
-                       try_strptime(date_s, '%d-%b-%Y')) AS DATE) AS p_date,
+                       try_strptime(date_s, '%d-%b-%Y')) AS DATE) END AS p_date,
          o_custkey, o_totalprice, odate, oflag
   FROM typed
 ),

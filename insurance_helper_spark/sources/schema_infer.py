@@ -67,13 +67,23 @@ def parse_ok(col: Column, t: str) -> Column:
 
 
 def cast_as(col: Column, t: str) -> Column:
-    """The enforcement cast matching :func:`parse_ok` (NULL on failure)."""
+    """The enforcement cast matching :func:`parse_ok` (NULL on failure).
+
+    The date cast carries the SAME shape gate as ``parse_ok`` (ADVICE
+    r12): if enforcement were ungated ``parse_dirty_date``, any head
+    the trial parser accepts but the shape regex rejects (a >4-digit
+    year, a future ``DIRTY_DATE_FORMATS`` addition) would break the
+    "report is the exact null-inflation forecast" contract — the
+    census would count the cell as unparseable while the silver write
+    kept it. Keep the gate in lockstep with ``parse_ok``.
+    """
     if t == "bigint":
         return F.when(col.rlike(_BIGINT_RE), col.cast("long"))
     if t == "double":
         return F.when(col.rlike(_DOUBLE_RE), col.cast("double"))
     if t == "date":
-        return parse_dirty_date(col)
+        head = F.split(F.trim(col), r"\s+").getItem(0)
+        return F.when(head.rlike(_DATE_SHAPE_RE), parse_dirty_date(col))
     if t == "boolean":
         return F.when(F.lower(col).isin("true", "false"), F.lower(col) == "true")
     if t == "string":

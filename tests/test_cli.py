@@ -467,6 +467,69 @@ class TestVectorStoreCli:
         rc, text = run(spark, ["vector-store", "status", "--store", store])
         assert rc == 0 and "0 stale" in text
 
+    def test_status_stale_fraction_equals_fallback_volume(self, spark, tmp_path):
+        """status renders stale_fraction, and the metric IS the
+        serving contract: with batch 0 manufactured stale (40/120
+        rows), a search must still rank every stale row via the
+        exact-scan fallback — its output equals a brute-force top-k
+        over ALL rows (VERDICT r12 item 7)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from insurance_helper_spark.operators import vector_store as VS
+
+        in_dir = self._write_input(tmp_path)
+        store = str(tmp_path / "store")
+        rc, _ = run(spark, ["vector-store", "ingest", "--input", in_dir,
+                            "--store", store, "--centroids", "4"])
+        assert rc == 0
+        # manufacture partial staleness: rewrite batch 0's partition
+        # under a bygone epoch (the crash-window shape, but partial)
+        vec = VS.read_vector_store(spark, store)
+        cur = VS.read_centroids(spark, store).first()["epoch"]
+        b0 = vec.where(F.col("ingest_batch") == 0).localCheckpoint(eager=True)
+        (
+            b0.select(
+                "vec_id", "vv", "cell",
+                F.lit(cur - 1).cast("long").alias("epoch"), "ingest_batch",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(f"{store}/vectors")
+        )
+        rc, text = run(spark, ["vector-store", "status", "--store", store])
+        assert rc == 0
+        assert "40 stale (stale_fraction=0.3333)" in text
+        # fallback completeness: full-probe search over the 2/3-current
+        # store equals numpy brute force over ALL 120 rows — possible
+        # only if every stale row rode the exact-scan fallback
+        queries = (
+            VS.read_vector_store(spark, store)
+            .where(F.col("vec_id") == 0)
+            .select(F.col("vec_id").alias("query_id"), "vv")
+            .localCheckpoint(eager=True)
+        )
+        got = {
+            r["nn_rank"]: (r["neighbor_id"], r["cosine_sim"])
+            for r in VS.vector_store_search(
+                spark, store, queries, k=5, n_probe=4
+            ).collect()
+        }
+        rows = VS.read_vector_store(spark, store).select("vec_id", "vv").collect()
+        mat = {r["vec_id"]: np.array(r["vv"]) for r in rows}
+        q = mat[0]
+        scored = sorted(
+            (
+                (-round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), i)
+                for i, v in mat.items() if i != 0
+            )
+        )[:5]
+        want = {rk + 1: (i, -s) for rk, (s, i) in enumerate(scored)}
+        assert got == want
+        # at least one top hit comes from the stale partition (ids<40)
+        assert any(nid < 40 for nid, _ in got.values())
+
     def test_search_unknown_id_and_missing_store(self, spark, tmp_path):
         rc, text = run(spark, ["vector-store", "status",
                                "--store", str(tmp_path / "nope")])

@@ -301,3 +301,19 @@ def test_approx_distinct_never_sketches_per_distinct_key(spark):
         if "approx_count_distinct" in line and "keys=[" in line:
             keys = line.split("keys=[", 1)[1].split("]", 1)[0]
             assert "l_partkey" not in keys, line
+
+
+def test_energy_distance_degenerate_single_value(spark, tmp_path):
+    """A corpus where EVERY order has the same price has zero distinct
+    gaps: the ECDF walk is empty and the int64-headroom guard's bound
+    aggregates to NULL. The guard must pass the degenerate NULL-
+    integral row through (coalesce to 0.0), NOT throw its misleading
+    'exceeds int64 budget' assertion (ADVICE r12)."""
+    spark.createDataFrame(
+        [("1-URGENT", 10.0), ("3-MEDIUM", 10.0), ("5-LOW", 10.0)],
+        "o_orderpriority string, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = catalog.QUERIES["stat_energy_distance"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["e_xy_dollars"] is None and r["energy_dist_dollars"] is None

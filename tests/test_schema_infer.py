@@ -45,6 +45,28 @@ class TestCandidates:
             )
             assert first == expect, (v, first, expect)
 
+    def test_cast_matches_parse_ok_for_every_type(self, spark):
+        """Definitional consistency (ADVICE r12): for EVERY candidate
+        type, cast_as yields non-null exactly where parse_ok is true —
+        including date heads the trial parser would accept but the
+        shape gate rejects (>4-digit years), which previously cast
+        to a value the census had counted as unparseable."""
+        vals = [
+            "42", "-7", "12.5", "1e3", "true", "FALSE", "N/A", "",
+            "2018-06-04", "04-06-2018", "2018-06-04 04-06-2018",
+            "12345-01-01",  # trial parse may accept; shape gate must not
+            "3-Jan-2020", "03-Jan-2020", "9" * 19, "1-URGENT",
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        for t in SI.TYPE_PRECEDENCE:
+            rows = df.select(
+                "s",
+                SI.parse_ok(F.col("s"), t).alias("ok"),
+                SI.cast_as(F.col("s"), t).alias("cast"),
+            ).collect()
+            for r in rows:
+                assert bool(r["ok"]) == (r["cast"] is not None), (t, r["s"])
+
     def test_bigint_regex_never_overflows(self, spark):
         # 19 digits would exceed int64 territory: must NOT classify as
         # bigint (falls through to double, which is lossy but safe)

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from insurance_helper_spark.operators import dedup
-from insurance_helper_spark.operators.similarity import adaptive_srp_planes
+from insurance_helper_spark.operators.similarity import (
+    adaptive_srp_planes,
+    adaptive_srp_tables,
+    srp_recall,
+)
 from insurance_helper_spark.queries import shared_cache as SC
 from insurance_helper_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
@@ -146,3 +150,61 @@ class TestAdaptivePlanes:
             p = adaptive_srp_planes(n, base_planes=4)
             assert p >= prev
             prev = p
+
+
+class TestAdaptiveTables:
+    """adaptive_srp_tables (ADVICE r12): growing planes must re-buy
+    recall at the query's ACTUAL band with tables, not silently ship
+    the collapse (4→8 planes at cos 0.4 drops 16-table recall from
+    0.94 to 0.33)."""
+
+    def test_base_planes_keep_base_tables(self):
+        # fixture invariance: every recall/rows pin unchanged
+        assert adaptive_srp_tables(4, 0.4, 4, 16) == 16
+        assert adaptive_srp_tables(4, 0.33, 4, 12) == 12
+
+    def test_recall_held_at_band_under_cap(self):
+        for planes in (5, 6, 7):
+            t = adaptive_srp_tables(planes, 0.4, 4, 16)
+            base = srp_recall(4, 16, 0.4)
+            assert srp_recall(planes, t, 0.4) >= base - 1e-9
+            # and not over-bought: one table fewer would miss it
+            assert srp_recall(planes, t - 1, 0.4) < base
+
+    def test_cap_bounds_cost_low_band(self):
+        # 8 planes at cos 0.4 need ~109 tables; cap at 64 degrades
+        # recall gracefully instead of exploding cost
+        assert adaptive_srp_tables(8, 0.4, 4, 16, max_tables=64) == 64
+        assert 0.7 < srp_recall(8, 64, 0.4) < srp_recall(4, 16, 0.4)
+
+    def test_high_band_stays_cheap(self):
+        # production near-dup band cos>=0.9: holding recall is cheap
+        t = adaptive_srp_tables(8, 0.9, 4, 16)
+        assert t <= 64
+        assert srp_recall(8, t, 0.9) >= srp_recall(4, 16, 0.9) - 1e-9
+
+    def test_recall_formula_vs_monte_carlo(self):
+        """srp_recall's closed form against a brute-force simulation:
+        random unit pairs at a fixed angle, random hyperplanes, count
+        pairs sharing >=1 of L b-plane buckets."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        dim, cos_t, planes, tables, trials = 16, 0.4, 3, 6, 4000
+        theta = np.arccos(cos_t)
+        hits = 0
+        for _ in range(trials):
+            a = rng.normal(size=dim)
+            a /= np.linalg.norm(a)
+            r = rng.normal(size=dim)
+            r -= (r @ a) * a
+            r /= np.linalg.norm(r)
+            b = np.cos(theta) * a + np.sin(theta) * r
+            h = rng.normal(size=(tables * planes, dim))
+            bits_a = (h @ a) >= 0
+            bits_b = (h @ b) >= 0
+            same = (bits_a == bits_b).reshape(tables, planes).all(axis=1)
+            hits += bool(same.any())
+        emp = hits / trials
+        pred = srp_recall(planes, tables, cos_t)
+        assert abs(emp - pred) < 0.03  # ~4σ for 4000 Bernoulli trials
