@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_simhash_rowsonly",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
+    "dedup_hot_shingle_census",
+    "similarity_srp_plan_audit",
     "pipeline_dedup_corpus",
     "similarity_cosine_topk",
     "text_tfidf_top_terms",

@@ -1932,3 +1932,57 @@ def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bands"), "s_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_hot_shingle_census — observability for the staged pair table's
+# document-frequency cap (shared_cache.PAIR_STATS_MAX_DOC_FREQ, r13):
+# the df histogram of the shingle relation plus the over-cap flag per
+# df bucket. On the fixture every bucket is under the cap (max df 25);
+# on a boilerplate-heavy corpus the over_cap rows are exactly the
+# stopword shingles the staged build drops — this census is the "log /
+# count the dropped hot shingles" artifact a published pair table
+# carries (VERDICT r12 item 2). One groupBy on the staged shingle
+# relation, then a groupBy on the |distinct df| values — tiny output.
+# ---------------------------------------------------------------------------
+
+HOT_SHINGLE_CENSUS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfs AS (SELECT shingle, count(*) AS doc_freq FROM ex GROUP BY shingle)
+SELECT CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       doc_freq > 50 AS over_cap
+FROM dfs GROUP BY doc_freq ORDER BY doc_freq
+"""
+
+
+@register("dedup_hot_shingle_census", HOT_SHINGLE_CENSUS_ORACLE)
+def dedup_hot_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram over the staged shingle
+    relation, with each df bucket flagged against the staged pair
+    table's hot-shingle cap — the audit that makes the cap's "no-op at
+    fixture scale, guard at corpus scale" claim checkable."""
+    from insurance_helper_spark.queries.shared_cache import PAIR_STATS_MAX_DOC_FREQ
+
+    dfs = (
+        doc_shingles(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    return (
+        dfs.groupBy("doc_freq")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+        .withColumn("over_cap", F.col("doc_freq") > F.lit(PAIR_STATS_MAX_DOC_FREQ))
+        .orderBy("doc_freq")
+    )

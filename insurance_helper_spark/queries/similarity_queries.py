@@ -2901,3 +2901,88 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rel_q") / 1e8).alias("relevance"),
         (F.col("msim") / 1e8).alias("max_sim_to_selected"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# similarity_srp_plan_audit — the adaptive SRP planner (r13, ADVICE
+# r12) as an oracle-checked artifact: for the fixture corpus and three
+# hypothetical scale-ups, the (planes, tables) the engine would run
+# dedup_embedding_cosine_lsh with, and the candidate recall those
+# parameters deliver at the query's ACTUAL band (cos >= 0.4). The
+# Spark side calls the REAL planner functions (folded to literals at
+# plan build — pure driver math, nothing distributed); the oracle
+# re-derives plane count (occupancy bound), table count (recall-held,
+# 128-table cap) and recall (1-(1-p^b)^L, p = 1-acos(t)/pi) from the
+# published closed forms. A divergence between code and formula is a
+# hash mismatch — that is the audit.
+# ---------------------------------------------------------------------------
+
+SRP_PLAN_AUDIT_ORACLE = """
+WITH nv AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM embeddings),
+grid AS (SELECT unnest([1, 10, 100, 1000]) AS m),
+base AS (
+  SELECT CAST(g.m AS BIGINT) AS scale_mult,
+         CAST(nv.n0 * g.m AS BIGINT) AS n_vectors,
+         1 - acos(0.4) / pi() AS p
+  FROM grid g CROSS JOIN nv
+),
+planned AS (
+  SELECT scale_mult, n_vectors, p,
+         CASE WHEN n_vectors <= 128 THEN 4
+              ELSE greatest(4, CAST(ceil(log2(n_vectors / 128.0)) AS BIGINT))
+         END AS n_planes
+  FROM base
+),
+tabled AS (
+  SELECT scale_mult, n_vectors, p, n_planes,
+         CASE WHEN n_planes <= 4 THEN 16
+              ELSE greatest(16, least(128, CAST(ceil(
+                   ln(1 - (1 - power(1 - power(p, 4), 16)))
+                   / ln(1 - power(p, n_planes))) AS BIGINT)))
+         END AS n_tables
+  FROM planned
+)
+SELECT scale_mult, n_vectors,
+       CAST(n_planes AS BIGINT) AS n_planes,
+       CAST(n_tables AS BIGINT) AS n_tables,
+       round(1 - power(1 - power(p, n_planes), n_tables), 6) AS recall_at_band,
+       round(1 - power(1 - power(p, 4), 16), 6) AS base_recall
+FROM tabled ORDER BY scale_mult
+"""
+
+
+@register("similarity_srp_plan_audit", SRP_PLAN_AUDIT_ORACLE)
+def similarity_srp_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive SRP plan (planes via occupancy bound, tables via
+    recall-holding at cos >= 0.4) for the fixture corpus at 1/10/100/
+    1000x, with delivered-vs-base candidate recall. Driver-side math
+    over the memoized corpus count; the relation is 4 literal rows."""
+    from insurance_helper_spark.operators.similarity import (
+        adaptive_srp_planes,
+        adaptive_srp_tables,
+        srp_recall,
+    )
+    from insurance_helper_spark.queries.shared_cache import corpus_count
+
+    n0 = corpus_count(spark, sf_dir, "embeddings")
+    rows = []
+    for mult in (1, 10, 100, 1000):
+        n = n0 * mult
+        b = adaptive_srp_planes(n, base_planes=4)
+        t = adaptive_srp_tables(b, target_cosine=0.4, base_planes=4, base_tables=16)
+        rows.append((mult, n, b, t, srp_recall(b, t, 0.4), srp_recall(4, 16, 0.4)))
+    return (
+        spark.createDataFrame(
+            rows,
+            "scale_mult long, n_vectors long, n_planes long, n_tables long,"
+            " recall_raw double, base_raw double",
+        )
+        # rounding happens ENGINE-side (F.round vs DuckDB round — the
+        # proven cross-engine pair), not in Python (banker's rounding)
+        .select(
+            "scale_mult", "n_vectors", "n_planes", "n_tables",
+            F.round("recall_raw", 6).alias("recall_at_band"),
+            F.round("base_raw", 6).alias("base_recall"),
+        )
+        .orderBy("scale_mult")
+    )
