@@ -508,6 +508,10 @@ def _exact_pairs_numpy(base: DataFrame, threshold: float) -> DataFrame:
                 }
             )
 
+    # Without this, the block side inherits FILE-SPLIT parallelism — a
+    # single-file corpus scan is 1-2 tasks, each multiplying half the
+    # n×n grid serially. Size by compute fan-out, not input bytes.
+    base = base.repartition(spark.sparkContext.defaultParallelism)
     return base.mapInPandas(run, schema=out_schema)
 
 

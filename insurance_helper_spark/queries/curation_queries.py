@@ -783,6 +783,13 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         v.filter(F.col("lang") != "en")
         .select(F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec")
+        # The matmul stream side otherwise inherits FILE-SPLIT
+        # parallelism (a small single-file parquet scan = 1-2 tasks),
+        # each task carrying the full |en|x row fan-out near-serially —
+        # the r13 sf1 probe measured a 2-task stage pinned for minutes.
+        # Size parallelism by OUTPUT fan-out: one round-robin
+        # repartition restores 32-way blocks (same fix as ml_knn r12).
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(run, schema="x_id bigint, x_lang string, y_id bigint, cos_sim double")
     )
     return _margin_best(grid)
