@@ -340,21 +340,34 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≈ 0.94; 8 planes alone would drop it to 0.33 — ADVICE r12); past
     # the 128-table cost cap recall degrades gracefully and the
     # delivered figure is similarity.srp_recall(planes, tables, 0.4).
-    n_planes = similarity.adaptive_srp_planes(
-        corpus_count(spark, sf_dir, "embeddings"), base_planes=4
-    )
+    n = corpus_count(spark, sf_dir, "embeddings")
+    n_planes = similarity.adaptive_srp_planes(n, base_planes=4)
     n_tables = similarity.adaptive_srp_tables(
         n_planes, target_cosine=0.4, base_planes=4, base_tables=16
     )
-    return (
-        similarity.embedding_near_dup_pairs(
+    # Cost-based plan dispatch (r13 probe receipt): at a LOW band,
+    # recall-held LSH inspects a constant fraction of the exact grid
+    # (L/2^b = 109/256 ≈ 0.43 at 10× fixture) but pays shuffle-join
+    # prices per candidate — the sf1 probe measured 280 s for the
+    # 109-table LSH vs 19 s for the blocked-GEMM exact scan of the
+    # same corpus. Brute-force GEMM dominates until the corpus
+    # outgrows the broadcast ceiling (~1M×64) or the band is high
+    # enough that L/2^b collapses (cos ≥ 0.9 at 1M rows: 86/8192
+    # ≈ 0.01 → LSH wins 50×). Dispatch mirrors
+    # similarity_srp_plan_audit's published `plan` column; fixture
+    # scale (base planes) keeps the pinned LSH behavior.
+    if n_planes > 4 and n <= 1_000_000 and n_tables / 2**n_planes >= 1.0 / 16:
+        pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.399, exact=True)
+    else:
+        pairs = similarity.embedding_near_dup_pairs(
             # 0.399 (not 0.4) for the same boundary reason as the exact
             # twin: a pair at true cosine 0.39996 rounds UP to 0.4 and
             # must survive the operator-level prune on both paths.
             emb, threshold=0.399, exact=False,
             n_planes=n_planes, n_tables=n_tables, seed=7
         )
-        .withColumn("cosine_sim", F.round("cosine_sim", 4))
+    return (
+        pairs.withColumn("cosine_sim", F.round("cosine_sim", 4))
         .filter(F.col("cosine_sim") >= 0.4)
         .orderBy("id_a", "id_b")
     )

@@ -2946,7 +2946,12 @@ SELECT scale_mult, n_vectors,
        CAST(n_planes AS BIGINT) AS n_planes,
        CAST(n_tables AS BIGINT) AS n_tables,
        round(1 - power(1 - power(p, n_planes), n_tables), 6) AS recall_at_band,
-       round(1 - power(1 - power(p, 4), 16), 6) AS base_recall
+       round(1 - power(1 - power(p, 4), 16), 6) AS base_recall,
+       CASE WHEN n_planes <= 4 THEN 'lsh-base'
+            WHEN n_vectors <= 1000000
+                 AND CAST(n_tables AS DOUBLE) / power(2, n_planes) >= 1.0 / 16
+            THEN 'exact-gemm'
+            ELSE 'lsh' END AS plan
 FROM tabled ORDER BY scale_mult
 """
 
@@ -2970,12 +2975,25 @@ def similarity_srp_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = n0 * mult
         b = adaptive_srp_planes(n, base_planes=4)
         t = adaptive_srp_tables(b, target_cosine=0.4, base_planes=4, base_tables=16)
-        rows.append((mult, n, b, t, srp_recall(b, t, 0.4), srp_recall(4, 16, 0.4)))
+        # The dispatch rule dedup_embedding_cosine_lsh actually runs
+        # (r13): recall-held LSH at a low band inspects L/2^b of the
+        # exact grid at shuffle-join prices — below the broadcast
+        # ceiling, blocked GEMM dominates once that fraction clears
+        # 1/16 (probe receipt: 280 s LSH vs 19 s GEMM at 10× fixture).
+        if b <= 4:
+            plan = "lsh-base"
+        elif n <= 1_000_000 and t / 2**b >= 1.0 / 16:
+            plan = "exact-gemm"
+        else:
+            plan = "lsh"
+        rows.append(
+            (mult, n, b, t, srp_recall(b, t, 0.4), srp_recall(4, 16, 0.4), plan)
+        )
     return (
         spark.createDataFrame(
             rows,
             "scale_mult long, n_vectors long, n_planes long, n_tables long,"
-            " recall_raw double, base_raw double",
+            " recall_raw double, base_raw double, plan string",
         )
         # rounding happens ENGINE-side (F.round vs DuckDB round — the
         # proven cross-engine pair), not in Python (banker's rounding)
@@ -2983,6 +3001,7 @@ def similarity_srp_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale_mult", "n_vectors", "n_planes", "n_tables",
             F.round("recall_raw", 6).alias("recall_at_band"),
             F.round("base_raw", 6).alias("base_recall"),
+            "plan",
         )
         .orderBy("scale_mult")
     )
