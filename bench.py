@@ -396,6 +396,26 @@ def _load_prev_headline(repo: str) -> dict[str, float]:
 SUITE_TOTAL_BUDGET_RATIO = 1.15
 
 
+def _suite_total_gate(
+    timings: dict[str, float],
+    prev_head: dict[str, float],
+    ratio: float = SUITE_TOTAL_BUDGET_RATIO,
+) -> tuple[float, float, int] | None:
+    """Like-for-like headline-total check: (now, prev, n_common) when
+    the common-query total exceeds ratio x the previous round's, else
+    None. Queries new this round are excluded (growth is not a
+    regression); queries dropped from the suite stop counting on both
+    sides."""
+    common = [n for n in timings if n in prev_head]
+    if not common:
+        return None
+    now_sum = round(sum(timings[n] for n in common), 3)
+    prev_sum = round(sum(prev_head[n] for n in common), 3)
+    if now_sum > ratio * prev_sum:
+        return now_sum, prev_sum, len(common)
+    return None
+
+
 def _load_prev_tier2(repo: str) -> dict[str, float]:
     """Previous round's tier-2 warm map from bench_results/r*.json —
     the regression budget for non-headline queries (2x with a 1.0 s
@@ -654,13 +674,12 @@ def main() -> None:
     # thin across the suite — under every per-query budget — still
     # fails loudly (VERDICT r12 item 4).
     prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)))
-    common = [n for n in timings if n in prev_head]
-    if abs(sf - 0.1) < 1e-9 and common:
-        now_sum = round(sum(timings[n] for n in common), 3)
-        prev_sum = round(sum(prev_head[n] for n in common), 3)
-        if now_sum > SUITE_TOTAL_BUDGET_RATIO * prev_sum:
+    if abs(sf - 0.1) < 1e-9:
+        breach = _suite_total_gate(timings, prev_head)
+        if breach is not None:
+            now_sum, prev_sum, n_common = breach
             print(
-                f"SUITE-TOTAL REGRESSION: {now_sum}s over {len(common)} "
+                f"SUITE-TOTAL REGRESSION: {now_sum}s over {n_common} "
                 f"like-for-like headline queries vs previous round's "
                 f"{prev_sum}s (budget {SUITE_TOTAL_BUDGET_RATIO}x)",
                 file=sys.stderr,
