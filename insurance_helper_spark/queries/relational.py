@@ -689,6 +689,14 @@ ORDER BY o_orderkey
 
 @register("date_functions_dirty_parse", DATE_ORACLE)
 def date_functions_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort FIRST on the narrow base, render AFTER (r13): the
+    presentation orderBy previously range-shuffled the fully-rendered
+    rows (~60 B of strings each — 12 s warm at sf1, 7.1× the sf0.1
+    wall); sorting the 16-byte (key, date) base and projecting the
+    rendered columns above the sort (projects preserve ordering)
+    shuffles 4× fewer bytes: 12 s → 1.7 s warm at sf1. The parse
+    trials are also shape-gated per format inside parse_dirty_date, so
+    no row pays a failed DateTimeFormatter exception."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
     raw = (
         F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
@@ -700,9 +708,10 @@ def date_functions_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("not a date"))
     )
-    df = orders.withColumn("raw_date", raw)
     return (
-        df.select(
+        orders.orderBy("o_orderkey")
+        .withColumn("raw_date", raw)
+        .select(
             "o_orderkey",
             "raw_date",
             dates.parse_dirty_date(F.col("raw_date"), ("yyyy-MM-dd", "dd-MM-yyyy"))
@@ -713,7 +722,6 @@ def date_functions_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("days_since_epoch_start"),
             dates.fy_label_from_date(F.col("o_orderdate")).alias("fy_label"),
         )
-        .orderBy("o_orderkey")
     )
 
 

@@ -227,3 +227,55 @@ class TestBusinessDaysBetween:
         frag = business_days_between_sql("DATE '2024-01-03'", "DATE '2024-01-17'")
         got = duckdb.connect().execute(f"SELECT {frag}").fetchone()[0]
         assert got == 10  # two full weeks from a Wednesday: 10 weekdays
+
+
+class TestDirtyDateShapeGates:
+    def test_gated_trials_equal_ungated_coalesce(self, spark):
+        """The r13 per-format shape gates must be NECESSARY conditions
+        only: for every adversarial head, the gated parse equals the
+        raw 5-way try_to_timestamp coalesce bit-for-bit."""
+        from insurance_helper_spark.functions import dates
+
+        vals = [
+            "2018-06-04", "04-06-2018", "04/06/2018", "2018/06/04",
+            "04-Jan-2018", "04-JAN-2018", "04-jan-2018", "4-Jan-2018",
+            "2018-06-04 04-06-2018", "not a date", "", "  2018-06-04  ",
+            "18-06-04", "2018-6-4", "12345-01-01", "0018-06-04",
+            "2018-13-04", "31-02-2019", "+2018-06-04", "2018-06-04x",
+            "99/99/9999", "00-00-0000",
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        head = F.split(F.trim(F.col("s")), r"\s+").getItem(0)
+        ungated = F.coalesce(
+            *[
+                F.try_to_timestamp(head, F.lit(fmt)).cast("date")
+                for fmt in dates.DIRTY_DATE_FORMATS
+            ]
+        )
+        rows = df.select(
+            "s",
+            dates.parse_dirty_date(F.col("s")).cast("string").alias("gated"),
+            ungated.cast("string").alias("raw"),
+        ).collect()
+        for r in rows:
+            assert r.gated == r.raw, r.s
+
+    def test_shape_regex_derivation(self):
+        import re
+
+        from insurance_helper_spark.functions.dates import _format_shape_regex
+
+        cases = {
+            "yyyy-MM-dd": (["2018-06-04"], ["18-06-04", "2018-6-4", "12345-01-01"]),
+            "dd-MMM-yyyy": (
+                ["04-Jan-2018", "04-JAN-2018"],
+                ["4-Jan-2018", "04-January-2018"],
+            ),
+            "dd/MM/yyyy": (["04/06/2018"], ["04-06-2018", "4/6/2018"]),
+        }
+        for fmt, (ok, bad) in cases.items():
+            rx = re.compile(_format_shape_regex(fmt))
+            for v in ok:
+                assert rx.match(v), (fmt, v)
+            for v in bad:
+                assert not rx.match(v), (fmt, v)
