@@ -369,27 +369,59 @@ R1_TOTAL = 33.936
 ABS_WARM_CEILING_S = 30.0
 
 
-def _load_prev_headline(repo: str) -> dict[str, float]:
-    """Previous round's FULL headline warm map from bench_results/
-    r*.json — the basis of the suite-total gate (r13): per-query
-    budgets (2× with a 1.0 s floor) let a diffuse session-wide tax
-    through (r12 shipped +12% headline total with `regressions: {}`
-    because the block-pressure cost spread across many queries), so
-    the like-for-like HEADLINE TOTAL is also gated, at 1.15× the
-    previous recorded round."""
+def _current_round(repo: str) -> int:
+    """The round being built: $SPARK_GRAFT_ROUND, else 1 + the highest
+    driver BENCH_r*.json — the same rule _persist_round_timings uses."""
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round is not None:
+        return int(env_round)
+    try:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+    except OSError:
+        rounds = []
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _prev_round_records(repo: str):
+    """bench_results/r*.json files from rounds STRICTLY BEFORE the
+    current one, newest first. The current round's own file is
+    excluded: a re-run within a round would otherwise compare (or
+    budget) against itself — the r13 second run overwrote r13.json
+    before the gate loaded it and self-compared to a green no-op."""
+    cur = _current_round(repo)
     try:
         rounds = sorted(
             (int(m.group(1)), f)
             for f in os.listdir(os.path.join(repo, "bench_results"))
             if (m := re.match(r"r(\d+)\.json$", f))
         )
-        for _, f in reversed(rounds):
-            with open(os.path.join(repo, "bench_results", f)) as fh:
-                q = json.load(fh).get("queries")
-            if q:
-                return {k: float(v) for k, v in q.items()}
     except Exception:
-        pass
+        return
+    for n, f in reversed(rounds):
+        if n >= cur:
+            continue
+        try:
+            with open(os.path.join(repo, "bench_results", f)) as fh:
+                yield json.load(fh)
+        except Exception:
+            continue
+
+
+def _load_prev_headline(repo: str) -> dict[str, float]:
+    """PREVIOUS ROUND's full headline warm map — the basis of the
+    suite-total gate (r13): per-query budgets (2× with a 1.0 s floor)
+    let a diffuse session-wide tax through (r12 shipped +12% headline
+    total with `regressions: {}` because the block-pressure cost
+    spread across many queries), so the like-for-like HEADLINE TOTAL
+    is also gated, at 1.15× the previous round."""
+    for rec in _prev_round_records(repo):
+        q = rec.get("queries")
+        if q:
+            return {k: float(v) for k, v in q.items()}
     return {}
 
 
@@ -417,22 +449,14 @@ def _suite_total_gate(
 
 
 def _load_prev_tier2(repo: str) -> dict[str, float]:
-    """Previous round's tier-2 warm map from bench_results/r*.json —
-    the regression budget for non-headline queries (2x with a 1.0 s
-    floor, warn-only, same policy as the headline budgets)."""
-    try:
-        rounds = sorted(
-            (int(m.group(1)), f)
-            for f in os.listdir(os.path.join(repo, "bench_results"))
-            if (m := re.match(r"r(\d+)\.json$", f))
-        )
-        for _, f in reversed(rounds):
-            with open(os.path.join(repo, "bench_results", f)) as fh:
-                t2 = json.load(fh).get("tier2")
-            if t2:
-                return {k: float(v) for k, v in t2.items()}
-    except Exception:
-        pass
+    """PREVIOUS ROUND's tier-2 warm map — the regression budget for
+    non-headline queries (2x with a 1.0 s floor, warn-only, same
+    policy as the headline budgets). Excludes the current round's own
+    record (see _prev_round_records)."""
+    for rec in _prev_round_records(repo):
+        t2 = rec.get("tier2")
+        if t2:
+            return {k: float(v) for k, v in t2.items()}
     return {}
 
 # Warm timings recorded for queries added after r1 (r4 run at sf0.1,
@@ -633,6 +657,13 @@ def main() -> None:
         "tier2_cold_total": round(sum(tier2_cold.values()), 3),
         "n_queries_total": len(timings) + len(tier2),
     }
+    # The suite-total gate's baseline MUST be read BEFORE persisting
+    # this run: _persist_round_timings may overwrite the same
+    # bench_results/r{N}.json (a re-run within one round), and a
+    # post-persist load would compare the run against ITSELF — the
+    # r13 second run shipped +17% headline under a silently-green gate
+    # exactly this way.
+    prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)))
     _persist_round_timings(result, cold)
     # The driver's BENCH_r{N}.json keeps only the last 2000 chars of
     # stdout and json-parses them; the full 270-query map is ~8 KB so
@@ -673,7 +704,6 @@ def main() -> None:
     # (only queries present in both rounds), so a diffuse tax spread
     # thin across the suite — under every per-query budget — still
     # fails loudly (VERDICT r12 item 4).
-    prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)))
     if abs(sf - 0.1) < 1e-9:
         breach = _suite_total_gate(timings, prev_head)
         if breach is not None:

@@ -37,7 +37,7 @@ class TestSuiteTotalGate:
         assert bench._suite_total_gate({"a": 1.0}, {}) is None
 
 
-def test_prev_headline_loader_returns_latest_round(tmp_path):
+def test_prev_headline_loader_returns_latest_prior_round(tmp_path, monkeypatch):
     import json
     import os
 
@@ -45,5 +45,30 @@ def test_prev_headline_loader_returns_latest_round(tmp_path):
     os.makedirs(d)
     (d / "r08.json").write_text(json.dumps({"queries": {"a": 9.0}}))
     (d / "r12.json").write_text(json.dumps({"queries": {"a": 1.0, "b": 2.0}}))
+    (d / "r13.json").write_text(json.dumps({"queries": {"a": 5.0}}))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
+    # the current round's own record (a re-run within the round) must
+    # NOT become the baseline — the gate would self-compare to a no-op
     got = bench._load_prev_headline(str(tmp_path))
     assert got == {"a": 1.0, "b": 2.0}
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "14")
+    assert bench._load_prev_headline(str(tmp_path)) == {"a": 5.0}
+
+
+def test_prev_tier2_loader_skips_current_round(tmp_path, monkeypatch):
+    import json
+    import os
+
+    d = tmp_path / "bench_results"
+    os.makedirs(d)
+    (d / "r12.json").write_text(json.dumps({"tier2": {"x": 1.0}}))
+    (d / "r13.json").write_text(json.dumps({"tier2": {"x": 0.5}}))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
+    assert bench._load_prev_tier2(str(tmp_path)) == {"x": 1.0}
+
+
+def test_current_round_falls_back_to_driver_bench_files(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    assert bench._current_round(str(tmp_path)) == 13
+    assert bench._current_round(str(tmp_path / "nope_empty")) == 1
