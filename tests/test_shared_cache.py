@@ -88,6 +88,27 @@ class TestMemoContract:
         assert _rows(comp) == _rows(dedup.connected_components(direct))
 
 
+class TestStagedScanPruning:
+    def test_consumers_get_pruning_and_pushdown(self, spark):
+        """The parquet staging's second dividend (beyond freeing the
+        block manager): consumers read COLUMN-PRUNED, FILTER-PUSHED
+        scans of the staged files — a localCheckpoint block can do
+        neither. A jaccard-policy projection must reach the staged
+        scan as a 3-of-6-column ReadSchema with the threshold in
+        PushedFilters."""
+        proj = (
+            SC.ngram_pair_stats(spark, SF_DIR)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b")
+        )
+        plan = proj._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "GreaterThanOrEqual(jaccard,0.5)" in scan
+        assert "struct<id_a:bigint,id_b:bigint,jaccard:double>" in scan
+        for dropped in ("common", "size_a", "size_b"):
+            assert f"{dropped}:" not in scan.split("ReadSchema:")[1]
+
+
 class TestPairTableDfCap:
     def test_cap_above_fixture_max_df(self, spark):
         """PAIR_STATS_MAX_DOC_FREQ must sit above the fixture's max
