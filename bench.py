@@ -88,6 +88,8 @@ HEADLINE = [
     "crosslingual_margin_pairs",
     # round-5 additions: crosslingual scale twin + statistics/graph/CDC
     "crosslingual_margin_pairs_lsh",
+    # r14: per-band plan audit for the bitext cost dispatch
+    "crosslingual_plan_audit",
     "stat_welch_ttest_segments",
     "stat_chi2_priority_status",
     "stat_js_divergence_sources",

@@ -25,6 +25,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def arrow_id_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect an (id, vector) relation to the driver as numpy arrays
+    via Arrow batches — the broadcast-side materialization for the
+    blocked-GEMM paths.
+
+    ADVICE r13: ``df.collect()`` builds a Python Row object per vector,
+    each holding a boxed-float list — several GB of driver overhead at
+    the 1M×64 dispatch ceiling, far beyond the 0.5 GB float64 matrix
+    actually needed. Arrow transfers columnar buffers; the list column
+    is flattened zero-copy from the value buffer when the width is
+    uniform (embeddings always are), so driver cost ≈ the matrix itself.
+
+    Returns ``(ids: int64[n], mat: float64[n, dim])``.
+    """
+    tbl = df.select(id_col, vec_col).toArrow()
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl.column(vec_col).combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all() and col.null_count == 0:
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat[offs[0] : offs[-1]].reshape(len(col), int(widths[0]))
+    else:  # ragged or null-bearing vectors: fall back to the slow path
+        mat = np.array(col.to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def unit_rows(mat: "np.ndarray") -> "np.ndarray":
+    """Row-normalize a matrix, mapping zero vectors to themselves."""
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM-side)."""
     return F.aggregate(
@@ -478,12 +512,12 @@ def _exact_pairs_numpy(base: DataFrame, threshold: float) -> DataFrame:
     spark = base.sparkSession
     ensure_shipped(spark)
 
-    rows = base.collect()  # driver materialization of the BROADCAST side only
-    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
-    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    unit = mat / norms[:, None]
+    # Driver materialization of the BROADCAST side only — via Arrow
+    # (arrow_id_matrix), not Row objects: at the 1M×64 dispatch ceiling
+    # collect()'s per-row boxing costs several GB beyond the 0.5 GB
+    # float64 matrix; Arrow keeps driver cost ≈ the matrix (ADVICE r13).
+    ids, mat = arrow_id_matrix(base, "vid", "vec")
+    unit = unit_rows(mat)
     b_ids = spark.sparkContext.broadcast(ids)
     b_unit = spark.sparkContext.broadcast(unit)
 

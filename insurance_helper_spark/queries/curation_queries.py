@@ -739,23 +739,43 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     was) vs the interpreted zip_with/aggregate cosine over the same
     6M-pair grid. Rounding to 4 digits happens inside the kernel so the
     margin windows see cross-engine-stable values."""
-    import numpy as np
-    import pandas as pd
+    src, tgt = _bitext_sides(spark, sf_dir)
+    return _margin_best(_exact_bitext_grid(spark, src, tgt))
 
-    from insurance_helper_spark.shipping import ensure_shipped
 
-    ensure_shipped(spark)
+def _bitext_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(non-English src, English tgt) sides of the bitext-mining join:
+    src = (x_id, x_lang, vec), tgt = (y_id, vec), vecs cast to double."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     v = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "lang", F.col("embedding").cast("array<double>").alias("vec")
     )
-    tgt_rows = v.filter(F.col("lang") == "en").select("doc_id", "vec").collect()
-    y_ids = np.array([r["doc_id"] for r in tgt_rows], dtype=np.int64)
-    y_mat = np.array([r["vec"] for r in tgt_rows], dtype=np.float64)
-    y_norm = np.linalg.norm(y_mat, axis=1)
-    y_norm[y_norm == 0.0] = 1.0
-    y_unit = y_mat / y_norm[:, None]
+    src = v.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec"
+    )
+    tgt = v.filter(F.col("lang") == "en").select(F.col("doc_id").alias("y_id"), "vec")
+    return src, tgt
+
+
+def _exact_bitext_grid(spark: SparkSession, src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """The full src × tgt cosine grid via blocked BLAS: the English
+    matrix collects via Arrow (arrow_id_matrix — columnar buffers, not
+    Row objects; ADVICE r13) + broadcasts, each non-English block
+    multiplies once in mapInPandas. Cosines round to 4 digits inside
+    the kernel so the margin windows see cross-engine-stable values.
+    Shared by crosslingual_margin_pairs (always) and
+    crosslingual_margin_pairs_lsh (when the cost dispatch picks the
+    exact plan below the broadcast ceiling — VERDICT r13 item 1)."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.operators.similarity import arrow_id_matrix, unit_rows
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    y_ids, y_mat = arrow_id_matrix(tgt, "y_id", "vec")
+    y_unit = unit_rows(y_mat)
     b_yids = spark.sparkContext.broadcast(y_ids)
     b_yunit = spark.sparkContext.broadcast(y_unit)
 
@@ -767,9 +787,7 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             x_ids = pdf["x_id"].to_numpy(dtype=np.int64)
             langs = pdf["x_lang"].tolist()
             blk = np.array(list(pdf["vec"]), dtype=np.float64)
-            n = np.linalg.norm(blk, axis=1)
-            n[n == 0.0] = 1.0
-            sims = np.round((blk / n[:, None]) @ yunit.T, 4)
+            sims = np.round(unit_rows(blk) @ yunit.T, 4)
             m = len(yids)
             yield pd.DataFrame(
                 {
@@ -780,9 +798,8 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    grid = (
-        v.filter(F.col("lang") != "en")
-        .select(F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec")
+    return (
+        src
         # The matmul stream side otherwise inherits FILE-SPLIT
         # parallelism (a small single-file parquet scan = 1-2 tasks),
         # each task carrying the full |en|x row fan-out near-serially —
@@ -792,7 +809,6 @@ def crosslingual_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(run, schema="x_id bigint, x_lang string, y_id bigint, cos_sim double")
     )
-    return _margin_best(grid)
 
 
 def _margin_best(grid: DataFrame) -> DataFrame:
@@ -858,21 +874,22 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     crossover is above this scale. The twin's value is the SHAPE: no
     driver collect and no quadratic term, which is what survives when
     the English side stops fitting on the driver.
+
+    r14 (VERDICT r13 item 1): the query now cost-dispatches exactly
+    like dedup_embedding_cosine_lsh — when recall-held LSH would
+    inspect ≥ 1/16 of the exact grid and the corpus is below the
+    ~1M-vector broadcast ceiling, it runs the exact bitext grid
+    (recall 1.0) instead of paying ~76% of the exact cost to lose 17%
+    of true pairs. Fixture SFs keep base planes → LSH path and the
+    recall pins unchanged; the per-band rule is published and
+    oracle-checked in crosslingual_plan_audit.
     """
     from insurance_helper_spark.operators.similarity import (
         cross_bucket_candidates,
         pair_cosine_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    v = docs.join(emb, docs.doc_id == emb.vec_id).select(
-        "doc_id", "lang", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    src = v.filter(F.col("lang") != "en").select(
-        F.col("doc_id").alias("x_id"), F.col("lang").alias("x_lang"), "vec"
-    )
-    tgt = v.filter(F.col("lang") == "en").select(F.col("doc_id").alias("y_id"), "vec")
+    src, tgt = _bitext_sides(spark, sf_dir)
     dim = 64  # fixture embedding width (TESTDATA.md)
     # Scale-adaptive plane count (r12 probe: fixed 4 planes measured
     # 86× at 10× rows). Sized off the total vector count — a REAL
@@ -887,15 +904,28 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from insurance_helper_spark.queries.shared_cache import corpus_count
 
-    n_planes = adaptive_srp_planes(
-        corpus_count(spark, sf_dir, "embeddings"), base_planes=4
-    )
+    n = corpus_count(spark, sf_dir, "embeddings")
+    n_planes = adaptive_srp_planes(n, base_planes=4)
     # Tables grow with planes to hold the 4×12 ≈ 0.83 candidate recall
     # at this query's weak fixture band (median cos 0.33, p ≈ 0.61);
     # capped at 128 tables — see adaptive_srp_tables (ADVICE r12).
     n_tables = adaptive_srp_tables(
         n_planes, target_cosine=0.33, base_planes=4, base_tables=12
     )
+    # Cost-based plan dispatch (VERDICT r13 item 1 — the same rule
+    # dedup_embedding_cosine_lsh runs, now applied at this query's own
+    # band): at cos ≈ 0.33 (p_plane ≈ 0.61), recall-held LSH inspects
+    # L/2^b of the exact grid (94/256 ≈ 0.37 at 10× fixture) at
+    # shuffle-join prices AND still loses 17% of true pairs — the r13
+    # sf1 probe measured 61.1 s for LSH at 0.83 recall vs 80.3 s for
+    # the exact grid at 1.0, and the exact plan here is the broadcast
+    # GEMM (not that grid's window tax), so exact dominates outright
+    # below the ~1M-vector broadcast ceiling whenever L/2^b ≥ 1/16.
+    # Published + oracle-checked per band in crosslingual_plan_audit.
+    # Fixture SFs keep base planes → the LSH path and every recall pin
+    # unchanged; above the ceiling LSH is the only linear plan.
+    if n_planes > 4 and n <= 1_000_000 and n_tables / 2**n_planes >= 1.0 / 16:
+        return _margin_best(_exact_bitext_grid(spark, src, tgt))
     cand = cross_bucket_candidates(
         src.select("x_id", "vec"), tgt, dim=dim, n_planes=n_planes, n_tables=n_tables
     )
@@ -914,6 +944,110 @@ def crosslingual_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _margin_best(grid)
+
+
+# ---------------------------------------------------------------------------
+# crosslingual_plan_audit — the bitext-mining cost dispatch (r14,
+# VERDICT r13 item 1) as an oracle-checked artifact, the per-band
+# sibling of similarity_srp_plan_audit: for the fixture corpus and
+# three hypothetical scale-ups, the (planes, tables) the engine would
+# size crosslingual_margin_pairs_lsh with at ITS band (cos ≈ 0.33,
+# p_plane ≈ 0.61, base 4 planes × 12 tables) and the plan the dispatch
+# actually picks. The weak band makes the exact-gemm region WIDE: at
+# p = 0.61 recall-held table counts blow through L/2^b ≥ 1/16 almost
+# immediately (10× fixture: 95/256 ≈ 0.37, probe receipt 61.1 s LSH at
+# 0.83 recall vs 80.3 s exact at 1.0 — SCALING.md r13), so LSH only
+# wins back the plan above the ~1M-vector broadcast ceiling. The Spark
+# side calls the REAL planner + dispatch code; the oracle re-derives
+# everything from the published closed forms. Divergence between code
+# and formula = hash mismatch = the audit fails.
+# ---------------------------------------------------------------------------
+
+CROSSLINGUAL_PLAN_AUDIT_ORACLE = """
+WITH nv AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM embeddings),
+grid AS (SELECT unnest([1, 10, 100, 1000]) AS m),
+base AS (
+  SELECT CAST(g.m AS BIGINT) AS scale_mult,
+         CAST(nv.n0 * g.m AS BIGINT) AS n_vectors,
+         1 - acos(0.33) / pi() AS p
+  FROM grid g CROSS JOIN nv
+),
+planned AS (
+  SELECT scale_mult, n_vectors, p,
+         CASE WHEN n_vectors <= 128 THEN 4
+              ELSE greatest(4, CAST(ceil(log2(n_vectors / 128.0)) AS BIGINT))
+         END AS n_planes
+  FROM base
+),
+tabled AS (
+  SELECT scale_mult, n_vectors, p, n_planes,
+         CASE WHEN n_planes <= 4 THEN 12
+              ELSE greatest(12, least(128, CAST(ceil(
+                   ln(1 - (1 - power(1 - power(p, 4), 12)))
+                   / ln(1 - power(p, n_planes))) AS BIGINT)))
+         END AS n_tables
+  FROM planned
+)
+SELECT scale_mult, n_vectors,
+       CAST(n_planes AS BIGINT) AS n_planes,
+       CAST(n_tables AS BIGINT) AS n_tables,
+       round(1 - power(1 - power(p, n_planes), n_tables), 6) AS recall_at_band,
+       round(1 - power(1 - power(p, 4), 12), 6) AS base_recall,
+       CASE WHEN n_planes <= 4 THEN 'lsh-base'
+            WHEN n_vectors <= 1000000
+                 AND CAST(n_tables AS DOUBLE) / power(2, n_planes) >= 1.0 / 16
+            THEN 'exact-gemm'
+            ELSE 'lsh' END AS plan
+FROM tabled ORDER BY scale_mult
+"""
+
+
+@register("crosslingual_plan_audit", CROSSLINGUAL_PLAN_AUDIT_ORACLE)
+def crosslingual_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan crosslingual_margin_pairs_lsh would run at 1/10/100/
+    1000× the fixture corpus: adaptive planes (occupancy bound), tables
+    held to the 4×12 base recall at the cos ≈ 0.33 bitext band, and
+    the exact-vs-LSH dispatch verdict. Driver-side math over the
+    memoized corpus count; the relation is 4 literal rows."""
+    from insurance_helper_spark.operators.similarity import (
+        adaptive_srp_planes,
+        adaptive_srp_tables,
+        srp_recall,
+    )
+    from insurance_helper_spark.queries.shared_cache import corpus_count
+
+    n0 = corpus_count(spark, sf_dir, "embeddings")
+    rows = []
+    for mult in (1, 10, 100, 1000):
+        n = n0 * mult
+        b = adaptive_srp_planes(n, base_planes=4)
+        t = adaptive_srp_tables(b, target_cosine=0.33, base_planes=4, base_tables=12)
+        # The EXACT branch condition crosslingual_margin_pairs_lsh runs.
+        if b <= 4:
+            plan = "lsh-base"
+        elif n <= 1_000_000 and t / 2**b >= 1.0 / 16:
+            plan = "exact-gemm"
+        else:
+            plan = "lsh"
+        rows.append(
+            (mult, n, b, t, srp_recall(b, t, 0.33), srp_recall(4, 12, 0.33), plan)
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "scale_mult long, n_vectors long, n_planes long, n_tables long,"
+            " recall_raw double, base_raw double, plan string",
+        )
+        # rounding ENGINE-side (F.round vs DuckDB round — the proven
+        # cross-engine pair), not in Python (banker's rounding)
+        .select(
+            "scale_mult", "n_vectors", "n_planes", "n_tables",
+            F.round("recall_raw", 6).alias("recall_at_band"),
+            F.round("base_raw", 6).alias("base_recall"),
+            "plan",
+        )
+        .orderBy("scale_mult")
+    )
 
 
 # ---------------------------------------------------------------------------
