@@ -239,7 +239,25 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM u
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: the staged table is built over the
+-- FULL corpus, so the hot-shingle set (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) is census'd over ALL
+-- documents, not the subset; no-op at fixture df <= 25
+t_full AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh_full AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t_full
+),
+ex_full AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_full),
+hot AS (SELECT shingle FROM ex_full GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

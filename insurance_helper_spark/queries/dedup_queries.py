@@ -149,13 +149,26 @@ ORDER BY p.id_a, p.id_b
 
 @register("dedup_ngram_jaccard", NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard ≥ 0.5 policy over the session-memoized staged pair
-    table (shared_cache.ngram_pair_stats) — identical rows to running
-    operators/dedup.ngram_jaccard_pairs at threshold 0.5 directly
-    (the memo IS that operator at threshold 0.0; ≥ t is a filter)."""
+    """EXACT full-set Jaccard ≥ 0.5 pairs, built UNCAPPED from the
+    memoized shingle relation — the reference-semantics query whose
+    oracle is pure set arithmetic over every shingle.
+
+    ADVICE r13: this query briefly read the staged pair table (capped
+    at df 50 since r13), which silently gave it capped semantics under
+    an uncapped oracle — true only while no shingle exceeds the cap.
+    The catalog now keeps the contracts distinct: THIS query is the
+    uncapped ground truth (and the one to run when exactness beats
+    cost; its lossless scale form is dedup_ngram_jaccard_prefix),
+    while dedup_ngram_jaccard_capped and the downstream policy/linkage
+    consumers read the PUBLISHED capped pair table, each with the cap
+    in its oracle. On corpora with no hot shingles (every fixture SF:
+    max df 25) the two relations are value-identical."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return (
-        ngram_pair_stats(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5,
+            shingles=doc_shingles(spark, sf_dir),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -223,8 +236,10 @@ ORDER BY p.id_a, p.id_b
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Since r13 the staged pair table ITSELF carries the df cap
     (shared_cache.PAIR_STATS_MAX_DOC_FREQ = 50, this query's
-    production value), so the capped policy is — like the plain one —
-    just a filter on the published relation. The oracle still builds
+    production value), so the capped policy is just a filter on the
+    published relation — THE staged-table policy query (the uncapped
+    plain twin builds from the operator directly since r14, keeping
+    the two contracts distinct; ADVICE r13). The oracle still builds
     the cap from scratch, pinning that the staged build's guard
     matches the from-scratch capped operator."""
     return (
@@ -393,7 +408,12 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -456,7 +476,25 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: the staged table is built over the
+-- FULL corpus, so the hot-shingle set (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) is census'd over ALL
+-- documents, not the subset; no-op at fixture df <= 25
+t_full AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh_full AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t_full
+),
+ex_full AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_full),
+hot AS (SELECT shingle FROM ex_full GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -681,7 +719,12 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -739,7 +782,12 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -1441,7 +1489,12 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sh_size FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
@@ -1528,7 +1581,12 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 p0 AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -78,8 +78,15 @@ def memo_checkpoint(
     cached = _CACHE.get(full_key)
     if cached is not None:
         return cached
+    # The readable slug is LOSSY (('a b','c') and ('a','b c') both
+    # sanitize to 'a_b_c'); the appended digest of the raw key tuple
+    # makes the directory injective in the key, so two distinct memos
+    # can never overwrite each other's files (ADVICE r13).
+    import hashlib
+
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", "_".join(str(p) for p in key))
-    path = os.path.join(_stage_dir(app_id), slug)
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:8]
+    path = os.path.join(_stage_dir(app_id), f"{slug}_{digest}")
     built = build()
     built.write.mode("overwrite").parquet(path)
     df = spark.read.schema(built.schema).parquet(path)
@@ -181,7 +188,35 @@ def ngram_pair_stats(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             shingles=doc_shingles(spark, sf_dir, k),
         )
 
-    return memo_checkpoint(spark, ("ngram_pair_stats", sf_dir, k), build)
+    app_id = spark.sparkContext.applicationId
+    first_build = (app_id, "ngram_pair_stats", sf_dir, k) not in _CACHE
+    staged = memo_checkpoint(spark, ("ngram_pair_stats", sf_dir, k), build)
+    if first_build:
+        from pyspark.sql import functions as F
+        # ADVICE r13: the cap must not drop shingles SILENTLY — when it
+        # does, every consumer's semantics diverge from the uncapped
+        # relation (exactly what dedup_hot_shingle_census reports; this
+        # wires the signal into the build itself). One tiny map-side
+        # count-by-shingle job per session, only on the staging call.
+        n_hot = (
+            doc_shingles(spark, sf_dir, k)
+            .groupBy("h")
+            .count()
+            .filter(F.col("count") > PAIR_STATS_MAX_DOC_FREQ)
+            .count()
+        )
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"ngram_pair_stats({sf_dir}, k={k}): {n_hot} shingles exceed "
+                f"the df cap {PAIR_STATS_MAX_DOC_FREQ} and were dropped from "
+                "the staged pair table; consumers see capped semantics "
+                "(their oracles carry the same cap). Run "
+                "dedup_hot_shingle_census for the full histogram.",
+                stacklevel=2,
+            )
+    return staged
 
 
 def ngram_components(

@@ -2796,7 +2796,13 @@ sh AS (
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
   FROM keys
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+-- published pair-table contract: hot shingles (df > 50 =
+-- shared_cache.PAIR_STATS_MAX_DOC_FREQ) are dropped before sizing
+-- and joining; exall IS the full-corpus census (empty-text docs
+-- contribute no shingles); no-op at fixture df <= 25
+hot AS (SELECT shingle FROM exall GROUP BY shingle HAVING count(*) > 50),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -56,6 +56,109 @@ def test_crosslingual_plan_audit_consistency(spark):
     assert rows[100]["plan"] == "exact-gemm"
 
 
+def test_capped_oracle_matches_spark_when_cap_bites(spark):
+    """ADVICE r13: the staged-table consumers' oracles now carry the
+    df cap. This pins the two cap implementations (Spark broadcast
+    anti-join on df > cap vs the SQL hot-CTE NOT IN) on a corpus where
+    the cap actually DROPS shingles — the exact regime where capped
+    and uncapped semantics diverge and the fixture can't exercise."""
+    import duckdb
+
+    from insurance_helper_spark.operators import dedup
+    from insurance_helper_spark.queries import shared_cache as SC
+
+    n = SC.PAIR_STATS_MAX_DOC_FREQ + 10
+    rows = [
+        (
+            i,
+            "copyright acme corp all rights reserved "
+            + ("alpha beta gamma delta epsilon" if i < 2 else f"tail{i} u{i} v{i} w{i} x{i}"),
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.common, r.size_a, r.size_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.0,
+            max_doc_freq=SC.PAIR_STATS_MAX_DOC_FREQ,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t
+),
+exall AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM exall GROUP BY shingle
+        HAVING count(*) > {SC.PAIR_STATS_MAX_DOC_FREQ}),
+ex AS (SELECT * FROM exall WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sh_size FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.common,
+       sa.sh_size AS size_a, sb.sh_size AS size_b,
+       round(p.common * 1.0 / (sa.sh_size + sb.sh_size - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+ORDER BY 1, 2
+""").fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the hot shingle alone must not connect everything
+
+
+def test_staged_build_warns_when_cap_drops(spark, tmp_path, monkeypatch):
+    """The staged pair-table build must SIGNAL when the cap actually
+    drops shingles (ADVICE r13: 'no signal' was the defect). Builds a
+    tiny corpus with one hot shingle under a private sf_dir and checks
+    the warning fires on first staging and names the census query."""
+    import warnings
+
+    from insurance_helper_spark.queries import shared_cache as SC
+
+    n = SC.PAIR_STATS_MAX_DOC_FREQ + 5
+    rows = [
+        (i, "en", "src", 0,
+         "copyright acme corp all rights reserved " + f"tail{i} u{i} v{i} w{i} x{i}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "n_chars", "text"]
+    )
+    sf_dir = str(tmp_path / "hotsf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        SC.ngram_pair_stats(spark, sf_dir)
+    msgs = [str(w.message) for w in caught if "ngram_pair_stats" in str(w.message)]
+    assert msgs and "dedup_hot_shingle_census" in msgs[0]
+    # memoized second call must not re-run the census or re-warn
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        SC.ngram_pair_stats(spark, sf_dir)
+    assert not [w for w in caught2 if "ngram_pair_stats" in str(w.message)]
+
+
 def test_crosslingual_exact_branch_value_identity(spark):
     """The exact branch the dispatch runs (_exact_bitext_grid →
     _margin_best) must return byte-identical rows to the registered
