@@ -46,7 +46,14 @@ def _format_shape_regex(fmt: str) -> str:
     — all verified empirically against try_to_timestamp. The gate may
     admit strings the parser still rejects (e.g. month 13); it must
     never reject one the parser would accept, so gating cannot change
-    any parse result."""
+    any parse result.
+
+    Supported tokens: yyyy, MMM, MM, dd — ONLY. Any other pattern
+    letter raises: silently re.escape-ing a reserved letter (d, M, HH,
+    …) as a literal would build a gate that rejects every string the
+    parser accepts, turning all of that format's parses into NULLs
+    with no error (ADVICE r13). An incompatible DIRTY_DATE_FORMATS
+    addition must fail loudly at plan build, not null data."""
     import re
 
     out = []
@@ -58,6 +65,12 @@ def _format_shape_regex(fmt: str) -> str:
         elif tok:  # MM / dd
             out.append(r"\d{2}")
         else:
+            if sep.isalpha():
+                raise ValueError(
+                    f"_format_shape_regex: unsupported pattern letter {sep!r} "
+                    f"in format {fmt!r} (supported tokens: yyyy, MMM, MM, dd); "
+                    "extend the token table before adding this format"
+                )
             out.append(re.escape(sep))
     return "^" + "".join(out) + "$"
 

@@ -279,3 +279,15 @@ class TestDirtyDateShapeGates:
                 assert rx.match(v), (fmt, v)
             for v in bad:
                 assert not rx.match(v), (fmt, v)
+
+    def test_shape_regex_rejects_unknown_pattern_letters(self):
+        """ADVICE r13: an unsupported Java pattern letter must raise at
+        plan build — silently escaping it as a literal would build a
+        gate that nulls every parse for that format."""
+        import pytest
+
+        from insurance_helper_spark.functions.dates import _format_shape_regex
+
+        for fmt in ("d-MM-yyyy", "dd/MM/yyyy HH:mm", "yyyy-M-dd", "yy-MM-dd E"):
+            with pytest.raises(ValueError, match="unsupported pattern letter"):
+                _format_shape_regex(fmt)
