@@ -535,6 +535,16 @@ def _release_blocks(spark) -> None:
     spark.catalog.clearCache()
 
 
+def _min_merge(new: dict, old: dict) -> dict:
+    """Per-key minimum of two timing maps (union of keys). Keys only
+    in one map keep their reading."""
+    out = dict(old)
+    for k, v in new.items():
+        prev = out.get(k)
+        out[k] = v if prev is None else min(float(prev), float(v))
+    return out
+
+
 def _persist_round_timings(result: dict, cold: dict) -> None:
     """Write the FULL per-query timing map to bench_results/r{N}.json
     (committed in-repo). The driver's BENCH_r{N}.json tail only keeps
@@ -542,7 +552,17 @@ def _persist_round_timings(result: dict, cold: dict) -> None:
     with r6 — this file is what makes cross-round per-query regression
     diffs possible from artifacts alone. N = 1 + the highest existing
     driver BENCH_r*.json (i.e. the round currently being built);
-    override with $SPARK_GRAFT_ROUND. Best-effort: never fails bench."""
+    override with $SPARK_GRAFT_ROUND. Best-effort: never fails bench.
+
+    OWNERSHIP + NOISE (r14, VERDICT r13 item 4): the round record is
+    CUMULATIVE — a re-run within the same round merges per-query MINIMA
+    into the existing file instead of overwriting it (three same-code
+    r13 runs measured 311/363/345 s totals, ±9% host noise; min-of-2
+    within one run can't cancel that, min across runs can). Builder and
+    driver runs therefore co-own the file and each run can only sharpen
+    it, never regress it — and the NEXT round's 1.15× suite-total gate
+    compares against the previous round's noise-floor total rather than
+    whichever single run happened to land last."""
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         env_round = os.environ.get("SPARK_GRAFT_ROUND")
@@ -557,8 +577,26 @@ def _persist_round_timings(result: dict, cold: dict) -> None:
             n = (max(rounds) if rounds else 0) + 1
         out_dir = os.path.join(repo, "bench_results")
         os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, f"r{n:02d}.json"), "w") as fh:
-            json.dump({**result, "cold": cold}, fh, indent=1, sort_keys=True)
+        path = os.path.join(out_dir, f"r{n:02d}.json")
+        rec = {**result, "cold": cold}
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    old = json.load(fh)
+            except Exception:
+                old = {}
+            for key in ("queries", "tier2", "cold"):
+                if isinstance(old.get(key), dict):
+                    rec[key] = _min_merge(rec.get(key, {}), old[key])
+            rec["value"] = round(sum(rec["queries"].values()), 3)
+            rec["tier2_total"] = round(sum(rec.get("tier2", {}).values()), 3)
+            rec["cold_total"] = round(sum(rec.get("cold", {}).values()), 3)
+            rec["r1_comparable_total"] = round(
+                sum(t for q, t in rec["queries"].items() if q in R1_WARM), 3
+            )
+            rec["merged_runs"] = int(old.get("merged_runs", 1)) + 1
+        with open(path, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
     except Exception as exc:  # pragma: no cover - diagnostics only
         print(f"  bench_results persist skipped: {exc}", file=sys.stderr)
 
@@ -709,11 +747,35 @@ def main() -> None:
     if abs(sf - 0.1) < 1e-9:
         breach = _suite_total_gate(timings, prev_head)
         if breach is not None:
+            # Noise hardening (r14): a single run's min-of-2 total still
+            # carries ±9% host noise (r13: 311/363/345 s same-code). On a
+            # tentative breach, run ONE confirmation warm pass over the
+            # gated set and re-check on the sharpened minima — a stalled
+            # host reading clears, a real diffuse tax does not.
+            print(
+                "  suite-total gate tentative breach — confirmation pass",
+                file=sys.stderr,
+            )
+            for name in sorted(n for n in timings if n in prev_head):
+                t0 = time.perf_counter()
+                catalog.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = min(
+                    timings[name], round(time.perf_counter() - t0, 3)
+                )
+                _release_blocks(spark)
+            # re-persist the sharpened minima (min-merge is idempotent)
+            result["value"] = round(sum(timings.values()), 3)
+            _persist_round_timings(result, cold)
+            breach = _suite_total_gate(timings, prev_head)
+        if breach is not None:
             now_sum, prev_sum, n_common = breach
             print(
                 f"SUITE-TOTAL REGRESSION: {now_sum}s over {n_common} "
                 f"like-for-like headline queries vs previous round's "
-                f"{prev_sum}s (budget {SUITE_TOTAL_BUDGET_RATIO}x)",
+                f"{prev_sum}s (budget {SUITE_TOTAL_BUDGET_RATIO}x, "
+                f"confirmed by a third warm pass)",
                 file=sys.stderr,
             )
             sys.exit(1)
