@@ -38,6 +38,61 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(cleaned, " "), lambda x: x != "")
 
 
+def bind_once(arr: Column, f) -> Column:
+    """Evaluate ``arr`` exactly once per row by binding it as a
+    higher-order-function LAMBDA VARIABLE and applying ``f`` to it.
+
+    Why this exists: Catalyst inlines aliased expressions textually —
+    ``CollapseProject`` merges stacked projections, and (worse)
+    predicate pushdown substitutes aliases into filter conditions
+    unconditionally. An expensive array expression referenced from
+    inside a ``transform``/``zip_with`` lambda is then re-executed PER
+    ELEMENT, interpreted (the r14 sf1 probe measured corpus_ingest's
+    repetition gate re-running the tokenizer ~6·n_tokens times per
+    document this way — 13 copies of the regexp in the optimized
+    plan). Lambda variables are opaque to both rules, so
+    ``transform(array(arr), f)[0]`` is a per-row let-binding: ``arr``
+    evaluates once, ``f`` sees the bound variable.
+
+    ``f`` takes the bound Column and returns a scalar Column.
+    """
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
+def repetition_gate_col(
+    text: Column, min_tokens: int, max_dup_2gram: float
+) -> Column:
+    """Boolean quality gate: ≥ ``min_tokens`` normalized tokens AND the
+    duplicate-2-gram fraction (1 − distinct/total) ≤ ``max_dup_2gram``
+    (docs with <2 tokens have no 2-grams and pass the second test).
+
+    One tokenizer pass and one 2-gram build per row, enforced with
+    ``bind_once`` let-bindings (see there for the Catalyst re-inline
+    trap this dodges). Per-row array arithmetic only — at 100 TB this
+    is a map-side gate fused into the scan, zero shuffles.
+    """
+
+    def over_toks(toks: Column) -> Column:
+        g2 = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def over_g2(g: Column) -> Column:
+            return (F.size(g) == 0) | (
+                1.0 - F.size(F.array_distinct(g)) / F.size(g)
+                <= max_dup_2gram
+            )
+
+        return (F.size(toks) >= min_tokens) & bind_once(g2, over_g2)
+
+    return bind_once(tokens_col(text), over_toks)
+
+
 def _spans(toks: Column, span: int) -> Column:
     """Non-overlapping ``span``-token windows as space-joined strings.
 

@@ -429,29 +429,22 @@ def corpus_ingest_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
-        staged = batch_df.withColumn("toks", C.tokens_col(F.col("text")))
-        g2 = F.when(
-            F.size("toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        staged = staged.withColumn("g2", g2)
-        gated = staged.filter(
-            (F.size("toks") >= min_tokens)
-            & (
-                (F.size("g2") == 0)
-                | (
-                    1.0 - F.size(F.array_distinct("g2")) / F.size("g2")
-                    <= max_dup_2gram
-                )
-            )
-        ).drop("toks", "g2")
+        # Two scale fixes from the r14 sf1 probe (9.45× wall at 10×
+        # rows): (1) the gate is built with repetition_gate_col, whose
+        # bind_once let-bindings stop predicate pushdown from
+        # re-inlining the tokenizer per 2-gram element (the dominant
+        # cost — 13 regexp copies in the old optimized plan); (2) the
+        # micro-batch inherits FILE-SPLIT parallelism (maxFilesPerTrigger
+        # → a handful of tasks), but the work is per-DOCUMENT column
+        # arithmetic, so size tasks by compute fan-out: one round-robin
+        # repartition restores full-width tasks. Values are unchanged
+        # and the replay contract only depends on row SETS.
+        batch_df = batch_df.repartition(
+            spark_b.sparkContext.defaultParallelism
+        )
+        gated = batch_df.filter(
+            C.repetition_gate_col(F.col("text"), min_tokens, max_dup_2gram)
+        )
         fresh = gated.withColumn("fingerprint", T.fingerprint(F.col("text")))
         # in-batch keep-first, then anti-join history
         fresh = D.dedup_exact(fresh, ["fingerprint"], [F.col("doc_id")])

@@ -15,6 +15,24 @@ def _q(name, spark, sf_dir):
     return catalog.QUERIES[name](spark, sf_dir)
 
 
+def test_repetition_gate_survives_predicate_pushdown(spark, sf_dir):
+    # r14 stream-probe regression: predicate pushdown substitutes
+    # aliased expressions into filter conditions textually, so a
+    # tokenizer referenced from inside an HOF lambda re-executes PER
+    # ELEMENT once the gate lands in a Filter (13 regexp copies in the
+    # old corpus_ingest plan; 9.45× wall at 10× rows). bind_once's
+    # lambda-variable let-binding is opaque to pushdown — pin exactly
+    # one tokenizer in the optimized plan UNDER a filter consumer.
+    from insurance_helper_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = docs.filter(corpus.repetition_gate_col(F.col("text"), 5, 0.6))
+    # optimized (logical) plan: the level the inlining happens at. The
+    # executed-plan STRING prints the predicate twice (Filter node +
+    # the scan's DataFilters echo) without executing it twice.
+    assert audit.optimized_plan(gated).count("regexp_replace") == 1
+
+
 def test_flagship_broadcasts_the_dim(spark, sf_dir):
     df = _q("flagship", spark, sf_dir)
     assert audit.has_broadcast_join(df)
