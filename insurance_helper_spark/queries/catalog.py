@@ -128,6 +128,7 @@ def load_all() -> None:
         wave10_queries,
         wave11_queries,
         wave12_queries,
+        wave14_queries,
     )
 
     # Stable-sort the registry so the driver's first-50 verification

@@ -1,0 +1,253 @@
+"""Round-14 operator wave: the IVF vector store's COMPACTION census
+(small-cell merge planning — the maintenance step that completes the
+lifecycle beside assignment/incremental-assign/occupancy-PSI), and the
+cost-dispatch BOUNDARY audit (the engine's exact-vs-LSH rule pinned
+row-by-row at the 1M-vector broadcast ceiling and the 128-table recall
+cap, for both real call-site bands).
+
+House rules as every wave: libm values quantized to BIGINT before any
+distributed fold; identical column aliases in Spark and DuckDB;
+explicit 100 TB scale stance per docstring.
+
+Reference parity: extends Stage-3 "vector database for semantic
+document storage" (/root/reference/README.md:108-110) with the
+maintenance/compaction relation an operator actually reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insurance_helper_spark.operators.vector_store import _assign, _elect_centroids
+from insurance_helper_spark.queries.catalog import register
+from insurance_helper_spark.queries.wave11_queries import _census_sql, _vecs
+from insurance_helper_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# vector_store_compaction_census — small-cell merge planning over the
+# maintained IVF store (the FAISS/Milvus "compact small segments"
+# maintenance step as a verifiable relation): elect the quantizer and
+# assign the corpus exactly as vector_store_assignment_census does,
+# then flag every cell whose occupancy falls below a quarter of the
+# mean (integer-exact test: 4·k·occ < n_total — no float thresholds)
+# and plan its merge into the nearest NON-small cell by centroid
+# cosine (round-4, smaller-cell tiebreak). Zero-occupancy cells sit on
+# the seed spine and are merge candidates too — the census always has
+# exactly k rows. Scale: occupancy is a k-row fold; the merge-target
+# search is a k×k centroid cross join (broadcast, k ≤ dozens by
+# construction); nothing vector-sized shuffles. A real compaction then
+# rewrites only the merged cells' partitions — O(small cells), not
+# O(store).
+# ---------------------------------------------------------------------------
+
+VS_COMPACT_K = 16
+
+VS_COMPACT_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+{_census_sql('v', 'v', VS_COMPACT_K)},
+occ AS (
+  SELECT s.cell, s.cvec,
+         (SELECT CAST(count(*) AS BIGINT) FROM a2 WHERE a2.cell = s.cell) AS n_vectors
+  FROM seeds s2 JOIN cent2 s ON s.cell = s2.cell
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v),
+flagged AS (
+  SELECT o.cell, o.cvec, o.n_vectors,
+         4 * {VS_COMPACT_K} * o.n_vectors < t.n_total AS is_small
+  FROM occ o CROSS JOIN tot t
+),
+targets AS (
+  SELECT s.cell, b.cell AS merge_into, b.n_vectors AS target_n,
+         row_number() OVER (PARTITION BY s.cell
+           ORDER BY round(list_cosine_similarity(s.cvec, b.cvec), 4) DESC,
+                    b.cell) AS rn
+  FROM flagged s JOIN flagged b ON NOT b.is_small AND b.cell <> s.cell
+  WHERE s.is_small
+)
+SELECT f.cell, f.n_vectors, f.is_small,
+       t.merge_into, t.target_n,
+       (SELECT CAST(count(*) AS BIGINT) FROM flagged WHERE NOT is_small)
+         AS n_cells_after
+FROM flagged f
+LEFT JOIN (SELECT * FROM targets WHERE rn = 1) t ON t.cell = f.cell
+ORDER BY f.cell
+"""
+
+
+@register("vector_store_compaction_census", VS_COMPACT_ORACLE)
+def vector_store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-row compaction plan: per cell its occupancy, the small flag
+    (4·k·occ < n_total), and for small cells the nearest big cell to
+    merge into. ``n_cells_after`` = surviving (big) cells — the store
+    size the compaction leaves behind."""
+    from insurance_helper_spark.operators.similarity import cosine
+
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    cents = _elect_centroids(vecs, VS_COMPACT_K).localCheckpoint(eager=True)
+    a = _assign(vecs, cents)
+    n_total = vecs.count()
+    occ = cents.join(
+        a.groupBy("cell").agg(F.count("*").cast("long").alias("n_vectors")),
+        "cell",
+        "left",
+    ).select(
+        "cell",
+        "cvec",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+    )
+    flagged = occ.withColumn(
+        "is_small", 4 * VS_COMPACT_K * F.col("n_vectors") < F.lit(n_total)
+    ).localCheckpoint(eager=True)  # small×big self-join shares one build
+    small = flagged.where("is_small").select(
+        "cell", F.col("cvec").alias("svec")
+    )
+    big = flagged.where(~F.col("is_small")).select(
+        F.col("cell").alias("merge_into"),
+        F.col("n_vectors").alias("target_n"),
+        F.col("cvec").alias("bvec"),
+    )
+    wt = Window.partitionBy("cell").orderBy(F.desc("cos_cc"), "merge_into")
+    targets = (
+        small.crossJoin(F.broadcast(big))
+        .select(
+            "cell", "merge_into", "target_n",
+            F.round(cosine(F.col("svec"), F.col("bvec")), 4).alias("cos_cc"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select("cell", "merge_into", "target_n")
+    )
+    n_after = flagged.where(~F.col("is_small")).count()
+    return (
+        flagged.select("cell", "n_vectors", "is_small")
+        .join(F.broadcast(targets), "cell", "left")
+        .withColumn("n_cells_after", F.lit(n_after).cast("long"))
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_dispatch_boundary_audit — the exact-vs-LSH cost dispatch
+# (r13 near-dup band, r14 bitext band) pinned row-by-row at its two
+# hard edges: the ~1M-vector broadcast ceiling (1 000 000 is eligible
+# for exact-gemm, 1 000 001 is not) and the 128-table recall cap
+# (where the uncapped recall-holding table count would exceed 128 the
+# planner caps it, and once L/2^b falls below 1/16 the dispatch
+# returns to LSH even BELOW the ceiling). One literal row per
+# (band, n) over both real call-site bands and a doubling n-grid
+# bracketing both edges; the Spark side calls the REAL planner +
+# dispatch code, the oracle re-derives every column from the published
+# closed forms — code/formula divergence is a hash mismatch.
+# ---------------------------------------------------------------------------
+
+_BOUNDARY_BANDS = ((0.33, 4, 12), (0.4, 4, 16))  # (band, base_planes, base_tables)
+_BOUNDARY_NS = tuple(
+    sorted({1000 * 2**i for i in range(11)} | {1_000_000, 1_000_001})
+)
+
+DISPATCH_BOUNDARY_ORACLE = f"""
+WITH bands AS (
+  SELECT * FROM (VALUES (0.33, 12), (0.4, 16)) AS b(band, base_tables)
+),
+grid AS (SELECT CAST(unnest([{", ".join(str(n) for n in _BOUNDARY_NS)}]) AS BIGINT) AS n_vectors),
+base AS (
+  SELECT b.band, b.base_tables, g.n_vectors,
+         1 - acos(b.band) / pi() AS p
+  FROM bands b CROSS JOIN grid g
+),
+planned AS (
+  SELECT band, base_tables, n_vectors, p,
+         CASE WHEN n_vectors <= 128 THEN 4
+              ELSE greatest(4, CAST(ceil(log2(n_vectors / 128.0)) AS BIGINT))
+         END AS n_planes
+  FROM base
+),
+tabled AS (
+  SELECT band, base_tables, n_vectors, p, n_planes,
+         CASE WHEN n_planes <= 4 THEN CAST(base_tables AS BIGINT)
+              ELSE greatest(base_tables, least(128, CAST(ceil(
+                   ln(1 - (1 - power(1 - power(p, 4), base_tables)))
+                   / ln(1 - power(p, n_planes))) AS BIGINT)))
+         END AS n_tables,
+         CASE WHEN n_planes <= 4 THEN FALSE
+              ELSE CAST(ceil(
+                   ln(1 - (1 - power(1 - power(p, 4), base_tables)))
+                   / ln(1 - power(p, n_planes))) AS BIGINT) > 128
+         END AS table_capped
+  FROM planned
+)
+SELECT band, n_vectors,
+       CAST(n_planes AS BIGINT) AS n_planes,
+       CAST(n_tables AS BIGINT) AS n_tables,
+       table_capped,
+       round(CAST(n_tables AS DOUBLE) / power(2, n_planes), 6) AS grid_fraction,
+       n_vectors <= 1000000 AS under_ceiling,
+       CASE WHEN n_planes <= 4 THEN 'lsh-base'
+            WHEN n_vectors <= 1000000
+                 AND CAST(n_tables AS DOUBLE) / power(2, n_planes) >= 1.0 / 16
+            THEN 'exact-gemm'
+            ELSE 'lsh' END AS plan
+FROM tabled ORDER BY band, n_vectors
+"""
+
+
+@register("similarity_dispatch_boundary_audit", DISPATCH_BOUNDARY_ORACLE)
+def similarity_dispatch_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band × n)-grid of the planner + dispatch outputs with edge
+    flags: ``table_capped`` (uncapped recall-holding table count would
+    exceed 128) and ``under_ceiling`` (n ≤ 1M — exact-gemm eligible).
+    26 literal rows of pure driver math; no fixture data is read (the
+    audited boundaries are absolute, not corpus-relative)."""
+    import math
+
+    from insurance_helper_spark.operators.similarity import (
+        adaptive_srp_planes,
+        adaptive_srp_tables,
+        srp_collision_p,
+        srp_recall,
+    )
+
+    rows = []
+    for band, base_planes, base_tables in _BOUNDARY_BANDS:
+        for n in _BOUNDARY_NS:
+            b = adaptive_srp_planes(n, base_planes=base_planes)
+            t = adaptive_srp_tables(
+                b, target_cosine=band, base_planes=base_planes,
+                base_tables=base_tables,
+            )
+            if b <= base_planes:
+                capped = False
+            else:
+                p = srp_collision_p(band)
+                target = srp_recall(base_planes, base_tables, band)
+                need = math.ceil(
+                    math.log(max(1.0 - target, 1e-300))
+                    / math.log(1.0 - p**b)
+                )
+                capped = need > 128
+            # the EXACT dispatch branch the two call sites run
+            if b <= 4:
+                plan = "lsh-base"
+            elif n <= 1_000_000 and t / 2**b >= 1.0 / 16:
+                plan = "exact-gemm"
+            else:
+                plan = "lsh"
+            rows.append((band, n, b, t, capped, t / 2**b, n <= 1_000_000, plan))
+    return (
+        spark.createDataFrame(
+            rows,
+            "band double, n_vectors long, n_planes long, n_tables long,"
+            " table_capped boolean, frac_raw double, under_ceiling boolean,"
+            " plan string",
+        )
+        # rounding ENGINE-side (F.round / DuckDB round — the proven pair)
+        .select(
+            "band", "n_vectors", "n_planes", "n_tables", "table_capped",
+            F.round("frac_raw", 6).alias("grid_fraction"),
+            "under_ceiling", "plan",
+        )
+        .orderBy("band", "n_vectors")
+    )

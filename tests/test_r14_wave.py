@@ -179,3 +179,63 @@ def test_crosslingual_exact_branch_value_identity(spark):
     )
     assert branch == registered
     assert len(branch) > 0
+
+
+def test_compaction_census_invariants(spark):
+    """Occupancy conservation, small-flag arithmetic, merge-target
+    legality, and the surviving-cell count of the IVF compaction plan."""
+    from insurance_helper_spark.queries.wave14_queries import VS_COMPACT_K
+
+    rows = _q(spark, "vector_store_compaction_census").collect()
+    assert len(rows) == VS_COMPACT_K
+    n_total = sum(r["n_vectors"] for r in rows)
+    big = {r["cell"] for r in rows if not r["is_small"]}
+    assert big, "at least one big cell must exist (pigeonhole)"
+    for r in rows:
+        # integer-exact small test: 4*k*occ < n
+        assert r["is_small"] == (4 * VS_COMPACT_K * r["n_vectors"] < n_total)
+        if r["is_small"]:
+            # every small cell merges into an existing BIG cell
+            assert r["merge_into"] in big and r["merge_into"] != r["cell"]
+            target = next(b for b in rows if b["cell"] == r["merge_into"])
+            assert r["target_n"] == target["n_vectors"]
+        else:
+            assert r["merge_into"] is None and r["target_n"] is None
+        assert r["n_cells_after"] == len(big)
+
+
+def test_dispatch_boundary_audit_edges(spark):
+    """The audit grid pins both hard edges of the exact-vs-LSH rule:
+    the 1M-vector broadcast ceiling and the 128-table recall cap."""
+    rows = _q(spark, "similarity_dispatch_boundary_audit").collect()
+    assert len(rows) == 26
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], {})[r["n_vectors"]] = r
+    for band, grid in by_band.items():
+        # ceiling edge: eligibility flips exactly between 1M and 1M+1
+        assert grid[1_000_000]["under_ceiling"]
+        assert not grid[1_000_001]["under_ceiling"]
+        assert grid[1_000_001]["plan"] == "lsh"
+        prev_planes = 0
+        for n in sorted(grid):
+            r = grid[n]
+            # planes monotone in corpus size; tables within the cap
+            assert r["n_planes"] >= prev_planes
+            prev_planes = r["n_planes"]
+            assert 1 <= r["n_tables"] <= 128
+            # cap flag is truthful: capped rows sit AT the cap
+            if r["table_capped"]:
+                assert r["n_tables"] == 128
+            # the plan column IS the dispatch branch both call sites run
+            if r["plan"] == "exact-gemm":
+                assert r["under_ceiling"]
+                assert r["n_tables"] / 2 ** r["n_planes"] >= 1.0 / 16
+            elif r["plan"] == "lsh":
+                assert (
+                    not r["under_ceiling"]
+                    or r["n_tables"] / 2 ** r["n_planes"] < 1.0 / 16
+                )
+        # the grid must exercise BOTH plan regimes below the ceiling
+        plans = {r["plan"] for r in grid.values()}
+        assert "exact-gemm" in plans and "lsh" in plans
