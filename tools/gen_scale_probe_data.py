@@ -40,6 +40,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Defaults build sf1 (10x bench) from the driver testdata; pass
+# --src/--dst to stack another decade (sf10 = 100x bench, built FROM
+# sf1 — the suffix/noise/jitter schemes compose: level-2 copy 0 keeps
+# each level-1 row verbatim, and every c > 0 copy re-perturbs content
+# keys so cross-copy near-dup/Jaccard structure stays ~empty while
+# within-copy structure is preserved).
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/scaledata/sf1"
 COPIES = 10
@@ -155,6 +161,14 @@ def inflate_embeddings() -> None:
 
 
 def main() -> None:
+    import argparse
+
+    global SRC, DST
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--dst", default=DST)
+    a = ap.parse_args()
+    SRC, DST = a.src, a.dst
     os.makedirs(DST, exist_ok=True)
     inflate_documents()
     inflate_embeddings()

@@ -39,14 +39,17 @@ TOP = [
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/scaledata/sf1"
+SF10 = "/root/repo/scaledata/sf10"  # 100x bench; gen with --src sf1 --dst sf10
 
 
 def main() -> None:
     args = sys.argv[1:]
-    sfs = [("sf0.1", SF01), ("sf1", SF1)]
-    if args and args[0] in ("--sf0.1", "--sf1"):
-        sfs = [s for s in sfs if s[0] == args[0].lstrip("-")]
+    all_sfs = [("sf0.1", SF01), ("sf1", SF1), ("sf10", SF10)]
+    picked = []
+    while args and args[0] in ("--sf0.1", "--sf1", "--sf10"):
+        picked.append(args[0].lstrip("-"))
         args = args[1:]
+    sfs = [s for s in all_sfs if s[0] in picked] if picked else all_sfs[:2]
     names = args or TOP
     import bench
     from insurance_helper_spark.queries import catalog
