@@ -90,9 +90,10 @@ HEADLINE = [
     "crosslingual_margin_pairs_lsh",
     # r14: per-band plan audit for the bitext cost dispatch
     "crosslingual_plan_audit",
-    # r14 wave: IVF compaction plan + dispatch-rule edge audit
+    # r14 wave: IVF compaction plan + dispatch-rule edge audit + ingest gate
     "vector_store_compaction_census",
     "similarity_dispatch_boundary_audit",
+    "corpus_ingest_gate_census",
     "stat_welch_ttest_segments",
     "stat_chi2_priority_status",
     "stat_js_divergence_sources",

@@ -59,6 +59,28 @@ def bind_once(arr: Column, f) -> Column:
     return F.element_at(F.transform(F.array(arr), f), 1)
 
 
+def overlapping_2grams(toks: Column) -> Column:
+    """Space-joined overlapping 2-grams of a token array (empty for
+    <2 tokens). Pass a ``bind_once`` lambda variable, never a raw
+    tokenizer expression (see bind_once for the re-inline trap)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_2gram_ok(g2: Column, max_dup_2gram: float) -> Column:
+    """True when the duplicate-2-gram fraction (1 − distinct/total) is
+    within bound; vacuously true with no 2-grams."""
+    return (F.size(g2) == 0) | (
+        1.0 - F.size(F.array_distinct(g2)) / F.size(g2) <= max_dup_2gram
+    )
+
+
 def repetition_gate_col(
     text: Column, min_tokens: int, max_dup_2gram: float
 ) -> Column:
@@ -73,22 +95,9 @@ def repetition_gate_col(
     """
 
     def over_toks(toks: Column) -> Column:
-        g2 = F.when(
-            F.size(toks) >= 2,
-            F.zip_with(
-                F.slice(toks, 1, F.size(toks) - 1),
-                F.slice(toks, 2, F.size(toks) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-        def over_g2(g: Column) -> Column:
-            return (F.size(g) == 0) | (
-                1.0 - F.size(F.array_distinct(g)) / F.size(g)
-                <= max_dup_2gram
-            )
-
-        return (F.size(toks) >= min_tokens) & bind_once(g2, over_g2)
+        return (F.size(toks) >= min_tokens) & bind_once(
+            overlapping_2grams(toks), lambda g: dup_2gram_ok(g, max_dup_2gram)
+        )
 
     return bind_once(tokens_col(text), over_toks)
 

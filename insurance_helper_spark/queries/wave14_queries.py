@@ -251,3 +251,110 @@ def similarity_dispatch_boundary_audit(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("band", "n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_ingest_gate_census — the streaming corpus-ingest quality gate
+# (streaming/ops.py::corpus_ingest_stream: ≥5 normalized tokens AND
+# duplicate-2-gram fraction ≤ 0.6) as an oracle-backed monitoring
+# relation: per language, how many raw documents the gate would pass,
+# reject as too short, or reject as repetitive. This is the batch twin
+# an ingest operator watches to detect a drifting upstream crawl — and
+# the value-level audit of the r14 gate rewrite (repetition_gate_col's
+# bind_once let-bindings; see the plan-shape pin in tests/test_plans.py).
+# Scale: one tokenizer pass per row fused into the scan (the gate is
+# pure per-row array arithmetic), then a |lang|-row fold — no shuffle
+# carries anything document-sized.
+# ---------------------------------------------------------------------------
+
+GATE_MIN_TOKENS = 5  # corpus_ingest_stream defaults
+GATE_MAX_DUP_2GRAM = 0.6
+
+GATE_CENSUS_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(regexp_replace(lower(coalesce(text, '')),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT lang, len(toks) AS n_toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS g2
+  FROM t
+),
+c AS (
+  SELECT lang, n_toks,
+         CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         END AS dup_frac
+  FROM g
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_toks < {GATE_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(sum(CASE WHEN n_toks >= {GATE_MIN_TOKENS}
+                     AND dup_frac > {GATE_MAX_DUP_2GRAM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(sum(CASE WHEN n_toks >= {GATE_MIN_TOKENS}
+                     AND dup_frac <= {GATE_MAX_DUP_2GRAM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(CAST(sum(CASE WHEN n_toks >= {GATE_MIN_TOKENS}
+                           AND dup_frac <= {GATE_MAX_DUP_2GRAM}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens_sum,
+       round(max(dup_frac), 6) AS max_dup_frac
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+@register("corpus_ingest_gate_census", GATE_CENSUS_ORACLE)
+def corpus_ingest_gate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language (n_docs, n_short, n_repetitive, n_pass, pass_rate)
+    under the exact corpus_ingest_stream gate — built from the same
+    tokenizer/2-gram/bound functions the stream runs, so the census IS
+    the gate (a semantics drift between them is a hash mismatch here)."""
+    from insurance_helper_spark.operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents", columns=["text", "lang"])
+    parts = C.bind_once(
+        C.tokens_col(F.coalesce(F.col("text"), F.lit(""))),
+        lambda toks: F.struct(
+            F.size(toks).alias("n_toks"),
+            C.bind_once(
+                C.overlapping_2grams(toks),
+                lambda g: F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+                    1.0 - F.size(F.array_distinct(g)) / F.size(g)
+                ),
+            ).alias("dup_frac"),
+        ),
+    )
+    staged = docs.select("lang", parts.alias("p"))
+    long_enough = F.col("p.n_toks") >= GATE_MIN_TOKENS
+    rep_ok = F.col("p.dup_frac") <= GATE_MAX_DUP_2GRAM
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((~long_enough).cast("long")).alias("n_short"),
+            F.sum((long_enough & ~rep_ok).cast("long")).alias("n_repetitive"),
+            F.sum((long_enough & rep_ok).cast("long")).alias("n_pass"),
+            F.sum("p.n_toks").cast("long").alias("n_tokens_sum"),
+            F.max("p.dup_frac").alias("max_dup_frac_raw"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_short",
+            "n_repetitive",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs"), 6
+            ).alias("pass_rate"),
+            "n_tokens_sum",
+            F.round("max_dup_frac_raw", 6).alias("max_dup_frac"),
+        )
+        .orderBy("lang")
+    )

@@ -239,3 +239,28 @@ def test_dispatch_boundary_audit_edges(spark):
         # the grid must exercise BOTH plan regimes below the ceiling
         plans = {r["plan"] for r in grid.values()}
         assert "exact-gemm" in plans and "lsh" in plans
+
+
+def test_gate_census_partitions_and_matches_stream_gate(spark):
+    """The census categories partition n_docs, and the census's pass
+    total equals the fixture count surviving the EXACT gate expression
+    corpus_ingest_stream filters with (same functions, same constants)."""
+    from pyspark.sql import functions as F
+
+    from insurance_helper_spark.operators import corpus as C
+    from insurance_helper_spark.queries.wave14_queries import (
+        GATE_MAX_DUP_2GRAM,
+        GATE_MIN_TOKENS,
+    )
+    from insurance_helper_spark.sources.tables import load_table
+
+    rows = _q(spark, "corpus_ingest_gate_census").collect()
+    assert rows
+    for r in rows:
+        assert r["n_short"] + r["n_repetitive"] + r["n_pass"] == r["n_docs"]
+        assert 0.0 <= r["pass_rate"] <= 1.0
+    docs = load_table(spark, SF_DIR, "documents", columns=["text"])
+    stream_pass = docs.filter(
+        C.repetition_gate_col(F.col("text"), GATE_MIN_TOKENS, GATE_MAX_DUP_2GRAM)
+    ).count()
+    assert sum(r["n_pass"] for r in rows) == stream_pass
