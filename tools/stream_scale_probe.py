@@ -10,8 +10,9 @@ min kept, and reports the wall ratio. Per-batch work that is linear in
 batch size should land well under 10× on 32 cores (fixed per-batch
 trigger overhead dominates at sf0.1).
 
-Usage: python tools/stream_scale_probe.py [name ...]
+Usage: python tools/stream_scale_probe.py [--sf0.1] [--sf1] [--sf10] [name ...]
 names: vector_store_ingest, vector_store_search, drift_gate, corpus_ingest
+(default SF pair: sf0.1 vs sf1)
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/scaledata/sf1"
+SF10 = "/root/repo/scaledata/sf10"  # 100x bench; gen_scale_probe_data.py --src sf1 --dst sf10
 N_FILES = 4  # same batch COUNT at both SFs — the probe measures per-batch work
 
 
@@ -115,14 +117,21 @@ ORDER = ["vector_store_ingest", "vector_store_search", "drift_gate", "corpus_ing
 
 
 def main() -> None:
-    names = sys.argv[1:] or ORDER
+    args = sys.argv[1:]
+    all_sfs = [("sf0.1", SF01), ("sf1", SF1), ("sf10", SF10)]
+    picked = []
+    while args and args[0] in ("--sf0.1", "--sf1", "--sf10"):
+        picked.append(args[0].lstrip("-"))
+        args = args[1:]
+    sfs = [s for s in all_sfs if s[0] in picked] if picked else all_sfs[:2]
+    names = args or ORDER
     from insurance_helper_spark.session import get_spark
 
     spark = get_spark(app_name="stream-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}
-    for sf_tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+    for sf_tag, sf_dir in sfs:
         for run in (1, 2):
             work_root = tempfile.mkdtemp(prefix="ssp_")
             try:
@@ -137,13 +146,14 @@ def main() -> None:
             finally:
                 shutil.rmtree(work_root, ignore_errors=True)
 
-    print(f"{'stream path':26s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
+    tags = [t for t, _ in sfs]
+    print(f"{'stream path':26s} " + " ".join(f"{t:>8s}" for t in tags)
+          + (f" {'ratio':>7s}" if len(tags) == 2 else ""))
     for name in names:
         r = results[name]
-        print(
-            f"{name:26s} {r['sf0.1']:8.3f} {r['sf1']:8.3f}"
-            f" {r['sf1'] / r['sf0.1']:7.2f}"
-        )
+        row = " ".join(f"{r[t]:8.3f}" for t in tags)
+        ratio = f" {r[tags[1]] / r[tags[0]]:7.2f}" if len(tags) == 2 else ""
+        print(f"{name:26s} {row}{ratio}")
 
 
 if __name__ == "__main__":
