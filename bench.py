@@ -92,6 +92,7 @@ HEADLINE = [
     "crosslingual_plan_audit",
     # r14 wave: IVF compaction plan + dispatch-rule edge audit + ingest gate
     "vector_store_compaction_census",
+    "vector_store_compaction_apply",
     "similarity_dispatch_boundary_audit",
     "corpus_ingest_gate_census",
     "stat_welch_ttest_segments",

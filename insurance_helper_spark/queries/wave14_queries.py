@@ -25,23 +25,28 @@ from insurance_helper_spark.queries.wave11_queries import _census_sql, _vecs
 from insurance_helper_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
-# vector_store_compaction_census — small-cell merge planning over the
-# maintained IVF store (the FAISS/Milvus "compact small segments"
-# maintenance step as a verifiable relation): elect the quantizer and
-# assign the corpus exactly as vector_store_assignment_census does,
-# then flag every cell whose occupancy falls below a quarter of the
-# mean (integer-exact test: 4·k·occ < n_total — no float thresholds)
-# and plan its merge into the nearest NON-small cell by centroid
-# cosine (round-4, smaller-cell tiebreak). Zero-occupancy cells sit on
-# the seed spine and are merge candidates too — the census always has
-# exactly k rows. Scale: occupancy is a k-row fold; the merge-target
-# search is a k×k centroid cross join (broadcast, k ≤ dozens by
-# construction); nothing vector-sized shuffles. A real compaction then
-# rewrites only the merged cells' partitions — O(small cells), not
-# O(store).
+# vector_store_compaction_census / _apply — small-cell merge planning
+# and execution over the maintained IVF store (the FAISS/Milvus
+# "compact small segments" maintenance step as verifiable relations):
+# elect the quantizer and assign the corpus exactly as
+# vector_store_assignment_census does, flag every cell whose occupancy
+# falls below HALF the mean (integer-exact test: 2·k·occ < n_total —
+# no float thresholds; at the store granularity k = 48 the fixture
+# corpus genuinely has undersized cells, so the merge columns carry
+# real values at the driver's correctness SF), and plan each small
+# cell's merge into the nearest NON-small cell by centroid cosine
+# (round-4, smaller-cell tiebreak). Zero-occupancy cells sit on the
+# seed spine and are merge candidates too — the census always has
+# exactly k rows. The _apply twin then EXECUTES the plan: small cells'
+# vectors reassign to their merge target and the post-compaction store
+# state (counts + mean assignment cosine, 1e6-quantized) is reported
+# per surviving cell. Scale: occupancy is a k-row fold; the
+# merge-target search is a k×k centroid cross join (broadcast); the
+# apply touches only the moved vectors — O(small cells' occupancy),
+# not O(store); nothing vector-sized shuffles beyond the moved rows.
 # ---------------------------------------------------------------------------
 
-VS_COMPACT_K = 16
+VS_COMPACT_K = 48
 
 VS_COMPACT_ORACLE = f"""
 WITH v AS MATERIALIZED (
@@ -56,7 +61,7 @@ occ AS (
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v),
 flagged AS (
   SELECT o.cell, o.cvec, o.n_vectors,
-         4 * {VS_COMPACT_K} * o.n_vectors < t.n_total AS is_small
+         2 * {VS_COMPACT_K} * o.n_vectors < t.n_total AS is_small
   FROM occ o CROSS JOIN tot t
 ),
 targets AS (
@@ -77,12 +82,9 @@ ORDER BY f.cell
 """
 
 
-@register("vector_store_compaction_census", VS_COMPACT_ORACLE)
-def vector_store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-row compaction plan: per cell its occupancy, the small flag
-    (4·k·occ < n_total), and for small cells the nearest big cell to
-    merge into. ``n_cells_after`` = surviving (big) cells — the store
-    size the compaction leaves behind."""
+def _compaction_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared election/assignment/flag/target frames for the census
+    and the apply twin (same arithmetic, one definition)."""
     from insurance_helper_spark.operators.similarity import cosine
 
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
@@ -99,7 +101,7 @@ def vector_store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
     )
     flagged = occ.withColumn(
-        "is_small", 4 * VS_COMPACT_K * F.col("n_vectors") < F.lit(n_total)
+        "is_small", 2 * VS_COMPACT_K * F.col("n_vectors") < F.lit(n_total)
     ).localCheckpoint(eager=True)  # small×big self-join shares one build
     small = flagged.where("is_small").select(
         "cell", F.col("cvec").alias("svec")
@@ -120,11 +122,136 @@ def vector_store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("rn") == 1)
         .select("cell", "merge_into", "target_n")
     )
+    return {
+        "vecs": vecs, "cents": cents, "assign": a, "n_total": n_total,
+        "flagged": flagged, "targets": targets,
+    }
+
+
+@register("vector_store_compaction_census", VS_COMPACT_ORACLE)
+def vector_store_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-row compaction plan: per cell its occupancy, the small flag
+    (2·k·occ < n_total), and for small cells the nearest big cell to
+    merge into. ``n_cells_after`` = surviving (big) cells — the store
+    size the compaction leaves behind."""
+    fr = _compaction_frames(spark, sf_dir)
+    flagged, targets = fr["flagged"], fr["targets"]
     n_after = flagged.where(~F.col("is_small")).count()
     return (
         flagged.select("cell", "n_vectors", "is_small")
         .join(F.broadcast(targets), "cell", "left")
         .withColumn("n_cells_after", F.lit(n_after).cast("long"))
+        .orderBy("cell")
+    )
+
+
+VS_COMPACT_APPLY_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+{_census_sql('v', 'v', VS_COMPACT_K)},
+occ AS (
+  SELECT s.cell, s.cvec,
+         (SELECT CAST(count(*) AS BIGINT) FROM a2 WHERE a2.cell = s.cell) AS n_vectors
+  FROM seeds s2 JOIN cent2 s ON s.cell = s2.cell
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v),
+flagged AS (
+  SELECT o.cell, o.cvec, o.n_vectors,
+         2 * {VS_COMPACT_K} * o.n_vectors < t.n_total AS is_small
+  FROM occ o CROSS JOIN tot t
+),
+targets AS (
+  SELECT s.cell, b.cell AS merge_into,
+         row_number() OVER (PARTITION BY s.cell
+           ORDER BY round(list_cosine_similarity(s.cvec, b.cvec), 4) DESC,
+                    b.cell) AS rn
+  FROM flagged s JOIN flagged b ON NOT b.is_small AND b.cell <> s.cell
+  WHERE s.is_small
+),
+tmap AS (SELECT cell, merge_into FROM targets WHERE rn = 1),
+moved AS (
+  SELECT a2.vec_id, t.merge_into AS cell
+  FROM a2 JOIN tmap t ON t.cell = a2.cell
+),
+kept AS (
+  SELECT a2.vec_id, a2.cell, a2.cos_c
+  FROM a2 JOIN flagged f ON f.cell = a2.cell AND NOT f.is_small
+),
+moved_cos AS (
+  SELECT m.vec_id, m.cell,
+         round(list_cosine_similarity(v.vv, c.cvec), 4) AS cos_c
+  FROM moved m JOIN v ON v.vec_id = m.vec_id
+  JOIN cent2 c ON c.cell = m.cell
+),
+post AS (SELECT * FROM kept UNION ALL SELECT * FROM moved_cos)
+SELECT f.cell,
+       f.n_vectors AS n_before,
+       CAST(coalesce(mv.n_recv, 0) AS BIGINT) AS n_received,
+       CAST(count(*) AS BIGINT) AS n_after,
+       round(CAST(sum(CAST(round(1e6 * p.cos_c) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_cos_after
+FROM flagged f
+JOIN post p ON p.cell = f.cell
+LEFT JOIN (SELECT cell, count(*) AS n_recv FROM moved GROUP BY cell) mv
+  ON mv.cell = f.cell
+WHERE NOT f.is_small
+GROUP BY f.cell, f.n_vectors, mv.n_recv
+ORDER BY f.cell
+"""
+
+
+@register("vector_store_compaction_apply", VS_COMPACT_APPLY_ORACLE)
+def vector_store_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction plan: small cells' vectors reassign to
+    their merge target; report, per SURVIVING cell, counts before the
+    merge, received, after, and the post-merge mean assignment cosine
+    (round-4 per vector, 1e6-quantized before the fold — the
+    assignment-census arithmetic). Conservation (Σ n_after = n_total)
+    and n_after = n_before + n_received are pinned in tests. Scale:
+    only moved vectors are touched (their new-centroid cosine is a
+    |moved| × 1 broadcast-joined projection); the surviving cells'
+    rows ride the existing assignment — O(small cells' occupancy)."""
+    from insurance_helper_spark.operators.similarity import cosine
+
+    fr = _compaction_frames(spark, sf_dir)
+    a, flagged, targets = fr["assign"], fr["flagged"], fr["targets"]
+    tmap = targets.select("cell", "merge_into")
+    moved = a.join(F.broadcast(tmap), "cell").select(
+        "vec_id", F.col("merge_into").alias("cell")
+    )
+    big = flagged.where(~F.col("is_small")).select("cell", "n_vectors", "cvec")
+    kept = a.join(
+        F.broadcast(big.select("cell")), "cell", "left_semi"
+    ).select("vec_id", "cell", "cos_c")
+    moved_cos = (
+        moved.join(fr["vecs"], "vec_id")
+        .join(F.broadcast(fr["cents"]), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("vv"), F.col("cvec")), 4).alias("cos_c"),
+        )
+    )
+    post = kept.unionByName(moved_cos)
+    recv = moved.groupBy("cell").agg(F.count("*").cast("long").alias("n_recv"))
+    return (
+        post.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_after"),
+            F.sum(F.round(F.col("cos_c") * 1e6).cast("long")).alias("s"),
+        )
+        .join(F.broadcast(big.select("cell", F.col("n_vectors").alias("n_before"))), "cell")
+        .join(F.broadcast(recv), "cell", "left")
+        .select(
+            "cell",
+            "n_before",
+            F.coalesce(F.col("n_recv"), F.lit(0)).cast("long").alias("n_received"),
+            "n_after",
+            F.round(
+                F.col("s").cast("double") / F.col("n_after") / 1e6, 6
+            ).alias("mean_cos_after"),
+        )
         .orderBy("cell")
     )
 
