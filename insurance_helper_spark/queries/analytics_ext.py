@@ -1170,28 +1170,26 @@ FROM triangles
 
 @register("basket_triangle_count", TRIANGLE_ORACLE)
 def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    order_parts = li.distinct()
-    a = order_parts.alias("a")
-    b = order_parts.alias("b")
+    # r14: the undirected support≥2 edge set is exactly the src<dst
+    # half of the STAGED directed co-purchase relation the nine graph
+    # queries already share (sequence_queries._copurchase_edges,
+    # support=2) — a directed pair and its mirror have the same order
+    # count, so filtering src<dst reproduces the u<v grouped census
+    # byte-for-byte. Before this the order-key self-join + groupBy
+    # subtree was re-evaluated FOUR times in one plan (e1/e2/e3 and the
+    # lazy n_edges leg — guide §2.4/§5: reuse, don't recompute); now
+    # all four legs are column-pruned reads of the staged parquet.
+    from insurance_helper_spark.queries.sequence_queries import _copurchase_edges
+
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("u", "v")
+        _copurchase_edges(spark, sf_dir, support=2)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
     e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
     e2 = edges.select(F.col("u").alias("t_b"), F.col("v").alias("t_c"))
     e3 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_c"))
     triangles = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"], "left_semi")
-    # Lazy edge count (1-row cross join) instead of an eager .count()
-    # at build time; the edge relation is evaluated once per branch —
-    # at scale, persist it if the double computation matters.
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return (
         triangles.agg(F.count("*").alias("n_triangles"))

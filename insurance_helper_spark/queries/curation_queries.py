@@ -2267,18 +2267,20 @@ def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     vc = base.groupBy("flag", "y").agg(F.count("*").cast("long").alias("cnt"))
-    wc = (
-        Window.partitionBy("flag")
-        .orderBy("y")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = Window.partitionBy("flag")
-    cum = vc.select(
-        "flag",
-        "y",
-        "cnt",
-        F.sum("cnt").over(wc).alias("cum_cnt"),
-        F.sum("cnt").over(wf).alias("n"),
+    # r14: cumulative counts and per-flag totals come from the
+    # two-phase bucketed helper + a 3-row broadcast instead of two
+    # flag-partitioned windows over the whole value-collapsed relation
+    # (3 window partitions = 3 tasks sorting ~150k distinct cents each
+    # at sf0.1, and a non-plan at warehouse scale — guide §2.5).
+    # Identical integers, parallelism #flags × ~1.1k buckets.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    nflag = vc.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n"))
+    cum = (
+        cum_before(vc, ["flag"], "y", "cnt", 10_000)
+        .withColumn("cum_cnt", F.col("cum_before") + F.col("cnt"))
+        .join(F.broadcast(nflag), "flag")
+        .select("flag", "y", "cnt", "cum_cnt", "n")
     )
     quart = cum.groupBy("flag").agg(
         F.any_value("n").cast("long").alias("n"),

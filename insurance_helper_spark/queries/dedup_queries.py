@@ -1246,44 +1246,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged Levenshtein near-dup PAIR relation (r14): the blocked
+    edit-distance join is the expensive build THREE registered queries
+    derive from (the pair census itself, the connected-components
+    labeling, the survivorship report) — the same published-pair-table
+    pattern as shared_cache.ngram_pair_stats, so the prefix-bucketed
+    join and the per-pair levenshtein run ONCE per (app, sf_dir)
+    instead of once per consumer call."""
+    from insurance_helper_spark.queries.shared_cache import memo_checkpoint
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        nt = F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            1,
+            _LEV_CLAMP,
+        )
+        norm = docs.filter(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
+        ).select("doc_id", nt.alias("nt"))
+        keyed = norm.select(
+            "doc_id", "nt", F.substring("nt", 1, _LEV_PREFIX).alias("bkey")
+        )
+        sized = keyed.withColumn(
+            "bsize", F.count("*").over(Window.partitionBy("bkey"))
+        ).filter(F.col("bsize") <= _LEV_BUCKET_CAP)
+        a = sized.select(
+            F.col("bkey"), F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta")
+        )
+        b = sized.select(
+            F.col("bkey"), F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb")
+        )
+        return (
+            a.join(b, "bkey")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.levenshtein("nta", "ntb").cast("long").alias("lev"),
+                F.greatest(F.length("nta"), F.length("ntb")).cast("long").alias("max_len"),
+            )
+            .withColumn(
+                "is_near_dup",
+                F.when(5 * F.col("lev") <= F.col("max_len"), 1).otherwise(0).cast("long"),
+            )
+        )
+
+    return memo_checkpoint(spark, ("lev_pairs", sf_dir), build)
+
+
 @register("dedup_fuzzy_levenshtein", FUZZY_LEV_ORACLE)
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    nt = F.substring(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        1,
-        _LEV_CLAMP,
-    )
-    norm = docs.filter(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")) != ""
-    ).select("doc_id", nt.alias("nt"))
-    keyed = norm.select(
-        "doc_id", "nt", F.substring("nt", 1, _LEV_PREFIX).alias("bkey")
-    )
-    sized = keyed.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("bkey"))
-    ).filter(F.col("bsize") <= _LEV_BUCKET_CAP)
-    a = sized.select(
-        F.col("bkey"), F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta")
-    )
-    b = sized.select(
-        F.col("bkey"), F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb")
-    )
-    return (
-        a.join(b, "bkey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("nta", "ntb").cast("long").alias("lev"),
-            F.greatest(F.length("nta"), F.length("ntb")).cast("long").alias("max_len"),
-        )
-        .withColumn(
-            "is_near_dup",
-            F.when(5 * F.col("lev") <= F.col("max_len"), 1).otherwise(0).cast("long"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    """Near-dup pair census over the staged Levenshtein pair relation
+    (_lev_pairs); blocked prefix-bucket join, never all-pairs."""
+    return _lev_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1337,51 +1354,65 @@ ORDER BY cluster_id
 """
 
 
+def _lev_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged connected-component CLUSTER relation over the Levenshtein
+    near-dup graph (r14): 5 unrolled min-label iterations + the member
+    rollup run ONCE per (app, sf_dir) and publish to session-temp
+    parquet — the labeling both the components census and the
+    survivorship report consume (mirror of shared_cache.
+    ngram_components for the n-gram family)."""
+    from insurance_helper_spark.queries.shared_cache import memo_checkpoint
+
+    def build() -> DataFrame:
+        pairs = _lev_pairs(spark, sf_dir).filter(F.col("is_near_dup") == 1)
+        fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        edges = fwd.unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ).localCheckpoint(eager=True)  # reused by all 5 iterations
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
+        for _ in range(5):
+            labels = (
+                labels.join(edges, labels.node == edges.src, "left")
+                .join(
+                    labels.select(
+                        F.col("node").alias("nbr"), F.col("lbl").alias("nbr_lbl")
+                    ),
+                    F.col("dst") == F.col("nbr"),
+                    "left",
+                )
+                .groupBy("node", "lbl")
+                .agg(F.min("nbr_lbl").alias("min_nbr"))
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("min_nbr"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+            )
+        return (
+            labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                    ),
+                    ",",
+                ).alias("members"),
+            )
+            .filter(F.col("n_docs") >= 2)
+            .select(F.col("cluster_id").cast("long"), "n_docs", "members")
+        )
+
+    return memo_checkpoint(spark, ("lev_clusters", sf_dir), build)
+
+
 @register("dedup_cluster_connected_components", CC_ORACLE)
 def dedup_cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over Levenshtein near-dup pairs via iterative min-label propagation; members as a CSV list per cluster."""
-    pairs = dedup_fuzzy_levenshtein(spark, sf_dir).filter(F.col("is_near_dup") == 1)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)  # reused by all 5 iterations
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    )
-    for _ in range(5):
-        labels = (
-            labels.join(edges, labels.node == edges.src, "left")
-            .join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("lbl").alias("nbr_lbl")
-                ),
-                F.col("dst") == F.col("nbr"),
-                "left",
-            )
-            .groupBy("node", "lbl")
-            .agg(F.min("nbr_lbl").alias("min_nbr"))
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("min_nbr"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
-    return (
-        labels.groupBy(F.col("lbl").alias("cluster_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
-                ),
-                ",",
-            ).alias("members"),
-        )
-        .filter(F.col("n_docs") >= 2)
-        .select(F.col("cluster_id").cast("long"), "n_docs", "members")
-        .orderBy("cluster_id")
-    )
+    return _lev_clusters(spark, sf_dir).orderBy("cluster_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1428,7 +1459,7 @@ GROUP BY t.n_docs
 
 @register("dedup_survivorship_report", SURVIVOR_ORACLE)
 def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_cluster_connected_components(spark, sf_dir)
+    clusters = _lev_clusters(spark, sf_dir)
     members = clusters.select(
         "cluster_id", F.explode(F.split("members", ",")).alias("doc_str")
     ).select("cluster_id", F.col("doc_str").cast("long").alias("doc_id"))

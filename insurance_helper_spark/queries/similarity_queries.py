@@ -2862,39 +2862,70 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_q"),
         )
-        .localCheckpoint(eager=True)
     )
+    # r14: the greedy MMR selection itself runs in ONE grouped kernel
+    # over the bounded candidate set instead of 9 unrolled
+    # Spark-job iterations (each a broadcast join + global limit(1) +
+    # eager localCheckpoint — ~20 tiny jobs whose scheduling dominated
+    # the query). The candidate set is limit(50) by construction, so a
+    # single task holding the 50×50 quantized-sim matrix is the right
+    # plan at EVERY corpus scale (guide §8: decide on small rows);
+    # all arithmetic below is the same int64 quantities (rel_q, sim_q,
+    # 7·rel − 3·msim) the unrolled loop compared, so the selection —
+    # and the value hash — are bit-identical.
+    rel_rows = cand.select(
+        F.lit(0).alias("kind"),
+        F.col("vec_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("rel_q").alias("v"),
+    )
+    sim_rows = sims.select(F.lit(1).alias("kind"), "a", "b", F.col("sim_q").alias("v"))
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = pdf[pdf["kind"] == 0]
+        rels = {int(a): int(v) for a, v in zip(rel["a"], rel["v"])}
+        simp = pdf[pdf["kind"] == 1]
+        sim = {}
+        for a, b, v in zip(simp["a"], simp["b"], simp["v"]):
+            sim[(int(a), int(b))] = None if pd.isna(v) else int(v)
+        remaining = set(rels)
+        first = min(remaining, key=lambda x: (-rels[x], x))
+        out = [(1, first, rels[first], None)]
+        selected = [first]
+        remaining.discard(first)
+        for t in range(2, 11):
+            if not remaining:
+                break
+            best = None
+            for x in sorted(remaining):
+                ms_vals = [
+                    sim[(x, s)]
+                    for s in selected
+                    if (x, s) in sim and sim[(x, s)] is not None
+                ]
+                if ms_vals:  # score nulls sort last (Spark desc NULLS LAST)
+                    ms = max(ms_vals)
+                    key = (0, -(7 * rels[x] - 3 * ms), x)
+                else:
+                    ms = None
+                    key = (1, 0, x)
+                if best is None or key < best[0]:
+                    best = (key, x, ms)
+            _, x, ms = best
+            out.append((t, x, rels[x], ms))
+            selected.append(x)
+            remaining.discard(x)
+        res = pd.DataFrame(out, columns=["pos", "vec_id", "rel_q", "msim"])
+        res["msim"] = res["msim"].astype("Int64")
+        return res
+
     sel = (
-        cand.orderBy(F.col("rel_q").desc(), "vec_id")
-        .limit(1)
-        .select(
-            "vec_id",
-            "rel_q",
-            F.lit(None).cast("long").alias("msim"),
-            F.lit(1).cast("long").alias("pos"),
-        )
+        rel_rows.unionByName(sim_rows)
+        .groupBy(F.lit(1).alias("g"))
+        .applyInPandas(greedy, schema="pos long, vec_id long, rel_q long, msim long")
     )
-    for t in range(2, 11):
-        sel_ids = sel.select("vec_id")
-        msim = (
-            sims.join(
-                F.broadcast(sel_ids.select(F.col("vec_id").alias("b"))), "b"
-            )
-            .groupBy("a")
-            .agg(F.max("sim_q").alias("msim"))
-        )
-        st = (
-            cand.join(sel_ids, "vec_id", "left_anti")
-            .join(msim, F.col("vec_id") == F.col("a"))
-            .orderBy(
-                (7 * F.col("rel_q") - 3 * F.col("msim")).desc(), "vec_id"
-            )
-            .limit(1)
-            .select(
-                "vec_id", "rel_q", "msim", F.lit(t).cast("long").alias("pos")
-            )
-        )
-        sel = sel.unionByName(st).localCheckpoint(eager=True)
     return sel.select(
         "pos",
         "vec_id",

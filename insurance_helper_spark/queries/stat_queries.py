@@ -1391,26 +1391,32 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2x"),
         )
     )
-    wyv = (
-        Window.partitionBy("flag")
-        .orderBy("y")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ylk = (
-        triples.groupBy("flag", "y")
-        .agg(F.sum("c").alias("cnt"))
-        .select(
-            "flag",
-            "y",
-            (2 * F.coalesce(F.sum("cnt").over(wyv), F.lit(0)) + F.col("cnt") + 1)
-            .cast("long")
-            .alias("r2y"),
-        )
+    # r14: the y marginal is near-distinct price cents (~450k rows at
+    # sf0.1, unbounded at scale), so its doubled-average-rank lookup
+    # rides the two-phase bucketed cumulative count
+    # (functions/ranks.cum_before) instead of a 3-partition window —
+    # and it joins back as a plain shuffle join: broadcasting a
+    # marginal AS LARGE AS the triple relation was a driver/executor
+    # memory tax that only looked cheap at fixture scale (guide §3.1).
+    # The x marginal (≤ ~50 quantity values per flag) stays a tiny
+    # window + broadcast. Identical integers on both paths.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    ylk = cum_before(
+        triples.groupBy("flag", "y").agg(F.sum("c").alias("cnt")),
+        ["flag"],
+        "y",
+        "cnt",
+        10_000,
+    ).select(
+        "flag",
+        "y",
+        (2 * F.col("cum_before") + F.col("cnt") + 1).cast("long").alias("r2y"),
     )
     n_by_flag = triples.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
     ranked = (
         triples.join(F.broadcast(xlk), ["flag", "x"])
-        .join(F.broadcast(ylk), ["flag", "y"])
+        .join(ylk, ["flag", "y"])
         .join(F.broadcast(n_by_flag), "flag")
     )
     dx, dy = F.col("r2x") - (F.col("n") + 1), F.col("r2y") - (F.col("n") + 1)
@@ -3279,15 +3285,19 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fy = base.groupBy("flag", "y").agg(F.count("*").alias("c"))
     vc = fy.groupBy("y").agg(F.sum("c").alias("cnt"))
-    # Unpartitioned window over the VALUE-COLLAPSED relation only
-    # (bounded price-cent domain — the KS/PSI stance).
-    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
-    vr = vc.select(
+    # r14: the doubled-average-rank lookup rides the two-phase bucketed
+    # cumulative count (functions/ranks.cum_before) instead of ONE
+    # unpartitioned window over the whole value-collapsed relation —
+    # that window was a single task sorting every distinct price cent
+    # (~450k rows at sf0.1, unbounded at warehouse scale; guide §2.5).
+    # $100 buckets over the price domain → ~1.1k parallel partitions,
+    # identical integers.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    vr = cum_before(vc, [], "y", "cnt", 10_000).select(
         "y",
         "cnt",
-        (2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + F.col("cnt") + 1)
-        .cast("long")
-        .alias("r2y"),
+        (2 * F.col("cum_before") + F.col("cnt") + 1).cast("long").alias("r2y"),
     )
     grp = (
         fy.join(vr.select("y", "r2y"), "y")

@@ -1776,11 +1776,14 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
     nt = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     norm = docs.select("source", nt.alias("nt")).filter(F.col("nt") != "")
+    # r14: split-on-empty-pattern yields the identical per-character
+    # array (pinned equal on fixtures) in ONE linear pass — the old
+    # substr(nt, i, 1) ladder re-scanned the string from its start for
+    # every i (UTF8String position lookup), an O(L²) per-document cost
+    # that dominated this query's scan stage (guide §1.2 step 2).
     chars = norm.select(
         "source",
-        F.explode(
-            F.expr("transform(sequence(1, length(nt)), i -> substr(nt, i, 1))")
-        ).alias("ch"),
+        F.explode(F.split("nt", "")).alias("ch"),
     )
     cells = chars.groupBy("source", "ch").agg(F.count("*").cast("long").alias("c"))
     tot = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))

@@ -217,10 +217,14 @@ def test_spearman_windows_ride_reduced_relations(spark, sf_dir):
     # r7 ADVICE: no rank window may sort the per-row fact table — every
     # Window's sort input must be a HashAggregate output (the distinct
     # (flag, x) / (flag, y) marginals of the triple pre-collapse).
+    # r14: the y marginal runs the two-phase bucketed cumulative count
+    # (functions/ranks.cum_before), so it contributes TWO windows (the
+    # tiny bucket-prefix walk + the within-bucket walk) next to the x
+    # marginal's one — three total, all still over aggregated inputs.
     df = _q("stat_spearman_corr", spark, sf_dir)
     lines = audit.executed_plan(df).splitlines()
     window_idxs = [i for i, ln in enumerate(lines) if "Window [" in ln]
-    assert len(window_idxs) == 2, f"expected 2 marginal windows: {window_idxs}"
+    assert len(window_idxs) == 3, f"expected 3 marginal windows: {window_idxs}"
     for i in window_idxs:
         for ln in lines[i + 1 :]:
             if "HashAggregate" in ln:
