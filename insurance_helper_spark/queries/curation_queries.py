@@ -816,7 +816,16 @@ def _margin_best(grid: DataFrame) -> DataFrame:
     relation (x_id, x_lang, y_id, cos_sim). Shared by the exact-grid
     oracle query and the LSH scale twin — the margin definition is
     identical; only the candidate relation differs. Both neighborhood
-    windows partition on a doc-id key: one shuffle each side."""
+    windows partition on a doc-id key: one shuffle each side.
+
+    r14: the scored relation is eagerly checkpointed first — it feeds
+    THREE subtrees (the fwd window, the bwd window, and the final
+    scored join), and the r14 plan capture showed the scoring
+    MapInPandas kernel (the GEMM grid or the per-candidate cosine)
+    evaluated once PER SUBTREE (guide §2.4/§5: reuse, don't
+    recompute). One narrow (2×long, string, double) row per scored
+    pair is held; blocks are session-sweepable."""
+    grid = grid.localCheckpoint(eager=True)
     w_fwd = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"), "y_id")
     fwd = (
         grid.withColumn("rn", F.row_number().over(w_fwd))

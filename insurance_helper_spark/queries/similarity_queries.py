@@ -1648,52 +1648,6 @@ def _srp_sig_df(vecs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_score6(pairs: DataFrame) -> DataFrame:
-    """(qid, cid, cos6) for a (qid, cid, va, vb) pair relation: the
-    dot/norm folds run in a numpy kernel with SEQUENTIAL dimension
-    order (== list_reduce), rounding stays JVM-side so the libm
-    surface vs the oracle is unchanged."""
-    import numpy as np
-    import pandas as pd
-
-    from insurance_helper_spark.shipping import ensure_shipped
-
-    ensure_shipped(pairs.sparkSession)
-
-    def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va = np.array(list(pdf["va"]), dtype=np.float64)
-            vb = np.array(list(pdf["vb"]), dtype=np.float64)
-            m = len(pdf)
-            dot = np.zeros(m)
-            na2 = np.zeros(m)
-            nb2 = np.zeros(m)
-            for i in range(_JL_D):  # sequential == list_reduce order
-                ca, cb = va[:, i], vb[:, i]
-                dot += ca * cb
-                na2 += ca * ca
-                nb2 += cb * cb
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                    "cid": pdf["cid"].to_numpy(dtype=np.int64),
-                    "dot": dot,
-                    "na2": na2,
-                    "nb2": nb2,
-                }
-            )
-
-    raw = pairs.mapInPandas(
-        run, schema="qid bigint, cid bigint, dot double, na2 double, nb2 double"
-    )
-    cos6 = F.round(
-        F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
-    )
-    return raw.select("qid", "cid", cos6.alias("cos6"))
-
-
 def _ann_topk(scored: DataFrame) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -1703,6 +1657,127 @@ def _ann_topk(scored: DataFrame) -> DataFrame:
         .where(F.col("rk") <= _ANN_TOPK)
         .select("qid", "cid")
     )
+
+
+def _query_matrix_bcast(spark: SparkSession, qv: DataFrame):
+    """Broadcast the (qid, va) QUERY side as driver numpy arrays —
+    the sanctioned broadcast-side materialization (Arrow columnar
+    buffers via arrow_id_matrix, never Row objects; same pattern as
+    the exact-GEMM dispatch and the bitext grid). The query side is
+    |corpus|/20 rows of 64 doubles — ~25 MB even at the 1M-vector
+    dispatch ceiling."""
+    from insurance_helper_spark.operators.similarity import arrow_id_matrix
+
+    q_ids, q_mat = arrow_id_matrix(qv, "qid", "va")
+    return spark.sparkContext.broadcast((q_ids, q_mat))
+
+
+_SCORE_SCHEMA = "qid bigint, cid bigint, dot double, na2 double, nb2 double"
+
+
+def _cos6_jvm(raw: DataFrame) -> DataFrame:
+    """JVM-side rounding of the kernel's (dot, na2, nb2) triples —
+    keeps the libm/rounding surface vs the oracle unchanged
+    (the scoring contract every ANN leg shares)."""
+    cos6 = F.round(F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
+    return raw.select("qid", "cid", cos6.alias("cos6"))
+
+
+def _score6_vs_all_queries(spark: SparkSession, cv: DataFrame, bq) -> DataFrame:
+    """(qid, cid, cos6) for EVERY (query, corpus) pair — the exact
+    brute-force leg — scanning the corpus ONCE against the broadcast
+    query matrix (r14, guide §4.1/§2.3): the former plan replicated
+    every corpus vector once per query and shipped TWO 64-double
+    arrays per pair row through Arrow — |q|·|corpus|·1 KB of kernel
+    input (quadratic bytes; 20 GB at sf1) for a scoring decision that
+    needs each vector once. Accumulation stays the SEQUENTIAL
+    dimension order of the former per-pair kernel (per-element `dot += ca*cb` at
+    step i, vectorized across the (m, q) block), so dot/na2/nb2 — and
+    the JVM-rounded cos6 — are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def run(batches):
+        qids, qmat = bq.value  # (q,), (q, D)
+        nq = len(qids)
+        na2 = np.zeros(nq)
+        for i in range(_JL_D):  # sequential == list_reduce order
+            ca = qmat[:, i]
+            na2 += ca * ca
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf["vb"]), dtype=np.float64)
+            m = len(cids)
+            dot = np.zeros((m, nq))
+            nb2 = np.zeros(m)
+            for i in range(_JL_D):
+                cb = blk[:, i]
+                dot += cb[:, None] * qmat[:, i][None, :]
+                nb2 += cb * cb
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(qids, m),
+                    "cid": np.repeat(cids, nq),
+                    "dot": dot.ravel(),
+                    "na2": np.tile(na2, m),
+                    "nb2": np.repeat(nb2, nq),
+                }
+            )
+
+    raw = cv.mapInPandas(run, schema=_SCORE_SCHEMA)
+    return _cos6_jvm(raw.where(F.col("qid") != F.col("cid")))
+
+
+def _score6_pairs_bcast(spark: SparkSession, cand_vb: DataFrame, bq) -> DataFrame:
+    """(qid, cid, cos6) for a candidate (qid, cid, vb) relation: the
+    query vector is looked up from the broadcast matrix INSIDE the
+    kernel (r14), so each candidate row carries one 64-double array
+    across the boundary instead of two — and the former join to the
+    query-vector relation disappears from the plan entirely. Same
+    sequential-dimension accumulation; bit-identical triples."""
+    import numpy as np
+    import pandas as pd
+
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def run(batches):
+        qids, qmat = bq.value
+        order = np.argsort(qids)
+        sq = qids[order]
+        nq = len(qids)
+        na2_all = np.zeros(nq)
+        for i in range(_JL_D):
+            ca = qmat[:, i]
+            na2_all += ca * ca
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qid = pdf["qid"].to_numpy(dtype=np.int64)
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf["vb"]), dtype=np.float64)
+            idx = order[np.searchsorted(sq, qid)]
+            qsel = qmat[idx]  # (m, D)
+            m = len(qid)
+            dot = np.zeros(m)
+            nb2 = np.zeros(m)
+            for i in range(_JL_D):
+                cb = blk[:, i]
+                ca = qsel[:, i]
+                dot += ca * cb
+                nb2 += cb * cb
+            yield pd.DataFrame(
+                {"qid": qid, "cid": cid, "dot": dot, "na2": na2_all[idx], "nb2": nb2}
+            )
+
+    return _cos6_jvm(cand_vb.mapInPandas(run, schema=_SCORE_SCHEMA))
 
 
 @register("similarity_ann_recall_eval", ANN_RECALL_ORACLE)
@@ -1730,17 +1805,20 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
-    # Output-fan-out parallelism (r12 sf1 probe): the checkpointed
-    # vecs relation carries 1-2 file-split partitions, so the stream
-    # side of the broadcast cross join would run the |queries|x pair
-    # fan-out near-serially; repartition restores full parallelism.
+    # r14: the query side broadcasts as a driver numpy matrix; the
+    # exact leg scans the corpus ONCE against it (quadratic kernel
+    # INPUT bytes removed — see _score6_vs_all_queries) and the LSH
+    # leg fetches only the corpus vector per candidate pair. The
+    # repartition sizes the block side by compute fan-out, not
+    # file-split count (r12 sf1 probe).
+    bq = _query_matrix_bcast(spark, qv)
     cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
-    exact_top = _ann_topk(_pair_score6(exact_pairs))
-    lsh_pairs = cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", "va", "vb")
-    lsh_top = _ann_topk(_pair_score6(lsh_pairs))
+    exact_top = _ann_topk(_score6_vs_all_queries(spark, cv, bq))
+    lsh_top = _ann_topk(
+        _score6_pairs_bcast(spark, cand.join(cv, "cid").select("qid", "cid", "vb"), bq)
+    )
     hits = exact_top.join(lsh_top, ["qid", "cid"])
     nq = q.agg(F.count("*").cast("long").alias("n_queries"))
     ne = exact_top.agg(F.count("*").cast("long").alias("total_exact"))
@@ -1949,15 +2027,18 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vv").alias("va")
     )
-    # Output-fan-out parallelism (r12 sf1 probe): the checkpointed
-    # vecs relation carries 1-2 file-split partitions, so the stream
-    # side of the broadcast cross join would run the |queries|x pair
-    # fan-out near-serially; repartition restores full parallelism.
+    # r14: ONE broadcast query matrix serves the exact leg and all
+    # three tier scorings (see _score6_vs_all_queries /
+    # _score6_pairs_bcast — quadratic kernel-input bytes removed, one
+    # join per scored leg dropped). The repartition sizes the block
+    # side by compute fan-out, not file-split count (r12 sf1 probe).
+    bq = _query_matrix_bcast(spark, qv)
     cv = vecs.select(F.col("vec_id").alias("cid"), F.col("vv").alias("vb")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    exact_pairs = cv.crossJoin(F.broadcast(qv)).where(F.col("qid") != F.col("cid"))
-    exact_top = _ann_topk(_pair_score6(exact_pairs)).localCheckpoint(eager=True)
+    exact_top = _ann_topk(_score6_vs_all_queries(spark, cv, bq)).localCheckpoint(
+        eager=True
+    )
 
     # tier 1 + 2 candidates: band-key equi-joins (flips=[0] is tier 1)
     def srp_cand(flips):
@@ -2048,8 +2129,8 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tier_row(name: str, cand: DataFrame) -> DataFrame:
         cand = cand.localCheckpoint(eager=True)  # feeds count + scoring
-        scored = _pair_score6(
-            cand.join(qv, "qid").join(cv, "cid").select("qid", "cid", "va", "vb")
+        scored = _score6_pairs_bcast(
+            spark, cand.join(cv, "cid").select("qid", "cid", "vb"), bq
         )
         t_top = _ann_topk(scored)
         hits = t_top.join(exact_top, ["qid", "cid"])
