@@ -238,7 +238,17 @@ def ngram_jaccard_pairs_prefix(
     prefix_len = (
         F.col("sh_size") - F.ceil(threshold * F.col("sh_size") - 1e-9) + 1
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "h", "sh_size")
+    # r14: the prefix index feeds BOTH sides of the self-join, and a
+    # self-join clones lineage — without this checkpoint the
+    # document-frequency aggregate, the h-join and both doc-id windows
+    # run twice (measured ~1.5 s of the composed query's warm time at
+    # sf0.1; guide §2.4 reuse-don't-recompute). The relation is narrow
+    # (2×long + int, ~half the shingle rows) and session-sweepable.
+    prefix = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "h", "sh_size")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
     b = prefix.select(F.col("doc_id").alias("id_b"), "h", F.col("sh_size").alias("size_b"))
     cand = (

@@ -119,8 +119,14 @@ ORDER BY part_id
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three PageRank iterations over the co-purchase graph: |E|-row contribution shuffles on the shared memoized edge relation."""
     edges = _copurchase_edges(spark, sf_dir, support=1)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # r14: eager — deg feeds the init ranks, the weight join and the
+    # final report; the lazy variant still cloned the edge-scan
+    # aggregate into each broadcast subtree before first
+    # materialization. nodes/nn derive from it (groupBy src IS the
+    # distinct-src relation), dropping the separate distinct over
+    # edges (guide §2.4).
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"))
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select("node", (1.0 / F.col("n")).alias("r"))
     # Pre-divide the out-degree into an edge weight ONCE — otherwise
@@ -1657,17 +1663,33 @@ ORDER BY rank
 def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank per-iteration convergence trace (L1 deltas per round) over the co-purchase graph."""
     edges = _copurchase_edges(spark, sf_dir, support=1)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("d")
+    # r14: deg feeds the init ranks plus one broadcast join PER
+    # iteration — the before-plan re-evaluated the edge-scan+aggregate
+    # subtree (and nn's two-level aggregate) once per reference, ~8
+    # redundant Exchange subtrees for 3 iterations (guide §2.4). One
+    # eager checkpoint of the narrow (node, d) relation; nn derives
+    # from it.
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
     )
     nn = deg.agg(F.count("*").cast("long").alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"(2 * {_PR_SCALE} + n) div (2 * n)").alias("prq")
     )
+    # r14: attach the out-degree to the edge ONCE (lazily checkpointed
+    # on first use) — the former loop broadcast-joined deg inside every
+    # iteration's lineage, same inner-join semantics (every edge src
+    # has a degree row by construction).
+    ew = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=False)
+    )
     for _ in range(3):
         pr = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            ew.join(pr.withColumnRenamed("node", "src"), "src")
             .crossJoin(F.broadcast(nn))
             .groupBy("dst", "n")
             .agg(F.sum(F.expr("(2 * prq + d) div (2 * d)")).alias("contrib"))

@@ -49,7 +49,16 @@ _DOUBLE_RE = r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$"
 # DateTimeFormatter trials. Bench receipt: without the gate the
 # promotion census ran the 5-way parse on EVERY column's cells —
 # 10.5 s warm at sf0.1; with it, only date-shaped cells pay.
-_DATE_SHAPE_RE = r"^\d{1,4}[-/][0-9A-Za-z]{1,3}[-/]\d{1,4}$"
+#
+# r14: the gate is ONE anchored regex on the raw cell, replacing the
+# former split(trim(col), '\s+')[0] head extraction + anchored match —
+# the trim/split allocated two intermediate strings per cell on EVERY
+# column and dominated the census aggregate (~0.8 s of 2.7 s at
+# sf0.1). Equivalence (pinned by test + 20k-string fuzz): trim strips
+# only 0x20, so the head starts after `^ *` (a leading tab makes the
+# split head empty — and fails `^ *\d` here); shape chars exclude
+# whitespace, so a match ending at `(\s|$)` consumed exactly the head.
+_DATE_SHAPE_RE = r"^ *\d{1,4}[-/][0-9A-Za-z]{1,3}[-/]\d{1,4}(\s|$)"
 
 
 def parse_ok(col: Column, t: str) -> Column:
@@ -59,8 +68,7 @@ def parse_ok(col: Column, t: str) -> Column:
     if t == "double":
         return col.rlike(_DOUBLE_RE)
     if t == "date":
-        head = F.split(F.trim(col), r"\s+").getItem(0)
-        return head.rlike(_DATE_SHAPE_RE) & parse_dirty_date(col).isNotNull()
+        return col.rlike(_DATE_SHAPE_RE) & parse_dirty_date(col).isNotNull()
     if t == "boolean":
         return F.lower(col).isin("true", "false")
     raise ValueError(f"unknown candidate type: {t}")
@@ -82,8 +90,7 @@ def cast_as(col: Column, t: str) -> Column:
     if t == "double":
         return F.when(col.rlike(_DOUBLE_RE), col.cast("double"))
     if t == "date":
-        head = F.split(F.trim(col), r"\s+").getItem(0)
-        return F.when(head.rlike(_DATE_SHAPE_RE), parse_dirty_date(col))
+        return F.when(col.rlike(_DATE_SHAPE_RE), parse_dirty_date(col))
     if t == "boolean":
         return F.when(F.lower(col).isin("true", "false"), F.lower(col) == "true")
     if t == "string":
