@@ -1009,16 +1009,30 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
     )
-    model = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    # r14: aggregate to per-doc term counts FIRST and checkpoint — the
+    # former plan re-ran the tokenizer explode on both sides of the
+    # model join (twice per evaluation), and `scored` fed three
+    # consumers (count, score histogram, final rollup), so tokenize ran
+    # 6× per query (guide §2.4/§4: heavyweight work once). The unigram
+    # model aggregates from the SAME count relation (sum of per-doc k
+    # per term == instance count), and the per-doc surprisal sum
+    # k·sq(term) is the identical exact long fold as summing sq per
+    # instance.
+    dtf = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").cast("long").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    model = dtf.groupBy("term").agg(F.sum("k").cast("long").alias("cnt"))
     total = model.agg(F.sum("cnt").cast("long").alias("n"))
     sq = F.round(-F.log(F.col("cnt") * 1.0 / F.col("n")) * 1e6).cast("long")
     scored = (
-        tok.join(model, "term")
+        dtf.join(model, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(sq).cast("long").alias("ssq"),
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * sq).cast("long").alias("ssq"),
         )
         .select(
             "doc_id",
@@ -1026,6 +1040,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr("ssq div n_tokens").alias("score"),
         )
+        .localCheckpoint(eager=True)  # feeds n_tot, the histogram, and the rollup
     )
     n_tot = scored.agg(F.count("*").cast("long").alias("n"))
     dv = scored.groupBy("score").agg(F.count("*").cast("long").alias("c"))

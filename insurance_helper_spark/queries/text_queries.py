@@ -544,9 +544,14 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bigrams.agg(F.count_distinct("w2").alias("v"))
     surprisal = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    # r14: fold the context counts into the MODEL (vocab²-bounded)
+    # before touching the bigram instances — the former plan shuffled
+    # the full instance relation twice (by (w1,w2), then again by w1);
+    # c12/c1 per key are unchanged, so every scored row is identical
+    # (guide §2.3: shuffle the small relation, not the big one).
+    scored_model = model.join(ctx, "w1")
     return (
-        bigrams.join(model, ["w1", "w2"])
-        .join(ctx, "w1")
+        bigrams.join(scored_model, ["w1", "w2"])
         .join(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
