@@ -89,7 +89,11 @@ def _compaction_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
     cents = _elect_centroids(vecs, VS_COMPACT_K).localCheckpoint(eager=True)
-    a = _assign(vecs, cents)
+    # r14 opt: lazy checkpoint — the apply twin consumes the assignment
+    # THREE times (moved, kept, and occ via flagged), and each lineage
+    # clone re-ran the 96k-pair interpreted-HOF cosine argmax (guide
+    # §2.4). One materialization, narrow rows, census path unaffected.
+    a = _assign(vecs, cents).localCheckpoint(eager=False)
     n_total = vecs.count()
     occ = cents.join(
         a.groupBy("cell").agg(F.count("*").cast("long").alias("n_vectors")),
