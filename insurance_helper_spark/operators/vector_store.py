@@ -98,10 +98,12 @@ def _elect_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
         )
         .select("cell", F.col("vv").alias("cvec"))
     )
-    a1 = _assign(vecs, seeds).select("vec_id", "cell")
+    # r14: the kernel _assign carries vv through unchanged, so the
+    # mean rollup reads it directly — the former a1-to-vecs re-join
+    # (one shuffle of the vector payload) disappears from the plan.
+    a1 = _assign(vecs, seeds).select("cell", "vv")
     means = (
-        a1.join(vecs, "vec_id")
-        .select("cell", F.posexplode("vv").alias("dim", "val"))
+        a1.select("cell", F.posexplode("vv").alias("dim", "val"))
         .groupBy("cell", "dim")
         .agg(
             (
@@ -124,23 +126,101 @@ def _elect_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _round4_half_up_matrix(cos):
+    """round(x, 4) with Spark's HALF_UP tie semantics, vectorized over
+    a float64 matrix. The naive float path (scale, floor, compare the
+    fraction against 0.5, away-from-zero) agrees with Spark's
+    decimal-representation HALF_UP everywhere except within ~1e-12 of
+    an exact .00005 boundary; those knife-edge entries (margin 1e-9,
+    three orders of magnitude of slack) are re-rounded through
+    ``Decimal(repr(x))`` — the same shortest-roundtrip-string HALF_UP
+    the JVM's BigDecimal.valueOf path applies. NaN passes through
+    (callers map it for ordering)."""
+    import numpy as np
+
+    a = np.abs(cos) * 1e4
+    fl = np.floor(a)
+    frac = a - fl
+    r = np.where(frac >= 0.5, fl + 1.0, fl)
+    with np.errstate(invalid="ignore"):
+        out = np.sign(cos) * r / 1e4
+        risky = np.abs(frac - 0.5) < 1e-9
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for pos in np.argwhere(risky):
+            x = float(cos[tuple(pos)])
+            out[tuple(pos)] = float(
+                Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k x d quantizer,
-    round(cosine, 4) DESC / cell ASC argmax per vector (the proven
-    ml_kmeans_lloyd_step tie rule). Returns (vec_id, vv, cell, cos_c)."""
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
-    return (
-        vecs.crossJoin(F.broadcast(cents.select("cell", "cvec")))
-        .select(
-            "vec_id",
-            "vv",
-            "cell",
-            F.round(cosine(F.col("vv"), F.col("cvec")), 4).alias("cos_c"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    """Nearest-centroid assignment: round(cosine, 4) DESC / cell ASC
+    argmax per vector (the proven ml_kmeans_lloyd_step tie rule).
+    Returns (vec_id, vv, cell, cos_c).
+
+    r14 (guide §4.1/§2.4): the k x d quantizer collects once to a
+    driver numpy matrix (Arrow columnar — never Row objects) and the
+    corpus is scanned ONCE in mapInPandas blocks; the former plan
+    (crossJoin to k candidate rows per vector + a per-vec_id
+    row_number window) shuffled k·|corpus| rows and evaluated the
+    interpreted zip_with/aggregate cosine per candidate. Arithmetic is
+    bit-identical: per dimension i the kernel performs the same
+    fused-free float64 ops (dot += v_i·c_i, n2 += v_i·v_i, vectorized
+    across rows, sequential across dims — the exact fold order of
+    similarity.dot/norm), cos = dot / (sqrt(n2_v)·sqrt(n2_c)), and the
+    returned cos_c is F.round of the RAW selected cosine, so the value
+    path never touches Python rounding. The argmax key replicates
+    round-4 HALF_UP (knife-edge entries via Decimal(repr()) — see
+    _round4_half_up_matrix) with NaN ordered greatest, Spark's
+    descending-sort rule. Equivalence with the former plan is pinned
+    on fixtures by tests/test_vector_store.py."""
+    import numpy as np
+
+    from insurance_helper_spark.operators.similarity import arrow_id_matrix
+    from insurance_helper_spark.shipping import ensure_shipped
+
+    spark = vecs.sparkSession
+    ensure_shipped(spark)
+    cell_ids, cmat = arrow_id_matrix(cents.select("cell", "cvec"), "cell", "cvec")
+    order = np.argsort(cell_ids, kind="stable")  # cell ASC = argmax-first tie rule
+    cell_ids, cmat = cell_ids[order], np.ascontiguousarray(cmat[order])
+    k, d = cmat.shape
+    nc2 = np.zeros(k)
+    for i in range(d):
+        nc2 += cmat[:, i] * cmat[:, i]
+    cnorm = np.sqrt(nc2)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vv"]), dtype=np.float64)
+            if V.ndim != 2 or V.shape[1] != d:
+                raise ValueError(
+                    f"_assign: vectors must be uniform width {d}, got {V.shape}"
+                )
+            n = len(V)
+            dot = np.zeros((n, k))
+            nv2 = np.zeros(n)
+            for i in range(d):
+                dot += V[:, i : i + 1] * cmat[None, :, i]
+                nv2 += V[:, i] * V[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(nv2)[:, None] * cnorm[None, :])
+            key = _round4_half_up_matrix(cos)
+            key = np.where(np.isnan(key), np.inf, key)  # Spark: NaN sorts greatest
+            sel = (key == key.max(axis=1)[:, None]).argmax(axis=1)
+            out = pdf[["vec_id", "vv"]].copy()
+            out["cell"] = cell_ids[sel].astype(np.int32)
+            out["cos_raw"] = cos[np.arange(n), sel]
+            yield out
+
+    return vecs.select("vec_id", "vv").mapInPandas(
+        run, schema="vec_id long, vv array<double>, cell int, cos_raw double"
+    ).select("vec_id", "vv", "cell", F.round("cos_raw", 4).alias("cos_c"))
 
 
 def read_centroids(spark: SparkSession, store_dir: str, epoch: int | None = None) -> DataFrame:

@@ -84,17 +84,40 @@ ORDER BY f.cell
 
 def _compaction_frames(spark: SparkSession, sf_dir: str) -> dict:
     """Shared election/assignment/flag/target frames for the census
-    and the apply twin (same arithmetic, one definition)."""
-    from insurance_helper_spark.operators.similarity import cosine
+    and the apply twin (same arithmetic, one definition).
 
-    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
-    cents = _elect_centroids(vecs, VS_COMPACT_K).localCheckpoint(eager=True)
-    # r14 opt: lazy checkpoint — the apply twin consumes the assignment
-    # THREE times (moved, kept, and occ via flagged), and each lineage
-    # clone re-ran the 96k-pair interpreted-HOF cosine argmax (guide
-    # §2.4). One materialization, narrow rows, census path unaffected.
-    a = _assign(vecs, cents).localCheckpoint(eager=False)
-    n_total = vecs.count()
+    r14 opt 2 (guide §2.4/§5 — reuse, don't recompute): the census and
+    the apply twin each rebuilt the IDENTICAL election + assignment
+    from scratch (two elections, four assignment passes per bench
+    pass). Both relations now stage once per (app, sf_dir) to
+    session-temp parquet via shared_cache.memo_checkpoint — the same
+    published-staged-relation pattern as the ngram pair table and the
+    Levenshtein cluster family, and exactly what the production store
+    does (centroids and assignments ARE persisted epoch state,
+    re-derived only on re-election). The k-row flag/target frames stay
+    per-query (one 48-row aggregate + a 48×~40 broadcast cross join)."""
+    from insurance_helper_spark.operators.similarity import cosine
+    from insurance_helper_spark.queries.shared_cache import (
+        corpus_count,
+        memo_checkpoint,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+
+    def _build_cents() -> DataFrame:
+        return _elect_centroids(
+            vecs.localCheckpoint(eager=True), VS_COMPACT_K
+        )
+
+    cents = memo_checkpoint(
+        spark, ("vs_compact_cents", sf_dir, VS_COMPACT_K), _build_cents
+    )
+    a = memo_checkpoint(
+        spark,
+        ("vs_compact_assign", sf_dir, VS_COMPACT_K),
+        lambda: _assign(vecs, cents).select("vec_id", "cell", "cos_c"),
+    )
+    n_total = corpus_count(spark, sf_dir, "embeddings")
     occ = cents.join(
         a.groupBy("cell").agg(F.count("*").cast("long").alias("n_vectors")),
         "cell",
