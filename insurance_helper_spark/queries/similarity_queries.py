@@ -2066,23 +2066,22 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("centroid_id"), F.col("vv").alias("cvec"))
     )
 
+    # r14 (continuation): both Lloyd assignment passes run through the
+    # kernel operators/vector_store._assign (one mapInPandas scan vs a
+    # k-per-vector crossJoin + per-vec_id window — bit-identical
+    # arithmetic, see that operator's docstring), and the mean rollup
+    # reads vv straight off the kernel output instead of re-joining
+    # vecs.
+    from insurance_helper_spark.operators.vector_store import _assign as _vs_assign
+
     def assign(base, cents, id_out):
-        w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            F.col("centroid_id").alias("cell"),
-            F.round(_cosine(F.col("vv"), F.col("cvec")), 4).alias("cos_c"),
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("vec_id").alias(id_out), "cell")
-        )
+        return _vs_assign(
+            base, cents.select(F.col("centroid_id").alias("cell"), "cvec")
+        ).select(F.col("vec_id").alias(id_out), "cell", "vv")
 
     a1 = assign(vecs, seeds, "vec_id")
     cent2 = (
-        a1.join(vecs, "vec_id")
-        .select("cell", F.posexplode(F.col("vv")).alias("dim", "val"))
+        a1.select("cell", F.posexplode(F.col("vv")).alias("dim", "val"))
         .groupBy("cell", "dim")
         .agg(
             (
@@ -2100,7 +2099,7 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cell").alias("centroid_id"), "cvec")
         .localCheckpoint(eager=True)
     )
-    a2 = assign(vecs, cent2, "cid").localCheckpoint(eager=True)
+    a2 = assign(vecs, cent2, "cid").select("cid", "cell").localCheckpoint(eager=True)
     probes_scored = (
         vecs.where(F.col("vec_id") % _ANN_Q_MOD == 0)
         .crossJoin(F.broadcast(cent2))
