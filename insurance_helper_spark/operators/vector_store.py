@@ -197,7 +197,12 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf["vv"]), dtype=np.float64)
+            try:
+                V = np.array(list(pdf["vv"]), dtype=np.float64)
+            except ValueError as exc:  # ragged rows never form a matrix
+                raise ValueError(
+                    f"_assign: vectors must be uniform width {d}"
+                ) from exc
             if V.ndim != 2 or V.shape[1] != d:
                 raise ValueError(
                     f"_assign: vectors must be uniform width {d}, got {V.shape}"
