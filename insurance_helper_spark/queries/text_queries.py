@@ -1319,6 +1319,10 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_train",
             F.when(_hf(F.col("doc_id"), 7) % 5 != 0, 1).otherwise(0),
         )
+        # r14: base feeds FOUR subtrees (train tokens, priors, test
+        # tokens, the prediction grid) — without a materialization the
+        # tokenizer regex chain re-runs once per consumer (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     train_tok = base.filter("is_train = 1").select(
         "lang", F.explode("toks").alias("term")
