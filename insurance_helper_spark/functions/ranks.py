@@ -31,6 +31,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cum_before_multi(
+    df: DataFrame,
+    part_cols: list[str],
+    val_col: str,
+    cnt_cols: list[str],
+    bucket_div: int,
+    suffix: str = "_before",
+) -> DataFrame:
+    """``cum_before`` for SEVERAL count columns in one two-phase pass
+    (the two-sample ECDF family walks two arms' counts over one value
+    spine). Adds ``<cnt>{suffix}`` = exclusive cumulative sum of each
+    ``cnt_cols`` member, same exact-integer construction as
+    ``cum_before`` — one bucket rollup, one tiny prefix window, one
+    (group, bucket)-partitioned within-bucket window, shared by all
+    columns."""
+    bkt = F.floor(F.col(val_col) / bucket_div).alias("__bkt")
+    df2 = df.withColumn("__bkt", bkt)
+    per_bkt = df2.groupBy(*part_cols, "__bkt").agg(
+        *[F.sum(c).alias(f"__bw_{c}") for c in cnt_cols]
+    )
+    w_b = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bkt.select(
+        *part_cols,
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__bw_{c}").over(w_b), F.lit(0)).alias(f"__pfx_{c}")
+            for c in cnt_cols
+        ],
+    )
+    w_in = (
+        Window.partitionBy(*part_cols, "__bkt")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df2.join(F.broadcast(prefix), [*part_cols, "__bkt"])
+    for c in cnt_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.col(f"__pfx_{c}") + F.coalesce(F.sum(c).over(w_in), F.lit(0)),
+        )
+    return out.drop("__bkt", *[f"__pfx_{c}" for c in cnt_cols])
+
+
 def cum_before(
     df: DataFrame,
     part_cols: list[str],

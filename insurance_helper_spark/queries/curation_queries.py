@@ -2416,12 +2416,22 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
     )
-    docterm = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("c"))
-    model_all = tok.groupBy("term").agg(F.count("*").cast("long").alias("ca"))
+    # r14: tokenize ONCE into per-doc term counts and checkpoint (the
+    # entry-13/18 pattern — the token stream previously fed the per-doc
+    # counts AND both n-gram models, each lineage clone re-running the
+    # tokenizer+explode). Both models are exact integer sums of the
+    # per-doc counts (sum of per-doc k per term == instance count), so
+    # every downstream value is byte-identical (guide §2.4).
+    docterm = (
+        tok.groupBy("doc_id", "source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    model_all = docterm.groupBy("term").agg(F.sum("c").cast("long").alias("ca"))
     model_tgt = (
-        tok.where(F.col("source") == "src0")
+        docterm.where(F.col("source") == "src0")
         .groupBy("term")
-        .agg(F.count("*").cast("long").alias("ct"))
+        .agg(F.sum("c").cast("long").alias("ct"))
     )
     consts = model_all.agg(
         F.count("*").cast("long").alias("v"), F.sum("ca").cast("long").alias("na")

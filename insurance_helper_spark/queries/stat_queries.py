@@ -726,23 +726,42 @@ FROM agg
 @register("stat_auc_mann_whitney", AUC_ORACLE)
 def stat_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
-    scored = events.select(
+    # r14 (guide §2.5): the former plan assigned a GLOBAL per-row
+    # row_number over the full events relation (1-task sort of every
+    # row at any scale) just to average it back into per-score
+    # midranks. The midrank of a tied score group is a closed form of
+    # the value-collapsed relation: with b = count of strictly smaller
+    # scores and c = the tie size, mr = (2b + c + 1)/2 — the same
+    # exact rational the row_number/avg pair produced, so the IEEE
+    # correctly-rounded double is bit-identical; and every midrank is
+    # an exact multiple of 0.5 below 2^52, so the label-weighted sum
+    # (pos·mr, summed) is exact and order-independent, exactly like
+    # the per-instance sum it replaces. b comes from the two-phase
+    # bucketed cum_before (unit-width buckets over the bounded metric
+    # domain), so no task ever sorts more than one bucket.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    vc = events.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("r"),
+    ).groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("label").cast("long").alias("pos"),
     )
-    midranks = scored.select(
-        "label", F.avg("r").over(Window.partitionBy("score")).alias("mr")
+    walked = cum_before(vc, [], "score", "c", 1).select(
+        "c",
+        "pos",
+        ((2 * F.col("cum_before") + F.col("c") + 1) / 2.0).alias("mr"),
     )
-    return midranks.agg(
-        F.sum("label").cast("long").alias("n_pos"),
-        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    return walked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_neg"),
         F.round(
             (
-                F.sum(F.when(F.col("label") == 1, F.col("mr")).otherwise(0.0))
-                - F.sum("label") * (F.sum("label") + 1) / 2.0
+                F.sum(F.col("pos") * F.col("mr"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
             )
-            / (F.sum("label") * F.sum(1 - F.col("label"))),
+            / (F.sum("pos") * F.sum(F.col("c") - F.col("pos"))),
             6,
         ).alias("auc"),
     ).select("n_pos", "n_neg", "auc")
@@ -4119,19 +4138,28 @@ def ml_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpartitioned relation (~150k distinct cents at sf0.1 took ~550 s).
     # suf_n = nn - cum_n + n and suf_pos = pp - cum_pos + pos are the
     # identical integers at O(n).
-    w_up = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    cum = vc.select(
-        "cents",
-        F.sum("n").over(w_up).alias("cum_n"),
-        (
-            F.sum("n").over(w_all) - F.sum("n").over(w_up) + F.col("n")
-        ).alias("suf_n"),
-        (
-            F.sum("pos").over(w_all) - F.sum("pos").over(w_up) + F.col("pos")
-        ).alias("suf_pos"),
-        F.sum("n").over(w_all).alias("nn"),
-        F.sum("pos").over(w_all).alias("pp"),
+    # r14 (guide §2.5): the O(n) running frame above still rode ONE
+    # unpartitioned window over the value-collapsed price relation (a
+    # 1-task sort at any scale) plus all-rows windows for the totals.
+    # Two-phase bucketed cum_before_multi + a broadcast 1-row total
+    # produce the identical integers: cum_n = n_before + n,
+    # suf_n = nn - n_before, suf_pos = pp - pos_before.
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    tot = vc.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("pos").cast("long").alias("pp")
+    )
+    cum = (
+        cum_before_multi(vc, [], "cents", ["n", "pos"], 10_000)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            (F.col("n_before") + F.col("n")).alias("cum_n"),
+            (F.col("nn") - F.col("n_before")).alias("suf_n"),
+            (F.col("pp") - F.col("pos_before")).alias("suf_pos"),
+            "nn",
+            "pp",
+        )
     )
     cum = cum.localCheckpoint(eager=False)  # edges + confusion join
     deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
@@ -4574,13 +4602,34 @@ def stat_wasserstein_hi_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").cast("long").alias("h"),
         F.sum(1 - F.col("hi")).cast("long").alias("l"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wl = Window.orderBy("cents")
-    walked = by_val.select(
-        "cents",
-        F.sum("h").over(w).alias("c_hi"),
-        F.sum("l").over(w).alias("c_lo"),
-        F.lead("cents").over(wl).alias("next_cents"),
+    # r14 (guide §2.5): ECDF cums via the two-phase bucketed
+    # cum_before_multi; the next-distinct-value lead becomes a
+    # bucket-partitioned lead patched with the next non-empty bucket's
+    # first value (tiny per-bucket min relation — the only remaining
+    # unpartitioned window is over #buckets rows). Identical values.
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    bdiv = 10_000
+    bmin = (
+        by_val.groupBy(F.floor(F.col("cents") / bdiv).alias("__b"))
+        .agg(F.min("cents").alias("__bfirst"))
+    )
+    bnext = bmin.select(
+        "__b", F.lead("__bfirst").over(Window.orderBy("__b")).alias("__nextfirst")
+    )
+    w_in = Window.partitionBy("__b").orderBy("cents")
+    walked = (
+        cum_before_multi(by_val, [], "cents", ["h", "l"], bdiv)
+        .withColumn("__b", F.floor(F.col("cents") / bdiv))
+        .join(F.broadcast(bnext), "__b")
+        .select(
+            "cents",
+            (F.col("h_before") + F.col("h")).alias("c_hi"),
+            (F.col("l_before") + F.col("l")).alias("c_lo"),
+            F.coalesce(
+                F.lead("cents").over(w_in), F.col("__nextfirst")
+            ).alias("next_cents"),
+        )
     )
     acc = (
         walked.where(F.col("next_cents").isNotNull())
@@ -5123,12 +5172,15 @@ def ml_mcc_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
-    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    walked = by_val.select(
-        "cents",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+    # r14: median-threshold walk de-single-tasked via the two-phase
+    # bucketed cum_before + broadcast total (guide §2.5, entry-3 shape).
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    total = by_val.agg(F.sum("cnt").cast("long").alias("n"))
+    walked = (
+        cum_before(by_val, [], "cents", "cnt", 10_000)
+        .select("cents", (F.col("cum_before") + F.col("cnt")).alias("cum"))
+        .crossJoin(F.broadcast(total))
     )
     thr = walked.where(F.col("cum") >= F.expr("(n + 1) div 2")).agg(
         F.min("cents").alias("med")
@@ -5246,12 +5298,15 @@ def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
-    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    walked = by_val.select(
-        "cents",
-        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
-        F.sum("cnt").over(w_all).alias("n"),
+    # r14: percentile-score walk de-single-tasked via the two-phase
+    # bucketed cum_before + broadcast total (guide §2.5, entry-3 shape).
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    total = by_val.agg(F.sum("cnt").cast("long").alias("n"))
+    walked = (
+        cum_before(by_val, [], "cents", "cnt", 10_000)
+        .select("cents", F.col("cum_before").alias("below"))
+        .crossJoin(F.broadcast(total))
     )
     scored = arms.join(walked, "cents").select(
         "y", F.expr("(below * 1000000) div (n - 1)").alias("s_micro")
@@ -5470,12 +5525,16 @@ def stat_kendall_tau_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     by_val = arms.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
-    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    walked = by_val.select(
-        "cents",
-        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
-        F.sum("cnt").over(w_all).alias("n"),
+    # r14: unpartitioned cumulative walk over the value-collapsed price
+    # relation → two-phase bucketed cum_before + broadcast 1-row total
+    # (guide §2.5, the entry-3 shape); identical exact integers.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    total = by_val.agg(F.sum("cnt").cast("long").alias("n"))
+    walked = (
+        cum_before(by_val, [], "cents", "cnt", 10_000)
+        .select("cents", F.col("cum_before").alias("below"))
+        .crossJoin(F.broadcast(total))
     )
     cells = (
         arms.join(walked, "cents")
@@ -6359,14 +6418,19 @@ def stat_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.groupBy(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
     ).agg(F.count("*").cast("long").alias("cnt"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walked = vals.select(
+    # r14: both exclusive walks (count + value·count) over the
+    # value-collapsed order price relation rode one unpartitioned
+    # cumulative window → two-phase bucketed cum_before_multi (guide
+    # §2.5, entry-3 shape); identical exact integers.
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    walked = cum_before_multi(
+        vals.withColumn("vc", F.col("v") * F.col("cnt")), [], "v", ["cnt", "vc"], 10_000
+    ).select(
         "v",
         "cnt",
-        (F.sum("cnt").over(w).cast("long") - F.col("cnt")).alias("cnt_before"),
-        (F.sum(F.col("v") * F.col("cnt")).over(w).cast("long") - F.col("v") * F.col("cnt")).alias(
-            "sum_before"
-        ),
+        F.col("cnt_before").cast("long").alias("cnt_before"),
+        F.col("vc_before").cast("long").alias("sum_before"),
     )
     tot = vals.agg(
         F.sum("cnt").cast("long").alias("n"),
@@ -6906,16 +6970,26 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = scored.groupBy("cents").agg(
         F.count("*").cast("long").alias("c"), F.sum("ev").cast("long").alias("e")
     )
-    w_cum = Window.orderBy(F.col("cents").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # r14 (guide §2.5): the descending rank walk rode ONE unpartitioned
+    # window over the value-collapsed price relation (plus all-rows
+    # totals). On the value-collapsed relation the descending INCLUSIVE
+    # cum is n - ascending exclusive prefix, so the two-phase bucketed
+    # cum_before + a broadcast total produce the identical integers.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    tot = dv.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("e").cast("long").alias("etot")
     )
-    w_all = Window.partitionBy()
-    walk = dv.select(
-        "c",
-        "e",
-        F.sum("c").over(w_cum).cast("long").alias("cum"),
-        F.sum("c").over(w_all).cast("long").alias("n"),
-        F.sum("e").over(w_all).cast("long").alias("etot"),
+    walk = (
+        cum_before(dv, [], "cents", "c", 10_000)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "e",
+            (F.col("n") - F.col("cum_before")).cast("long").alias("cum"),
+            "n",
+            "etot",
+        )
     )
     decs = walk.select(
         F.expr("(cum * 10 + n - 1) div n").alias("decile"), "c", "e", "n", "etot"
@@ -7545,18 +7619,13 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("c"),
         F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).cast("long").alias("pos"),
     )
-    walk = dv.select(
-        "ad",
-        "c",
-        "pos",
-        F.coalesce(
-            F.sum("c").over(
-                Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("cb"),
+    # r14: unpartitioned cumulative walk over the value-collapsed
+    # abs-difference relation → two-phase bucketed cum_before (guide
+    # §2.5, entry-3 shape); identical exact integers.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    walk = cum_before(dv, [], "ad", "c", 10_000, out_col="cb").select(
+        "ad", "c", "pos", F.col("cb").cast("long").alias("cb")
     )
     s = walk.agg(
         F.sum("c").cast("long").alias("n"),
@@ -8321,11 +8390,20 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = obs.localCheckpoint(eager=False)  # walk + cells share the scan
     vc = obs.groupBy("x").agg(F.count("*").cast("long").alias("n"))
-    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walk = vc.select(
-        "x",
-        F.sum("n").over(w_run).cast("long").alias("cum"),
-        F.sum("n").over(Window.partitionBy()).cast("long").alias("nn"),
+    # r14: the median walk rode ONE unpartitioned cumulative window
+    # over the value-collapsed price relation (~150k distinct cents at
+    # sf0.1, unbounded at scale — a 1-task sort, guide §2.5), plus an
+    # all-rows window for the total. Two-phase bucketed cumulative
+    # count (functions/ranks.cum_before, $100 buckets — the entry-3 /
+    # stat_weighted_median_price shape) + a broadcast 1-row total;
+    # every quantity is the same exact integer sum.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    total = vc.agg(F.sum("n").cast("long").alias("nn"))
+    walk = (
+        cum_before(vc, [], "x", "n", 10_000)
+        .select("x", (F.col("cum_before") + F.col("n")).cast("long").alias("cum"))
+        .crossJoin(F.broadcast(total))
     )
     med = walk.where(F.col("cum") >= F.expr("(nn + 1) div 2")).agg(
         F.min("x").alias("median_cents")
@@ -8563,12 +8641,19 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(1, 6)
         ]
     )
-    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walk = vc.select(
+    # r14 (guide §2.5): all five groups' exclusive walks rode ONE
+    # unpartitioned cumulative window over the value-collapsed price
+    # relation — now one two-phase bucketed cum_before_multi pass;
+    # identical exact integers (entry-3 shape).
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    walk = cum_before_multi(
+        vc, [], "x", [f"n{g}" for g in range(1, 6)], 10_000
+    ).select(
         "x",
         *[F.col(f"n{g}") for g in range(1, 6)],
         *[
-            (F.sum(f"n{g}").over(w_run) - F.col(f"n{g}")).cast("long").alias(f"c{g}")
+            F.col(f"n{g}_before").cast("long").alias(f"c{g}")
             for g in range(1, 6)
         ],
     )
@@ -8694,12 +8779,16 @@ def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").cast("long").alias("h"),
         F.sum(1 - F.col("hi")).cast("long").alias("l"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walked = by_val.select(
+    # r14: both arms' ECDF walks de-single-tasked via the two-phase
+    # bucketed cum_before_multi (guide §2.5, entry-3 shape); identical
+    # exact integers.
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    walked = cum_before_multi(by_val, [], "cents", ["h", "l"], 10_000).select(
         "h",
         "l",
-        F.sum("h").over(w).alias("c_hi"),
-        F.sum("l").over(w).alias("c_lo"),
+        (F.col("h_before") + F.col("h")).alias("c_hi"),
+        (F.col("l_before") + F.col("l")).alias("c_lo"),
     )
     gap = (F.col("c_hi") * F.col("n") - F.col("c_lo") * F.col("m")).cast(
         "double"
@@ -8808,10 +8897,15 @@ def stat_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").cast("long").alias("h"),
         F.sum(1 - F.col("hi")).cast("long").alias("l"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walked = by_val.select(
-        F.sum("h").over(w).alias("c_hi"),
-        F.sum("l").over(w).alias("c_lo"),
+    # r14: both arms' ECDF walks rode ONE unpartitioned cumulative
+    # window over the value-collapsed price relation (guide §2.5) —
+    # now the two-phase bucketed cum_before_multi, one shared pass,
+    # identical exact integers (entry-3 shape).
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    walked = cum_before_multi(by_val, [], "cents", ["h", "l"], 10_000).select(
+        (F.col("h_before") + F.col("h")).alias("c_hi"),
+        (F.col("l_before") + F.col("l")).alias("c_lo"),
     )
     gaps = walked.crossJoin(F.broadcast(tot)).agg(
         F.max(F.col("c_hi") * F.col("n") - F.col("c_lo") * F.col("m"))

@@ -504,10 +504,13 @@ def stat_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = vals.groupBy("v").agg(
         F.count("*").cast("long").alias("c"), F.sum("hi").cast("long").alias("ch")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    walk = cells.select(
-        "v", "c", "ch",
-        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("cum"),
+    # r14: unpartitioned cumulative walk over the value-collapsed order
+    # price relation → two-phase bucketed cum_before (guide §2.5, the
+    # entry-3 shape); identical exact integers.
+    from insurance_helper_spark.functions.ranks import cum_before
+
+    walk = cum_before(cells, [], "v", "c", 10_000, out_col="cum").select(
+        "v", "c", "ch", F.col("cum").cast("long").alias("cum")
     )
     agg = walk.agg(
         F.sum("ch").cast("long").alias("n1"),

@@ -784,13 +784,38 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").cast("long").alias("h"),
         F.sum(1 - F.col("hi")).cast("long").alias("l"),
     )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wl = Window.orderBy("cents")
-    walked = by_val.select(
-        "cents",
-        F.sum("h").over(wc).alias("c_hi"),
-        F.sum("l").over(wc).alias("c_lo"),
-        F.lead("cents").over(wl).alias("next_cents"),
+    # r14 (guide §2.5): the ECDF walk AND the next-distinct-value lead
+    # rode unpartitioned windows over the value-collapsed price
+    # relation. The cums convert to the two-phase bucketed
+    # cum_before_multi; the lead becomes a bucket-partitioned lead
+    # whose per-bucket last row is patched with the NEXT non-empty
+    # bucket's first value (from the tiny per-bucket min relation — the
+    # only remaining unpartitioned window is over #buckets rows, the
+    # same bound as cum_before's phase 2). Identical values: the patch
+    # is exactly the next distinct cents, null only at the global max.
+    from insurance_helper_spark.functions.ranks import cum_before_multi
+
+    bdiv = 10_000
+    bmin = (
+        by_val.groupBy(F.floor(F.col("cents") / bdiv).alias("__b"))
+        .agg(F.min("cents").alias("__bfirst"))
+    )
+    bnext = bmin.select(
+        "__b", F.lead("__bfirst").over(Window.orderBy("__b")).alias("__nextfirst")
+    )
+    w_in = Window.partitionBy("__b").orderBy("cents")
+    walked = (
+        cum_before_multi(by_val, [], "cents", ["h", "l"], bdiv)
+        .withColumn("__b", F.floor(F.col("cents") / bdiv))
+        .join(F.broadcast(bnext), "__b")
+        .select(
+            "cents",
+            (F.col("h_before") + F.col("h")).alias("c_hi"),
+            (F.col("l_before") + F.col("l")).alias("c_lo"),
+            F.coalesce(
+                F.lead("cents").over(w_in), F.col("__nextfirst")
+            ).alias("next_cents"),
+        )
     )
     gap = F.col("next_cents") - F.col("cents")
     acc = (
