@@ -393,18 +393,39 @@ def _current_round(repo: str) -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def _prev_round_records(repo: str):
-    """bench_results/r*.json files from rounds STRICTLY BEFORE the
-    current one, newest first. The current round's own file is
-    excluded: a re-run within a round would otherwise compare (or
-    budget) against itself — the r13 second run overwrote r13.json
+def _bench_cpus() -> int:
+    """Core count this bench run is using ($SPARK_GRAFT_CPUS, default
+    32 — the standard config every committed round record was measured
+    at)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def _record_filename(n: int, cpus: int) -> str:
+    """Round-record filename, keyed by core count: the standard 32-core
+    record is r{N}.json (back-compatible with every prior round);
+    non-standard core counts get their own r{N}_c{cpus}.json so a
+    low-core scaling run is never min-merged into — or gated against —
+    a 32-core noise floor (r14: the driver's 8-core run false-failed
+    the suite-total gate against the 32-core record)."""
+    return f"r{n:02d}.json" if cpus == 32 else f"r{n:02d}_c{cpus}.json"
+
+
+def _prev_round_records(repo: str, cpus: int = 32):
+    """bench_results records from rounds STRICTLY BEFORE the current
+    one, newest first, AT THE SAME CORE COUNT. The current round's own
+    file is excluded: a re-run within a round would otherwise compare
+    (or budget) against itself — the r13 second run overwrote r13.json
     before the gate loaded it and self-compared to a green no-op."""
     cur = _current_round(repo)
+    suffix = ".json" if cpus == 32 else f"_c{cpus}.json"
     try:
         rounds = sorted(
             (int(m.group(1)), f)
             for f in os.listdir(os.path.join(repo, "bench_results"))
-            if (m := re.match(r"r(\d+)\.json$", f))
+            if (m := re.match(r"r(\d+)" + re.escape(suffix) + r"$", f))
         )
     except Exception:
         return
@@ -418,14 +439,17 @@ def _prev_round_records(repo: str):
             continue
 
 
-def _load_prev_headline(repo: str) -> dict[str, float]:
+def _load_prev_headline(repo: str, cpus: int = 32) -> dict[str, float]:
     """PREVIOUS ROUND's full headline warm map — the basis of the
     suite-total gate (r13): per-query budgets (2× with a 1.0 s floor)
     let a diffuse session-wide tax through (r12 shipped +12% headline
     total with `regressions: {}` because the block-pressure cost
     spread across many queries), so the like-for-like HEADLINE TOTAL
-    is also gated, at 1.15× the previous round."""
-    for rec in _prev_round_records(repo):
+    is also gated, at 1.15× the previous round. Baselines are per core
+    count: a run at a non-standard $SPARK_GRAFT_CPUS with no prior
+    record at that count gets NO suite-total gate rather than a false
+    one."""
+    for rec in _prev_round_records(repo, cpus):
         q = rec.get("queries")
         if q:
             return {k: float(v) for k, v in q.items()}
@@ -455,12 +479,13 @@ def _suite_total_gate(
     return None
 
 
-def _load_prev_tier2(repo: str) -> dict[str, float]:
+def _load_prev_tier2(repo: str, cpus: int = 32) -> dict[str, float]:
     """PREVIOUS ROUND's tier-2 warm map — the regression budget for
     non-headline queries (2x with a 1.0 s floor, warn-only, same
     policy as the headline budgets). Excludes the current round's own
-    record (see _prev_round_records)."""
-    for rec in _prev_round_records(repo):
+    record (see _prev_round_records) and, like the headline baseline,
+    only matches records measured at the same core count."""
+    for rec in _prev_round_records(repo, cpus):
         t2 = rec.get("tier2")
         if t2:
             return {k: float(v) for k, v in t2.items()}
@@ -550,14 +575,17 @@ def _min_merge(new: dict, old: dict) -> dict:
     return out
 
 
-def _persist_round_timings(result: dict, cold: dict) -> None:
+def _persist_round_timings(result: dict, cold: dict, cpus: int = 32) -> dict:
     """Write the FULL per-query timing map to bench_results/r{N}.json
-    (committed in-repo). The driver's BENCH_r{N}.json tail only keeps
+    (committed in-repo; non-32-core runs go to r{N}_c{cpus}.json — see
+    _record_filename). The driver's BENCH_r{N}.json tail only keeps
     the last ~2 KB of stdout, which in r7 shared zero per-query keys
     with r6 — this file is what makes cross-round per-query regression
     diffs possible from artifacts alone. N = 1 + the highest existing
     driver BENCH_r*.json (i.e. the round currently being built);
     override with $SPARK_GRAFT_ROUND. Best-effort: never fails bench.
+    Returns the record as persisted (min-merged), or ``result`` itself
+    on any persistence failure.
 
     OWNERSHIP + NOISE (r14, VERDICT r13 item 4): the round record is
     CUMULATIVE — a re-run within the same round merges per-query MINIMA
@@ -566,24 +594,16 @@ def _persist_round_timings(result: dict, cold: dict) -> None:
     within one run can't cancel that, min across runs can). Builder and
     driver runs therefore co-own the file and each run can only sharpen
     it, never regress it — and the NEXT round's 1.15× suite-total gate
-    compares against the previous round's noise-floor total rather than
-    whichever single run happened to land last."""
+    compares the two rounds' noise-floor totals (min-merged vs
+    min-merged, VERDICT r14 item 1) rather than whichever single run
+    happened to land last."""
+    rec = {**result, "cold": cold, "cpus": cpus}
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
-        env_round = os.environ.get("SPARK_GRAFT_ROUND")
-        if env_round is not None:
-            n = int(env_round)
-        else:
-            rounds = [
-                int(m.group(1))
-                for f in os.listdir(repo)
-                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-            ]
-            n = (max(rounds) if rounds else 0) + 1
+        n = _current_round(repo)
         out_dir = os.path.join(repo, "bench_results")
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"r{n:02d}.json")
-        rec = {**result, "cold": cold}
+        path = os.path.join(out_dir, _record_filename(n, cpus))
         if os.path.exists(path):
             try:
                 with open(path) as fh:
@@ -604,6 +624,7 @@ def _persist_round_timings(result: dict, cold: dict) -> None:
             json.dump(rec, fh, indent=1, sort_keys=True)
     except Exception as exc:  # pragma: no cover - diagnostics only
         print(f"  bench_results persist skipped: {exc}", file=sys.stderr)
+    return rec
 
 
 def main() -> None:
@@ -670,14 +691,21 @@ def main() -> None:
     # once and the min kept — the headline tier is already min-of-2-warm
     # and needs no re-run. A REAL regression reproduces on the re-run
     # and still gates.
+    cpus = _bench_cpus()
+    tier2_rechecks: dict[str, dict[str, float]] = {}
     if abs(sf - 0.1) < 1e-9:
-        _t2b = _load_prev_tier2(os.path.dirname(os.path.abspath(__file__)))
+        _t2b = _load_prev_tier2(os.path.dirname(os.path.abspath(__file__)), cpus)
         for name, t in list(tier2.items()):
             b = _t2b.get(name)
             if b is not None and t > max(2.0 * b, 1.0):
                 t0 = time.perf_counter()
                 catalog.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                tier2[name] = round(min(t, time.perf_counter() - t0), 3)
+                second = round(time.perf_counter() - t0, 3)
+                tier2[name] = min(t, second)
+                # ADVICE r14: the recheck note went only to stderr, so
+                # the round record could not show a smoothed-over
+                # intermittent regression — record both readings.
+                tier2_rechecks[name] = {"first": t, "recheck": second}
                 print(
                     f"  [t2-recheck] {name}: {t}s vs budget {b}s -> {tier2[name]}s",
                     file=sys.stderr,
@@ -693,7 +721,7 @@ def main() -> None:
     if abs(sf - 0.1) < 1e-9:  # budgets were recorded at sf0.1
         budgets = {**R5_WARM, **R4_WARM, **R1_WARM}  # earliest round wins where both exist
         # tier-2 budgets come from the previous round's recorded map
-        t2_budgets = _load_prev_tier2(os.path.dirname(os.path.abspath(__file__)))
+        t2_budgets = _load_prev_tier2(os.path.dirname(os.path.abspath(__file__)), cpus)
         for name, t in {**tier2, **timings}.items():
             budget = budgets.get(name, t2_budgets.get(name) if name in tier2 else None)
             if budget is not None and t > max(2.0 * budget, 1.0):
@@ -722,6 +750,7 @@ def main() -> None:
         "tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
         "tier2_cold_total": round(sum(tier2_cold.values()), 3),
+        "tier2_rechecks": tier2_rechecks,
         "n_queries_total": len(timings) + len(tier2),
     }
     # The suite-total gate's baseline MUST be read BEFORE persisting
@@ -729,9 +758,11 @@ def main() -> None:
     # bench_results/r{N}.json (a re-run within one round), and a
     # post-persist load would compare the run against ITSELF — the
     # r13 second run shipped +17% headline under a silently-green gate
-    # exactly this way.
-    prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)))
-    _persist_round_timings(result, cold)
+    # exactly this way. Baseline matching is per core count (VERDICT
+    # r14 item 1): prev_head is {} — gate skipped — when no previous
+    # round was recorded at this $SPARK_GRAFT_CPUS.
+    prev_head = _load_prev_headline(os.path.dirname(os.path.abspath(__file__)), cpus)
+    merged_rec = _persist_round_timings(result, cold, cpus)
     # The driver's BENCH_r{N}.json keeps only the last 2000 chars of
     # stdout and json-parses them; the full 270-query map is ~8 KB so
     # the capture truncated mid-line and "parsed" came back null in r8
@@ -760,7 +791,9 @@ def main() -> None:
         compact["queries"] = {}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
-    if abs(sf - 0.1) < 1e-9 and comparable_total > 1.5 * R1_TOTAL:
+    # R1_TOTAL was measured at 32 cores; a lower-core scaling run is a
+    # measurement, not a like-for-like comparison against that budget.
+    if abs(sf - 0.1) < 1e-9 and cpus == 32 and comparable_total > 1.5 * R1_TOTAL:
         print(
             f"SUITE REGRESSION: {comparable_total}s (r1-comparable queries) "
             f"vs r1 {R1_TOTAL}s",
@@ -772,7 +805,23 @@ def main() -> None:
     # thin across the suite — under every per-query budget — still
     # fails loudly (VERDICT r12 item 4).
     if abs(sf - 0.1) < 1e-9:
-        breach = _suite_total_gate(timings, prev_head)
+        if not prev_head:
+            print(
+                f"  suite-total gate skipped: no previous-round record at "
+                f"{cpus} cpus",
+                file=sys.stderr,
+            )
+        # Gate min-merged vs min-merged (VERDICT r14 item 1): the
+        # previous round's record is a noise floor over many runs, so a
+        # single fresh run (min-of-2) is compared asymmetrically — ±9%
+        # documented host drift plus the min-of-N asymmetry already
+        # false-failed the driver's r14 8-core run at +29%. The current
+        # round's CUMULATIVE record (this run min-merged with every
+        # earlier run of the round) is the like-for-like total.
+        merged_head = {
+            k: float(v) for k, v in merged_rec.get("queries", {}).items()
+        }
+        breach = _suite_total_gate(merged_head, prev_head)
         if breach is not None:
             # Noise hardening (r14): a single run's min-of-2 total still
             # carries ±9% host noise (r13: 311/363/345 s same-code). On a
@@ -794,15 +843,19 @@ def main() -> None:
                 _release_blocks(spark)
             # re-persist the sharpened minima (min-merge is idempotent)
             result["value"] = round(sum(timings.values()), 3)
-            _persist_round_timings(result, cold)
-            breach = _suite_total_gate(timings, prev_head)
+            merged_rec = _persist_round_timings(result, cold, cpus)
+            merged_head = {
+                k: float(v) for k, v in merged_rec.get("queries", {}).items()
+            }
+            breach = _suite_total_gate(merged_head, prev_head)
         if breach is not None:
             now_sum, prev_sum, n_common = breach
             print(
                 f"SUITE-TOTAL REGRESSION: {now_sum}s over {n_common} "
-                f"like-for-like headline queries vs previous round's "
-                f"{prev_sum}s (budget {SUITE_TOTAL_BUDGET_RATIO}x, "
-                f"confirmed by a third warm pass)",
+                f"like-for-like headline queries (round-record minima) vs "
+                f"previous round's {prev_sum}s (budget "
+                f"{SUITE_TOTAL_BUDGET_RATIO}x, confirmed by a third warm "
+                f"pass)",
                 file=sys.stderr,
             )
             sys.exit(1)

@@ -146,10 +146,20 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("h")
         )
-        shd = shd.join(F.broadcast(hot), "h", "left_anti")
+        # sizes must be recomputed AFTER the cap — drop any staged
+        # uncapped size so the Jaccard stays self-consistent over the
+        # filtered shingle sets.
+        shd = shd.select("doc_id", "h").join(F.broadcast(hot), "h", "left_anti")
     # set size per doc: window count over the doc partition (no orderBy →
-    # whole-partition frame); data is already clustered by doc_id.
-    sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
+    # whole-partition frame) — skipped when the caller supplies a staged
+    # pre-sized relation (shared_cache.doc_shingles_sized; r15): the
+    # self-join otherwise pays the doc_id Exchange+sort twice per run.
+    if max_doc_freq is None and "sh_size" in shd.columns:
+        sized = shd
+    else:
+        sized = shd.withColumn(
+            "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
     if materialize:
         sized = sized.localCheckpoint(eager=True)
     a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
@@ -226,9 +236,22 @@ def ngram_jaccard_pairs_prefix(
     # that sets ngram_jaccard_pairs' materialize default to False);
     # the session-memoized relation amortizes the write across the
     # whole family instead.
-    dfreq = shd.groupBy("h").agg(F.count("*").alias("dfh"))
-    sized = shd.withColumn("sh_size", F.count("*").over(Window.partitionBy("doc_id")))
-    ranked = sized.join(dfreq, "h").withColumn(
+    if "sh_size" in shd.columns:
+        # staged pre-sized relation (shared_cache.doc_shingles_sized,
+        # r15) — the doc_id Exchange+sort for the size disappears
+        sized = shd
+        shd = shd.select("doc_id", "h")
+    else:
+        sized = shd.withColumn(
+            "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    # r15: document frequency as a whole-partition count window over
+    # the h key instead of groupBy(h)+join-back — one Exchange of the
+    # shingle relation instead of two plus a join (guide §2.4; the
+    # skew profile is identical to the self-join this index protects).
+    ranked = sized.withColumn(
+        "dfh", F.count("*").over(Window.partitionBy("h"))
+    ).withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("dfh", "h")),
     )

@@ -138,11 +138,14 @@ def _round4_half_up_matrix(cos):
     (callers map it for ordering)."""
     import numpy as np
 
-    a = np.abs(cos) * 1e4
-    fl = np.floor(a)
-    frac = a - fl
-    r = np.where(frac >= 0.5, fl + 1.0, fl)
+    # errstate covers the whole computation: inf inputs (inf cosines
+    # from zero-norm edge cases) otherwise warn on `a - fl` (inf - inf
+    # = nan), not just on the final compare (ADVICE r14).
     with np.errstate(invalid="ignore"):
+        a = np.abs(cos) * 1e4
+        fl = np.floor(a)
+        frac = a - fl
+        r = np.where(frac >= 0.5, fl + 1.0, fl)
         out = np.sign(cos) * r / 1e4
         risky = np.abs(frac - 0.5) < 1e-9
     if risky.any():
@@ -160,6 +163,20 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: round(cosine, 4) DESC / cell ASC
     argmax per vector (the proven ml_kmeans_lloyd_step tie rule).
     Returns (vec_id, vv, cell, cos_c).
+
+    CONTRACTS (ADVICE r14): (a) the ``cell`` output column carries the
+    INPUT ``cents.cell`` type — integer centroid ids stay int, LONG ids
+    (e.g. vec_id-derived seeds in the ANN frontier eval) stay long and
+    can never wrap at id domains past 2^31; (b) ``vv`` elements must be
+    null-free — a NULL element becomes NaN inside the kernel, and NaN
+    cosines sort GREATEST (Spark's descending NaN rule for genuine 0/0)
+    whereas the former JVM plan emitted NULL cos_c (sorted LAST):
+    null-bearing vectors are a caller bug, not a supported input (the
+    fixture embedding tables are null-free by schema contract);
+    (c) the centroid relation is collected to the driver (Arrow) at
+    DataFrame-CONSTRUCTION time — building the plan runs the ``cents``
+    job eagerly, so call sites that assign against the same centroid
+    lineage more than once should localCheckpoint it first.
 
     r14 (guide §4.1/§2.4): the k x d quantizer collects once to a
     driver numpy matrix (Arrow columnar — never Row objects) and the
@@ -184,6 +201,15 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
     spark = vecs.sparkSession
     ensure_shipped(spark)
+    # cell dtype follows the input centroid id type (ADVICE r14: the
+    # unconditional int32 cast silently wrapped long ids >= 2^31,
+    # merging distinct centroids at large id domains).
+    cell_spark_type = cents.schema["cell"].dataType.simpleString()
+    cell_np_dtype = {"int": "int32", "bigint": "int64", "smallint": "int16"}.get(
+        cell_spark_type
+    )
+    if cell_np_dtype is None:
+        raise TypeError(f"_assign: unsupported cell id type {cell_spark_type}")
     cell_ids, cmat = arrow_id_matrix(cents.select("cell", "cvec"), "cell", "cvec")
     order = np.argsort(cell_ids, kind="stable")  # cell ASC = argmax-first tie rule
     cell_ids, cmat = cell_ids[order], np.ascontiguousarray(cmat[order])
@@ -219,12 +245,13 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             key = np.where(np.isnan(key), np.inf, key)  # Spark: NaN sorts greatest
             sel = (key == key.max(axis=1)[:, None]).argmax(axis=1)
             out = pdf[["vec_id", "vv"]].copy()
-            out["cell"] = cell_ids[sel].astype(np.int32)
+            out["cell"] = cell_ids[sel].astype(cell_np_dtype)
             out["cos_raw"] = cos[np.arange(n), sel]
             yield out
 
     return vecs.select("vec_id", "vv").mapInPandas(
-        run, schema="vec_id long, vv array<double>, cell int, cos_raw double"
+        run,
+        schema=f"vec_id long, vv array<double>, cell {cell_spark_type}, cos_raw double",
     ).select("vec_id", "vv", "cell", F.round("cos_raw", 4).alias("cos_c"))
 
 

@@ -334,9 +334,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
     model = tok.groupBy("term").agg(F.count("*").alias("cnt"))
-    ranked = model.select(
-        "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rnk")
-    ).filter(F.col("rnk") <= 500)
+    # r15 (VERDICT r14 item 4): orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k, merge) — the
+    # row_number window then ranks ≤500 rows instead of single-tasking
+    # the whole vocabulary; (cnt desc, term) is a total order, so the
+    # limit keeps exactly the rnk ≤ 500 rows with identical ranks.
+    ranked = (
+        model.orderBy(F.desc("cnt"), "term")
+        .limit(500)
+        .select(
+            "cnt",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rnk"),
+        )
+    )
     pts = ranked.select(
         F.round(F.log(F.col("rnk") * 1.0) * 100000).cast("long").alias("lx"),
         F.round(F.log(F.col("cnt") * 1.0) * 100000).cast("long").alias("ly"),

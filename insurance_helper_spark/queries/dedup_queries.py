@@ -17,6 +17,7 @@ from insurance_helper_spark.queries.catalog import register
 from insurance_helper_spark.queries.shared_cache import (
     corpus_count,
     doc_shingles,
+    doc_shingles_sized,
     memo_checkpoint,
     ngram_components,
     ngram_pair_stats,
@@ -164,10 +165,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its oracle. On corpora with no hot shingles (every fixture SF:
     max df 25) the two relations are value-identical."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # r15 (VERDICT r14 item 3): the staged relation also carries the
+    # per-doc set size, so neither self-join side re-pays the doc_id
+    # Exchange+sort window per run; sizes are the UNCAPPED counts, the
+    # exact contract this query keeps.
     return (
         dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=0.5,
-            shingles=doc_shingles(spark, sf_dir),
+            shingles=doc_shingles_sized(spark, sf_dir),
         )
         .orderBy("id_a", "id_b")
     )
@@ -182,10 +187,13 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_prefix(h); see operators/dedup.py::ngram_jaccard_pairs_prefix
     and tests/test_prefix_filter.py for the equality pin."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # r15 (VERDICT r14 item 5): staged pre-sized shingles — the prefix
+    # index derives document frequency and rank from ONE scan of the
+    # staged relation instead of size-window + dfreq-aggregate + join.
     return (
         dedup.ngram_jaccard_pairs_prefix(
             docs, "doc_id", "text", k=3, threshold=0.5,
-            shingles=doc_shingles(spark, sf_dir),
+            shingles=doc_shingles_sized(spark, sf_dir),
         )
         .orderBy("id_a", "id_b")
     )
@@ -671,10 +679,10 @@ def dedup_incremental_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     th = docs.agg(
         F.floor(0.8 * (F.max("doc_id") + 1)).cast("long").alias("t")
     )
-    shd = doc_shingles(spark, sf_dir)
-    sized = shd.withColumn(
-        "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
-    )
+    # r15: staged pre-sized shingles — the former per-call size window
+    # ran twice (the self-join clones lineage), one doc_id
+    # Exchange+sort per side per run.
+    sized = doc_shingles_sized(spark, sf_dir)
     a = sized.select(F.col("doc_id").alias("id_a"), "h", F.col("sh_size").alias("size_a"))
     # delta side: only the newest slice generates candidates
     b = (

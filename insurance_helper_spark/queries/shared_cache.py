@@ -144,6 +144,32 @@ def doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return memo_checkpoint(spark, ("doc_shingles", sf_dir, k), build)
 
 
+def doc_shingles_sized(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """``doc_shingles`` with the UNCAPPED per-doc set size attached:
+    (doc_id, h, sh_size), sh_size = count of distinct shingles of the
+    doc (r15, VERDICT r14 items 3/5).
+
+    Every uncapped Jaccard consumer (plain exact join, prefix index,
+    verify legs) re-derived sh_size per call with a doc_id-partitioned
+    count window — two Exchange+sort passes per self-join per run.
+    Staging the sized relation computes that window ONCE per session on
+    top of the staged shingle rows; consumers then read a relation that
+    already carries the size (parquet column pruning keeps it free for
+    consumers that don't need it). Capped consumers must NOT use this:
+    their sizes are recomputed after the hot-shingle drop
+    (operators/dedup.ngram_jaccard_pairs guards on max_doc_freq)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def build() -> DataFrame:
+        shd = doc_shingles(spark, sf_dir, k)
+        return shd.withColumn(
+            "sh_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+
+    return memo_checkpoint(spark, ("doc_shingles_sized", sf_dir, k), build)
+
+
 # Document-frequency cap carried by the staged pair table. A published
 # all-pairs table MUST drop ultra-hot "stopword" shingles: one shingle
 # with df = 10⁶ alone yields ~5·10¹¹ pairs from a single join key —

@@ -455,11 +455,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+    # r15 (VERDICT r14 item 4): per-partition top-k via orderBy+limit
+    # (TakeOrderedAndProject), then rank ≤100 rows — the global window
+    # no longer sees the whole vocabulary. Total order (cnt desc, term)
+    # makes limit ≡ the rn ≤ 100 filter with identical ranks.
     ranked = (
-        tf.withColumn(
+        tf.orderBy(F.desc("cnt"), "term")
+        .limit(100)
+        .withColumn(
             "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
         )
-        .where(F.col("rn") <= 100)
         .select(
             F.round(F.lit(1e6) * F.log(F.col("rn").cast("double")))
             .cast("long")

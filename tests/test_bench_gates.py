@@ -119,3 +119,122 @@ class TestRoundRecordMinMerge:
         assert rec["merged_runs"] == 2
         assert rec["value"] == 2.9
         assert rec["tier2_total"] == 4.0
+
+
+class TestPerCpuRecords:
+    """r15 (VERDICT r14 item 1): baselines and round records are keyed
+    by core count — the driver's 8-core scaling run false-failed the
+    suite-total gate against the 32-core min-merged noise floor."""
+
+    def test_record_filename_standard_vs_low_core(self):
+        assert bench._record_filename(15, 32) == "r15.json"
+        assert bench._record_filename(15, 8) == "r15_c8.json"
+
+    def test_no_baseline_at_other_cpu_count(self, tmp_path, monkeypatch):
+        import json
+        import os
+
+        d = tmp_path / "bench_results"
+        os.makedirs(d)
+        (d / "r14.json").write_text(json.dumps({"queries": {"a": 1.0}}))
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "15")
+        # 32-core baseline resolves; 8-core has no record -> {} -> the
+        # suite-total gate is skipped rather than falsely applied
+        assert bench._load_prev_headline(str(tmp_path), 32) == {"a": 1.0}
+        assert bench._load_prev_headline(str(tmp_path), 8) == {}
+        assert bench._load_prev_tier2(str(tmp_path), 8) == {}
+
+    def test_low_core_baseline_resolves_from_c_record(self, tmp_path, monkeypatch):
+        import json
+        import os
+
+        d = tmp_path / "bench_results"
+        os.makedirs(d)
+        (d / "r14.json").write_text(json.dumps({"queries": {"a": 1.0}}))
+        (d / "r14_c8.json").write_text(json.dumps({"queries": {"a": 3.0}}))
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "15")
+        assert bench._load_prev_headline(str(tmp_path), 8) == {"a": 3.0}
+
+    def test_low_core_persist_does_not_touch_standard_record(
+        self, tmp_path, monkeypatch
+    ):
+        import json
+        import os
+
+        monkeypatch.setattr(
+            bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+        )
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "77")
+        base = {
+            "metric": "m", "value": 0.0, "tier2_total": 0.0,
+            "cold_total": 0.0, "r1_comparable_total": 0.0,
+        }
+        bench._persist_round_timings(
+            {**base, "queries": {"q1": 1.0}}, {}, cpus=32
+        )
+        bench._persist_round_timings(
+            {**base, "queries": {"q1": 4.0}}, {}, cpus=8
+        )
+        std = json.load(open(os.path.join(tmp_path, "bench_results", "r77.json")))
+        low = json.load(open(os.path.join(tmp_path, "bench_results", "r77_c8.json")))
+        assert std["queries"] == {"q1": 1.0} and std["cpus"] == 32
+        assert low["queries"] == {"q1": 4.0} and low["cpus"] == 8
+
+
+class TestMergedRecordGate:
+    """The suite-total gate compares min-merged round records, not a
+    single fresh run vs the previous round's noise floor."""
+
+    def test_noisy_fresh_run_over_a_sharp_round_record_passes(
+        self, tmp_path, monkeypatch
+    ):
+        # builder runs earlier in the round put the record at the noise
+        # floor; the driver's fresh run lands +29% (the r14 c8 reading).
+        # Gating the MERGED record keeps the comparison floor-vs-floor.
+        import json
+        import os
+
+        monkeypatch.setattr(
+            bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+        )
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "15")
+        d = tmp_path / "bench_results"
+        os.makedirs(d)
+        prev = {f"q{i}": 1.0 for i in range(50)}
+        (d / "r14.json").write_text(json.dumps({"queries": prev}))
+        (d / "r15.json").write_text(
+            json.dumps({"queries": {f"q{i}": 1.01 for i in range(50)}})
+        )
+        base = {
+            "metric": "m", "value": 0.0, "tier2_total": 0.0,
+            "cold_total": 0.0, "r1_comparable_total": 0.0,
+        }
+        fresh = {f"q{i}": 1.29 for i in range(50)}  # +29% host-noise run
+        merged = bench._persist_round_timings({**base, "queries": fresh}, {})
+        prev_head = bench._load_prev_headline(str(tmp_path))
+        assert bench._suite_total_gate(merged["queries"], prev_head) is None
+
+    def test_synthetic_diffuse_tax_still_trips(self, tmp_path, monkeypatch):
+        # a real +20% tax is in EVERY run of the round, so the merged
+        # record carries it and the gate fires
+        import json
+        import os
+
+        monkeypatch.setattr(
+            bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+        )
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "15")
+        d = tmp_path / "bench_results"
+        os.makedirs(d)
+        prev = {f"q{i}": 1.0 for i in range(50)}
+        (d / "r14.json").write_text(json.dumps({"queries": prev}))
+        base = {
+            "metric": "m", "value": 0.0, "tier2_total": 0.0,
+            "cold_total": 0.0, "r1_comparable_total": 0.0,
+        }
+        taxed = {f"q{i}": 1.2 for i in range(50)}
+        merged = bench._persist_round_timings({**base, "queries": taxed}, {})
+        merged = bench._persist_round_timings({**base, "queries": taxed}, {})
+        prev_head = bench._load_prev_headline(str(tmp_path))
+        breach = bench._suite_total_gate(merged["queries"], prev_head)
+        assert breach == (60.0, 50.0, 50)

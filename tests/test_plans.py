@@ -215,23 +215,28 @@ class TestCorpusPrepPlanShapes:
 
 def test_spearman_windows_ride_reduced_relations(spark, sf_dir):
     # r7 ADVICE: no rank window may sort the per-row fact table — every
-    # Window's sort input must be a HashAggregate output (the distinct
-    # (flag, x) / (flag, y) marginals of the triple pre-collapse).
-    # r14: the y marginal runs the two-phase bucketed cumulative count
-    # (functions/ranks.cum_before), so it contributes TWO windows (the
-    # tiny bucket-prefix walk + the within-bucket walk) next to the x
-    # marginal's one — three total, all still over aggregated inputs.
+    # Window's sort input must be an aggregated/collapsed relation.
+    # r15: both marginals compute their doubled ranks directly on the
+    # CHECKPOINTED value-collapsed triple relation with (flag, bucket)-
+    # partitioned range-frame windows — each contributes a tiny
+    # bucket-prefix walk plus one bucketed value window: four windows
+    # total, none of which sorts a raw FileScan (the triple relation is
+    # the one-shuffle collapse of the fact table, reached via the
+    # checkpoint scan).
     df = _q("stat_spearman_corr", spark, sf_dir)
     lines = audit.executed_plan(df).splitlines()
     window_idxs = [i for i, ln in enumerate(lines) if "Window [" in ln]
-    assert len(window_idxs) == 3, f"expected 3 marginal windows: {window_idxs}"
+    assert len(window_idxs) == 4, f"expected 4 two-phase windows: {window_idxs}"
     for i in window_idxs:
         for ln in lines[i + 1 :]:
-            if "HashAggregate" in ln:
-                break  # window input is an aggregated (reduced) relation
+            if "HashAggregate" in ln or "ExistingRDD" in ln or "LocalTableScan" in ln:
+                break  # window input is a reduced (aggregated/checkpointed) relation
             assert "FileScan" not in ln, (
                 "Window sorts the raw scan — reduced-relation guarantee broken"
             )
+    # the final plan reads the checkpointed triple relation — lineitem
+    # is scanned only inside the checkpoint build, never re-scanned here
+    assert audit.executed_plan(df).count("FileScan") == 0
 
 
 class TestRetrievePlans:

@@ -46,7 +46,7 @@ def main() -> None:
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(repo, "plans", "r14")
+    plans_dir = os.path.join(repo, "plans", os.environ.get("SPARK_GRAFT_PLANS", "r15"))
     if args.tag:
         os.makedirs(plans_dir, exist_ok=True)
 
