@@ -2285,7 +2285,15 @@ def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    vc = base.groupBy("flag", "y").agg(F.count("*").cast("long").alias("cnt"))
+    # r15: the value-collapsed relation is checkpointed once — it feeds
+    # the quartile walk, the per-flag totals AND (new) the outlier
+    # count, which is now a cnt-WEIGHTED sum over vc instead of a
+    # second full lineitem scan+join (guide §2.4: one FileScan total).
+    vc = (
+        base.groupBy("flag", "y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     # r14: cumulative counts and per-flag totals come from the
     # two-phase bucketed helper + a 3-row broadcast instead of two
     # flag-partitioned windows over the whole value-collapsed relation
@@ -2319,13 +2327,13 @@ def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
     )
     return (
-        base.join(F.broadcast(fences), "flag")
+        vc.join(F.broadcast(fences), "flag")
         .groupBy("flag", "n", "q1", "q3")
         .agg(
-            F.sum(F.when(2 * F.col("y") < F.col("lo2"), 1).otherwise(0))
+            F.sum(F.when(2 * F.col("y") < F.col("lo2"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_low_outliers"),
-            F.sum(F.when(2 * F.col("y") > F.col("hi2"), 1).otherwise(0))
+            F.sum(F.when(2 * F.col("y") > F.col("hi2"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_high_outliers"),
         )

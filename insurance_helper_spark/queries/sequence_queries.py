@@ -126,34 +126,47 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-src relation), dropping the separate distinct over
     # edges (guide §2.4).
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
-    nodes = deg.select(F.col("src").alias("node"))
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select("node", (1.0 / F.col("n")).alias("r"))
+    # r15: the node count folds into LITERALS (one count job over the
+    # checkpointed deg blocks) — the former nn aggregate+crossJoin
+    # subtree was re-planned once per broadcast reference (5×). Same
+    # IEEE binary64 ops on the same values, bit-identical ranks.
+    n_nodes = float(deg.count())
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r"))
     # Pre-divide the out-degree into an edge weight ONCE — otherwise
     # the edges⋈deg join re-executes inside every iteration's lineage
     # (measured ~5.2 s → ~3.4 s warm at sf0.1 for 3 iterations).
-    contrib = (
-        edges.join(deg, "src")
-        .select("src", "dst", (1.0 / F.col("d")).alias("w"))
-        .localCheckpoint(eager=False)
+    # r15 (VERDICT r14 item 9, guide §2.1): the weighted edge relation
+    # is checkpointed PRE-PARTITIONED BY src (functions/partitioned —
+    # AQE-wrapped checkpoints capture UnknownPartitioning), so each
+    # iteration's rank join reuses it and only the |V|-row rank side is
+    # exchanged; the before-plan re-shuffled the full |E| relation once
+    # per iteration (Exchanges 3/7/11).
+    from insurance_helper_spark.functions.partitioned import partitioned_checkpoint
+
+    n_shuffle = int(
+        spark.conf.get("spark.sql.shuffle.partitions", None)
+        or spark.sparkContext.defaultParallelism
+    )
+    contrib = partitioned_checkpoint(
+        edges.join(deg, "src").select("src", "dst", (1.0 / F.col("d")).alias("w")),
+        n_shuffle,
+        "src",
     )
     for _ in range(3):
         ranks = (
             contrib.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") * F.col("w")).alias("mass"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
-                ((1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("mass")).alias("r"),
+                (F.lit((1 - _PR_D) / n_nodes) + F.lit(_PR_D) * F.col("mass")).alias("r"),
             )
         )
     return (
-        ranks.crossJoin(F.broadcast(nn))
-        .join(deg.withColumnRenamed("src", "node"), "node")
+        ranks.join(deg.withColumnRenamed("src", "node"), "node")
         .select(
             F.col("node").alias("part_id"),
-            F.round(F.col("r") * F.col("n"), 6).alias("rank_norm"),
+            F.round(F.col("r") * F.lit(n_nodes), 6).alias("rank_norm"),
             F.col("d").alias("degree"),
         )
         .orderBy("part_id")
@@ -1674,43 +1687,61 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("d"))
         .localCheckpoint(eager=True)
     )
-    nn = deg.agg(F.count("*").cast("long").alias("n"))
-    pr = deg.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr(f"(2 * {_PR_SCALE} + n) div (2 * n)").alias("prq")
+    # r15: the node count folds into INTEGER LITERALS (one count job
+    # over the checkpointed deg blocks) — the nn aggregate subtree was
+    # re-planned per broadcast reference; exact integer arithmetic is
+    # unchanged.
+    n = int(deg.count())
+    pr = deg.select("node", F.expr(f"(2 * {_PR_SCALE} + {n}) div (2 * {n})").alias("prq"))
+    # r14: attach the out-degree to the edge ONCE — the former loop
+    # broadcast-joined deg inside every iteration's lineage, same
+    # inner-join semantics (every edge src has a degree row by
+    # construction). r15 (VERDICT r14 item 9): checkpointed
+    # PRE-PARTITIONED BY src (functions/partitioned), so each
+    # iteration's rank join reuses the partitioning instead of
+    # re-shuffling the |E| relation.
+    from insurance_helper_spark.functions.partitioned import partitioned_checkpoint
+
+    n_shuffle = int(
+        spark.conf.get("spark.sql.shuffle.partitions", None)
+        or spark.sparkContext.defaultParallelism
     )
-    # r14: attach the out-degree to the edge ONCE (lazily checkpointed
-    # on first use) — the former loop broadcast-joined deg inside every
-    # iteration's lineage, same inner-join semantics (every edge src
-    # has a degree row by construction).
-    ew = (
-        edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
-        .select("src", "dst", "d")
-        .localCheckpoint(eager=False)
+    ew = partitioned_checkpoint(
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src").select(
+            "src", "dst", "d"
+        ),
+        n_shuffle,
+        "src",
     )
     for _ in range(3):
         pr = (
             ew.join(pr.withColumnRenamed("node", "src"), "src")
-            .crossJoin(F.broadcast(nn))
-            .groupBy("dst", "n")
+            .groupBy("dst")
             .agg(F.sum(F.expr("(2 * prq + d) div (2 * d)")).alias("contrib"))
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
-                    f"(2 * {_PR_BASE_NUM} + n) div (2 * n)"
+                    f"(2 * {_PR_BASE_NUM} + {n}) div (2 * {n})"
                     " + (2 * 17 * contrib + 20) div 40"
                 ).alias("prq"),
             )
         )
     from pyspark.sql import Window as W
 
+    # r15 (rank-class): per-partition top-k via orderBy+limit
+    # (TakeOrderedAndProject), then row_number over ≤10 rows — the
+    # global rank window no longer sees the whole node relation.
+    # (prq desc, node) is a total order, so limit ≡ the rank ≤ 10
+    # filter with identical ranks.
     wr = W.orderBy(F.desc("prq"), "node")
     return (
-        pr.select(
+        pr.orderBy(F.desc("prq"), "node")
+        .limit(10)
+        .select(
             F.col("node").cast("long").alias("part_key"),
             F.round(F.col("prq").cast("double") / _PR_SCALE, 8).alias("pagerank"),
             F.row_number().over(wr).cast("int").alias("rank"),
         )
-        .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
 

@@ -2122,41 +2122,69 @@ def similarity_ann_frontier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    nq = qv.count()
+    # r15 (VERDICT r14 item 7): nq comes off the already-broadcast query
+    # matrix — no count job; n_corpus is one cheap count over the
+    # checkpointed vecs blocks.
+    nq = int(len(bq.value[0]))
     n_corpus = vecs.count()
     ne_df = exact_top.agg(F.count("*").cast("long").alias("total_exact"))
 
-    def tier_row(name: str, cand: DataFrame) -> DataFrame:
-        cand = cand.localCheckpoint(eager=True)  # feeds count + scoring
-        scored = _score6_pairs_bcast(
-            spark, cand.join(cv, "cid").select("qid", "cid", "vb"), bq
+    # r15: ONE kernel pass scores the DISTINCT union of all three
+    # tiers' candidate pairs (bucket ⊆ multiprobe by construction, and
+    # ivf overlaps heavily — the union is ~60% of the three legs'
+    # summed pair counts), then tier membership joins the cos6 back.
+    # The former per-tier loop launched three mapInPandas scoring
+    # stages, three top-k windows, three exact joins and three
+    # checkpoints; now one of each (guide §2.4 / §4 — fewer Python
+    # stage launches, fewer bytes through Arrow). Per-pair cos6 is a
+    # row-independent function of the pair, so scoring the union is
+    # value-identical per tier.
+    tagged = (
+        cand_bucket.select(F.lit("srp_bucket_16b4").alias("tier"), "qid", "cid")
+        .unionByName(
+            cand_mp.select(F.lit("srp_multiprobe_h1").alias("tier"), "qid", "cid")
         )
-        t_top = _ann_topk(scored)
-        hits = t_top.join(exact_top, ["qid", "cid"])
-        nh = hits.agg(F.count("*").cast("long").alias("total_hits"))
-        nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
-        return (
-            nh.crossJoin(F.broadcast(nc))
-            .crossJoin(F.broadcast(ne_df))
-            .select(
-                F.lit(name).alias("tier"),
-                F.lit(nq).cast("long").alias("n_queries"),
-                "total_exact",
-                "total_hits",
-                F.round(F.col("total_hits") * 1.0 / F.col("total_exact"), 6).alias(
-                    "recall_at_10"
-                ),
-                F.round(F.col("n_cand") * 1.0 / F.lit(nq), 2).alias("avg_candidates"),
-                F.round(
-                    F.col("n_cand") * 1.0 / (F.lit(nq) * F.lit(n_corpus)), 4
-                ).alias("scan_frac"),
-            )
+        .unionByName(
+            cand_ivf.select(F.lit("ivf_k16_nprobe4").alias("tier"), "qid", "cid")
         )
-
+        .localCheckpoint(eager=True)
+    )
+    pairs = tagged.select("qid", "cid").distinct()
+    scored = _score6_pairs_bcast(
+        spark, pairs.join(cv, "cid").select("qid", "cid", "vb"), bq
+    )
+    wt = W.partitionBy("tier", "qid").orderBy(F.desc("cos6"), "cid")
+    t_top = (
+        tagged.join(scored, ["qid", "cid"])
+        .withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= _ANN_TOPK)
+        .select("tier", "qid", "cid")
+    )
+    nh = (
+        t_top.join(exact_top, ["qid", "cid"])
+        .groupBy("tier")
+        .agg(F.count("*").cast("long").alias("total_hits"))
+    )
+    nc = tagged.groupBy("tier").agg(F.count("*").cast("long").alias("n_cand"))
+    # left join + coalesce: a tier whose top-k hits nothing still
+    # reports a 0 (the oracle's correlated-count semantics).
     return (
-        tier_row("srp_bucket_16b4", cand_bucket)
-        .unionByName(tier_row("srp_multiprobe_h1", cand_mp))
-        .unionByName(tier_row("ivf_k16_nprobe4", cand_ivf))
+        nc.join(nh, "tier", "left")
+        .withColumn("total_hits", F.coalesce(F.col("total_hits"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(ne_df))
+        .select(
+            "tier",
+            F.lit(nq).cast("long").alias("n_queries"),
+            "total_exact",
+            "total_hits",
+            F.round(F.col("total_hits") * 1.0 / F.col("total_exact"), 6).alias(
+                "recall_at_10"
+            ),
+            F.round(F.col("n_cand") * 1.0 / F.lit(nq), 2).alias("avg_candidates"),
+            F.round(
+                F.col("n_cand") * 1.0 / (F.lit(nq) * F.lit(n_corpus)), 4
+            ).alias("scan_frac"),
+        )
         .orderBy("tier")
     )
 

@@ -3322,28 +3322,41 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     fy = base.groupBy("flag", "y").agg(F.count("*").alias("c"))
-    vc = fy.groupBy("y").agg(F.sum("c").alias("cnt"))
-    # r14: the doubled-average-rank lookup rides the two-phase bucketed
-    # cumulative count (functions/ranks.cum_before) instead of ONE
-    # unpartitioned window over the whole value-collapsed relation —
-    # that window was a single task sorting every distinct price cent
-    # (~450k rows at sf0.1, unbounded at warehouse scale; guide §2.5).
-    # $100 buckets over the price domain → ~1.1k parallel partitions,
-    # identical integers.
-    from insurance_helper_spark.functions.ranks import cum_before
-
-    vr = cum_before(vc, [], "y", "cnt", 10_000).select(
-        "y",
-        "cnt",
-        (2 * F.col("cum_before") + F.col("cnt") + 1).cast("long").alias("r2y"),
+    # r15 (after the r14 cum_before form): the doubled rank AND the tie
+    # correction both ride ONE bucketed window directly over the
+    # (flag, y, c) relation — the y-marginal collapse (~450k-row
+    # aggregate) and its shuffle join back (600k ⋈ 450k, the query's
+    # dominant stage) are gone. Per bucket(y): `before` = Σc over
+    # strictly smaller y (RANGE frame, sums across flags), `upto`
+    # includes all peers, so tie = upto − before is the y's total count
+    # and r2y = 2·(prefix + before) + tie + 1 — identical integers.
+    # The tie cubic folds into the SAME chain:
+    # Σ_y (tie³ − tie) = Σ_rows c·(tie² − 1) because Σ_{rows of y} c =
+    # tie — so t3 rides the per-flag aggregate and no second relation
+    # exists (guide §2.4/§2.5).
+    bkt = F.floor(F.col("y") / 10_000)
+    w_pfx = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    pfx = (
+        fy.select(bkt.alias("__b"), "c")
+        .groupBy("__b")
+        .agg(F.sum("c").alias("__bw"))
+        .select("__b", F.coalesce(F.sum("__bw").over(w_pfx), F.lit(0)).alias("__p"))
     )
-    grp = (
-        fy.join(vr.select("y", "r2y"), "y")
-        .groupBy("flag")
-        .agg(
-            F.sum("c").cast("long").alias("ng"),
-            F.sum(F.col("c") * F.col("r2y")).cast("long").alias("r2g"),
-        )
+    w_y = Window.partitionBy("__b").orderBy("y")
+    before = F.coalesce(
+        F.sum("c").over(w_y.rangeBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    upto = F.sum("c").over(w_y.rangeBetween(Window.unboundedPreceding, 0))
+    ranked = (
+        fy.withColumn("__b", bkt)
+        .join(F.broadcast(pfx), "__b")
+        .withColumn("tie", upto - before)
+        .withColumn("r2y", (2 * (F.col("__p") + before) + F.col("tie") + 1).cast("long"))
+    )
+    grp = ranked.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c") * F.col("r2y")).cast("long").alias("r2g"),
+        F.sum(F.col("c") * (F.col("tie") * F.col("tie") - 1)).cast("long").alias("t3g"),
     )
     tot = grp.agg(
         F.sum("ng").cast("long").alias("n"),
@@ -3355,25 +3368,18 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (4.0 * F.col("ng"))
             ).cast("long")
         ).alias("s"),
-    )
-    ties = vc.agg(
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("long")
-        .alias("t3")
+        F.sum("t3g").cast("long").alias("t3"),
     )
     nd = F.col("n").cast("double")
     hstat = (
         12.0 * F.col("s").cast("double") / (nd * (F.col("n") + 1))
         - 3.0 * (F.col("n") + 1)
     ) / (1.0 - F.col("t3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n")))
-    return (
-        tot.crossJoin(F.broadcast(ties))
-        .select(
-            F.col("k").alias("k_groups"),
-            F.col("n").alias("n_total"),
-            F.round(hstat, 4).alias("h_statistic"),
-            F.round(F.exp(-hstat / 2), 6).alias("p_value_df2"),
-        )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.round(hstat, 4).alias("h_statistic"),
+        F.round(F.exp(-hstat / 2), 6).alias("p_value_df2"),
     )
 
 
