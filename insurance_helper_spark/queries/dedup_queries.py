@@ -1970,31 +1970,17 @@ ORDER BY bands DESC, s_jaccard
 
 @register("dedup_lsh_band_planner", LSH_PLANNER_ORACLE)
 def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    # distinct-shingle count per doc via explode + countDistinct (one
-    # codegen'd shuffle) — identical integers to len(list_distinct(...))
-    # but ~10x the per-row interpreted array_distinct(transform(...))
+    # r15: the per-doc distinct-shingle counts come off the staged
+    # hashed shingle relation (one row per distinct (doc, shingle);
+    # docs with zero shingles have no rows, matching the n_sh > 0
+    # gate) instead of re-tokenizing and string-concatenating every
+    # shingle per call. Hashed-vs-string distinctness is the same
+    # ~2⁻⁶⁴-collision equivalence every Jaccard oracle in the family
+    # already rides (operators/dedup.hashed_shingle_rows docstring).
     sh = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 2, F.lit(0)))
-            ).alias("i", "w0"),
-            F.col("toks"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("w0"),
-                F.element_at(F.col("toks"), F.col("i") + 2),
-                F.element_at(F.col("toks"), F.col("i") + 3),
-            ).alias("shingle"),
-        )
+        doc_shingles(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").cast("long").alias("n_sh"))
-        .where(F.col("n_sh") > 0)
+        .agg(F.count("*").cast("long").alias("n_sh"))
     )
     corpus = sh.agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -84,6 +84,14 @@ def main() -> None:
         if len(tags) == 2:
             row += f" {results[name][tags[1]] / results[name][tags[0]]:7.2f}"
         print(f"{name:36s} {row}")
+    # machine-readable record (r15: the core-scaling probe runs this at
+    # several $SPARK_GRAFT_CPUS values and diffs the JSON)
+    import json
+
+    print(json.dumps({
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "results": results,
+    }))
 
 
 if __name__ == "__main__":
